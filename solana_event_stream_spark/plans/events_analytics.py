@@ -1,0 +1,316 @@
+"""Event-stream analytics over the driver's `events` table.
+
+Batch analogs of the reference's metrics/aggregation surface
+(SURVEY.md §2.8, `/root/reference/src/streaming/common/metrics.rs`):
+
+- A1 per-type counters            -> events_counts_by_type
+- A2 tumbling window counts       -> events_tumbling_5min
+- A3 processing-time stats        -> events_hourly_stats
+- A5 high-latency detector        -> events_high_value_outliers
+
+plus the stateful/windowed patterns the streaming layer reuses
+(sessionization ~ J3-style keyed state, running aggregates).
+
+The same DataFrame code runs unchanged on a streaming DataFrame with
+``window()`` + watermark (see streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..tables import load_table
+from .analytics import SQL_DAVG, SQL_DSUM, davg, dsum
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, microseconds
+
+
+@register(
+    "events_counts_by_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(ts) AS first_ts, MAX(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "metrics", "agg"),
+    doc="A1 analog: per-type counters (metrics.rs:36-102).",
+)
+def events_counts_by_type(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register(
+    "events_tumbling_5min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "metrics", "window"),
+    doc="A2 analog: tumbling event-time window counts (metrics.rs:270-283; "
+        "5s processing-time window in the reference, event-time here).",
+)
+def events_tumbling_5min(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+
+
+@register(
+    "events_hourly_stats",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'sum_value')},
+           {SQL_DAVG('value', 'avg_value')},
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "metrics", "agg"),
+    doc="A3 analog: rolling stats (last/avg processing time -> hourly value stats).",
+)
+def events_hourly_stats(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                   F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "sum_value"),
+             davg(F.col("value"), "avg_value"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+    )
+
+
+@register(
+    "events_daily_active_users",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "agg", "distinct"),
+)
+def events_daily_active_users(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM lagged),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {SQL_DSUM('value', 'sum_value')}
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("events", "window", "stateful"),
+    doc="Gap-based sessionization (keyed-state pattern; 30 min gap). "
+        "Streaming form: session_window()/applyInPandasWithState.",
+)
+def events_sessionization(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+               > SESSION_GAP_US),
+            F.lit(1)).otherwise(F.lit(0)))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             dsum(F.col("value"), "sum_value"))
+    )
+
+
+@register(
+    "events_user_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           SUM(CAST(value AS DECIMAL(28,10)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_sum_dec,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS seq
+    FROM events
+    """,
+    tags=("events", "window"),
+    doc="Per-user cumulative aggregate (exact decimal accumulation).",
+)
+def events_user_running_sum(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+         .alias("run_sum_dec"),
+        F.row_number().over(wseq).alias("seq"),
+    )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+    doc="Semi-structured projection: JSON prop extraction + aggregation.",
+)
+def events_props_json(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "agg", "percentile"),
+    doc="Exact linear-interpolation percentiles (A3/A5 threshold analysis).",
+)
+def events_value_percentiles(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "events_high_value_outliers",
+    oracle="""
+    WITH thresholds AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.user_id, e.value, ROUND(t.p99, 6) AS p99
+    FROM events e JOIN thresholds t ON e.event_type = t.event_type
+    WHERE e.value > t.p99
+    """,
+    tags=("events", "metrics", "join"),
+    doc="A5 analog: high-latency detector as threshold-join filter "
+        "(metrics.rs:372-389).",
+)
+def events_high_value_outliers(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    thresholds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.99)").alias("p99_raw"))
+    return (
+        ev.join(F.broadcast(thresholds), "event_type")
+        .filter(F.col("value") > F.col("p99_raw"))
+        .select("event_id", "event_type", "user_id", "value",
+                F.round(F.col("p99_raw"), 6).alias("p99"))
+    )
+
+
+@register(
+    "events_type_share_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "pivot"),
+    doc="Pivot-style conditional counts per user (single shuffle).",
+)
+def events_type_share_pivot(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_viewers,
+           COUNT(CASE WHEN first_purchase > first_view
+                 THEN 1 END) AS n_converted
+    FROM firsts
+    """,
+    tags=("events", "funnel"),
+    doc="View->purchase funnel via conditional min timestamps.",
+)
+def events_funnel_conversion(spark, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewers"),
+        F.count(F.when(F.col("first_purchase") > F.col("first_view"), 1))
+         .alias("n_converted"),
+    )

@@ -1,0 +1,48 @@
+"""Loaders for the driver-provided testdata tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings -- one parquet each under the sf dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize_nanos_ts(df: DataFrame, col: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as LONG nanoseconds.
+    Truncate to microseconds (same as DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    cast) and convert to a proper timestamp."""
+    if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_nanos_ts(df, "ts")
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str,
+             register_views: bool = False) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+            if register_views:
+                out[name].createOrReplaceTempView(name)
+    return out
