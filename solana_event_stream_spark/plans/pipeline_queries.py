@@ -1,2 +1,153 @@
-"""Catalog entries for the Solana event pipeline (SURVEY §2) — filled in
-as the pipeline lands (fixtures + golden oracle parquet)."""
+"""Catalog entries for the Solana event pipeline (SURVEY §2).
+
+Each query runs the REAL pipeline (raw_transactions.parquet -> explode ->
+dispatch -> decode -> merge -> enrich) and aggregates the result; the
+DuckDB oracle runs the same aggregation over events_golden.parquet, which
+was generated independently of the pipeline (golden-first encoding, see
+tests/gen_fixtures.py). A hash match therefore verifies the pipeline
+end-to-end, not just the aggregation.
+
+These queries ignore sf_dir: their input is the committed fixture corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import register
+
+FIXTURES = "/root/repo/fixtures"
+GOLDEN = f"{FIXTURES}/events_golden.parquet"
+
+
+def _events(spark) -> DataFrame:
+    from .pipeline import build_events, load_raw_transactions
+    with open(os.path.join(FIXTURES, "meta.json")) as f:
+        bot = json.load(f)["bot_wallet"]
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    return build_events(raw, bot_wallet=bot)
+
+
+@register(
+    "dex_events_by_type",
+    oracle=f"""
+    SELECT protocol, event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT signature) AS n_txs
+    FROM read_parquet('{GOLDEN}')
+    GROUP BY protocol, event_type
+    """,
+    tags=("pipeline", "dex"),
+    doc="Full pipeline -> per-type event counts (D1-D4 dispatch parity).",
+)
+def dex_events_by_type(spark, sf_dir: str) -> DataFrame:
+    return (_events(spark)
+            .groupBy("protocol", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("signature").alias("n_txs")))
+
+
+@register(
+    "dex_trade_volume_by_mint",
+    oracle=f"""
+    SELECT mint,
+           CAST(COALESCE(SUM(sol_amount), 0) AS DECIMAL(38,0)) AS sol_volume,
+           CAST(COALESCE(SUM(token_amount), 0) AS DECIMAL(38,0)) AS token_volume,
+           COUNT(*) AS n_trades
+    FROM read_parquet('{GOLDEN}')
+    WHERE event_type IN ('PumpFunBuy', 'PumpFunSell')
+    GROUP BY mint
+    """,
+    tags=("pipeline", "dex"),
+    doc="SURVEY §7 Phase-1 flagship: SOL volume and trade count per mint "
+        "over decoded + CPI-merged PumpFun trades.",
+)
+def dex_trade_volume_by_mint(spark, sf_dir: str) -> DataFrame:
+    return (_events(spark)
+            .filter(F.col("event_type").isin("PumpFunBuy", "PumpFunSell"))
+            .groupBy("mint")
+            .agg(F.coalesce(F.sum("sol_amount"), F.lit(0))
+                 .cast("decimal(38,0)").alias("sol_volume"),
+                 F.coalesce(F.sum("token_amount"), F.lit(0))
+                 .cast("decimal(38,0)").alias("token_volume"),
+                 F.count(F.lit(1)).alias("n_trades")))
+
+
+@register(
+    "dex_swap_data_join",
+    oracle=f"""
+    SELECT event_type, swap_from_mint, swap_to_mint,
+           CAST(SUM(swap_from_amount) AS DECIMAL(38,0)) AS total_from,
+           CAST(SUM(swap_to_amount) AS DECIMAL(38,0)) AS total_to,
+           COUNT(*) AS n_events
+    FROM read_parquet('{GOLDEN}')
+    WHERE swap_from_mint IS NOT NULL
+    GROUP BY event_type, swap_from_mint, swap_to_mint
+    """,
+    tags=("pipeline", "dex", "swap"),
+    doc="J2 look-ahead join + P11 amount fill parity.",
+)
+def dex_swap_data_join(spark, sf_dir: str) -> DataFrame:
+    return (_events(spark)
+            .filter(F.col("swap_from_mint").isNotNull())
+            .groupBy("event_type", "swap_from_mint", "swap_to_mint")
+            .agg(F.sum("swap_from_amount").cast("decimal(38,0)")
+                 .alias("total_from"),
+                 F.sum("swap_to_amount").cast("decimal(38,0)")
+                 .alias("total_to"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "dex_enrichment_flags",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE is_dev_create_token_trade) AS n_dev_trades,
+           COUNT(*) FILTER (WHERE is_bot) AS n_bot_trades,
+           COUNT(*) AS n_events
+    FROM read_parquet('{GOLDEN}')
+    WHERE is_dev_create_token_trade IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("pipeline", "dex", "enrich"),
+    doc="J3 dev-address window + J4 bot-wallet flag parity.",
+)
+def dex_enrichment_flags(spark, sf_dir: str) -> DataFrame:
+    ev = _events(spark).filter(
+        F.col("is_dev_create_token_trade").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_dev_create_token_trade"), 1))
+         .alias("n_dev_trades"),
+        F.count(F.when(F.col("is_bot"), 1)).alias("n_bot_trades"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "dex_event_ordering",
+    oracle=f"""
+    SELECT signature,
+           string_agg(event_type, '|' ORDER BY outer_index,
+                      COALESCE(inner_index, -1), event_type) AS event_seq,
+           COUNT(*) AS n_events
+    FROM read_parquet('{GOLDEN}')
+    GROUP BY signature
+    """,
+    tags=("pipeline", "dex", "ordering"),
+    doc="§2.9 ordering contract: intra-transaction event sequence "
+        "recovered from (outer_index, inner_index).",
+)
+def dex_event_ordering(spark, sf_dir: str) -> DataFrame:
+    ev = _events(spark).withColumn(
+        "sort_key",
+        F.struct(F.col("outer_index"),
+                 F.coalesce(F.col("inner_index"), F.lit(-1)),
+                 F.col("event_type")))
+    return (ev.groupBy("signature")
+            .agg(F.array_join(
+                    F.transform(F.array_sort(F.collect_list("sort_key")),
+                                lambda s: s["event_type"]), "|")
+                 .alias("event_seq"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -34,7 +34,8 @@ def _norm_cell(v):
         return float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # DuckDB's fetchdf renders NULL decimals as NaN; treat as null
+            return None
         return v
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
