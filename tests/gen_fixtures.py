@@ -678,6 +678,853 @@ def scenario_negatives():
 
 
 # ===========================================================================
+# PumpSwap scenarios
+# ===========================================================================
+
+def _ps_accounts():
+    # buy/sell layout (pumpswap/parser.rs:132-203): pool,user,global,
+    # base_mint,quote_mint,user_base,user_quote,pool_base,pool_quote,
+    # fee_recipient,fee_recipient_ata,base_prog,quote_prog + 17/18 optional
+    return [pk(), pk(), pk(), pk(), pk(), pk(), pk(), pk(), pk(), pk(),
+            pk(), SPL_TOKEN, SPL_TOKEN, pk(), pk(), pk(), pk(), pk(), pk()]
+
+
+def _ps_buy_ix_payload(a):
+    return {
+        "pool": a[0], "user": a[1], "base_mint": a[3], "quote_mint": a[4],
+        "user_base_token_account": a[5], "user_quote_token_account": a[6],
+        "pool_base_token_account": a[7], "pool_quote_token_account": a[8],
+        "protocol_fee_recipient": a[9],
+        "protocol_fee_recipient_token_account": a[10],
+        "base_token_program": a[11], "quote_token_program": a[12],
+        "coin_creator_vault_ata": a[17], "coin_creator_vault_authority": a[18],
+    }
+
+
+def _ps_buy_cpi(a):
+    return {
+        "timestamp": 1704067300, "base_amount_out": 1_000,
+        "max_quote_amount_in": 2_000, "user_base_token_reserves": 3_000,
+        "user_quote_token_reserves": 4_000,
+        "pool_base_token_reserves": 5_000,
+        "pool_quote_token_reserves": 6_000, "quote_amount_in": 1_900,
+        "lp_fee_basis_points": 20, "lp_fee": 38,
+        "protocol_fee_basis_points": 5, "protocol_fee": 9,
+        "quote_amount_in_with_lp_fee": 1_938, "user_quote_amount_in": 1_947,
+        "pool": a[0], "user": a[1], "user_base_token_account": a[5],
+        "user_quote_token_account": a[6], "protocol_fee_recipient": a[9],
+        "protocol_fee_recipient_token_account": a[10], "coin_creator": pk(),
+        "coin_creator_fee_basis_points": 3, "coin_creator_fee": 6,
+        "track_volume": True, "total_unclaimed_tokens": 7,
+        "total_claimed_tokens": 8, "current_sol_volume": 9,
+        "last_update_timestamp": 1704067290,
+    }
+
+
+def _ps_buy_cpi_bytes(c):
+    b = (CPI_DISC["pumpswap_buy"] + i64(c["timestamp"])
+         + u64(c["base_amount_out"]) + u64(c["max_quote_amount_in"])
+         + u64(c["user_base_token_reserves"])
+         + u64(c["user_quote_token_reserves"])
+         + u64(c["pool_base_token_reserves"])
+         + u64(c["pool_quote_token_reserves"]) + u64(c["quote_amount_in"])
+         + u64(c["lp_fee_basis_points"]) + u64(c["lp_fee"])
+         + u64(c["protocol_fee_basis_points"]) + u64(c["protocol_fee"])
+         + u64(c["quote_amount_in_with_lp_fee"])
+         + u64(c["user_quote_amount_in"]) + pkb(c["pool"]) + pkb(c["user"])
+         + pkb(c["user_base_token_account"])
+         + pkb(c["user_quote_token_account"])
+         + pkb(c["protocol_fee_recipient"])
+         + pkb(c["protocol_fee_recipient_token_account"])
+         + pkb(c["coin_creator"]) + u64(c["coin_creator_fee_basis_points"])
+         + u64(c["coin_creator_fee"]) + u8(1 if c["track_volume"] else 0)
+         + u64(c["total_unclaimed_tokens"]) + u64(c["total_claimed_tokens"])
+         + u64(c["current_sol_volume"]) + i64(c["last_update_timestamp"]))
+    assert len(b) == 16 + 385
+    return b
+
+
+def scenario_pumpswap_trades():
+    a = _ps_accounts()
+    tx_accounts = a + [PUMPSWAP_PROGRAM_ID]
+    ps_i = 19
+    cpi = _ps_buy_cpi(a)
+    inner = [{"index": 0, "instructions": [ix(ps_i, [], _ps_buy_cpi_bytes(cpi))]}]
+    tx = new_tx(tx_accounts, [
+        ix(ps_i, list(range(19)),
+           IX_DISC["PumpSwapBuy"] + u64(1_000) + u64(2_000))], inner)
+    payload = merged({**_ps_buy_ix_payload(a), "base_amount_out": 1_000,
+                      "max_quote_amount_in": 2_000}, cpi, "PumpSwapBuy")
+    swap = {"from_mint": a[4], "to_mint": a[3],
+            "from_amount": cpi["user_quote_amount_in"],
+            "to_amount": cpi["base_amount_out"], "description": None}
+    golden(tx, "PumpSwapBuy", "PumpSwap", PUMPSWAP_PROGRAM_ID, 0, None,
+           payload, swap=swap)
+
+    # sell with CPI
+    a2 = _ps_accounts()
+    cpi_sell = {
+        "timestamp": 1704067301, "base_amount_in": 500,
+        "min_quote_amount_out": 400, "user_base_token_reserves": 10,
+        "user_quote_token_reserves": 20, "pool_base_token_reserves": 30,
+        "pool_quote_token_reserves": 40, "quote_amount_out": 450,
+        "lp_fee_basis_points": 20, "lp_fee": 1,
+        "protocol_fee_basis_points": 5, "protocol_fee": 2,
+        "quote_amount_out_without_lp_fee": 449, "user_quote_amount_out": 447,
+        "pool": a2[0], "user": a2[1], "user_base_token_account": a2[5],
+        "user_quote_token_account": a2[6], "protocol_fee_recipient": a2[9],
+        "protocol_fee_recipient_token_account": a2[10], "coin_creator": pk(),
+        "coin_creator_fee_basis_points": 1, "coin_creator_fee": 1,
+    }
+    b = (CPI_DISC["pumpswap_sell"] + i64(cpi_sell["timestamp"])
+         + u64(cpi_sell["base_amount_in"])
+         + u64(cpi_sell["min_quote_amount_out"])
+         + u64(cpi_sell["user_base_token_reserves"])
+         + u64(cpi_sell["user_quote_token_reserves"])
+         + u64(cpi_sell["pool_base_token_reserves"])
+         + u64(cpi_sell["pool_quote_token_reserves"])
+         + u64(cpi_sell["quote_amount_out"])
+         + u64(cpi_sell["lp_fee_basis_points"]) + u64(cpi_sell["lp_fee"])
+         + u64(cpi_sell["protocol_fee_basis_points"])
+         + u64(cpi_sell["protocol_fee"])
+         + u64(cpi_sell["quote_amount_out_without_lp_fee"])
+         + u64(cpi_sell["user_quote_amount_out"]) + pkb(cpi_sell["pool"])
+         + pkb(cpi_sell["user"]) + pkb(cpi_sell["user_base_token_account"])
+         + pkb(cpi_sell["user_quote_token_account"])
+         + pkb(cpi_sell["protocol_fee_recipient"])
+         + pkb(cpi_sell["protocol_fee_recipient_token_account"])
+         + pkb(cpi_sell["coin_creator"])
+         + u64(cpi_sell["coin_creator_fee_basis_points"])
+         + u64(cpi_sell["coin_creator_fee"]))
+    assert len(b) == 16 + 352
+    inner2 = [{"index": 0, "instructions": [ix(19, [], b)]}]
+    tx2 = new_tx(a2 + [PUMPSWAP_PROGRAM_ID], [
+        ix(19, list(range(19)),
+           IX_DISC["PumpSwapSell"] + u64(500) + u64(400))], inner2)
+    payload2 = merged({**_ps_buy_ix_payload(a2), "base_amount_in": 500,
+                       "min_quote_amount_out": 400}, cpi_sell, "PumpSwapSell")
+    swap2 = {"from_mint": a2[3], "to_mint": a2[4],
+             "from_amount": cpi_sell["base_amount_in"],
+             "to_amount": cpi_sell["user_quote_amount_out"],
+             "description": None}
+    golden(tx2, "PumpSwapSell", "PumpSwap", PUMPSWAP_PROGRAM_ID, 0, None,
+           payload2, swap=swap2)
+
+
+def scenario_pumpswap_pool_ops():
+    # create pool (50-byte data incl. coin_creator)
+    a = [pk() for _ in range(11)] + [PUMPSWAP_PROGRAM_ID]
+    coin_creator = pk()
+    tx = new_tx(a, [ix(11, list(range(11)),
+                       IX_DISC["PumpSwapCreatePool"] + u16(3) + u64(100)
+                       + u64(200) + pkb(coin_creator))])
+    golden(tx, "PumpSwapCreatePool", "PumpSwap", PUMPSWAP_PROGRAM_ID, 0,
+           None, {
+               "index": 3, "base_amount_in": 100, "quote_amount_in": 200,
+               "coin_creator": coin_creator, "pool": a[0], "creator": a[2],
+               "base_mint": a[3], "quote_mint": a[4], "lp_mint": a[5],
+               "user_base_token_account": a[6],
+               "user_quote_token_account": a[7],
+               "user_pool_token_account": a[8],
+               "pool_base_token_account": a[9],
+               "pool_quote_token_account": a[10],
+           })
+
+    # deposit + withdraw with CPI logs (248B each)
+    def dep_cpi(a):
+        return {
+            "timestamp": 1704067302, "lp_token_amount_out": 11,
+            "max_base_amount_in": 12, "max_quote_amount_in": 13,
+            "user_base_token_reserves": 14, "user_quote_token_reserves": 15,
+            "pool_base_token_reserves": 16, "pool_quote_token_reserves": 17,
+            "base_amount_in": 18, "quote_amount_in": 19,
+            "lp_mint_supply": 20, "pool": a[0], "user": a[2],
+            "user_base_token_account": a[6], "user_quote_token_account": a[7],
+            "user_pool_token_account": a[8],
+        }
+
+    def dep_cpi_bytes(disc, c, amount_keys):
+        b = (disc + i64(c["timestamp"])
+             + b"".join(u64(c[k]) for k in amount_keys)
+             + pkb(c["pool"]) + pkb(c["user"])
+             + pkb(c["user_base_token_account"])
+             + pkb(c["user_quote_token_account"])
+             + pkb(c["user_pool_token_account"]))
+        assert len(b) == 16 + 248, len(b)
+        return b
+
+    a2 = [pk() for _ in range(11)] + [PUMPSWAP_PROGRAM_ID]
+    c = dep_cpi(a2)
+    inner = [{"index": 0, "instructions": [ix(11, [], dep_cpi_bytes(
+        CPI_DISC["pumpswap_deposit"], c,
+        ["lp_token_amount_out", "max_base_amount_in", "max_quote_amount_in",
+         "user_base_token_reserves", "user_quote_token_reserves",
+         "pool_base_token_reserves", "pool_quote_token_reserves",
+         "base_amount_in", "quote_amount_in", "lp_mint_supply"]))]}]
+    tx2 = new_tx(a2, [ix(11, list(range(11)),
+                         IX_DISC["PumpSwapDeposit"] + u64(11) + u64(12)
+                         + u64(13))], inner)
+    ix_payload = {
+        "lp_token_amount_out": 11, "max_base_amount_in": 12,
+        "max_quote_amount_in": 13, "pool": a2[0], "user": a2[2],
+        "base_mint": a2[3], "quote_mint": a2[4],
+        "user_base_token_account": a2[6], "user_quote_token_account": a2[7],
+        "user_pool_token_account": a2[8], "pool_base_token_account": a2[9],
+        "pool_quote_token_account": a2[10],
+    }
+    golden(tx2, "PumpSwapDeposit", "PumpSwap", PUMPSWAP_PROGRAM_ID, 0, None,
+           merged(ix_payload, c, "PumpSwapDeposit"))
+
+    a3 = [pk() for _ in range(11)] + [PUMPSWAP_PROGRAM_ID]
+    cw = {
+        "timestamp": 1704067303, "lp_token_amount_in": 21,
+        "min_base_amount_out": 22, "min_quote_amount_out": 23,
+        "user_base_token_reserves": 24, "user_quote_token_reserves": 25,
+        "pool_base_token_reserves": 26, "pool_quote_token_reserves": 27,
+        "base_amount_out": 28, "quote_amount_out": 29, "lp_mint_supply": 30,
+        "pool": a3[0], "user": a3[2], "user_base_token_account": a3[6],
+        "user_quote_token_account": a3[7], "user_pool_token_account": a3[8],
+    }
+    inner3 = [{"index": 0, "instructions": [ix(11, [], dep_cpi_bytes(
+        CPI_DISC["pumpswap_withdraw"], cw,
+        ["lp_token_amount_in", "min_base_amount_out", "min_quote_amount_out",
+         "user_base_token_reserves", "user_quote_token_reserves",
+         "pool_base_token_reserves", "pool_quote_token_reserves",
+         "base_amount_out", "quote_amount_out", "lp_mint_supply"]))]}]
+    tx3 = new_tx(a3, [ix(11, list(range(11)),
+                         IX_DISC["PumpSwapWithdraw"] + u64(21) + u64(22)
+                         + u64(23))], inner3)
+    ix_payload3 = {
+        "lp_token_amount_in": 21, "min_base_amount_out": 22,
+        "min_quote_amount_out": 23, "pool": a3[0], "user": a3[2],
+        "base_mint": a3[3], "quote_mint": a3[4],
+        "user_base_token_account": a3[6], "user_quote_token_account": a3[7],
+        "user_pool_token_account": a3[8], "pool_base_token_account": a3[9],
+        "pool_quote_token_account": a3[10],
+    }
+    golden(tx3, "PumpSwapWithdraw", "PumpSwap", PUMPSWAP_PROGRAM_ID, 0, None,
+           merged(ix_payload3, cw, "PumpSwapWithdraw"))
+
+
+# ===========================================================================
+# Raydium CPMM scenarios
+# ===========================================================================
+
+def scenario_cpmm():
+    # swap base input + J2 transfers (mints known from accounts)
+    a = [pk(), pk(), pk(), pk(), pk(), pk(), pk(), pk(), SPL_TOKEN,
+         SPL_TOKEN, pk(), pk(), pk()]
+    tx_accounts = a + [RAYDIUM_CPMM_PROGRAM_ID]
+    cp_i = 13
+    inner = [{"index": 0, "instructions": [
+        spl_transfer(4, 6, 1_111, 8),   # input_acct -> input_vault (case 3)
+        spl_transfer(7, 5, 2_222, 8),   # output_vault -> output_acct (case 4)
+    ]}]
+    tx = new_tx(tx_accounts, [
+        ix(cp_i, list(range(13)),
+           IX_DISC["RaydiumCpmmSwapBaseInput"] + u64(1_111) + u64(2_000))],
+        inner)
+    payload = {
+        "amount_in": 1_111, "minimum_amount_out": 2_000,
+        "payer": a[0], "authority": a[1], "amm_config": a[2],
+        "pool_state": a[3], "input_token_account": a[4],
+        "output_token_account": a[5], "input_vault": a[6],
+        "output_vault": a[7], "input_token_program": a[8],
+        "output_token_program": a[9], "input_token_mint": a[10],
+        "output_token_mint": a[11], "observation_state": a[12],
+    }
+    swap = {"from_mint": a[10], "to_mint": a[11], "from_amount": 1_111,
+            "to_amount": 2_222, "description": None}
+    golden(tx, "RaydiumCpmmSwapBaseInput", "RaydiumCpmm",
+           RAYDIUM_CPMM_PROGRAM_ID, 0, None, payload, swap=swap)
+
+    # swap base output, no inner group
+    a2 = [pk() for _ in range(13)]
+    tx2 = new_tx(a2 + [RAYDIUM_CPMM_PROGRAM_ID], [
+        ix(13, list(range(13)),
+           IX_DISC["RaydiumCpmmSwapBaseOutput"] + u64(999) + u64(888))])
+    golden(tx2, "RaydiumCpmmSwapBaseOutput", "RaydiumCpmm",
+           RAYDIUM_CPMM_PROGRAM_ID, 0, None, {
+               "max_amount_in": 999, "amount_out": 888,
+               "payer": a2[0], "authority": a2[1], "amm_config": a2[2],
+               "pool_state": a2[3], "input_token_account": a2[4],
+               "output_token_account": a2[5], "input_vault": a2[6],
+               "output_vault": a2[7], "input_token_program": a2[8],
+               "output_token_program": a2[9], "input_token_mint": a2[10],
+               "output_token_mint": a2[11], "observation_state": a2[12],
+           })
+
+    # deposit / initialize / withdraw
+    a3 = [pk() for _ in range(13)]
+    tx3 = new_tx(a3 + [RAYDIUM_CPMM_PROGRAM_ID], [
+        ix(13, list(range(13)),
+           IX_DISC["RaydiumCpmmDeposit"] + u64(1) + u64(2) + u64(3))])
+    names3 = ["owner", "authority", "pool_state", "owner_lp_token",
+              "token0_account", "token1_account", "token0_vault",
+              "token1_vault", "token_program", "token_program2022",
+              "vault0_mint", "vault1_mint", "lp_mint"]
+    golden(tx3, "RaydiumCpmmDeposit", "RaydiumCpmm",
+           RAYDIUM_CPMM_PROGRAM_ID, 0, None, {
+               "lp_token_amount": 1, "maximum_token0_amount": 2,
+               "maximum_token1_amount": 3,
+               **{k: a3[i] for i, k in enumerate(names3)}})
+
+    a4 = [pk() for _ in range(20)]
+    tx4 = new_tx(a4 + [RAYDIUM_CPMM_PROGRAM_ID], [
+        ix(20, list(range(20)),
+           IX_DISC["RaydiumCpmmInitialize"] + u64(4) + u64(5) + u64(6))])
+    names4 = ["creator", "amm_config", "authority", "pool_state",
+              "token0_mint", "token1_mint", "lp_mint", "creator_token0",
+              "creator_token1", "creator_lp_token", "token0_vault",
+              "token1_vault", "create_pool_fee", "observation_state",
+              "token_program", "token0_program", "token1_program",
+              "associated_token_program", "system_program", "rent"]
+    golden(tx4, "RaydiumCpmmInitialize", "RaydiumCpmm",
+           RAYDIUM_CPMM_PROGRAM_ID, 0, None, {
+               "init_amount0": 4, "init_amount1": 5, "open_time": 6,
+               **{k: a4[i] for i, k in enumerate(names4)}})
+
+    a5 = [pk() for _ in range(14)]
+    tx5 = new_tx(a5 + [RAYDIUM_CPMM_PROGRAM_ID], [
+        ix(14, list(range(14)),
+           IX_DISC["RaydiumCpmmWithdraw"] + u64(7) + u64(8) + u64(9))])
+    names5 = names3 + ["memo_program"]
+    golden(tx5, "RaydiumCpmmWithdraw", "RaydiumCpmm",
+           RAYDIUM_CPMM_PROGRAM_ID, 0, None, {
+               "lp_token_amount": 7, "minimum_token0_amount": 8,
+               "minimum_token1_amount": 9,
+               **{k: a5[i] for i, k in enumerate(names5)}})
+
+
+# ===========================================================================
+# Raydium CLMM scenarios
+# ===========================================================================
+
+def scenario_clmm():
+    SQRT = 79_228_162_514_264_337_593_543  # > u64, exercises u128 decode
+    # swap v1 (description, amounts via transfers, mints stay zero)
+    a = [pk(), pk(), pk(), pk(), pk(), pk(), pk(), pk(), SPL_TOKEN, pk(),
+         pk()]
+    tx_accounts = a + [RAYDIUM_CLMM_PROGRAM_ID]
+    inner = [{"index": 0, "instructions": [
+        spl_transfer(3, 5, 50, 8),   # input_acct -> input_vault
+        spl_transfer(6, 4, 60, 8),   # output_vault -> output_acct
+    ]}]
+    tx = new_tx(tx_accounts, [
+        ix(11, list(range(11)),
+           IX_DISC["RaydiumClmmSwap"] + u64(50) + u64(45) + u128(SQRT)
+           + u8(1))], inner)
+    payload = {
+        "amount": 50, "other_amount_threshold": 45,
+        "sqrt_price_limit_x64": SQRT, "is_base_input": True,
+        "payer": a[0], "amm_config": a[1], "pool_state": a[2],
+        "input_token_account": a[3], "output_token_account": a[4],
+        "input_vault": a[5], "output_vault": a[6], "observation_state": a[7],
+        "token_program": a[8], "tick_array": a[9],
+        "remaining_accounts": [a[10]],
+    }
+    swap = {"from_mint": ZERO_PUBKEY, "to_mint": ZERO_PUBKEY,
+            "from_amount": 50, "to_amount": 60,
+            "description": "Unable to get from_mint and to_mint from "
+                           "RaydiumClmmSwapEvent"}
+    golden(tx, "RaydiumClmmSwap", "RaydiumClmm", RAYDIUM_CLMM_PROGRAM_ID,
+           0, None, payload, swap=swap)
+
+    # swap v2 (mints from accounts 11/12)
+    a2 = [pk() for _ in range(13)]
+    tx2 = new_tx(a2 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(13, list(range(13)),
+           IX_DISC["RaydiumClmmSwapV2"] + u64(70) + u64(65) + u128(SQRT)
+           + u8(0))])
+    golden(tx2, "RaydiumClmmSwapV2", "RaydiumClmm", RAYDIUM_CLMM_PROGRAM_ID,
+           0, None, {
+               "amount": 70, "other_amount_threshold": 65,
+               "sqrt_price_limit_x64": SQRT, "is_base_input": False,
+               "payer": a2[0], "amm_config": a2[1], "pool_state": a2[2],
+               "input_token_account": a2[3], "output_token_account": a2[4],
+               "input_vault": a2[5], "output_vault": a2[6],
+               "observation_state": a2[7], "token_program": a2[8],
+               "token_program2022": a2[9], "memo_program": a2[10],
+               "input_vault_mint": a2[11], "output_vault_mint": a2[12],
+               "remaining_accounts": [],
+           })
+
+    # close position
+    a3 = [pk() for _ in range(6)]
+    tx3 = new_tx(a3 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(6, list(range(6)), IX_DISC["RaydiumClmmClosePosition"] + b"")])
+    golden(tx3, "RaydiumClmmClosePosition", "RaydiumClmm",
+           RAYDIUM_CLMM_PROGRAM_ID, 0, None, {
+               "nft_owner": a3[0], "position_nft_mint": a3[1],
+               "position_nft_account": a3[2], "personal_position": a3[3],
+               "system_program": a3[4], "token_program": a3[5]})
+
+    # increase liquidity v2 (base_flag = Some(true))
+    LIQ = 2**90 + 7
+    a4 = [pk() for _ in range(15)]
+    tx4 = new_tx(a4 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(15, list(range(15)),
+           IX_DISC["RaydiumClmmIncreaseLiquidityV2"] + u128(LIQ) + u64(10)
+           + u64(11) + u8(1) + u8(1))])
+    names4 = ["nft_owner", "nft_account", "pool_state", "protocol_position",
+              "personal_position", "tick_array_lower", "tick_array_upper",
+              "token_account0", "token_account1", "token_vault0",
+              "token_vault1", "token_program", "token_program2022",
+              "vault0_mint", "vault1_mint"]
+    golden(tx4, "RaydiumClmmIncreaseLiquidityV2", "RaydiumClmm",
+           RAYDIUM_CLMM_PROGRAM_ID, 0, None, {
+               "liquidity": LIQ, "amount0_max": 10, "amount1_max": 11,
+               "base_flag": True,
+               **{k: a4[i] for i, k in enumerate(names4)}})
+
+    # decrease liquidity v2
+    a5 = [pk() for _ in range(17)]
+    tx5 = new_tx(a5 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(17, list(range(17)),
+           IX_DISC["RaydiumClmmDecreaseLiquidityV2"] + u128(LIQ) + u64(12)
+           + u64(13))])
+    names5 = ["nft_owner", "nft_account", "personal_position", "pool_state",
+              "protocol_position", "token_vault0", "token_vault1",
+              "tick_array_lower", "tick_array_upper",
+              "recipient_token_account0", "recipient_token_account1",
+              "token_program", "token_program2022", "memo_program",
+              "vault0_mint", "vault1_mint"]
+    golden(tx5, "RaydiumClmmDecreaseLiquidityV2", "RaydiumClmm",
+           RAYDIUM_CLMM_PROGRAM_ID, 0, None, {
+               "liquidity": LIQ, "amount0_min": 12, "amount1_min": 13,
+               **{k: a5[i] for i, k in enumerate(names5)},
+               "remaining_accounts": [a5[16]]})
+
+    # create pool
+    a6 = [pk() for _ in range(13)]
+    tx6 = new_tx(a6 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(13, list(range(13)),
+           IX_DISC["RaydiumClmmCreatePool"] + u128(SQRT) + u64(1704067400))])
+    names6 = ["pool_creator", "amm_config", "pool_state", "token_mint0",
+              "token_mint1", "token_vault0", "token_vault1",
+              "observation_state", "tick_array_bitmap", "token_program0",
+              "token_program1", "system_program", "rent"]
+    golden(tx6, "RaydiumClmmCreatePool", "RaydiumClmm",
+           RAYDIUM_CLMM_PROGRAM_ID, 0, None, {
+               "sqrt_price_x64": SQRT, "open_time": 1704067400,
+               **{k: a6[i] for i, k in enumerate(names6)}})
+
+    # open position v2 (base_flag None) + t22 variant (base_flag Some(false))
+    pos_data = (i32(-100) + i32(200) + i32(-300) + i32(400) + u128(LIQ)
+                + u64(14) + u64(15) + u8(1))
+    a7 = [pk() for _ in range(23)]
+    tx7 = new_tx(a7 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(23, list(range(23)),
+           IX_DISC["RaydiumClmmOpenPositionV2"] + pos_data + u8(0) + u8(0))])
+    names7 = ["payer", "position_nft_owner", "position_nft_mint",
+              "position_nft_account", "metadata_account", "pool_state",
+              "protocol_position", "tick_array_lower", "tick_array_upper",
+              "personal_position", "token_account0", "token_account1",
+              "token_vault0", "token_vault1", "rent", "system_program",
+              "token_program", "associated_token_program",
+              "metadata_program", "token_program2022", "vault0_mint",
+              "vault1_mint"]
+    golden(tx7, "RaydiumClmmOpenPositionV2", "RaydiumClmm",
+           RAYDIUM_CLMM_PROGRAM_ID, 0, None, {
+               "tick_lower_index": -100, "tick_upper_index": 200,
+               "tick_array_lower_start_index": -300,
+               "tick_array_upper_start_index": 400, "liquidity": LIQ,
+               "amount0_max": 14, "amount1_max": 15, "with_metadata": True,
+               "base_flag": None,
+               **{k: a7[i] for i, k in enumerate(names7)},
+               "remaining_accounts": [a7[22]]})
+
+    a8 = [pk() for _ in range(20)]
+    tx8 = new_tx(a8 + [RAYDIUM_CLMM_PROGRAM_ID], [
+        ix(20, list(range(20)),
+           IX_DISC["RaydiumClmmOpenPositionWithToken22Nft"] + pos_data
+           + u8(1) + u8(0))])
+    names8 = ["payer", "position_nft_owner", "position_nft_mint",
+              "position_nft_account", "pool_state", "protocol_position",
+              "tick_array_lower", "tick_array_upper", "personal_position",
+              "token_account0", "token_account1", "token_vault0",
+              "token_vault1", "rent", "system_program", "token_program",
+              "associated_token_program", "token_program2022",
+              "vault0_mint", "vault1_mint"]
+    golden(tx8, "RaydiumClmmOpenPositionWithToken22Nft", "RaydiumClmm",
+           RAYDIUM_CLMM_PROGRAM_ID, 0, None, {
+               "tick_lower_index": -100, "tick_upper_index": 200,
+               "tick_array_lower_start_index": -300,
+               "tick_array_upper_start_index": 400, "liquidity": LIQ,
+               "amount0_max": 14, "amount1_max": 15, "with_metadata": True,
+               "base_flag": False,
+               **{k: a8[i] for i, k in enumerate(names8)}})
+
+
+# ===========================================================================
+# Raydium AMM v4 scenarios (1-byte discriminators)
+# ===========================================================================
+
+def scenario_ammv4():
+    # swap base in, 17 accounts -> amm_target_orders placeholder inserted
+    a = [pk() for _ in range(17)]
+    tx = new_tx(a + [RAYDIUM_AMM_V4_PROGRAM_ID], [
+        ix(17, list(range(17)),
+           IX_DISC["RaydiumAmmV4SwapBaseIn"] + u64(100) + u64(90))])
+    accs = list(a)
+    accs.insert(4, ZERO_PUBKEY)
+    names = ["token_program", "amm", "amm_authority", "amm_open_orders",
+             "amm_target_orders", "pool_coin_token_account",
+             "pool_pc_token_account", "serum_program", "serum_market",
+             "serum_bids", "serum_asks", "serum_event_queue",
+             "serum_coin_vault_account", "serum_pc_vault_account",
+             "serum_vault_signer", "user_source_token_account",
+             "user_destination_token_account", "user_source_owner"]
+    golden(tx, "RaydiumAmmV4SwapBaseIn", "RaydiumAmmV4",
+           RAYDIUM_AMM_V4_PROGRAM_ID, 0, None, {
+               "amount_in": 100, "minimum_amount_out": 90,
+               **{k: accs[i] for i, k in enumerate(names)}})
+
+    # swap base out, 18 accounts + J2 transfers (amounts only, description)
+    a2 = [SPL_TOKEN] + [pk() for _ in range(17)]
+    inner = [{"index": 0, "instructions": [
+        spl_transfer(15, 6, 300, 0),   # user_source -> pool_pc (case 3)
+        spl_transfer(5, 16, 400, 0),   # pool_coin -> user_dest (case 4)
+    ]}]
+    tx2 = new_tx(a2 + [RAYDIUM_AMM_V4_PROGRAM_ID], [
+        ix(18, list(range(18)),
+           IX_DISC["RaydiumAmmV4SwapBaseOut"] + u64(310) + u64(400))],
+        inner)
+    golden(tx2, "RaydiumAmmV4SwapBaseOut", "RaydiumAmmV4",
+           RAYDIUM_AMM_V4_PROGRAM_ID, 0, None, {
+               "max_amount_in": 310, "amount_out": 400,
+               **{k: a2[i] for i, k in enumerate(names)}},
+           swap={"from_mint": ZERO_PUBKEY, "to_mint": ZERO_PUBKEY,
+                 "from_amount": 300, "to_amount": 400,
+                 "description": "Unable to get from_mint and to_mint from "
+                                "RaydiumAmmV4SwapEvent"})
+
+    # deposit
+    a3 = [pk() for _ in range(14)]
+    tx3 = new_tx(a3 + [RAYDIUM_AMM_V4_PROGRAM_ID], [
+        ix(14, list(range(14)),
+           IX_DISC["RaydiumAmmV4Deposit"] + u64(1) + u64(2) + u64(3))])
+    names3 = ["token_program", "amm", "amm_authority", "amm_open_orders",
+              "amm_target_orders", "lp_mint_address",
+              "pool_coin_token_account", "pool_pc_token_account",
+              "serum_market", "user_coin_token_account",
+              "user_pc_token_account", "user_lp_token_account",
+              "user_owner", "serum_event_queue"]
+    golden(tx3, "RaydiumAmmV4Deposit", "RaydiumAmmV4",
+           RAYDIUM_AMM_V4_PROGRAM_ID, 0, None, {
+               "max_coin_amount": 1, "max_pc_amount": 2, "base_side": 3,
+               **{k: a3[i] for i, k in enumerate(names3)}})
+
+    # initialize2
+    a4 = [pk() for _ in range(21)]
+    tx4 = new_tx(a4 + [RAYDIUM_AMM_V4_PROGRAM_ID], [
+        ix(21, list(range(21)),
+           IX_DISC["RaydiumAmmV4Initialize2"] + u8(255) + u64(1704067500)
+           + u64(4) + u64(5))])
+    names4 = ["token_program", "spl_associated_token_account",
+              "system_program", "rent", "amm", "amm_authority",
+              "amm_open_orders", "lp_mint", "coin_mint", "pc_mint",
+              "pool_coin_token_account", "pool_pc_token_account",
+              "pool_withdraw_queue", "amm_target_orders", "pool_temp_lp",
+              "serum_program", "serum_market", "user_wallet",
+              "user_token_coin", "user_token_pc", "user_lp_token_account"]
+    golden(tx4, "RaydiumAmmV4Initialize2", "RaydiumAmmV4",
+           RAYDIUM_AMM_V4_PROGRAM_ID, 0, None, {
+               "nonce": 255, "open_time": 1704067500, "init_pc_amount": 4,
+               "init_coin_amount": 5,
+               **{k: a4[i] for i, k in enumerate(names4)}})
+
+    # withdraw
+    a5 = [pk() for _ in range(22)]
+    tx5 = new_tx(a5 + [RAYDIUM_AMM_V4_PROGRAM_ID], [
+        ix(22, list(range(22)), IX_DISC["RaydiumAmmV4Withdraw"] + u64(6))])
+    names5 = ["token_program", "amm", "amm_authority", "amm_open_orders",
+              "amm_target_orders", "lp_mint_address",
+              "pool_coin_token_account", "pool_pc_token_account",
+              "pool_withdraw_queue", "pool_temp_lp_token_account",
+              "serum_program", "serum_market", "serum_coin_vault_account",
+              "serum_pc_vault_account", "serum_vault_signer",
+              "user_lp_token_account", "user_coin_token_account",
+              "user_pc_token_account", "user_owner", "serum_event_queue",
+              "serum_bids", "serum_asks"]
+    golden(tx5, "RaydiumAmmV4Withdraw", "RaydiumAmmV4",
+           RAYDIUM_AMM_V4_PROGRAM_ID, 0, None, {
+               "amount": 6, **{k: a5[i] for i, k in enumerate(names5)}})
+
+    # withdraw pnl
+    a6 = [pk() for _ in range(17)]
+    tx6 = new_tx(a6 + [RAYDIUM_AMM_V4_PROGRAM_ID], [
+        ix(17, list(range(17)), IX_DISC["RaydiumAmmV4WithdrawPnl"] + b"")])
+    names6 = ["token_program", "amm", "amm_config", "amm_authority",
+              "amm_open_orders", "pool_coin_token_account",
+              "pool_pc_token_account", "coin_pnl_token_account",
+              "pc_pnl_token_account", "pnl_owner_account",
+              "amm_target_orders", "serum_program", "serum_market",
+              "serum_event_queue", "serum_coin_vault_account",
+              "serum_pc_vault_account", "serum_vault_signer"]
+    golden(tx6, "RaydiumAmmV4WithdrawPnl", "RaydiumAmmV4",
+           RAYDIUM_AMM_V4_PROGRAM_ID, 0, None,
+           {k: a6[i] for i, k in enumerate(names6)})
+
+
+# ===========================================================================
+# Meteora DAMM v2 scenarios
+# ===========================================================================
+
+def _meteora_swap_cpi():
+    return {
+        "pool": pk(), "trade_direction": "0", "collect_fee_mode": 1,
+        "has_referral": True, "amount_0": 10_000, "amount_1": 9_000,
+        "swap_mode": 0, "included_fee_input_amount": 10_000,
+        "excluded_fee_input_amount": 9_950, "amount_left": 0,
+        "output_amount": 9_500, "next_sqrt_price": 2**70 + 3,
+        "trading_fee": 30, "protocol_fee": 10, "partner_fee": 5,
+        "referral_fee": 5, "included_transfer_fee_amount_in": 1,
+        "included_transfer_fee_amount_out": 2,
+        "excluded_transfer_fee_amount_out": 3,
+        "current_timestamp": 1704067600, "reserve_a_amount": 111_111,
+        "reserve_b_amount": 222_222,
+    }
+
+
+def _meteora_swap_cpi_bytes(c):
+    b = (CPI_DISC["meteora_swap"] + pkb(c["pool"])
+         + u8(int(c["trade_direction"])) + u8(c["collect_fee_mode"])
+         + u8(1 if c["has_referral"] else 0) + u64(c["amount_0"])
+         + u64(c["amount_1"]) + u8(c["swap_mode"])
+         + u64(c["included_fee_input_amount"])
+         + u64(c["excluded_fee_input_amount"]) + u64(c["amount_left"])
+         + u64(c["output_amount"]) + u128(c["next_sqrt_price"])
+         + u64(c["trading_fee"]) + u64(c["protocol_fee"])
+         + u64(c["partner_fee"]) + u64(c["referral_fee"])
+         + u64(c["included_transfer_fee_amount_in"])
+         + u64(c["included_transfer_fee_amount_out"])
+         + u64(c["excluded_transfer_fee_amount_out"])
+         + u64(c["current_timestamp"]) + u64(c["reserve_a_amount"])
+         + u64(c["reserve_b_amount"]))
+    assert len(b) == 16 + 180, len(b)
+    return b
+
+
+def scenario_meteora_swaps():
+    a = [pk() for _ in range(14)]
+    md_i = 14
+    cpi = _meteora_swap_cpi()
+    inner = [{"index": 0,
+              "instructions": [ix(md_i, [], _meteora_swap_cpi_bytes(cpi))]}]
+    tx = new_tx(a + [METEORA_DAMM_V2_PROGRAM_ID], [
+        ix(md_i, list(range(14)),
+           IX_DISC["MeteoraDammV2Swap"] + u64(10_000) + u64(9_000))], inner)
+    ix_payload = {
+        "amount_0": 10_000, "amount_1": 9_000,
+        "pool_authority": a[0], "pool": a[1], "input_token_account": a[2],
+        "output_token_account": a[3], "token_a_vault": a[4],
+        "token_b_vault": a[5], "token_a_mint": a[6], "token_b_mint": a[7],
+        "payer": a[8], "token_a_program": a[9], "token_b_program": a[10],
+        "referral_token_account": a[11], "event_authority": a[12],
+        "program": a[13],
+    }
+    golden(tx, "MeteoraDammV2Swap", "MeteoraDammV2",
+           METEORA_DAMM_V2_PROGRAM_ID, 0, None,
+           merged(ix_payload, cpi, "MeteoraDammV2Swap"))
+
+    # swap2 with referral (15 accounts), no CPI
+    a2 = [pk() for _ in range(15)]
+    tx2 = new_tx(a2 + [METEORA_DAMM_V2_PROGRAM_ID], [
+        ix(15, list(range(15)),
+           IX_DISC["MeteoraDammV2Swap2"] + u64(5_000) + u64(4_500) + u8(1))])
+    golden(tx2, "MeteoraDammV2Swap2", "MeteoraDammV2",
+           METEORA_DAMM_V2_PROGRAM_ID, 0, None, {
+               "amount_0": 5_000, "amount_1": 4_500, "swap_mode": 1,
+               "has_referral": True,
+               "pool_authority": a2[0], "pool": a2[1],
+               "input_token_account": a2[2], "output_token_account": a2[3],
+               "token_a_vault": a2[4], "token_b_vault": a2[5],
+               "token_a_mint": a2[6], "token_b_mint": a2[7], "payer": a2[8],
+               "token_a_program": a2[9], "token_b_program": a2[10],
+               "referral_token_account": a2[11], "event_authority": a2[12],
+               "program": a2[13], "sysvar": a2[14]})
+
+    # swap2 without referral (14 accounts)
+    a3 = [pk() for _ in range(14)]
+    tx3 = new_tx(a3 + [METEORA_DAMM_V2_PROGRAM_ID], [
+        ix(14, list(range(14)),
+           IX_DISC["MeteoraDammV2Swap2"] + u64(6_000) + u64(5_500) + u8(0))])
+    golden(tx3, "MeteoraDammV2Swap2", "MeteoraDammV2",
+           METEORA_DAMM_V2_PROGRAM_ID, 0, None, {
+               "amount_0": 6_000, "amount_1": 5_500, "swap_mode": 0,
+               "has_referral": False,
+               "pool_authority": a3[0], "pool": a3[1],
+               "input_token_account": a3[2], "output_token_account": a3[3],
+               "token_a_vault": a3[4], "token_b_vault": a3[5],
+               "token_a_mint": a3[6], "token_b_mint": a3[7], "payer": a3[8],
+               "token_a_program": a3[9], "token_b_program": a3[10],
+               "referral_token_account": None, "event_authority": a3[11],
+               "program": a3[12], "sysvar": a3[13]})
+
+
+def _meteora_fees():
+    return {
+        "base_fee_cliff_fee_numerator": 2_500_000,
+        "base_fee_first_factor": 10, "base_fee_second_factor": 3,
+        "base_fee_third_factor": 4, "base_fee_mode": 0,
+    }
+
+
+def _meteora_fees_bytes(fees, dynamic=None):
+    b = (u64(fees["base_fee_cliff_fee_numerator"])
+         + u16(fees["base_fee_first_factor"])
+         + u64(fees["base_fee_second_factor"])
+         + u64(fees["base_fee_third_factor"]) + u8(fees["base_fee_mode"])
+         + b"\x00\x00\x00")
+    if dynamic is None:
+        return b + u8(0)
+    return (b + u8(1) + u16(dynamic["dynamic_fee_bin_step"])
+            + u128(dynamic["dynamic_fee_bin_step_u128"])
+            + u16(dynamic["dynamic_fee_filter_period"])
+            + u16(dynamic["dynamic_fee_decay_period"])
+            + u16(dynamic["dynamic_fee_reduction_factor"])
+            + u32(dynamic["dynamic_fee_max_volatility_accumulator"])
+            + u32(dynamic["dynamic_fee_variable_fee_control"]))
+
+
+def scenario_meteora_init_pools():
+    LIQ, SQRT = 2**100, 2**64 + 1
+
+    # initialize_pool with CPI init-pool log (exact-consumption borsh)
+    a = [pk() for _ in range(20)]
+    fees = _meteora_fees()
+    cpi = {
+        "pool": pk(), "token_a_mint": pk(), "token_b_mint": pk(),
+        "creator": pk(), "payer": pk(), "alpha_vault": pk(), **fees,
+        "sqrt_min_price": 1, "sqrt_max_price": 2**125,
+        "activation_type": 1, "collect_fee_mode": 0, "liquidity": LIQ,
+        "sqrt_price": SQRT, "activation_point": 1704067700,
+        "token_a_flag": 0, "token_b_flag": 1, "token_a_amount": 1_000,
+        "token_b_amount": 2_000, "total_amount_a": 3_000,
+        "total_amount_b": 4_000, "pool_type": 0,
+    }
+    cpi_bytes = (CPI_DISC["meteora_init_pool"] + pkb(cpi["pool"])
+                 + pkb(cpi["token_a_mint"]) + pkb(cpi["token_b_mint"])
+                 + pkb(cpi["creator"]) + pkb(cpi["payer"])
+                 + pkb(cpi["alpha_vault"]) + _meteora_fees_bytes(fees)
+                 + u128(cpi["sqrt_min_price"]) + u128(cpi["sqrt_max_price"])
+                 + u8(cpi["activation_type"]) + u8(cpi["collect_fee_mode"])
+                 + u128(cpi["liquidity"]) + u128(cpi["sqrt_price"])
+                 + u64(cpi["activation_point"]) + u8(cpi["token_a_flag"])
+                 + u8(cpi["token_b_flag"]) + u64(cpi["token_a_amount"])
+                 + u64(cpi["token_b_amount"]) + u64(cpi["total_amount_a"])
+                 + u64(cpi["total_amount_b"]) + u8(cpi["pool_type"]))
+    inner = [{"index": 0, "instructions": [ix(20, [], cpi_bytes)]}]
+    tx = new_tx(a + [METEORA_DAMM_V2_PROGRAM_ID], [
+        ix(20, list(range(20)),
+           IX_DISC["MeteoraDammV2InitializePool"] + u128(LIQ) + u128(SQRT)
+           + u8(1) + u64(1704067700))], inner)
+    ix_payload = {
+        "liquidity": LIQ, "sqrt_price": SQRT,
+        "creator": a[0], "position_nft_mint": a[1],
+        "position_nft_account": a[2], "payer": a[3], "config": a[4],
+        "pool_authority": a[5], "pool": a[6], "position": a[7],
+        "token_a_mint": a[8], "token_b_mint": a[9], "token_a_vault": a[10],
+        "token_b_vault": a[11], "payer_token_a": a[12],
+        "payer_token_b": a[13], "token_a_program": a[14],
+        "token_b_program": a[15], "event_authority": a[18], "program": a[19],
+        "remaining_accounts": [],
+    }
+    golden(tx, "MeteoraDammV2InitializePool", "MeteoraDammV2",
+           METEORA_DAMM_V2_PROGRAM_ID, 0, None,
+           merged(ix_payload, cpi, "MeteoraDammV2InitializePool"))
+
+    # initialize_customizable_pool WITH dynamic fee, no CPI
+    a2 = [pk() for _ in range(19)]
+    fees2 = _meteora_fees()
+    dyn = {
+        "dynamic_fee_bin_step": 80, "dynamic_fee_bin_step_u128": 2**65,
+        "dynamic_fee_filter_period": 30, "dynamic_fee_decay_period": 600,
+        "dynamic_fee_reduction_factor": 5000,
+        "dynamic_fee_max_volatility_accumulator": 350_000,
+        "dynamic_fee_variable_fee_control": 40_000,
+    }
+    data2 = (IX_DISC["MeteoraDammV2InitializeCustomizablePool"]
+             + _meteora_fees_bytes(fees2, dyn) + u128(1) + u128(2**125)
+             + u8(0) + u128(LIQ) + u128(SQRT) + u8(1) + u8(0) + u8(0))
+    tx2 = new_tx(a2 + [METEORA_DAMM_V2_PROGRAM_ID],
+                 [ix(19, list(range(19)), data2)])
+    golden(tx2, "MeteoraDammV2InitializeCustomizablePool", "MeteoraDammV2",
+           METEORA_DAMM_V2_PROGRAM_ID, 0, None, {
+               **fees2, **dyn, "sqrt_min_price": 1,
+               "sqrt_max_price": 2**125, "liquidity": LIQ,
+               "sqrt_price": SQRT, "activation_type": 1,
+               "collect_fee_mode": 0,
+               "creator": a2[0], "position_nft_mint": a2[1],
+               "position_nft_account": a2[2], "payer": a2[3],
+               "pool_authority": a2[4], "pool": a2[5], "position": a2[6],
+               "token_a_mint": a2[7], "token_b_mint": a2[8],
+               "token_a_vault": a2[9], "token_b_vault": a2[10],
+               "payer_token_a": a2[11], "payer_token_b": a2[12],
+               "token_a_program": a2[13], "token_b_program": a2[14],
+               "token_2022_program": a2[15], "system_program": a2[16],
+               "event_authority": a2[17], "program": a2[18],
+               "remaining_accounts": []})
+
+    # initialize_pool_with_dynamic_config, no dynamic fee, no CPI
+    a3 = [pk() for _ in range(21)]
+    fees3 = _meteora_fees()
+    data3 = (IX_DISC["MeteoraDammV2InitializePoolWithDynamicConfig"]
+             + _meteora_fees_bytes(fees3) + u128(7) + u128(2**126)
+             + u8(1) + u128(LIQ) + u128(SQRT) + u8(0) + u8(1) + u8(0)
+             + b"\x00" * 40)  # trailing bytes tolerated by the hand parser
+    tx3 = new_tx(a3 + [METEORA_DAMM_V2_PROGRAM_ID],
+                 [ix(21, list(range(21)), data3)])
+    golden(tx3, "MeteoraDammV2InitializePoolWithDynamicConfig",
+           "MeteoraDammV2", METEORA_DAMM_V2_PROGRAM_ID, 0, None, {
+               **fees3, "sqrt_min_price": 7, "sqrt_max_price": 2**126,
+               "liquidity": LIQ, "sqrt_price": SQRT, "activation_type": 0,
+               "collect_fee_mode": 1,
+               "creator": a3[0], "position_nft_mint": a3[1],
+               "position_nft_account": a3[2], "payer": a3[3],
+               "pool_creator_authority": a3[4], "config": a3[5],
+               "pool_authority": a3[6], "pool": a3[7], "position": a3[8],
+               "token_a_mint": a3[9], "token_b_mint": a3[10],
+               "token_a_vault": a3[11], "token_b_vault": a3[12],
+               "payer_token_a": a3[13], "payer_token_b": a3[14],
+               "token_a_program": a3[15], "token_b_program": a3[16],
+               "token_2022_program": a3[17], "system_program": a3[18],
+               "event_authority": a3[19], "program": a3[20]})
+
+
+def scenario_inner_instruction_event():
+    # A DEX instruction appearing as an INNER instruction (nested CPI) is
+    # parsed through the same pipeline with inner_index set
+    # (core/event_parser.rs:256-287).
+    foreign = pk()
+    a = [pk(), pk(), pk(), pk(), pk(), pk(), pk(), SYSTEM_PROGRAM,
+         SPL_TOKEN, pk(), pk(), pk(), pk(), pk(), pk(), pk()]
+    tx_accounts = a + [foreign, PUMPFUN_PROGRAM_ID]
+    inner = [{"index": 0, "instructions": [
+        ix(17, list(range(16)), IX_DISC["PumpFunBuy"] + u64(42) + u64(43)),
+    ]}]
+    tx = new_tx(tx_accounts, [ix(16, [0], b"\x00" * 8)], inner)
+    # J2: group exists -> swap emitted with mints set; amounts come from
+    # P11 over sol_amount/token_amount which are unset here (no CPI) ->
+    # NULL (the reference would carry struct-default 0; our sparse schema
+    # keeps NULL for never-decoded fields — documented representation).
+    golden(tx, "PumpFunBuy", "PumpFun", PUMPFUN_PROGRAM_ID, 0, 0, {
+        "amount": 42, "max_sol_cost": 43, "is_buy": True,
+        "global": a[0], "fee_recipient": a[1], "mint": a[2],
+        "bonding_curve": a[3], "associated_bonding_curve": a[4],
+        "associated_user": a[5], "user": a[6],
+        "system_program": SYSTEM_PROGRAM, "token_program": SPL_TOKEN,
+        "creator_vault": a[9], "event_authority": a[10], "program": a[11],
+        "global_volume_accumulator": a[12],
+        "user_volume_accumulator": a[13],
+        "fee_config": a[14], "fee_program": a[15],
+    }, swap={"from_mint": SOL_MINT, "to_mint": a[2], "from_amount": None,
+             "to_amount": None, "description": None},
+        is_dev=False, is_bot=False)
+
+
+# ===========================================================================
 # Parquet output
 # ===========================================================================
 
@@ -763,6 +1610,14 @@ def main():
     scenario_bonk_trades()
     scenario_bonk_initialize_and_dev()
     scenario_bonk_migrations()
+    scenario_pumpswap_trades()
+    scenario_pumpswap_pool_ops()
+    scenario_cpmm()
+    scenario_clmm()
+    scenario_ammv4()
+    scenario_meteora_swaps()
+    scenario_meteora_init_pools()
+    scenario_inner_instruction_event()
     scenario_negatives()
     write_parquet()
 
