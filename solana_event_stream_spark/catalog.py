@@ -63,6 +63,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         from .plans import events_analytics  # noqa: F401
         from .plans import pipeline_queries  # noqa: F401
         from .operators import dedup  # noqa: F401
+        from .operators import multimodal  # noqa: F401
         from .operators import similarity  # noqa: F401
         from .operators import text_analysis  # noqa: F401
         _LOADED = True

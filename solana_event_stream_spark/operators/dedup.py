@@ -1,2 +1,361 @@
-"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine) — filled in milestone 3."""
+"""Deduplication operators over the `documents` table — the training-data
+pipeline surface: exact (hash-groupBy), MinHash+LSH (shingle -> minhash ->
+band -> bucket-join -> verify), SimHash (hamming prefix-blocked), n-gram
+Jaccard, embedding-cosine near-dup.
+
+Everything is built from JVM-side higher-order functions (transform /
+aggregate / array_*) — no Python UDFs — so the whole path is
+Catalyst-planned and Arrow-free.
+
+Scale design (100 TB):
+- every pairwise operator is BLOCKED (LSH band buckets, simhash prefix,
+  (lang, length-bucket)) so the candidate join is an equi-join on the
+  block key, never a cross join;
+- signatures are computed per-row (narrow), the only shuffles are the
+  block-key joins; skewed blocks are handled by AQE skew-join;
+- verification (true Jaccard / cosine) runs only on candidates.
+
+Determinism: md5 is the cross-engine hash (identical hex in Spark and
+DuckDB); Jaccard uses |A∩B| / (|A|+|B|-|A∩B|) so both engines divide the
+same integers; dot products use ordered folds (verified bitwise-equal
+across engines).
+
+The input corpus is `documents` unioned with deterministic near-dup
+copies (doc_id+1000000, one appended token) so the operators demonstrably
+find duplicates on the synthetic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import register
+from ..tables import load_table
+
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+
+# SQL fragment shared by all oracles: corpus with injected near-dups
+DOCS_CTE = """
+    docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' xdup' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def docs_with_dups(spark, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (base.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
+    return base.unionByName(dups)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH {DOCS_CTE},
+    hashed AS (SELECT doc_id, md5(text) AS text_hash FROM docs)
+    SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+    FROM hashed GROUP BY text_hash HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "llm-data"),
+    doc="Exact dedup: md5 content hash -> groupBy -> keep min doc_id.",
+)
+def dedup_exact(spark, sf_dir: str) -> DataFrame:
+    docs = docs_with_dups(spark, sf_dir)
+    return (docs.select("doc_id", F.md5("text").alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_copies") > 1))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingles(col):
+    """Distinct 3-word shingles via higher-order functions (no explode)."""
+    words = F.split(col, " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(n >= 3, F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+                F.element_at(words, i + 3))))
+        .otherwise(F.array()))
+
+
+def _minhash_cols(shingle_col):
+    """k lexicographic-min md5(seed|shingle) signatures."""
+    return [
+        F.array_min(F.transform(
+            shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        .alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+_SQL_SHINGLES = """
+      list_distinct(CASE WHEN len(w) >= 3 THEN
+        list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [] END)
+"""
+
+_SQL_MINHASH = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+    for i in range(N_HASHES))
+
+_SQL_BANDS = ", ".join(
+    "mh%d || mh%d || mh%d AS band%d" % (3 * b, 3 * b + 1, 3 * b + 2, b)
+    for b in range(N_BANDS))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {DOCS_CTE},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    sigs AS (SELECT doc_id, shingles, {_SQL_MINHASH} FROM sh),
+    banded AS (SELECT doc_id, shingles, {_SQL_BANDS} FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.shingles AS sh_a, b.shingles AS sh_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3)),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_inter,
+             len(sh_a) AS n_a, len(sh_b) AS n_b
+      FROM pairs)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+    FROM verified
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+    """,
+    tags=("dedup", "llm-data", "minhash"),
+    doc="MinHash(12)+LSH(4 bands x 3): shingle -> signature -> band-bucket "
+        "join -> exact-Jaccard verify >= 0.6.",
+)
+def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
+    docs = docs_with_dups(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles"),
+        *[c for c in _minhash_cols(_shingles(F.col("text")))])
+    bands = sigs.select(
+        "doc_id", "shingles",
+        F.posexplode(F.array(*[
+            F.concat(F.col(f"mh{3 * b}"), F.col(f"mh{3 * b + 1}"),
+                     F.col(f"mh{3 * b + 2}")) for b in range(N_BANDS)
+        ])).alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.shingles").alias("sh_a"),
+                F.col("b.shingles").alias("sh_b"))
+        .dropDuplicates(["doc_a", "doc_b"]))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.6))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+
+# portable hex->int: fold 8 hex chars of md5(word)
+_SPARK_H32 = ("aggregate(transform(sequence(1, 8), i -> "
+              "cast(instr('0123456789abcdef', substring(md5(wrd), i, 1)) - 1 "
+              "as long)), cast(0 as long), (acc, d) -> acc * 16 + d)")
+_SQL_H32 = ("list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9),"
+            " i -> CAST(strpos('0123456789abcdef', substr(md5(wrd), i, 1))"
+            " - 1 AS BIGINT))), (acc, d) -> acc * 16 + d)")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {DOCS_CTE},
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wrd FROM docs),
+    wh AS (SELECT doc_id, {_SQL_H32} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h // (1::BIGINT << j)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM wh, (SELECT unnest(range(0, {_SIM_BITS})) AS j)
+      GROUP BY doc_id, j),
+    sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b
+      ON a.simhash // {1 << 16} = b.simhash // {1 << 16}
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "llm-data", "simhash"),
+    doc="SimHash(32-bit, word features) with 16-bit prefix blocking; "
+        "near-dup iff hamming distance <= 3.",
+)
+def dedup_simhash(spark, sf_dir: str) -> DataFrame:
+    docs = docs_with_dups(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("wrd"))
+    wh = words.select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    bits = (wh.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(_SIM_BITS - 1)),
+            lambda j: F.when(F.getbit(F.col("h"), j) == 1,
+                             F.lit(1)).otherwise(F.lit(-1))))
+        .alias("j", "contrib"))
+        .groupBy("doc_id", "j").agg(F.sum("contrib").alias("s")))
+    sims = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)"))
+              .otherwise(F.lit(0))).alias("simhash"))
+    a, b = sims.alias("a"), sims.alias("b")
+    prefix = 1 << 16
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, ((F.col("a.simhash") / prefix).cast("long")
+                       == (F.col("b.simhash") / prefix).cast("long"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (word bigrams, lang + length-bucket blocking)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars, text || ' xdup'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    grams AS (
+      SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1])) AS g
+      FROM docs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+             / (len(a.g) + len(b.g)
+                - len(list_filter(a.g, x -> list_contains(b.g, x))))
+             AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+          / (len(a.g) + len(b.g)
+             - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5
+    """,
+    tags=("dedup", "llm-data", "jaccard"),
+    doc="Word-bigram Jaccard >= 0.5 with (lang, length-bucket) blocking.",
+)
+def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text")
+    dups = (base.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "lang",
+                    "n_chars",
+                    F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
+    docs = base.unionByName(dups)
+    words = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2))))
+    grams = docs.select(
+        "doc_id", "lang", (F.col("n_chars") / 64).cast("long")
+        .alias("len_bucket"), bigrams.alias("g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    n_inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    jac = n_inter.cast("double") / (
+        F.size("a.g") + F.size("b.g") - n_inter)
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (label-blocked, top-20 by similarity)
+# ---------------------------------------------------------------------------
+
+_SPARK_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+              "cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+_SQL_DOT = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+            "list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)), "
+            "(acc, v) -> acc + v)")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings)
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm) AS cosine
+      FROM norms a JOIN norms b
+        ON a.label = b.label AND a.vec_id < b.vec_id) t
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
+    """,
+    tags=("dedup", "llm-data", "embedding"),
+    doc="Embedding near-dup: label-blocked pairwise cosine, top-20. "
+        "Ordered-fold dot products are bitwise cross-engine deterministic.",
+)
+def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"))
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("doc_a"),
+                    F.col("b.vec_id").alias("doc_b"),
+                    (dot / (F.col("a.nrm") * F.col("b.nrm")))
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(20))

@@ -1,2 +1,141 @@
-"""Similarity search (brute-force cosine top-k, LSH/IVF scale path) —
-filled in milestone 3."""
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine top-k: the correctness baseline — broadcast the
+  query set, rank per query;
+- LSH-bucketed top-k: the scale path — deterministic random-hyperplane
+  signatures (md5-derived weights) shrink the candidate set to an
+  equi-join on bucket before ranking.
+
+At 100 TB the brute-force form is a broadcast-join + per-partition
+top-k (no shuffle except the final per-query heads); the LSH form makes
+the candidate join key-based. All math uses ordered folds (bitwise
+deterministic across Spark/DuckDB — see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register
+from ..tables import load_table
+from .dedup import _SPARK_DOT, _SQL_DOT
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 8
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+    queries AS (SELECT * FROM norms WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.nrm * c.nrm) AS cosine
+      FROM queries q JOIN norms c ON q.vec_id != c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    tags=("similarity", "llm-data", "ann"),
+    doc="Brute-force cosine top-k (baseline): broadcast query set, rank "
+        "all candidates per query.",
+)
+def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"))
+    queries = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(norms, F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K))
+
+
+# Deterministic hyperplanes: weight(plane p, dim d) = +1 if the md5-derived
+# hex nibble is even else -1. Identical arithmetic on both engines.
+_SPARK_SIGN = (
+    "aggregate(sequence(0, {np} - 1), cast(0 as long), (acc, p) -> "
+    "acc * 2 + if(aggregate(zip_with(embedding, "
+    "sequence(0, size(embedding) - 1), (x, d) -> cast(x as double) * "
+    "if(instr('02468ace', substring(md5(concat(cast(p as string), '_', "
+    "cast(d as string))), 1, 1)) > 0, 1.0d, -1.0d)), cast(0 as double), "
+    "(acc2, v) -> acc2 + v) > 0d, 1L, 0L))"
+).format(np=N_PLANES)
+
+_SQL_SIGN = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {np}), "
+    "p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip(embedding, range(0, len(embedding))), "
+    "z -> z[1]::DOUBLE * (CASE WHEN strpos('02468ace', "
+    "substr(md5(p::VARCHAR || '_' || z[2]::VARCHAR), 1, 1)) > 0 "
+    "THEN 1.0 ELSE -1.0 END))), (acc2, v) -> acc2 + v) > 0 "
+    "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)"
+).format(np=N_PLANES)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
+             {_SQL_SIGN} AS bucket
+      FROM embeddings),
+    queries AS (SELECT * FROM sigs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.nrm * c.nrm) AS cosine
+      FROM queries q JOIN sigs c
+        ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    tags=("similarity", "llm-data", "ann", "lsh"),
+    doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
+        "bits -> bucket equi-join -> rank candidates only.",
+)
+def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"),
+        F.expr(_SPARK_SIGN).alias("bucket"))
+    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(sigs, (F.col("q_bucket") == F.col("bucket"))
+                    & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K))

@@ -1,2 +1,186 @@
-"""Text analysis (lang-id, quality scoring, token counting,
-fingerprinting) — filled in milestone 3."""
+"""Text analysis over the `documents` table: language-ID (marker-word
+heuristic), quality scoring (length/stopword/char ratios), token counting
+(whitespace + BPE-ish regex), and content fingerprinting.
+
+All per-row arithmetic (counts, ratios) — deterministic across engines
+without rounding. Regexes are kept to the syntax subset shared by Java
+regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..catalog import register
+from ..tables import load_table
+
+# tiny marker lexicons per language (n-gram heuristic stand-in)
+_MARKERS = {
+    "en": ["the", "fast", "slow", "value", "key"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "los", "que", "con"],
+    "fr": ["le", "les", "des", "une", "est"],
+    "zh": ["de", "shi", "bu", "le", "ren"],
+}
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+
+def _hits_expr(words_col, markers):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words_col, lambda w: F.array_contains(arr, w)))
+
+
+def _sql_hits(markers):
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(w, x -> list_contains({lst}, x)))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS w
+      FROM documents),
+    scored AS (
+      SELECT doc_id, labeled_lang, len(w) AS n_words,
+             {_sql_hits(_MARKERS['en'])} AS hits_en,
+             {_sql_hits(_MARKERS['de'])} AS hits_de,
+             {_sql_hits(_MARKERS['es'])} AS hits_es,
+             {_sql_hits(_MARKERS['fr'])} AS hits_fr,
+             {_sql_hits(_MARKERS['zh'])} AS hits_zh
+      FROM toks),
+    pred AS (
+      SELECT *, CASE
+        WHEN hits_en >= hits_de AND hits_en >= hits_es
+             AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        WHEN hits_de >= hits_es AND hits_de >= hits_fr
+             AND hits_de >= hits_zh THEN 'de'
+        WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        WHEN hits_fr >= hits_zh THEN 'fr' ELSE 'zh' END AS predicted_lang
+      FROM scored)
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs,
+           SUM(hits_en) AS total_marker_hits
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    tags=("text", "llm-data", "langid"),
+    doc="Language-ID heuristic: marker-word hit counts per language, "
+        "argmax with deterministic tie order, confusion counts vs label.",
+)
+def text_language_id(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        *[_hits_expr(words, m).alias(f"hits_{k}")
+          for k, m in _MARKERS.items()])
+    h = {k: F.col(f"hits_{k}") for k in _MARKERS}
+    pred = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["es"])
+               & (h["en"] >= h["fr"]) & (h["en"] >= h["zh"]), "en")
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"])
+              & (h["de"] >= h["zh"]), "de")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["zh"]), "es")
+        .when(h["fr"] >= h["zh"], "fr").otherwise("zh"))
+    return (scored.withColumn("predicted_lang", pred)
+            .groupBy("labeled_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("hits_en").alias("total_marker_hits")))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, length(text) AS n_chars2,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains(
+                   [{", ".join(repr(s) for s in _STOPWORDS)}], x)))
+               AS n_stop,
+             length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha
+      FROM documents)
+    SELECT doc_id, lang, n_chars2, n_words,
+           CAST(n_chars2 AS DOUBLE) / n_words AS avg_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_nonalpha AS DOUBLE) / n_chars2 AS nonalpha_ratio,
+           CASE WHEN n_words BETWEEN 50 AND 1000
+                 AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM feats
+    """,
+    tags=("text", "llm-data", "quality"),
+    doc="Quality scoring: length, avg word length, stopword ratio, "
+        "non-alpha ratio, pass/fail gate.",
+)
+def text_quality_score(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_chars2 = F.length("text")
+    n_nonalpha = F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    stop_ratio = n_stop.cast("double") / n_words
+    return docs.select(
+        "doc_id", "lang", n_chars2.alias("n_chars2"),
+        n_words.alias("n_words"),
+        (n_chars2.cast("double") / n_words).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_nonalpha.cast("double") / n_chars2).alias("nonalpha_ratio"),
+        F.when((n_words >= 50) & (n_words <= 1000) & (stop_ratio >= 0.01),
+               1).otherwise(0).alias("quality_pass"))
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS bpe_ish_tokens,
+           length(text) AS n_bytes2,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS bytes_per_token
+    FROM documents
+    """,
+    tags=("text", "llm-data", "tokens"),
+    doc="Token counting: whitespace split vs BPE-ish regex segmentation.",
+)
+def text_token_stats(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.length("text").alias("n_bytes2"),
+        (F.length("text").cast("double") / bpe).alias("bytes_per_token"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_distinct,
+           MIN(fingerprint) AS min_fp
+    FROM fp GROUP BY source
+    """,
+    tags=("text", "llm-data", "fingerprint"),
+    doc="Document fingerprinting: normalized-content md5, per-source "
+        "distinct counts (shard-level dedup accounting).",
+)
+def text_fingerprint(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), " +", " ")))
+    return (docs.select("doc_id", "source", fp.alias("fingerprint"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fingerprint").alias("n_distinct"),
+                 F.min("fingerprint").alias("min_fp")))
