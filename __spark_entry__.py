@@ -22,14 +22,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship query; driver checks rows>0 with a stable schema.
 
-    Runs the Q3-style shipping-priority join (customer ⋈ orders ⋈
-    lineitem with broadcast dim, aggregation, deterministic top-k).
+    SURVEY §7 Phase-1 flagship: run the full Solana event pipeline
+    (explode -> dispatch -> decode -> CPI merge -> enrich) over the
+    fixture transaction corpus and aggregate SOL volume / trade counts
+    per mint for PumpFun trades.
     """
     tune(spark)
     catalog = load_catalog()
-    return catalog["q3_shipping_priority"].spark_fn(spark, SMOKE_SF_DIR)
+    return catalog["dex_trade_volume_by_mint"].spark_fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

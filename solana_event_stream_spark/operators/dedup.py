@@ -33,8 +33,9 @@ from ..catalog import register
 from ..tables import load_table
 
 N_HASHES = 12
-N_BANDS = 4
-ROWS_PER_BAND = 3
+N_BANDS = 3
+ROWS_PER_BAND = 4  # P(candidate) = J^4 per band: steep S-curve, few false
+                   # candidates on loosely-similar corpora
 
 # SQL fragment shared by all oracles: corpus with injected near-dups
 DOCS_CTE = """
@@ -118,8 +119,12 @@ _SQL_MINHASH = ", ".join(
     for i in range(N_HASHES))
 
 _SQL_BANDS = ", ".join(
-    "mh%d || mh%d || mh%d AS band%d" % (3 * b, 3 * b + 1, 3 * b + 2, b)
+    " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + f" AS band{b}"
     for b in range(N_BANDS))
+
+_SQL_BAND_MATCH = " OR ".join(
+    f"a.band{b} = b.band{b}" for b in range(N_BANDS))
 
 
 @register(
@@ -134,8 +139,7 @@ _SQL_BANDS = ", ".join(
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.shingles AS sh_a, b.shingles AS sh_b
       FROM banded a JOIN banded b ON a.doc_id < b.doc_id
-       AND (a.band0 = b.band0 OR a.band1 = b.band1
-            OR a.band2 = b.band2 OR a.band3 = b.band3)),
+       AND ({_SQL_BAND_MATCH})),
     verified AS (
       SELECT doc_a, doc_b,
              len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_inter,
@@ -152,14 +156,17 @@ _SQL_BANDS = ", ".join(
 )
 def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     docs = docs_with_dups(spark, sf_dir)
-    sigs = docs.select(
-        "doc_id", _shingles(F.col("text")).alias("shingles"),
-        *[c for c in _minhash_cols(_shingles(F.col("text")))])
+    # Materialize shingles once per row (the signature columns reference
+    # the projected column, not 12 recomputations of the shingle array).
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sigs = sh.select("doc_id", "shingles",
+                     *_minhash_cols(F.col("shingles")))
     bands = sigs.select(
         "doc_id", "shingles",
         F.posexplode(F.array(*[
-            F.concat(F.col(f"mh{3 * b}"), F.col(f"mh{3 * b + 1}"),
-                     F.col(f"mh{3 * b + 2}")) for b in range(N_BANDS)
+            F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                       for r in range(ROWS_PER_BAND)])
+            for b in range(N_BANDS)
         ])).alias("band_idx", "band_val"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -225,17 +232,18 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("wrd"))
     wh = words.select("doc_id", F.expr(_SPARK_H32).alias("h"))
-    bits = (wh.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(_SIM_BITS - 1)),
-            lambda j: F.when(F.getbit(F.col("h"), j) == 1,
-                             F.lit(1)).otherwise(F.lit(-1))))
-        .alias("j", "contrib"))
-        .groupBy("doc_id", "j").agg(F.sum("contrib").alias("s")))
-    sims = bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)"))
-              .otherwise(F.lit(0))).alias("simhash"))
+    # 32 conditional partial aggregates instead of a words x bits explode
+    # (identical integer math; map-side combine keeps the shuffle at one
+    # row per doc).
+    per_doc = wh.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.getbit(F.col("h"), F.lit(j)) == 1, 1).otherwise(-1))
+        .alias(f"s{j}") for j in range(_SIM_BITS)])
+    simhash_expr = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"s{j}") > 0,
+                      F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    sims = per_doc.select("doc_id", simhash_expr.alias("simhash"))
     a, b = sims.alias("a"), sims.alias("b")
     prefix = 1 << 16
     hamming = F.bit_count(

@@ -1,0 +1,184 @@
+"""Account-update pipeline (SURVEY §3.3): raw account snapshots ->
+typed account-state events.
+
+Routing (core/account_event_parser.rs:59-143):
+1. owner is a requested protocol program AND data >= 8 bytes -> dispatch
+   on the 8-byte account discriminator (D3);
+2. else try Nonce (initialized only);
+3. else Token path: SPL Mint (exact 82B), Token-2022 mint (ext TLV with
+   AccountType::Mint), token-account amount by owner program — the final
+   TokenAccount form always emits (amount NULL when undecodable), as the
+   reference does.
+
+Dispatch runs JVM-side (owner/disc literal maps); only routed rows enter
+the Arrow decode stage. No shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, DecimalType,
+                               IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..operators.account_decode import ACCOUNT_DISCRIMINATORS
+from ..registry import ALL_PROTOCOLS, PROGRAM_ID_BY_PROTOCOL
+
+_DEC20 = DecimalType(20, 0)
+
+ACCOUNT_EVENT_SCHEMA = StructType([
+    StructField("slot", LongType()),
+    StructField("signature", StringType()),
+    StructField("protocol", StringType()),
+    StructField("event_type", StringType()),
+    StructField("program_id", StringType()),
+    StructField("recv_us", LongType()),
+    StructField("pubkey", StringType()),
+    StructField("executable", BooleanType()),
+    StructField("lamports", LongType()),
+    StructField("owner", StringType()),
+    StructField("rent_epoch", LongType()),
+    # PumpFun bonding curve (pumpfun/types.rs:14-24)
+    StructField("virtual_token_reserves", _DEC20),
+    StructField("virtual_sol_reserves", _DEC20),
+    StructField("real_token_reserves", _DEC20),
+    StructField("real_sol_reserves", _DEC20),
+    StructField("token_total_supply", _DEC20),
+    StructField("complete", BooleanType()),
+    StructField("creator", StringType()),
+    StructField("is_mayhem_mode", BooleanType()),
+    # PumpFun global (pumpfun/types.rs:59-80)
+    StructField("initialized", BooleanType()),
+    StructField("authority", StringType()),
+    StructField("fee_recipient", StringType()),
+    StructField("initial_virtual_token_reserves", _DEC20),
+    StructField("initial_virtual_sol_reserves", _DEC20),
+    StructField("initial_real_token_reserves", _DEC20),
+    StructField("fee_basis_points", _DEC20),
+    StructField("withdraw_authority", StringType()),
+    StructField("enable_migrate", BooleanType()),
+    StructField("pool_migration_fee", _DEC20),
+    StructField("creator_fee_basis_points", _DEC20),
+    StructField("fee_recipients", ArrayType(StringType())),
+    StructField("set_creator_authority", StringType()),
+    StructField("admin_set_creator_authority", StringType()),
+    StructField("create_v2_enabled", BooleanType()),
+    StructField("whitelist_pda", StringType()),
+    StructField("reserved_fee_recipient", StringType()),
+    StructField("mayhem_mode_enabled", BooleanType()),
+    # Token/Mint/Nonce (account_event_parser.rs:17-54)
+    StructField("supply", _DEC20),
+    StructField("decimals", IntegerType()),
+    StructField("amount", _DEC20),
+    StructField("token_owner", StringType()),
+    StructField("nonce", StringType()),
+    StructField("nonce_authority", StringType()),
+])
+
+
+def _decode_account_batches(iterator: Iterator):
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from ..operators.account_decode import (PROTOCOL_ACCOUNT_DECODERS,
+                                            decode_nonce, decode_spl_mint,
+                                            decode_token2022_mint,
+                                            decode_token_amount)
+
+    out_cols = [f.name for f in ACCOUNT_EVENT_SCHEMA.fields]
+    dec_cols = {f.name for f in ACCOUNT_EVENT_SCHEMA.fields
+                if isinstance(f.dataType, DecimalType)}
+
+    for pdf in iterator:
+        rows_out = []
+        for row in pdf.itertuples(index=False):
+            data = bytes(row.data) if row.data is not None else b""
+            base = {
+                "slot": row.slot, "signature": row.signature,
+                "program_id": row.owner, "recv_us": row.recv_us,
+                "pubkey": row.pubkey, "executable": row.executable,
+                "lamports": row.lamports, "owner": row.owner,
+                "rent_epoch": row.rent_epoch,
+            }
+            # 1) protocol account (pre-routed JVM-side)
+            if row.acct_event_type is not None:
+                decoder = PROTOCOL_ACCOUNT_DECODERS.get(row.acct_event_type)
+                if decoder is not None:
+                    payload = decoder(data)
+                    if payload is not None:
+                        rows_out.append({
+                            **base, "protocol": row.acct_protocol,
+                            "event_type": row.acct_event_type, **payload})
+                        continue
+            # 2) nonce
+            nonce = decode_nonce(data)
+            if nonce is not None:
+                rows_out.append({
+                    **base, "protocol": "Common",
+                    "event_type": "NonceAccount", "nonce": nonce["nonce"],
+                    "nonce_authority": nonce["authority"]})
+                continue
+            # 3) token path
+            mint = decode_spl_mint(data) or decode_token2022_mint(data)
+            if mint is not None:
+                rows_out.append({
+                    **base, "protocol": "Common",
+                    "event_type": "TokenAccount", **mint})
+                continue
+            amount = decode_token_amount(data, row.owner)
+            rows_out.append({
+                **base, "protocol": "Common", "event_type": "TokenAccount",
+                "amount": amount, "token_owner": row.owner})
+
+        n = len(rows_out)
+        cols: dict[str, list] = {c: [None] * n for c in out_cols}
+        for i, rowdict in enumerate(rows_out):
+            for k, v in rowdict.items():
+                if v is not None:
+                    cols[k][i] = Decimal(v) if k in dec_cols else v
+        yield pd.DataFrame(
+            {c: pd.Series(cols[c], dtype=object) for c in out_cols},
+            columns=out_cols)
+
+
+def build_account_events(raw_accounts: DataFrame,
+                         protocols: tuple[str, ...] = ALL_PROTOCOLS
+                         ) -> DataFrame:
+    program_ids = {PROGRAM_ID_BY_PROTOCOL[p]: p for p in protocols}
+
+    proto_entries = []
+    for pid, proto in program_ids.items():
+        proto_entries += [F.lit(pid), F.lit(proto)]
+    proto_map = F.create_map(*proto_entries)
+
+    disc_entries = []
+    for (proto, disc), etype in ACCOUNT_DISCRIMINATORS.items():
+        disc_entries += [F.lit(proto + ":" + disc), F.lit(etype)]
+    disc_map = F.create_map(*disc_entries)
+
+    routed = (
+        raw_accounts
+        .withColumn("acct_protocol", proto_map[F.col("owner")])
+        .withColumn(
+            "disc_hex",
+            F.when((F.col("acct_protocol").isNotNull())
+                   & (F.length("data") >= 8),
+                   F.lower(F.hex(F.expr("substring(data, 1, 8)")))))
+        .withColumn(
+            "acct_event_type",
+            disc_map[F.concat(F.col("acct_protocol"), F.lit(":"),
+                              F.col("disc_hex"))])
+    )
+    decode_input = routed.select(
+        "slot", "signature", "pubkey", "executable", "lamports", "owner",
+        "rent_epoch", "data", "recv_us", "acct_protocol", "acct_event_type")
+    return decode_input.mapInPandas(_decode_account_batches,
+                                    schema=ACCOUNT_EVENT_SCHEMA)
+
+
+def load_raw_accounts(spark, path: str) -> DataFrame:
+    from ..schemas import RAW_ACCOUNT_SCHEMA
+    return spark.read.schema(RAW_ACCOUNT_SCHEMA).parquet(path)

@@ -154,32 +154,37 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None):
                 base["swap_description"] = swap["description"]
             rows_out.append({**base, **payload})
 
-        # dtype=object keeps int64 values exact (a NaN-bearing numeric
-        # column would otherwise degrade to float64 and lose precision
-        # above 2^53).
-        out = pd.DataFrame(rows_out, columns=out_cols, dtype=object)
-        # NaN -> None (scalar cells only; list cells pass through), and
-        # ints -> Decimal for decimal128 columns (Arrow needs objects).
+        # Column-wise assembly with explicit None fill: the output schema
+        # is ~380 columns but each event sets ~30, so building per-row
+        # then normalizing per-cell would do tens of millions of no-op
+        # operations per batch. object dtype keeps int64 exact.
         from decimal import Decimal
         dec_cols = {n for n, k in PAYLOAD_FIELDS.items() if k in _DEC_KINDS}
         dec_cols |= {"swap_from_amount", "swap_to_amount"}
-
-        def _norm(v, is_dec):
-            if isinstance(v, (list, tuple)):
-                return list(v)
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                return None
-            return Decimal(int(v)) if is_dec else v
-
-        for name in out.columns:
-            is_dec = name in dec_cols
-            out[name] = out[name].map(lambda v, d=is_dec: _norm(v, d))
-        yield out
+        n = len(rows_out)
+        cols: dict[str, list] = {c: [None] * n for c in out_cols}
+        for i, rowdict in enumerate(rows_out):
+            for k, v in rowdict.items():
+                if v is not None:
+                    cols[k][i] = (Decimal(v) if k in dec_cols
+                                  else list(v) if isinstance(v, tuple)
+                                  else v)
+        yield pd.DataFrame(
+            {c: pd.Series(cols[c], dtype=object) for c in out_cols},
+            columns=out_cols)
 
 
 def build_events(raw_tx: DataFrame, protocols: tuple[str, ...] = ALL_PROTOCOLS,
                  bot_wallet: str | None = None) -> DataFrame:
     """Raw transactions (FIXTURES.md §1 schema) -> enriched event table."""
+    return enrich_events(build_events_core(raw_tx, protocols), bot_wallet)
+
+
+def build_events_core(raw_tx: DataFrame,
+                      protocols: tuple[str, ...] = ALL_PROTOCOLS) -> DataFrame:
+    """Pipeline through decode+merge, WITHOUT the J3/J4/P11 enrichment —
+    works on both batch and streaming DataFrames (the enrichment window
+    runs per micro-batch in streaming/sink.py)."""
     program_ids = [PROGRAM_ID_BY_PROTOCOL[p] for p in protocols]
     relevant = program_ids + [COMPUTE_BUDGET_PROGRAM_ID]
 
@@ -316,11 +321,8 @@ def build_events(raw_tx: DataFrame, protocols: tuple[str, ...] = ALL_PROTOCOLS,
         "inner_group", "has_inner_group", "accounts_padded")
 
     # --- P5/P6 + J1 + J2 decode stage (Arrow-batched Python) ------------
-    events = decode_input.mapInPandas(
-        lambda it: _decode_batches(it, bot_wallet), schema=EVENT_SCHEMA)
-
-    # --- J3/J4/P11 enrichment (JVM) -------------------------------------
-    return enrich_events(events, bot_wallet)
+    return decode_input.mapInPandas(
+        lambda it: _decode_batches(it, None), schema=EVENT_SCHEMA)
 
 
 def enrich_events(events: DataFrame, bot_wallet: str | None) -> DataFrame:

@@ -126,6 +126,59 @@ def dex_enrichment_flags(spark, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "account_events_by_type",
+    oracle=f"""
+    SELECT protocol, event_type, COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(supply), 0) AS DECIMAL(38,0)) AS total_supply,
+           CAST(COALESCE(SUM(amount), 0) AS DECIMAL(38,0)) AS total_amount,
+           COUNT(nonce) AS n_nonces
+    FROM read_parquet('{FIXTURES}/accounts_golden.parquet')
+    GROUP BY protocol, event_type
+    """,
+    tags=("pipeline", "accounts"),
+    doc="Account-update pipeline (D3/P8): protocol account dispatch + SPL "
+        "Token/Mint/Nonce fallbacks vs independent golden parquet.",
+)
+def account_events_by_type(spark, sf_dir: str) -> DataFrame:
+    from .account_pipeline import build_account_events, load_raw_accounts
+    raw = load_raw_accounts(
+        spark, os.path.join(FIXTURES, "raw_accounts.parquet"))
+    return (build_account_events(raw)
+            .groupBy("protocol", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.coalesce(F.sum("supply"), F.lit(0))
+                 .cast("decimal(38,0)").alias("total_supply"),
+                 F.coalesce(F.sum("amount"), F.lit(0))
+                 .cast("decimal(38,0)").alias("total_amount"),
+                 F.count("nonce").alias("n_nonces")))
+
+
+@register(
+    "dex_pipeline_throughput",
+    oracle=None,  # throughput surface; rows-only check
+    tags=("pipeline", "dex", "bench"),
+    doc="Parse throughput (BASELINE.md bench plan (a)): the fixture corpus "
+        "replicated 2000x with distinct signatures/slots -> full decode + "
+        "merge + enrich DAG -> per-type counts (~90k transactions).",
+)
+def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
+    from .pipeline import build_events, load_raw_transactions
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    n = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE", "500"))
+    scaled = (raw.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
+              .withColumn("signature",
+                          F.concat_ws("_", "signature", "rep"))
+              .withColumn("slot", F.col("slot") + F.col("rep") * 10000)
+              .drop("rep")
+              .repartition(int(spark.conf.get(
+                  "spark.sql.shuffle.partitions", "32"))))
+    events = build_events(scaled)
+    return (events.groupBy("protocol", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
     "dex_event_ordering",
     oracle=f"""
     SELECT signature,

@@ -1,0 +1,103 @@
+"""Streaming metrics (SURVEY §2.8 A1-A6) on Structured Streaming
+primitives: `observe()` named metrics + a StreamingQueryListener, instead
+of the reference's atomic-counter singletons (common/metrics.rs).
+
+- A1 per-kind counters      -> observe(count per event_type/protocol)
+- A2 windowed counts        -> windowed_event_counts (event-time tumbling
+                               window + watermark vs the reference's
+                               processing-time 5 s window)
+- A3 processing stats       -> QueryProgressEvent.durationMs via listener
+- A4 dropped counter        -> source lag from progress (numInputRows vs
+                               endOffset)
+- A5 high-latency detector  -> high_latency_events filter (1000 ms warn
+                               threshold + 500 ms block-time calibration,
+                               common/constants.rs:15-18)
+- A6 slow-processing        -> listener flags batches over budget
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# common/constants.rs:10-18
+METRICS_WINDOW_SECS = 5
+LATENCY_WARN_MS = 1000
+BLOCK_TIME_CALIBRATION_MS = 500
+SLOW_BATCH_BUDGET_MS = 3.0  # 3000 us per-event parse budget
+
+
+def observed(events: DataFrame, name: str = "event_metrics") -> DataFrame:
+    """Attach A1-style named metrics; read them from QueryProgress
+    .observedMetrics[name] per micro-batch."""
+    return events.observe(
+        name,
+        F.count(F.lit(1)).alias("events_processed"),
+        F.count_distinct(F.col("signature")).alias("transactions"),
+        F.max("slot").alias("max_slot"),
+    )
+
+
+def windowed_event_counts(events: DataFrame,
+                          window: str = f"{METRICS_WINDOW_SECS} seconds",
+                          watermark: str = "10 seconds") -> DataFrame:
+    """A2: event-time tumbling window counts (needs non-null block_time)."""
+    return (events
+            .withWatermark("block_time", watermark)
+            .groupBy(F.window("block_time", window).alias("w"),
+                     "protocol", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "protocol",
+                    "event_type", "n_events"))
+
+
+def high_latency_events(events: DataFrame,
+                        warn_ms: int = LATENCY_WARN_MS) -> DataFrame:
+    """A5: recv_ms - (block_time_ms + 500 ms calibration) > warn_ms
+    (common/metrics.rs:372-389). Rows with block_time 0 (shred path) are
+    excluded, as the reference's check divides by nonzero block time."""
+    recv_ms = (F.col("recv_us") / 1000).cast("long")
+    lag = recv_ms - (F.col("block_time_ms") + BLOCK_TIME_CALIBRATION_MS)
+    return (events.filter(F.col("block_time_ms") > 0)
+            .withColumn("latency_lag_ms", lag)
+            .filter(F.col("latency_lag_ms") > warn_ms))
+
+
+class PipelineMetricsListener:
+    """A3/A4/A6 via StreamingQueryListener events; collected per batch."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+        self.slow_batches: list[dict] = []
+
+    def make_listener(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                row = {
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "duration_ms": dict(p.durationMs or {}),
+                    "observed": {k: v.asDict() if hasattr(v, "asDict") else v
+                                 for k, v in
+                                 (p.observedMetrics or {}).items()},
+                }
+                outer.progress.append(row)
+                total = sum((p.durationMs or {}).values())
+                if p.numInputRows and total / p.numInputRows \
+                        > SLOW_BATCH_BUDGET_MS:
+                    outer.slow_batches.append(row)  # A6 analog
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _L()

@@ -1,0 +1,56 @@
+"""Streaming sinks: the K1 callback sink with the §2.9 ordering contract,
+plus the full stream pipeline assembly.
+
+Structured Streaming notes vs the reference:
+- delivery: checkpointed foreachBatch gives at-least-once (stronger than
+  the reference's at-most-once-under-Drop, SURVEY §2.10);
+- ordering: events inside each micro-batch are sorted by
+  (slot, transaction_index, outer_index, inner_index, event_type) before
+  the callback — the reference's synchronous intra-transaction order;
+- enrichment (J3/J4 window over signature) runs inside foreachBatch: a
+  signature's events always share a transaction and hence a micro-batch,
+  so per-batch enrichment is semantically identical to the global window
+  (and keeps the streaming plan free of unsupported non-time windows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.pipeline import enrich_events
+
+ORDER_COLS = ["slot", "transaction_index", "outer_index"]
+
+
+def ordered_events(batch_df: DataFrame) -> DataFrame:
+    return batch_df.orderBy(
+        "slot", "transaction_index", "outer_index",
+        F.coalesce(F.col("inner_index"), F.lit(-1)), "event_type")
+
+
+def foreach_batch_callback(callback: Callable[[list], None],
+                           bot_wallet: str | None = None):
+    """K1: invoke `callback(rows)` once per micro-batch with enriched,
+    deterministically ordered event rows."""
+    def _handle(batch_df: DataFrame, batch_id: int):
+        enriched = enrich_events(batch_df, bot_wallet)
+        callback(ordered_events(enriched).collect())
+    return _handle
+
+
+def start_event_stream(raw_stream: DataFrame,
+                       callback: Callable[[list], None],
+                       checkpoint_dir: str,
+                       bot_wallet: str | None = None,
+                       protocols=None):
+    """raw transaction stream -> decoded events -> ordered callback sink."""
+    from ..plans.pipeline import build_events_core
+    from ..registry import ALL_PROTOCOLS
+    events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    return (events.writeStream
+            .foreachBatch(foreach_batch_callback(callback, bot_wallet))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

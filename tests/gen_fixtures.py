@@ -1525,6 +1525,179 @@ def scenario_inner_instruction_event():
 
 
 # ===========================================================================
+# Account-update fixtures (raw_accounts + accounts_golden)
+# ===========================================================================
+
+ACCOUNTS: list[dict] = []
+ACCOUNTS_GOLDEN: list[dict] = []
+
+PF_BONDING_DISC = bytes([23, 183, 248, 55, 96, 216, 172, 96])
+PF_GLOBAL_DISC = bytes([167, 232, 232, 177, 200, 108, 114, 127])
+
+
+def new_account(owner, data, lamports=1_000_000, executable=False):
+    global _slot, _recv
+    _slot += 1
+    _recv += 500
+    acct = {
+        "slot": _slot, "signature": sig(), "pubkey": pk(),
+        "executable": executable, "lamports": lamports, "owner": owner,
+        "rent_epoch": 361, "data": data, "recv_us": _recv,
+    }
+    ACCOUNTS.append(acct)
+    return acct
+
+
+def account_golden(acct, protocol, event_type, payload):
+    ACCOUNTS_GOLDEN.append({
+        "slot": acct["slot"], "signature": acct["signature"],
+        "protocol": protocol, "event_type": event_type,
+        "program_id": acct["owner"], "recv_us": acct["recv_us"],
+        "pubkey": acct["pubkey"], "executable": acct["executable"],
+        "lamports": acct["lamports"], "owner": acct["owner"],
+        "rent_epoch": acct["rent_epoch"], **payload,
+    })
+
+
+def scenario_accounts():
+    # PumpFun bonding curve (disc + 51-byte borsh body)
+    creator = pk()
+    bc_body = (u64(111) + u64(222) + u64(333) + u64(444) + u64(555)
+               + u8(1) + pkb(creator) + u8(0))
+    acct = new_account(PUMPFUN_PROGRAM_ID, PF_BONDING_DISC + bc_body)
+    account_golden(acct, "PumpFun", "AccountPumpFunBondingCurve", {
+        "virtual_token_reserves": 111, "virtual_sol_reserves": 222,
+        "real_token_reserves": 333, "real_sol_reserves": 444,
+        "token_total_supply": 555, "complete": True, "creator": creator,
+        "is_mayhem_mode": False})
+
+    # PumpFun global
+    auth, feerec, wauth = pk(), pk(), pk()
+    recips = [pk() for _ in range(7)]
+    sca, asca, wl, rfr = pk(), pk(), pk(), pk()
+    gl_body = (u8(1) + pkb(auth) + pkb(feerec) + u64(1) + u64(2) + u64(3)
+               + u64(4) + u64(5) + pkb(wauth) + u8(0) + u64(6) + u64(7)
+               + b"".join(pkb(r) for r in recips) + pkb(sca) + pkb(asca)
+               + u8(1) + pkb(wl) + pkb(rfr) + u8(0))
+    acct2 = new_account(PUMPFUN_PROGRAM_ID, PF_GLOBAL_DISC + gl_body)
+    account_golden(acct2, "PumpFun", "AccountPumpFunGlobal", {
+        "initialized": True, "authority": auth, "fee_recipient": feerec,
+        "initial_virtual_token_reserves": 1,
+        "initial_virtual_sol_reserves": 2,
+        "initial_real_token_reserves": 3, "token_total_supply": 4,
+        "fee_basis_points": 5, "withdraw_authority": wauth,
+        "enable_migrate": False, "pool_migration_fee": 6,
+        "creator_fee_basis_points": 7, "fee_recipients": recips,
+        "set_creator_authority": sca, "admin_set_creator_authority": asca,
+        "create_v2_enabled": True, "whitelist_pda": wl,
+        "reserved_fee_recipient": rfr, "mayhem_mode_enabled": False})
+
+    # SPL mint (exact 82B): supply @36, decimals @44
+    mint_data = bytearray(82)
+    mint_data[36:44] = u64(10_000_000)
+    mint_data[44] = 9
+    acct3 = new_account(SPL_TOKEN, bytes(mint_data))
+    account_golden(acct3, "Common", "TokenAccount", {
+        "supply": 10_000_000, "decimals": 9})
+
+    # SPL token account (exact 165B, state=1 initialized): amount @64
+    tok = bytearray(165)
+    tok[64:72] = u64(42_000)
+    tok[108] = 1
+    acct4 = new_account(SPL_TOKEN, bytes(tok))
+    account_golden(acct4, "Common", "TokenAccount", {
+        "amount": 42_000, "token_owner": SPL_TOKEN})
+
+    # Token-2022 mint with extension TLV (len > 165, type byte 1 @165)
+    t22 = bytearray(170)
+    t22[36:44] = u64(777)
+    t22[44] = 6
+    t22[165] = 1
+    acct5 = new_account(SYSTEM_PROGRAMS[1], bytes(t22))
+    account_golden(acct5, "Common", "TokenAccount", {
+        "supply": 777, "decimals": 6})
+
+    # initialized nonce (80B): version=1, state=1, authority, blockhash
+    nauth, nhash = pk(), pk()
+    nonce_data = u32(1) + u32(1) + pkb(nauth) + pkb(nhash) + u64(5000)
+    acct6 = new_account(SYSTEM_PROGRAM, nonce_data)
+    account_golden(acct6, "Common", "NonceAccount", {
+        "nonce": nhash, "nonce_authority": nauth})
+
+    # uninitialized nonce -> falls through to TokenAccount (amount NULL)
+    acct7 = new_account(SYSTEM_PROGRAM,
+                        u32(1) + u32(0) + pkb(pk()) + pkb(pk()) + u64(0))
+    account_golden(acct7, "Common", "TokenAccount",
+                   {"token_owner": SYSTEM_PROGRAM})
+
+    # PumpFun-owned account with unknown discriminator -> common path ->
+    # TokenAccount with NULL amount (wrong length for token decode)
+    acct8 = new_account(PUMPFUN_PROGRAM_ID, b"\xff" * 40)
+    account_golden(acct8, "Common", "TokenAccount",
+                   {"token_owner": PUMPFUN_PROGRAM_ID})
+
+    # truncated bonding curve (disc ok, body short) -> common fallback
+    acct9 = new_account(PUMPFUN_PROGRAM_ID, PF_BONDING_DISC + b"\x01" * 10)
+    account_golden(acct9, "Common", "TokenAccount",
+                   {"token_owner": PUMPFUN_PROGRAM_ID})
+
+
+def write_account_parquet():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    acct_schema = pa.schema([
+        ("slot", pa.int64()), ("signature", pa.string()),
+        ("pubkey", pa.string()), ("executable", pa.bool_()),
+        ("lamports", pa.int64()), ("owner", pa.string()),
+        ("rent_epoch", pa.int64()), ("data", pa.binary()),
+        ("recv_us", pa.int64()),
+    ])
+    cols = {n: [a[n] for a in ACCOUNTS] for n in acct_schema.names}
+    pq.write_table(pa.Table.from_pydict(cols, schema=acct_schema),
+                   os.path.join(FIXTURES_DIR, "raw_accounts.parquet"))
+
+    from solana_event_stream_spark.plans.account_pipeline import (
+        ACCOUNT_EVENT_SCHEMA)
+    from pyspark.sql.types import (ArrayType, BooleanType, DecimalType,
+                                   IntegerType, LongType, StringType)
+
+    def to_arrow(t):
+        if isinstance(t, DecimalType):
+            return pa.decimal128(t.precision, t.scale)
+        if isinstance(t, LongType):
+            return pa.int64()
+        if isinstance(t, IntegerType):
+            return pa.int32()
+        if isinstance(t, BooleanType):
+            return pa.bool_()
+        if isinstance(t, ArrayType):
+            return pa.list_(pa.string())
+        if isinstance(t, StringType):
+            return pa.string()
+        raise TypeError(t)
+
+    fields = [(f.name, to_arrow(f.dataType))
+              for f in ACCOUNT_EVENT_SCHEMA.fields]
+    dec_cols = {f.name for f in ACCOUNT_EVENT_SCHEMA.fields
+                if isinstance(f.dataType, DecimalType)}
+    ev_cols = {}
+    for name, typ in fields:
+        vals = []
+        for row in ACCOUNTS_GOLDEN:
+            v = row.get(name)
+            if v is not None and name in dec_cols:
+                v = Decimal(int(v))
+            vals.append(v)
+        ev_cols[name] = pa.array(vals, type=typ)
+    pq.write_table(
+        pa.Table.from_arrays([ev_cols[n] for n, _ in fields],
+                             schema=pa.schema(fields)),
+        os.path.join(FIXTURES_DIR, "accounts_golden.parquet"))
+
+
+# ===========================================================================
 # Parquet output
 # ===========================================================================
 
@@ -1619,7 +1792,9 @@ def main():
     scenario_meteora_init_pools()
     scenario_inner_instruction_event()
     scenario_negatives()
+    scenario_accounts()
     write_parquet()
+    write_account_parquet()
 
 
 if __name__ == "__main__":
