@@ -98,13 +98,17 @@ def _shingles(col):
 
 
 def _minhash_cols(shingle_col):
-    """k lexicographic-min md5(seed|shingle) signatures."""
-    return [
-        F.array_min(F.transform(
-            shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        .alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ]
+    """k lexicographic-min md5(seed|shingle) signatures.
+
+    NB: the inner lambda must take exactly ONE parameter — a second
+    parameter would make F.transform treat it as an (element, index)
+    lambda and bind the array index over the seed."""
+    def mh(i: int):
+        seed = f"{i}|"
+        return F.array_min(F.transform(
+            shingle_col, lambda s: F.md5(F.concat(F.lit(seed), s))))
+
+    return [mh(i).alias(f"mh{i}") for i in range(N_HASHES)]
 
 
 _SQL_SHINGLES = """

@@ -24,26 +24,35 @@ def dsum(col: Column, alias: str) -> Column:
     """Exact, order-independent sum of a double expression.
 
     Casting each per-row double (itself bitwise deterministic) to
-    DECIMAL(28,10) makes the aggregation exact integer arithmetic, so the
+    DECIMAL(24,6) makes the aggregation exact integer arithmetic, so the
     result is identical regardless of partitioning/summation order — and
     identical to DuckDB's. Cast back to double for a plain schema.
+
+    Scale 6, not more: the source columns are exact 2-decimal doubles, so
+    products of up to three factors have <= 6 true decimal digits, and at
+    scale 6 the per-row cast is far inside double's ~15.9 significant
+    digits — Spark's shortest-repr-based conversion and DuckDB's
+    binary-expansion-based one agree exactly. (At scale 10 with 1e4-sized
+    values the 10th decimal is the ~15th significant digit, where the two
+    conversion strategies disagree by one ulp-digit — observed as 1e-10
+    per-row drift at sf0.01.)
     """
-    return F.sum(col.cast("decimal(28,10)")).cast("double").alias(alias)
+    return F.sum(col.cast("decimal(24,6)")).cast("double").alias(alias)
 
 
 def davg(col: Column, alias: str) -> Column:
     """Exact-sum-based average (deterministic double)."""
-    return (F.sum(col.cast("decimal(28,10)")).cast("double")
+    return (F.sum(col.cast("decimal(24,6)")).cast("double")
             / F.count(F.lit(1))).alias(alias)
 
 
 # SQL-side equivalents of dsum/davg for the DuckDB oracle.
 def SQL_DSUM(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE) AS {alias}"
 
 
 def SQL_DAVG(expr: str, alias: str) -> str:
-    return (f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+    return (f"CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE)"
             f" / COUNT(*) AS {alias}")
 
 
@@ -249,9 +258,9 @@ def q6_revenue_delta(spark, sf_dir: str) -> DataFrame:
     SELECT
       CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                          THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE)
+                         ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE)
         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(28,10))) AS DOUBLE) AS promo_share,
+                        AS DECIMAL(24,6))) AS DOUBLE) AS promo_share,
       {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'total_revenue')}
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -270,8 +279,8 @@ def q14_promo_share(spark, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (F.sum(promo_rev.cast("decimal(28,10)")).cast("double")
-             / F.sum(rev.cast("decimal(28,10)")).cast("double")
+            (F.sum(promo_rev.cast("decimal(24,6)")).cast("double")
+             / F.sum(rev.cast("decimal(24,6)")).cast("double")
              ).alias("promo_share"),
             dsum(rev, "total_revenue"),
         )

@@ -169,7 +169,7 @@ def events_sessionization(spark, sf_dir: str) -> DataFrame:
     "events_user_running_sum",
     oracle="""
     SELECT user_id, event_id, ts,
-           SUM(CAST(value AS DECIMAL(28,10)))
+           SUM(CAST(value AS DECIMAL(24,6)))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS run_sum_dec,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -186,7 +186,7 @@ def events_user_running_sum(spark, sf_dir: str) -> DataFrame:
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id", "event_id", "ts",
-        F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+        F.sum(F.col("value").cast("decimal(24,6)")).over(w)
          .alias("run_sum_dec"),
         F.row_number().over(wseq).alias("seq"),
     )
