@@ -155,8 +155,8 @@ _SQL_BAND_MATCH = " OR ".join(
     WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
     """,
     tags=("dedup", "llm-data", "minhash"),
-    doc="MinHash(12)+LSH(4 bands x 3): shingle -> signature -> band-bucket "
-        "join -> exact-Jaccard verify >= 0.6.",
+    doc="MinHash(12)+LSH(3 bands x 4 rows): shingle -> signature -> "
+        "band-bucket join -> exact-Jaccard verify >= 0.6.",
 )
 def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     docs = docs_with_dups(spark, sf_dir)
@@ -275,7 +275,7 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 10 = 0
     ),
     grams AS (
-      SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+      SELECT doc_id, lang, n_chars // 16 AS len_bucket,
              list_distinct(list_transform(
                range(1, len(string_split(text, ' '))),
                i -> string_split(text, ' ')[i] || ' '
@@ -310,7 +310,7 @@ def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
                               F.element_at(words, i + 2))))
     grams = docs.select(
-        "doc_id", "lang", (F.col("n_chars") / 64).cast("long")
+        "doc_id", "lang", (F.col("n_chars") / 16).cast("long")
         .alias("len_bucket"), bigrams.alias("g"))
     a, b = grams.alias("a"), grams.alias("b")
     n_inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))

@@ -1,0 +1,53 @@
+"""F3/F4/F5 client-side filter semantics."""
+
+from __future__ import annotations
+
+import os
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "fixtures")
+
+
+def test_event_type_filter(spark):
+    from solana_event_stream_spark.operators.filters import (
+        filter_event_types)
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events, load_raw_transactions)
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    ev = build_events(raw)
+    only_buys = filter_event_types(ev, ["PumpFunBuy"])
+    types = {r["event_type"] for r in only_buys.collect()}
+    assert types == {"PumpFunBuy"}
+
+
+def test_transaction_account_filters(spark):
+    from solana_event_stream_spark.operators.filters import (
+        filter_transactions)
+    from solana_event_stream_spark.plans.pipeline import (
+        load_raw_transactions)
+    from solana_event_stream_spark.registry import (BONK_PROGRAM_ID,
+                                                    PUMPFUN_PROGRAM_ID)
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    n_all = raw.count()
+    n_pf = filter_transactions(
+        raw, account_include=[PUMPFUN_PROGRAM_ID]).count()
+    n_not_pf = filter_transactions(
+        raw, account_exclude=[PUMPFUN_PROGRAM_ID]).count()
+    assert n_pf + n_not_pf == n_all
+    assert 0 < n_pf < n_all
+    n_both = filter_transactions(
+        raw, account_required=[PUMPFUN_PROGRAM_ID, BONK_PROGRAM_ID]).count()
+    assert n_both == 0  # no fixture tx references both programs
+
+
+def test_account_filters(spark):
+    from solana_event_stream_spark.operators.filters import filter_accounts
+    from solana_event_stream_spark.plans.account_pipeline import (
+        load_raw_accounts)
+    from solana_event_stream_spark.registry import PUMPFUN_PROGRAM_ID
+    raw = load_raw_accounts(
+        spark, os.path.join(FIXTURES, "raw_accounts.parquet"))
+    pf = filter_accounts(raw, owners=[PUMPFUN_PROGRAM_ID])
+    assert 0 < pf.count() < raw.count()

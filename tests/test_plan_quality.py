@@ -1,0 +1,91 @@
+"""Physical-plan quality gates (the 100 TB design contract, SURVEY §4):
+
+- predicate pushdown reaches the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema lists only needed columns),
+- small dims broadcast instead of shuffling,
+- the event pipeline stays shuffle-free up to enrichment,
+- pairwise dedup operators never cross-join (blocked equi-joins only).
+
+These are assertions on `.explain("formatted")` text, so a regression in
+plan shape fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "fixtures")
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["q6_revenue_delta"].spark_fn(spark, SF))
+    assert "PushedFilters" in plan
+    # shipdate/discount/quantity predicates pushed to the scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # pruning: the scan must not read unused lineitem columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["q5_local_supplier_volume"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the 6-way join must not sort-merge any dimension
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_pipeline_core_has_no_shuffle(spark):
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    plan = plan_of(build_events_core(raw))
+    # parse/decode/merge is a single narrow pipeline: no exchange at all
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_enrichment_shuffles_only_on_signature(spark):
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events, load_raw_transactions)
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    plan = plan_of(build_events(raw))
+    # exactly one shuffle: hashpartitioning on signature for the J3 window
+    import re
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"{n_exchanges} exchanges: {plan[:2000]}"
+    assert "hashpartitioning(signature" in plan
+
+
+def test_dedup_joins_are_blocked_not_cross(spark):
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    for name in ["dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_ngram_jaccard", "dedup_embedding_cosine"]:
+        plan = plan_of(cat[name].spark_fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ann_broadcasts_queries(spark):
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["ann_lsh_topk"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan  # bucket equi-join, query side small
