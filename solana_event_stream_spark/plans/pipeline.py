@@ -318,7 +318,11 @@ def build_events_core(raw_tx: DataFrame,
         "signature", "slot", "transaction_index", "block_time",
         "block_time_ms", "recv_us", "program_id", "protocol", "event_type",
         "outer_index", "inner_index", "data", "resolved_accounts",
-        "inner_group", "has_inner_group", "accounts_padded")
+        "inner_group", "has_inner_group",
+        # tx-level accounts are only consumed by the J2 swap scan, which
+        # only runs when an inner group exists — don't ship them otherwise
+        F.when(F.col("has_inner_group"), F.col("accounts_padded"))
+        .alias("accounts_padded"))
 
     # --- P5/P6 + J1 + J2 decode stage (Arrow-batched Python) ------------
     return decode_input.mapInPandas(
