@@ -126,12 +126,193 @@ def _decode_pumpfun_global(data: bytes):
     }
 
 
+PUMPSWAP_GLOBAL_CONFIG_SIZE = 32 + 8 + 8 + 1 + 32 * 8 + 8 + 32 * 3 + 1
+PUMPSWAP_POOL_SIZE = 1 + 2 + 32 * 6 + 8 + 32 + 1
+BONK_POOL_STATE_SIZE = 8 + 1 * 5 + 8 * 10 + 32 * 7 + 8 * 8 + 8 * 5
+BONK_GLOBAL_CONFIG_SIZE = 8 + 1 + 2 + 8 * 8 + 32 * 5 + 8 * 16
+BONK_PLATFORM_CONFIG_SIZE = 8 + 32 * 2 + 8 * 4 + 8 * 64 + 8 * 256 * 3
+CPMM_AMM_CONFIG_SIZE = 228
+CPMM_POOL_STATE_SIZE = 629
+
+
+def _body(data: bytes, size: int):
+    """Anchor account body: data[8 : 8+size] (every *_parser slices the
+    8-byte discriminator off first, e.g. pumpswap/types.rs:43-46)."""
+    if len(data) < size + 8:
+        return None
+    return _R(data[8:8 + size])
+
+
+def _finish(out: dict, r: _R, size: int):
+    if any(v is None for v in out.values()):
+        return None
+    if r.o != size:  # borsh from_slice exact-consumption
+        return None
+    return out
+
+
+def _decode_pumpswap_global_config(data: bytes):
+    # pumpswap/types.rs:14-35
+    r = _body(data, PUMPSWAP_GLOBAL_CONFIG_SIZE)
+    if r is None:
+        return None
+    out = {
+        "admin": r.pk(), "lp_fee_basis_points": r.u64(),
+        "protocol_fee_basis_points": r.u64(), "disable_flags": r.u8(),
+        "protocol_fee_recipients": [r.pk() for _ in range(8)],
+        "coin_creator_fee_basis_points": r.u64(),
+        "admin_set_coin_creator_authority": r.pk(),
+        "whitelist_pda": r.pk(), "reserved_fee_recipient": r.pk(),
+        "mayhem_mode_enabled": r.borsh_bool(),
+    }
+    if None in out["protocol_fee_recipients"]:
+        return None
+    return _finish(out, r, PUMPSWAP_GLOBAL_CONFIG_SIZE)
+
+
+def _decode_pumpswap_pool(data: bytes):
+    # pumpswap/types.rs:62-84
+    r = _body(data, PUMPSWAP_POOL_SIZE)
+    if r is None:
+        return None
+    out = {
+        "pool_bump": r.u8(), "index": r.u16(), "creator": r.pk(),
+        "base_mint": r.pk(), "quote_mint": r.pk(), "lp_mint": r.pk(),
+        "pool_base_token_account": r.pk(),
+        "pool_quote_token_account": r.pk(), "lp_supply": r.u64(),
+        "coin_creator": r.pk(), "is_mayhem_mode": r.borsh_bool(),
+    }
+    return _finish(out, r, PUMPSWAP_POOL_SIZE)
+
+
+def _decode_bonk_pool_state(data: bytes):
+    # bonk/types.rs:89-126
+    r = _body(data, BONK_POOL_STATE_SIZE)
+    if r is None:
+        return None
+    out = {
+        "epoch": r.u64(), "auth_bump": r.u8(), "status": r.u8(),
+        "base_decimals": r.u8(), "quote_decimals": r.u8(),
+        "migrate_type": r.u8(), "supply": r.u64(),
+        "total_base_sell": r.u64(), "virtual_base": r.u64(),
+        "virtual_quote": r.u64(), "real_base": r.u64(),
+        "real_quote": r.u64(), "total_quote_fund_raising": r.u64(),
+        "quote_protocol_fee": r.u64(), "platform_fee": r.u64(),
+        "migrate_fee": r.u64(),
+        "vesting_total_locked_amount": r.u64(),
+        "vesting_cliff_period": r.u64(), "vesting_unlock_period": r.u64(),
+        "vesting_start_time": r.u64(),
+        "vesting_allocated_share_amount": r.u64(),
+        "global_config": r.pk(), "platform_config": r.pk(),
+        "base_mint": r.pk(), "quote_mint": r.pk(), "base_vault": r.pk(),
+        "quote_vault": r.pk(), "creator": r.pk(),
+    }
+    if r._take(8 * 8) is None:  # padding [u64; 8]
+        return None
+    return _finish(out, r, BONK_POOL_STATE_SIZE)
+
+
+def _decode_bonk_global_config(data: bytes):
+    # bonk/types.rs:156-176
+    r = _body(data, BONK_GLOBAL_CONFIG_SIZE)
+    if r is None:
+        return None
+    out = {
+        "epoch": r.u64(), "curve_type_raw": r.u8(), "index": r.u16(),
+        "migrate_fee": r.u64(), "trade_fee_rate": r.u64(),
+        "max_share_fee_rate": r.u64(), "min_base_supply": r.u64(),
+        "max_lock_rate": r.u64(), "min_base_sell_rate": r.u64(),
+        "min_base_migrate_rate": r.u64(),
+        "min_quote_fund_raising": r.u64(), "quote_mint": r.pk(),
+        "protocol_fee_owner": r.pk(), "migrate_fee_owner": r.pk(),
+        "migrate_to_amm_wallet": r.pk(), "migrate_to_cpswap_wallet": r.pk(),
+    }
+    if r._take(8 * 16) is None:  # padding [u64; 16]
+        return None
+    return _finish(out, r, BONK_GLOBAL_CONFIG_SIZE)
+
+
+def _decode_bonk_platform_config(data: bytes):
+    # bonk/types.rs:210-224 — Vec<u8> fields are borsh length-prefixed;
+    # from_slice demands the struct consume exactly PLATFORM_CONFIG_SIZE
+    r = _body(data, BONK_PLATFORM_CONFIG_SIZE)
+    if r is None:
+        return None
+    out = {
+        "epoch": r.u64(), "platform_fee_wallet": r.pk(),
+        "platform_nft_wallet": r.pk(), "platform_scale": r.u64(),
+        "creator_scale": r.u64(), "burn_scale": r.u64(),
+        "fee_rate": r.u64(),
+    }
+
+    def vec_str():
+        n = r.u32()
+        if n is None:
+            return None
+        v = r._take(n)
+        return None if v is None else v.decode("utf-8", errors="replace")
+
+    out["platform_name"] = vec_str()
+    out["platform_web"] = vec_str()
+    out["platform_img"] = vec_str()
+    pad_n = r.u32()
+    if pad_n is None or r._take(pad_n) is None:
+        return None
+    return _finish(out, r, BONK_PLATFORM_CONFIG_SIZE)
+
+
+def _decode_cpmm_amm_config(data: bytes):
+    # raydium_cpmm/types.rs:17-30
+    r = _body(data, CPMM_AMM_CONFIG_SIZE)
+    if r is None:
+        return None
+    out = {
+        "bump": r.u8(), "disable_create_pool": r.borsh_bool(),
+        "index": r.u16(), "trade_fee_rate": r.u64(),
+        "protocol_fee_rate": r.u64(), "fund_fee_rate": r.u64(),
+        "create_pool_fee": r.u64(), "protocol_owner": r.pk(),
+        "fund_owner": r.pk(),
+    }
+    if r._take(8 * 16) is None:  # padding [u64; 16]
+        return None
+    return _finish(out, r, CPMM_AMM_CONFIG_SIZE)
+
+
+def _decode_cpmm_pool_state(data: bytes):
+    # raydium_cpmm/types.rs:61-87
+    r = _body(data, CPMM_POOL_STATE_SIZE)
+    if r is None:
+        return None
+    out = {
+        "amm_config": r.pk(), "pool_creator": r.pk(),
+        "token0_vault": r.pk(), "token1_vault": r.pk(), "lp_mint": r.pk(),
+        "token0_mint": r.pk(), "token1_mint": r.pk(),
+        "token0_program": r.pk(), "token1_program": r.pk(),
+        "observation_key": r.pk(), "auth_bump": r.u8(), "status": r.u8(),
+        "lp_mint_decimals": r.u8(), "mint0_decimals": r.u8(),
+        "mint1_decimals": r.u8(), "lp_supply": r.u64(),
+        "protocol_fees_token0": r.u64(), "protocol_fees_token1": r.u64(),
+        "fund_fees_token0": r.u64(), "fund_fees_token1": r.u64(),
+        "open_time": r.u64(), "recent_epoch": r.u64(),
+    }
+    if r._take(8 * 31) is None:  # padding [u64; 31]
+        return None
+    return _finish(out, r, CPMM_POOL_STATE_SIZE)
+
+
 PROTOCOL_ACCOUNT_DECODERS = {
     "AccountPumpFunBondingCurve": _decode_pumpfun_bonding_curve,
     "AccountPumpFunGlobal": _decode_pumpfun_global,
-    # remaining protocol account structs: round-2 (discriminators above
-    # already route; decoder absence falls through to the common path,
-    # exactly like an unparseable account in the reference)
+    "AccountPumpSwapGlobalConfig": _decode_pumpswap_global_config,
+    "AccountPumpSwapPool": _decode_pumpswap_pool,
+    "AccountBonkPoolState": _decode_bonk_pool_state,
+    "AccountBonkGlobalConfig": _decode_bonk_global_config,
+    "AccountBonkPlatformConfig": _decode_bonk_platform_config,
+    "AccountRaydiumCpmmAmmConfig": _decode_cpmm_amm_config,
+    "AccountRaydiumCpmmPoolState": _decode_cpmm_pool_state,
+    # CLMM AmmConfig/PoolState(1536B)/TickArray(10232B): ROADMAP item 1
+    # (discriminators above already route; decoder absence falls through
+    # to the common path, like an unparseable account in the reference)
 }
 
 

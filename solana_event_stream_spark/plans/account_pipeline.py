@@ -68,6 +68,96 @@ ACCOUNT_EVENT_SCHEMA = StructType([
     StructField("whitelist_pda", StringType()),
     StructField("reserved_fee_recipient", StringType()),
     StructField("mayhem_mode_enabled", BooleanType()),
+    # PumpSwap global config + pool (pumpswap/types.rs:14-84)
+    StructField("admin", StringType()),
+    StructField("lp_fee_basis_points", _DEC20),
+    StructField("protocol_fee_basis_points", _DEC20),
+    StructField("disable_flags", IntegerType()),
+    StructField("protocol_fee_recipients", ArrayType(StringType())),
+    StructField("coin_creator_fee_basis_points", _DEC20),
+    StructField("admin_set_coin_creator_authority", StringType()),
+    StructField("pool_bump", IntegerType()),
+    StructField("index", IntegerType()),
+    StructField("base_mint", StringType()),
+    StructField("quote_mint", StringType()),
+    StructField("lp_mint", StringType()),
+    StructField("pool_base_token_account", StringType()),
+    StructField("pool_quote_token_account", StringType()),
+    StructField("lp_supply", _DEC20),
+    StructField("coin_creator", StringType()),
+    # Bonk pool state / global config / platform config
+    # (bonk/types.rs:89-224)
+    StructField("epoch", _DEC20),
+    StructField("auth_bump", IntegerType()),
+    StructField("status", IntegerType()),
+    StructField("base_decimals", IntegerType()),
+    StructField("quote_decimals", IntegerType()),
+    StructField("migrate_type", IntegerType()),
+    StructField("total_base_sell", _DEC20),
+    StructField("virtual_base", _DEC20),
+    StructField("virtual_quote", _DEC20),
+    StructField("real_base", _DEC20),
+    StructField("real_quote", _DEC20),
+    StructField("total_quote_fund_raising", _DEC20),
+    StructField("quote_protocol_fee", _DEC20),
+    StructField("platform_fee", _DEC20),
+    StructField("migrate_fee", _DEC20),
+    StructField("vesting_total_locked_amount", _DEC20),
+    StructField("vesting_cliff_period", _DEC20),
+    StructField("vesting_unlock_period", _DEC20),
+    StructField("vesting_start_time", _DEC20),
+    StructField("vesting_allocated_share_amount", _DEC20),
+    StructField("global_config", StringType()),
+    StructField("platform_config", StringType()),
+    StructField("base_vault", StringType()),
+    StructField("quote_vault", StringType()),
+    StructField("curve_type_raw", IntegerType()),
+    StructField("trade_fee_rate", _DEC20),
+    StructField("max_share_fee_rate", _DEC20),
+    StructField("min_base_supply", _DEC20),
+    StructField("max_lock_rate", _DEC20),
+    StructField("min_base_sell_rate", _DEC20),
+    StructField("min_base_migrate_rate", _DEC20),
+    StructField("min_quote_fund_raising", _DEC20),
+    StructField("protocol_fee_owner", StringType()),
+    StructField("migrate_fee_owner", StringType()),
+    StructField("migrate_to_amm_wallet", StringType()),
+    StructField("migrate_to_cpswap_wallet", StringType()),
+    StructField("platform_fee_wallet", StringType()),
+    StructField("platform_nft_wallet", StringType()),
+    StructField("platform_scale", _DEC20),
+    StructField("creator_scale", _DEC20),
+    StructField("burn_scale", _DEC20),
+    StructField("fee_rate", _DEC20),
+    StructField("platform_name", StringType()),
+    StructField("platform_web", StringType()),
+    StructField("platform_img", StringType()),
+    # Raydium CPMM amm config + pool state (raydium_cpmm/types.rs:17-87)
+    StructField("bump", IntegerType()),
+    StructField("disable_create_pool", BooleanType()),
+    StructField("protocol_fee_rate", _DEC20),
+    StructField("fund_fee_rate", _DEC20),
+    StructField("create_pool_fee", _DEC20),
+    StructField("protocol_owner", StringType()),
+    StructField("fund_owner", StringType()),
+    StructField("amm_config", StringType()),
+    StructField("pool_creator", StringType()),
+    StructField("token0_vault", StringType()),
+    StructField("token1_vault", StringType()),
+    StructField("token0_mint", StringType()),
+    StructField("token1_mint", StringType()),
+    StructField("token0_program", StringType()),
+    StructField("token1_program", StringType()),
+    StructField("observation_key", StringType()),
+    StructField("lp_mint_decimals", IntegerType()),
+    StructField("mint0_decimals", IntegerType()),
+    StructField("mint1_decimals", IntegerType()),
+    StructField("protocol_fees_token0", _DEC20),
+    StructField("protocol_fees_token1", _DEC20),
+    StructField("fund_fees_token0", _DEC20),
+    StructField("fund_fees_token1", _DEC20),
+    StructField("open_time", _DEC20),
+    StructField("recent_epoch", _DEC20),
     # Token/Mint/Nonce (account_event_parser.rs:17-54)
     StructField("supply", _DEC20),
     StructField("decimals", IntegerType()),

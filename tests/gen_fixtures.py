@@ -1641,6 +1641,133 @@ def scenario_accounts():
     account_golden(acct9, "Common", "TokenAccount",
                    {"token_owner": PUMPFUN_PROGRAM_ID})
 
+    # --- PumpSwap global config + pool (pumpswap/types.rs:14-84)
+    PS_GC_DISC = bytes([149, 8, 156, 202, 160, 252, 176, 217])
+    PS_POOL_DISC = bytes([241, 154, 109, 4, 17, 177, 109, 188])
+    admin, ascca, wl2, rfr2 = pk(), pk(), pk(), pk()
+    recips8 = [pk() for _ in range(8)]
+    gc_body = (pkb(admin) + u64(20) + u64(5) + u8(3)
+               + b"".join(pkb(r) for r in recips8) + u64(7) + pkb(ascca)
+               + pkb(wl2) + pkb(rfr2) + u8(1))
+    a10 = new_account(PUMPSWAP_PROGRAM_ID, PS_GC_DISC + gc_body)
+    account_golden(a10, "PumpSwap", "AccountPumpSwapGlobalConfig", {
+        "admin": admin, "lp_fee_basis_points": 20,
+        "protocol_fee_basis_points": 5, "disable_flags": 3,
+        "protocol_fee_recipients": recips8,
+        "coin_creator_fee_basis_points": 7,
+        "admin_set_coin_creator_authority": ascca, "whitelist_pda": wl2,
+        "reserved_fee_recipient": rfr2, "mayhem_mode_enabled": True})
+
+    ps_pool = [pk() for _ in range(8)]
+    pool_body = (u8(254) + u16(9) + b"".join(pkb(p) for p in ps_pool[:6])
+                 + u64(123_456_789) + pkb(ps_pool[6]) + u8(0))
+    a11 = new_account(PUMPSWAP_PROGRAM_ID, PS_POOL_DISC + pool_body)
+    account_golden(a11, "PumpSwap", "AccountPumpSwapPool", {
+        "pool_bump": 254, "index": 9, "creator": ps_pool[0],
+        "base_mint": ps_pool[1], "quote_mint": ps_pool[2],
+        "lp_mint": ps_pool[3], "pool_base_token_account": ps_pool[4],
+        "pool_quote_token_account": ps_pool[5], "lp_supply": 123_456_789,
+        "coin_creator": ps_pool[6], "is_mayhem_mode": False})
+
+    # --- Bonk pool state / global config / platform config
+    BK_PS_DISC = bytes([247, 237, 227, 245, 215, 195, 222, 70])
+    BK_GC_DISC = bytes([149, 8, 156, 202, 160, 252, 176, 217])
+    BK_PC_DISC = bytes([160, 78, 128, 0, 248, 83, 230, 160])
+    bk_pks = [pk() for _ in range(7)]
+    ps_body = (u64(700) + u8(255) + u8(2) + u8(6) + u8(9) + u8(1)
+               + b"".join(u64(v) for v in
+                          [1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000,
+                           9000, 10000])
+               + b"".join(u64(v) for v in [11, 12, 13, 14, 15])
+               + b"".join(pkb(p) for p in bk_pks) + b"\x00" * 64)
+    a12 = new_account(BONK_PROGRAM_ID, BK_PS_DISC + ps_body)
+    account_golden(a12, "Bonk", "AccountBonkPoolState", {
+        "epoch": 700, "auth_bump": 255, "status": 2, "base_decimals": 6,
+        "quote_decimals": 9, "migrate_type": 1, "supply": 1000,
+        "total_base_sell": 2000, "virtual_base": 3000,
+        "virtual_quote": 4000, "real_base": 5000, "real_quote": 6000,
+        "total_quote_fund_raising": 7000, "quote_protocol_fee": 8000,
+        "platform_fee": 9000, "migrate_fee": 10000,
+        "vesting_total_locked_amount": 11, "vesting_cliff_period": 12,
+        "vesting_unlock_period": 13, "vesting_start_time": 14,
+        "vesting_allocated_share_amount": 15,
+        "global_config": bk_pks[0], "platform_config": bk_pks[1],
+        "base_mint": bk_pks[2], "quote_mint": bk_pks[3],
+        "base_vault": bk_pks[4], "quote_vault": bk_pks[5],
+        "creator": bk_pks[6]})
+
+    gc_pks = [pk() for _ in range(5)]
+    bk_gc_body = (u64(701) + u8(0) + u16(4)
+                  + b"".join(u64(v) for v in
+                             [21, 22, 23, 24, 25, 26, 27, 28])
+                  + b"".join(pkb(p) for p in gc_pks) + b"\x00" * 128)
+    a13 = new_account(BONK_PROGRAM_ID, BK_GC_DISC + bk_gc_body)
+    account_golden(a13, "Bonk", "AccountBonkGlobalConfig", {
+        "epoch": 701, "curve_type_raw": 0, "index": 4, "migrate_fee": 21,
+        "trade_fee_rate": 22, "max_share_fee_rate": 23,
+        "min_base_supply": 24, "max_lock_rate": 25,
+        "min_base_sell_rate": 26, "min_base_migrate_rate": 27,
+        "min_quote_fund_raising": 28, "quote_mint": gc_pks[0],
+        "protocol_fee_owner": gc_pks[1], "migrate_fee_owner": gc_pks[2],
+        "migrate_to_amm_wallet": gc_pks[3],
+        "migrate_to_cpswap_wallet": gc_pks[4]})
+
+    # platform config: Vec<u8> fields; total body must be exactly 6760
+    pfw, pnw = pk(), pk()
+    name_b, web_b, img_b = b"BonkPlatform", b"https://b.example", b"img://x"
+    fixed = 8 + 64 + 32 + 4 * 4 + len(name_b) + len(web_b) + len(img_b)
+    pad_len = (8 + 32 * 2 + 8 * 4 + 8 * 64 + 8 * 256 * 3) - fixed
+    bk_pc_body = (u64(702) + pkb(pfw) + pkb(pnw) + u64(31) + u64(32)
+                  + u64(33) + u64(34)
+                  + u32(len(name_b)) + name_b + u32(len(web_b)) + web_b
+                  + u32(len(img_b)) + img_b + u32(pad_len)
+                  + b"\x00" * pad_len)
+    a14 = new_account(BONK_PROGRAM_ID, BK_PC_DISC + bk_pc_body)
+    account_golden(a14, "Bonk", "AccountBonkPlatformConfig", {
+        "epoch": 702, "platform_fee_wallet": pfw,
+        "platform_nft_wallet": pnw, "platform_scale": 31,
+        "creator_scale": 32, "burn_scale": 33, "fee_rate": 34,
+        "platform_name": "BonkPlatform", "platform_web": "https://b.example",
+        "platform_img": "img://x"})
+
+    # --- Raydium CPMM amm config + pool state
+    CP_AC_DISC = bytes([218, 244, 33, 104, 203, 203, 43, 111])
+    CP_PS_DISC = bytes([247, 237, 227, 245, 215, 195, 222, 70])
+    po, fo = pk(), pk()
+    cp_ac_body = (u8(253) + u8(0) + u16(2) + u64(41) + u64(42) + u64(43)
+                  + u64(44) + pkb(po) + pkb(fo) + b"\x00" * 128)
+    a15 = new_account(RAYDIUM_CPMM_PROGRAM_ID, CP_AC_DISC + cp_ac_body)
+    account_golden(a15, "RaydiumCpmm", "AccountRaydiumCpmmAmmConfig", {
+        "bump": 253, "disable_create_pool": False, "index": 2,
+        "trade_fee_rate": 41, "protocol_fee_rate": 42,
+        "fund_fee_rate": 43, "create_pool_fee": 44,
+        "protocol_owner": po, "fund_owner": fo})
+
+    cp_pks = [pk() for _ in range(10)]
+    cp_ps_body = (b"".join(pkb(p) for p in cp_pks)
+                  + u8(251) + u8(1) + u8(9) + u8(6) + u8(8)
+                  + b"".join(u64(v) for v in
+                             [51, 52, 53, 54, 55, 56, 57]) + b"\x00" * 248)
+    a16 = new_account(RAYDIUM_CPMM_PROGRAM_ID, CP_PS_DISC + cp_ps_body)
+    account_golden(a16, "RaydiumCpmm", "AccountRaydiumCpmmPoolState", {
+        "amm_config": cp_pks[0], "pool_creator": cp_pks[1],
+        "token0_vault": cp_pks[2], "token1_vault": cp_pks[3],
+        "lp_mint": cp_pks[4], "token0_mint": cp_pks[5],
+        "token1_mint": cp_pks[6], "token0_program": cp_pks[7],
+        "token1_program": cp_pks[8], "observation_key": cp_pks[9],
+        "auth_bump": 251, "status": 1, "lp_mint_decimals": 9,
+        "mint0_decimals": 6, "mint1_decimals": 8, "lp_supply": 51,
+        "protocol_fees_token0": 52, "protocol_fees_token1": 53,
+        "fund_fees_token0": 54, "fund_fees_token1": 55, "open_time": 56,
+        "recent_epoch": 57})
+
+    # CLMM account with registered disc but no decoder yet -> falls
+    # through to the common path (documented in account_decode.py)
+    CLMM_AC_DISC = bytes([218, 244, 33, 104, 203, 203, 43, 111])
+    a17 = new_account(RAYDIUM_CLMM_PROGRAM_ID, CLMM_AC_DISC + b"\x00" * 50)
+    account_golden(a17, "Common", "TokenAccount",
+                   {"token_owner": RAYDIUM_CLMM_PROGRAM_ID})
+
 
 def write_account_parquet():
     import pyarrow as pa
