@@ -300,6 +300,150 @@ def _decode_cpmm_pool_state(data: bytes):
     return _finish(out, r, CPMM_POOL_STATE_SIZE)
 
 
+CLMM_AMM_CONFIG_SIZE = 1 + 2 + 32 + 4 * 2 + 2 + 4 * 2 + 32 + 8 * 3
+CLMM_POOL_STATE_SIZE = 1536
+CLMM_TICK_ARRAY_STATE_SIZE = 10232
+
+
+def _decode_clmm_amm_config(data: bytes):
+    # raydium_clmm/types.rs:18-31 — the struct's `owner` is renamed
+    # config_owner: the flat schema's `owner` column is the account's
+    # owning program.
+    r = _body(data, CLMM_AMM_CONFIG_SIZE)
+    if r is None:
+        return None
+    out = {
+        "bump": r.u8(), "index": r.u16(), "config_owner": r.pk(),
+        "protocol_fee_rate": r.u32(), "trade_fee_rate": r.u32(),
+        "tick_spacing": r.u16(), "fund_fee_rate": r.u32(),
+    }
+    if r.u32() is None:  # padding_u32
+        return None
+    out["fund_owner"] = r.pk()
+    if r._take(8 * 3) is None:  # padding [u64; 3]
+        return None
+    return _finish(out, r, CLMM_AMM_CONFIG_SIZE)
+
+
+def _reward_info(r: _R):
+    # raydium_clmm/types.rs:62-75
+    from decimal import Decimal as D
+    vals = {
+        "reward_state": r.u8(), "open_time": r.u64(), "end_time": r.u64(),
+        "last_update_time": r.u64(),
+        "emissions_per_second_x64": r.u128(),
+        "reward_total_emissioned": r.u64(), "reward_claimed": r.u64(),
+        "token_mint": r.pk(), "token_vault": r.pk(), "authority": r.pk(),
+        "reward_growth_global_x64": r.u128(),
+    }
+    if any(v is None for v in vals.values()):
+        return None
+    for k in ("open_time", "end_time", "last_update_time",
+              "emissions_per_second_x64", "reward_total_emissioned",
+              "reward_claimed", "reward_growth_global_x64"):
+        vals[k] = D(vals[k])
+    return vals
+
+
+def _decode_clmm_pool_state(data: bytes):
+    # raydium_clmm/types.rs:77-118
+    from decimal import Decimal as D
+    r = _body(data, CLMM_POOL_STATE_SIZE)
+    if r is None:
+        return None
+    bump = r.u8()
+    out = {
+        "amm_config": r.pk(), "config_owner": r.pk(),
+        "token_mint0": r.pk(), "token_mint1": r.pk(),
+        "token_vault0": r.pk(), "token_vault1": r.pk(),
+        "observation_key": r.pk(), "mint0_decimals": r.u8(),
+        "mint1_decimals": r.u8(), "tick_spacing": r.u16(),
+        "liquidity": r.u128(), "sqrt_price_x64": r.u128(),
+        "tick_current": r.i32(),
+    }
+    if r.u16() is None or r.u16() is None:  # padding3/padding4
+        return None
+    out.update({
+        "fee_growth_global0_x64": r.u128(),
+        "fee_growth_global1_x64": r.u128(),
+        "protocol_fees_token0": r.u64(), "protocol_fees_token1": r.u64(),
+        "swap_in_amount_token0": r.u128(),
+        "swap_out_amount_token1": r.u128(),
+        "swap_in_amount_token1": r.u128(),
+        "swap_out_amount_token0": r.u128(),
+        "status": r.u8(),
+    })
+    if r._take(7) is None:  # padding [u8; 7]
+        return None
+    rewards = []
+    for _ in range(3):
+        ri = _reward_info(r)
+        if ri is None:
+            return None
+        rewards.append(ri)
+    out["reward_infos"] = rewards
+    bitmap = [r.u64() for _ in range(16)]
+    out.update({
+        "total_fees_token0": r.u64(), "total_fees_claimed_token0": r.u64(),
+        "total_fees_token1": r.u64(), "total_fees_claimed_token1": r.u64(),
+        "fund_fees_token0": r.u64(), "fund_fees_token1": r.u64(),
+        "open_time": r.u64(), "recent_epoch": r.u64(),
+    })
+    if r._take(8 * 24) is None or r._take(8 * 32) is None:  # padding1/2
+        return None
+    if bump is None or None in bitmap \
+            or any(v is None for v in out.values() if not isinstance(v, list)):
+        return None
+    out["auth_bump"] = bump
+    out["tick_array_bitmap"] = [D(b) for b in bitmap]
+    return _finish(out, r, CLMM_POOL_STATE_SIZE)
+
+
+def _tick_state(r: _R):
+    # raydium_clmm/types.rs:149-160 (168 bytes each)
+    from decimal import Decimal as D
+    tick = r.i32()
+    ln_raw = r._take(16)
+    vals = {
+        "liquidity_gross": r.u128(), "fee_growth_outside0_x64": r.u128(),
+        "fee_growth_outside1_x64": r.u128(),
+    }
+    growths = [r.u128() for _ in range(3)]
+    if r._take(4 * 13) is None:  # padding [u32; 13]
+        return None
+    if tick is None or ln_raw is None or None in growths \
+            or any(v is None for v in vals.values()):
+        return None
+    return {
+        "tick": tick,
+        "liquidity_net": D(int.from_bytes(ln_raw, "little", signed=True)),
+        **{k: D(v) for k, v in vals.items()},
+        "reward_growths_outside_x64": [D(g) for g in growths],
+    }
+
+
+def _decode_clmm_tick_array(data: bytes):
+    # raydium_clmm/types.rs:174-198
+    r = _body(data, CLMM_TICK_ARRAY_STATE_SIZE)
+    if r is None:
+        return None
+    out = {"pool_id": r.pk(), "start_tick_index": r.i32()}
+    ticks = []
+    for _ in range(60):
+        t = _tick_state(r)
+        if t is None:
+            return None
+        ticks.append(t)
+    out["ticks"] = ticks
+    out["initialized_tick_count"] = r.u8()
+    out["recent_epoch"] = r.u64()
+    if r._take(107) is None:  # padding [u8; 107]
+        return None
+    if any(v is None for v in out.values() if not isinstance(v, list)):
+        return None
+    return _finish(out, r, CLMM_TICK_ARRAY_STATE_SIZE)
+
+
 PROTOCOL_ACCOUNT_DECODERS = {
     "AccountPumpFunBondingCurve": _decode_pumpfun_bonding_curve,
     "AccountPumpFunGlobal": _decode_pumpfun_global,
@@ -310,9 +454,9 @@ PROTOCOL_ACCOUNT_DECODERS = {
     "AccountBonkPlatformConfig": _decode_bonk_platform_config,
     "AccountRaydiumCpmmAmmConfig": _decode_cpmm_amm_config,
     "AccountRaydiumCpmmPoolState": _decode_cpmm_pool_state,
-    # CLMM AmmConfig/PoolState(1536B)/TickArray(10232B): ROADMAP item 1
-    # (discriminators above already route; decoder absence falls through
-    # to the common path, like an unparseable account in the reference)
+    "AccountRaydiumClmmAmmConfig": _decode_clmm_amm_config,
+    "AccountRaydiumClmmPoolState": _decode_clmm_pool_state,
+    "AccountRaydiumClmmTickArrayState": _decode_clmm_tick_array,
 }
 
 

@@ -27,6 +27,32 @@ from ..operators.account_decode import ACCOUNT_DISCRIMINATORS
 from ..registry import ALL_PROTOCOLS, PROGRAM_ID_BY_PROTOCOL
 
 _DEC20 = DecimalType(20, 0)
+_DEC38 = DecimalType(38, 0)
+
+# raydium_clmm/types.rs:62-75
+REWARD_INFO_TYPE = StructType([
+    StructField("reward_state", IntegerType()),
+    StructField("open_time", _DEC20),
+    StructField("end_time", _DEC20),
+    StructField("last_update_time", _DEC20),
+    StructField("emissions_per_second_x64", _DEC38),
+    StructField("reward_total_emissioned", _DEC20),
+    StructField("reward_claimed", _DEC20),
+    StructField("token_mint", StringType()),
+    StructField("token_vault", StringType()),
+    StructField("authority", StringType()),
+    StructField("reward_growth_global_x64", _DEC38),
+])
+
+# raydium_clmm/types.rs:149-160
+TICK_STATE_TYPE = StructType([
+    StructField("tick", IntegerType()),
+    StructField("liquidity_net", _DEC38),
+    StructField("liquidity_gross", _DEC38),
+    StructField("fee_growth_outside0_x64", _DEC38),
+    StructField("fee_growth_outside1_x64", _DEC38),
+    StructField("reward_growths_outside_x64", ArrayType(_DEC38)),
+])
 
 ACCOUNT_EVENT_SCHEMA = StructType([
     StructField("slot", LongType()),
@@ -158,6 +184,33 @@ ACCOUNT_EVENT_SCHEMA = StructType([
     StructField("fund_fees_token1", _DEC20),
     StructField("open_time", _DEC20),
     StructField("recent_epoch", _DEC20),
+    # Raydium CLMM amm config / pool state / tick array
+    # (raydium_clmm/types.rs:18-198)
+    StructField("config_owner", StringType()),
+    StructField("tick_spacing", IntegerType()),
+    StructField("token_mint0", StringType()),
+    StructField("token_mint1", StringType()),
+    StructField("token_vault0", StringType()),
+    StructField("token_vault1", StringType()),
+    StructField("liquidity", _DEC38),
+    StructField("sqrt_price_x64", _DEC38),
+    StructField("tick_current", IntegerType()),
+    StructField("fee_growth_global0_x64", _DEC38),
+    StructField("fee_growth_global1_x64", _DEC38),
+    StructField("swap_in_amount_token0", _DEC38),
+    StructField("swap_out_amount_token1", _DEC38),
+    StructField("swap_in_amount_token1", _DEC38),
+    StructField("swap_out_amount_token0", _DEC38),
+    StructField("reward_infos", ArrayType(REWARD_INFO_TYPE)),
+    StructField("tick_array_bitmap", ArrayType(_DEC20)),
+    StructField("total_fees_token0", _DEC20),
+    StructField("total_fees_claimed_token0", _DEC20),
+    StructField("total_fees_token1", _DEC20),
+    StructField("total_fees_claimed_token1", _DEC20),
+    StructField("pool_id", StringType()),
+    StructField("start_tick_index", IntegerType()),
+    StructField("ticks", ArrayType(TICK_STATE_TYPE)),
+    StructField("initialized_tick_count", IntegerType()),
     # Token/Mint/Nonce (account_event_parser.rs:17-54)
     StructField("supply", _DEC20),
     StructField("decimals", IntegerType()),

@@ -1761,12 +1761,93 @@ def scenario_accounts():
         "fund_fees_token0": 54, "fund_fees_token1": 55, "open_time": 56,
         "recent_epoch": 57})
 
-    # CLMM account with registered disc but no decoder yet -> falls
-    # through to the common path (documented in account_decode.py)
+    # --- Raydium CLMM amm config / pool state / tick array
+    from decimal import Decimal as D
     CLMM_AC_DISC = bytes([218, 244, 33, 104, 203, 203, 43, 111])
-    a17 = new_account(RAYDIUM_CLMM_PROGRAM_ID, CLMM_AC_DISC + b"\x00" * 50)
-    account_golden(a17, "Common", "TokenAccount",
-                   {"token_owner": RAYDIUM_CLMM_PROGRAM_ID})
+    CLMM_PS_DISC = bytes([247, 237, 227, 245, 215, 195, 222, 70])
+    CLMM_TA_DISC = bytes([192, 155, 85, 205, 49, 249, 129, 42])
+
+    cfg_owner, fund_owner2 = pk(), pk()
+    clmm_ac_body = (u8(250) + u16(11) + pkb(cfg_owner) + u32(61) + u32(62)
+                    + u16(10) + u32(63) + u32(0) + pkb(fund_owner2)
+                    + b"\x00" * 24)
+    a17 = new_account(RAYDIUM_CLMM_PROGRAM_ID, CLMM_AC_DISC + clmm_ac_body)
+    account_golden(a17, "RaydiumClmm", "AccountRaydiumClmmAmmConfig", {
+        "bump": 250, "index": 11, "config_owner": cfg_owner,
+        "protocol_fee_rate": 61, "trade_fee_rate": 62, "tick_spacing": 10,
+        "fund_fee_rate": 63, "fund_owner": fund_owner2})
+
+    # pool state (1536B body)
+    clmm_pks = [pk() for _ in range(7)]
+    LIQ2, SQRTP = 2**90 + 5, 2**80 + 9
+    rewards = []
+    reward_bytes = b""
+    for k in range(3):
+        ri = {"reward_state": k, "open_time": D(100 + k),
+              "end_time": D(200 + k), "last_update_time": D(300 + k),
+              "emissions_per_second_x64": D(2**70 + k),
+              "reward_total_emissioned": D(400 + k),
+              "reward_claimed": D(500 + k), "token_mint": pk(),
+              "token_vault": pk(), "authority": pk(),
+              "reward_growth_global_x64": D(2**71 + k)}
+        rewards.append(ri)
+        reward_bytes += (u8(k) + u64(100 + k) + u64(200 + k) + u64(300 + k)
+                         + u128(2**70 + k) + u64(400 + k) + u64(500 + k)
+                         + pkb(ri["token_mint"]) + pkb(ri["token_vault"])
+                         + pkb(ri["authority"]) + u128(2**71 + k))
+    bitmap = list(range(16))
+    clmm_ps_body = (u8(249) + b"".join(pkb(p) for p in clmm_pks)
+                    + u8(6) + u8(9) + u16(10) + u128(LIQ2) + u128(SQRTP)
+                    + i32(-12345) + u16(0) + u16(0) + u128(71) + u128(72)
+                    + u64(73) + u64(74) + u128(75) + u128(76) + u128(77)
+                    + u128(78) + u8(1) + b"\x00" * 7 + reward_bytes
+                    + b"".join(u64(b) for b in bitmap)
+                    + u64(81) + u64(82) + u64(83) + u64(84) + u64(85)
+                    + u64(86) + u64(87) + u64(88)
+                    + b"\x00" * (8 * 24) + b"\x00" * (8 * 32))
+    assert len(clmm_ps_body) == 1536, len(clmm_ps_body)
+    a18 = new_account(RAYDIUM_CLMM_PROGRAM_ID, CLMM_PS_DISC + clmm_ps_body)
+    account_golden(a18, "RaydiumClmm", "AccountRaydiumClmmPoolState", {
+        "auth_bump": 249, "amm_config": clmm_pks[0],
+        "config_owner": clmm_pks[1], "token_mint0": clmm_pks[2],
+        "token_mint1": clmm_pks[3], "token_vault0": clmm_pks[4],
+        "token_vault1": clmm_pks[5], "observation_key": clmm_pks[6],
+        "mint0_decimals": 6, "mint1_decimals": 9, "tick_spacing": 10,
+        "liquidity": LIQ2, "sqrt_price_x64": SQRTP, "tick_current": -12345,
+        "fee_growth_global0_x64": 71, "fee_growth_global1_x64": 72,
+        "protocol_fees_token0": 73, "protocol_fees_token1": 74,
+        "swap_in_amount_token0": 75, "swap_out_amount_token1": 76,
+        "swap_in_amount_token1": 77, "swap_out_amount_token0": 78,
+        "status": 1, "reward_infos": rewards,
+        "tick_array_bitmap": [D(b) for b in bitmap],
+        "total_fees_token0": 81, "total_fees_claimed_token0": 82,
+        "total_fees_token1": 83, "total_fees_claimed_token1": 84,
+        "fund_fees_token0": 85, "fund_fees_token1": 86, "open_time": 87,
+        "recent_epoch": 88})
+
+    # tick array (10232B body, 60 ticks)
+    pool_id = pk()
+    ticks, tick_bytes = [], b""
+    for k in range(60):
+        t = {"tick": -300 + k * 10, "liquidity_net": D((-1) ** k * (k + 1)),
+             "liquidity_gross": D(2**64 + k),
+             "fee_growth_outside0_x64": D(k), "fee_growth_outside1_x64":
+             D(k * 2), "reward_growths_outside_x64": [D(k), D(k + 1),
+                                                      D(k + 2)]}
+        ticks.append(t)
+        tick_bytes += (i32(t["tick"])
+                       + int((-1) ** k * (k + 1)).to_bytes(
+                           16, "little", signed=True)
+                       + u128(2**64 + k) + u128(k) + u128(k * 2)
+                       + u128(k) + u128(k + 1) + u128(k + 2)
+                       + b"\x00" * 52)
+    clmm_ta_body = (pkb(pool_id) + i32(-3000) + tick_bytes + u8(7)
+                    + u64(89) + b"\x00" * 107)
+    assert len(clmm_ta_body) == 10232, len(clmm_ta_body)
+    a19 = new_account(RAYDIUM_CLMM_PROGRAM_ID, CLMM_TA_DISC + clmm_ta_body)
+    account_golden(a19, "RaydiumClmm", "AccountRaydiumClmmTickArrayState", {
+        "pool_id": pool_id, "start_tick_index": -3000, "ticks": ticks,
+        "initialized_tick_count": 7, "recent_epoch": 89})
 
 
 def write_account_parquet():
@@ -1788,7 +1869,8 @@ def write_account_parquet():
     from solana_event_stream_spark.plans.account_pipeline import (
         ACCOUNT_EVENT_SCHEMA)
     from pyspark.sql.types import (ArrayType, BooleanType, DecimalType,
-                                   IntegerType, LongType, StringType)
+                                   IntegerType, LongType, StringType,
+                                   StructType)
 
     def to_arrow(t):
         if isinstance(t, DecimalType):
@@ -1800,7 +1882,10 @@ def write_account_parquet():
         if isinstance(t, BooleanType):
             return pa.bool_()
         if isinstance(t, ArrayType):
-            return pa.list_(pa.string())
+            return pa.list_(to_arrow(t.elementType))
+        if isinstance(t, StructType):
+            return pa.struct([(f.name, to_arrow(f.dataType))
+                              for f in t.fields])
         if isinstance(t, StringType):
             return pa.string()
         raise TypeError(t)

@@ -21,7 +21,11 @@ def _norm(v):
     import pandas as pd
     from decimal import Decimal
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(v)
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, _norm(x)) for k, x in sorted(v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row
+        return _norm(v.asDict())
     if isinstance(v, Decimal):
         return int(v)
     if v is None or pd.isna(v):
