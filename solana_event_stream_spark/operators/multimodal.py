@@ -125,10 +125,10 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     "multimodal_metadata_extract",
     oracle="""
     SELECT media_type, COUNT(*) AS n_media,
-           SUM(strlen(text) + 12) AS total_bytes,
+           CAST(SUM(strlen(text) + 12) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-           SUM(length(text) % 640) AS sum_width,
-           SUM(doc_id % 480) AS sum_height
+           CAST(SUM(length(text) % 640) AS BIGINT) AS sum_width,
+           CAST(SUM(doc_id % 480) AS BIGINT) AS sum_height
     FROM (
       SELECT doc_id, text,
              CASE WHEN doc_id % 3 = 0 THEN 'image'

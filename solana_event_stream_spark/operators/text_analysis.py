@@ -60,7 +60,7 @@ def _sql_hits(markers):
         WHEN hits_fr >= hits_zh THEN 'fr' ELSE 'zh' END AS predicted_lang
       FROM scored)
     SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs,
-           SUM(hits_en) AS total_marker_hits
+           CAST(SUM(hits_en) AS BIGINT) AS total_marker_hits
     FROM pred GROUP BY labeled_lang, predicted_lang
     """,
     tags=("text", "llm-data", "langid"),

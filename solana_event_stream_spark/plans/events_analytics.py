@@ -128,8 +128,9 @@ def events_daily_active_users(spark, sf_dir: str) -> DataFrame:
                      THEN 1 ELSE 0 END AS new_sess
       FROM lagged),
     sess AS (
-      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
@@ -169,9 +170,9 @@ def events_sessionization(spark, sf_dir: str) -> DataFrame:
     "events_user_running_sum",
     oracle="""
     SELECT user_id, event_id, ts,
-           SUM(CAST(value AS DECIMAL(24,6)))
+           CAST(SUM(CAST(value AS DECIMAL(24,6)))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS run_sum_dec,
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum_dec,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS seq
     FROM events
@@ -187,7 +188,7 @@ def events_user_running_sum(spark, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts",
         F.sum(F.col("value").cast("decimal(24,6)")).over(w)
-         .alias("run_sum_dec"),
+         .cast("double").alias("run_sum_dec"),
         F.row_number().over(wseq).alias("seq"),
     )
 
@@ -196,7 +197,8 @@ def events_user_running_sum(spark, sf_dir: str) -> DataFrame:
     "events_props_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type

@@ -54,8 +54,10 @@ def dex_events_by_type(spark, sf_dir: str) -> DataFrame:
     "dex_trade_volume_by_mint",
     oracle=f"""
     SELECT mint,
-           CAST(COALESCE(SUM(sol_amount), 0) AS DECIMAL(38,0)) AS sol_volume,
-           CAST(COALESCE(SUM(token_amount), 0) AS DECIMAL(38,0)) AS token_volume,
+           CAST(CAST(COALESCE(SUM(sol_amount), 0) AS DECIMAL(38,0))
+                AS VARCHAR) AS sol_volume,
+           CAST(CAST(COALESCE(SUM(token_amount), 0) AS DECIMAL(38,0))
+                AS VARCHAR) AS token_volume,
            COUNT(*) AS n_trades
     FROM read_parquet('{GOLDEN}')
     WHERE event_type IN ('PumpFunBuy', 'PumpFunSell')
@@ -70,9 +72,9 @@ def dex_trade_volume_by_mint(spark, sf_dir: str) -> DataFrame:
             .filter(F.col("event_type").isin("PumpFunBuy", "PumpFunSell"))
             .groupBy("mint")
             .agg(F.coalesce(F.sum("sol_amount"), F.lit(0))
-                 .cast("decimal(38,0)").alias("sol_volume"),
+                 .cast("decimal(38,0)").cast("string").alias("sol_volume"),
                  F.coalesce(F.sum("token_amount"), F.lit(0))
-                 .cast("decimal(38,0)").alias("token_volume"),
+                 .cast("decimal(38,0)").cast("string").alias("token_volume"),
                  F.count(F.lit(1)).alias("n_trades")))
 
 
@@ -80,8 +82,10 @@ def dex_trade_volume_by_mint(spark, sf_dir: str) -> DataFrame:
     "dex_swap_data_join",
     oracle=f"""
     SELECT event_type, swap_from_mint, swap_to_mint,
-           CAST(SUM(swap_from_amount) AS DECIMAL(38,0)) AS total_from,
-           CAST(SUM(swap_to_amount) AS DECIMAL(38,0)) AS total_to,
+           CAST(CAST(SUM(swap_from_amount) AS DECIMAL(38,0)) AS VARCHAR)
+             AS total_from,
+           CAST(CAST(SUM(swap_to_amount) AS DECIMAL(38,0)) AS VARCHAR)
+             AS total_to,
            COUNT(*) AS n_events
     FROM read_parquet('{GOLDEN}')
     WHERE swap_from_mint IS NOT NULL
@@ -95,9 +99,9 @@ def dex_swap_data_join(spark, sf_dir: str) -> DataFrame:
             .filter(F.col("swap_from_mint").isNotNull())
             .groupBy("event_type", "swap_from_mint", "swap_to_mint")
             .agg(F.sum("swap_from_amount").cast("decimal(38,0)")
-                 .alias("total_from"),
+                 .cast("string").alias("total_from"),
                  F.sum("swap_to_amount").cast("decimal(38,0)")
-                 .alias("total_to"),
+                 .cast("string").alias("total_to"),
                  F.count(F.lit(1)).alias("n_events")))
 
 
@@ -129,8 +133,10 @@ def dex_enrichment_flags(spark, sf_dir: str) -> DataFrame:
     "account_events_by_type",
     oracle=f"""
     SELECT protocol, event_type, COUNT(*) AS n_events,
-           CAST(COALESCE(SUM(supply), 0) AS DECIMAL(38,0)) AS total_supply,
-           CAST(COALESCE(SUM(amount), 0) AS DECIMAL(38,0)) AS total_amount,
+           CAST(CAST(COALESCE(SUM(supply), 0) AS DECIMAL(38,0)) AS VARCHAR)
+             AS total_supply,
+           CAST(CAST(COALESCE(SUM(amount), 0) AS DECIMAL(38,0)) AS VARCHAR)
+             AS total_amount,
            COUNT(nonce) AS n_nonces
     FROM read_parquet('{FIXTURES}/accounts_golden.parquet')
     GROUP BY protocol, event_type
@@ -147,9 +153,9 @@ def account_events_by_type(spark, sf_dir: str) -> DataFrame:
             .groupBy("protocol", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.coalesce(F.sum("supply"), F.lit(0))
-                 .cast("decimal(38,0)").alias("total_supply"),
+                 .cast("decimal(38,0)").cast("string").alias("total_supply"),
                  F.coalesce(F.sum("amount"), F.lit(0))
-                 .cast("decimal(38,0)").alias("total_amount"),
+                 .cast("decimal(38,0)").cast("string").alias("total_amount"),
                  F.count("nonce").alias("n_nonces")))
 
 

@@ -28,15 +28,24 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _norm_cell(v):
+    """Dtype-strict cell normalization.
+
+    The driver's t2 harness hashes the raw pandas values, so a Spark
+    ``Decimal``/int64 vs DuckDB float64 difference IS a failure even when
+    the numeric values agree.  We therefore keep the value's type visible:
+    ``Decimal`` stays ``Decimal``, NaN becomes a distinct sentinel (equal
+    to itself, not to None), and numpy scalars fold to their Python
+    equivalents (int64 -> int, float64 -> float) exactly as ``itertuples``
+    yields them on both engines.
+    """
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return float(v)
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            # DuckDB's fetchdf renders NULL decimals as NaN; treat as null
-            return None
-        return v
+            return ("float", "NaN")
+        return ("float", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v
@@ -67,6 +76,15 @@ def compare_to_oracle(spark, name: str, spec, sf_dir: str,
     if scols != ocols:
         problems.append(f"columns: spark={scols} oracle={ocols}")
         return problems
+    # Dtype-strict: the driver hashes pandas values, so a Decimal/int64
+    # column on one side vs float64 on the other fails even with equal
+    # numeric values. Surface that here rather than in CORRECTNESS_r{N}.
+    for c in scols:
+        sd, od = sdf[c].dtype, odf[c].dtype
+        # kind, not full dtype: datetime64[ns] vs [us] hashes the same
+        # (pd.Timestamp values compare equal), int64 vs float64 does not.
+        if getattr(sd, "kind", "?") != getattr(od, "kind", "?"):
+            problems.append(f"dtype col {c}: spark={sd} oracle={od}")
     if problems:
         return problems
 
@@ -74,9 +92,8 @@ def compare_to_oracle(spark, name: str, spec, sf_dir: str,
     for i, (sr, orr) in enumerate(zip(srows, orows)):
         for c, (sv, ov) in zip(scols, zip(sr, orr)):
             ok = sv == ov
-            if not ok and float_rel_tol and isinstance(sv, float) \
-                    and isinstance(ov, float):
-                ok = math.isclose(sv, ov, rel_tol=float_rel_tol,
+            if not ok and float_rel_tol and _is_float(sv) and _is_float(ov):
+                ok = math.isclose(sv[1], ov[1], rel_tol=float_rel_tol,
                                   abs_tol=float_rel_tol)
             if not ok:
                 n_bad += 1
@@ -86,3 +103,8 @@ def compare_to_oracle(spark, name: str, spec, sf_dir: str,
     if n_bad > 5:
         problems.append(f"... {n_bad} mismatched cells total")
     return problems
+
+
+def _is_float(v) -> bool:
+    return (isinstance(v, tuple) and len(v) == 2 and v[0] == "float"
+            and isinstance(v[1], float))
