@@ -36,7 +36,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    n_timed = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_timed = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in names:
         try:
             # Untimed warm run (JIT/codegen compilation and parquet footer

@@ -164,8 +164,9 @@ def account_events_by_type(spark, sf_dir: str) -> DataFrame:
     oracle=None,  # throughput surface; rows-only check
     tags=("pipeline", "dex", "bench"),
     doc="Parse throughput (BASELINE.md bench plan (a)): the fixture corpus "
-        "replicated 2000x with distinct signatures/slots -> full decode + "
-        "merge + enrich DAG -> per-type counts (~90k transactions).",
+        "replicated SPARK_GRAFT_PIPE_SCALE (default 500) times with "
+        "distinct signatures/slots -> full decode + merge + enrich DAG -> "
+        "per-type counts (500x = 23,000 transactions).",
 )
 def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
     from .pipeline import build_events, load_raw_transactions
