@@ -24,7 +24,17 @@ _B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 _B58_INDEX = {c: i for i, c in enumerate(_B58_ALPHABET)}
 
 
+# Pubkeys repeat heavily within a workload (mints, vaults, programs);
+# memoize the bignum base58 conversion per worker. Bounded so a
+# pathological stream of unique keys cannot grow it past ~10 MB.
+_B58_CACHE: dict[bytes, str] = {}
+_B58_CACHE_MAX = 1 << 16
+
+
 def b58encode(raw: bytes) -> str:
+    s = _B58_CACHE.get(raw)
+    if s is not None:
+        return s
     n = int.from_bytes(raw, "big")
     out = []
     while n:
@@ -36,7 +46,10 @@ def b58encode(raw: bytes) -> str:
             pad += 1
         else:
             break
-    return "1" * pad + "".join(reversed(out))
+    s = "1" * pad + "".join(reversed(out))
+    if len(_B58_CACHE) < _B58_CACHE_MAX:
+        _B58_CACHE[bytes(raw)] = s
+    return s
 
 
 def b58decode(s: str) -> bytes:

@@ -3,22 +3,28 @@ subsequent inner instructions that are SPL-token / system transfers, match
 (source, destination) against the event's user/vault token accounts, and
 fill {from_mint, to_mint, from_amount, to_amount}.
 
-Faithful port of common/types.rs:369-535 (and its grpc twin :539-705):
-- scan starts at inner position current_index+1 (outer events scan the
-  whole group: current_index = -1);
-- stops at the first instruction whose program is not an SPL/system
-  program (types.rs:461-465);
-- transfer forms (types.rs:475-489): tag 12 (transferChecked, >=4 accts,
-  amount LE u64 at [1..9], src=acc0 dst=acc2), tag 3 (transfer, >=3
-  accts, amount at [1..9], src=acc0 dst=acc1), tag 2 (system transfer,
-  >=2 accts, amount at [4..12], src=acc0 dst=acc1);
-- six account-pair match cases (types.rs:491-517), first-wins per field;
-- early exit when both mints or both amounts are known (types.rs:518-523).
+Faithful port of common/types.rs:369-535 (and its grpc twin :539-705),
+split across the JVM and Python for scale:
+
+- The POSITIONAL half (scan starts at inner position current_index+1;
+  stops at the first instruction whose program is not an SPL/system
+  program, types.rs:461-465; transfer forms types.rs:475-489: tag 12
+  (transferChecked, >=4 accts, amount LE u64 at [1..9], src=acc0
+  dst=acc2), tag 3 (transfer, >=3 accts, amount at [1..9], src=acc0
+  dst=acc1), tag 2 (system transfer, >=2 accts, amount at [4..12],
+  src=acc0 dst=acc1)) runs as Catalyst array expressions in
+  plans/pipeline.py (`transfer_candidates`), so the full inner-group
+  payload never crosses the Arrow boundary.
+- The STATEFUL half below (six account-pair match cases,
+  types.rs:491-517, first-wins per field; early exit when both mints or
+  both amounts are known, types.rs:518-523) folds over the pre-extracted
+  (source, dest, amount) candidates — it depends on the decoded event
+  payload, which only exists Python-side.
 """
 
 from __future__ import annotations
 
-from ..registry import SOL_MINT, SYSTEM_PROGRAMS, ZERO_PUBKEY
+from ..registry import SOL_MINT, ZERO_PUBKEY
 
 # event_type -> (from_mint_f, to_mint_f, user_from_f, user_to_f,
 #                from_vault_f, to_vault_f, description)
@@ -54,13 +60,13 @@ _EVENT_TYPE_TO_KEYS = {
 }
 
 
-def scan_swap_data(event_type: str, payload: dict, inner_instructions,
-                   current_index: int, accounts: list):
+def scan_swap_data(event_type: str, payload: dict, candidates):
     """Return flattened swap_data dict or None.
 
-    ``inner_instructions``: list of (program_id_index, account_indices,
-    data) tuples for the event's outer instruction group.
-    ``accounts``: tx-level resolved account list (padded).
+    ``candidates``: ordered list of (source, dest, amount) tuples — the
+    transfer-shaped inner instructions after the event's position, already
+    truncated at the first non-system-program instruction by the JVM
+    pre-scan (plans/pipeline.py).
     """
     swap = {"from_mint": ZERO_PUBKEY, "to_mint": ZERO_PUBKEY,
             "from_amount": 0, "to_amount": 0, "description": None}
@@ -93,31 +99,7 @@ def scan_swap_data(event_type: str, payload: dict, inner_instructions,
             from_vault = payload.get(fv) or ZERO_PUBKEY
             to_vault = payload.get(tv) or ZERO_PUBKEY
 
-    n_accounts = len(accounts)
-    for prog_idx, acct_idxs, data in inner_instructions[current_index + 1:]:
-        if prog_idx >= n_accounts:
-            break
-        program_id = accounts[prog_idx]
-        if program_id not in SYSTEM_PROGRAMS:
-            break
-        if data is None or len(data) < 8:  # validate_data_format(data, 8)
-            continue
-        tag = data[0]
-        if tag == 12 and len(acct_idxs) >= 4 and len(data) >= 9:
-            amount = int.from_bytes(data[1:9], "little")
-            s_i, d_i = acct_idxs[0], acct_idxs[2]
-        elif tag == 3 and len(acct_idxs) >= 3 and len(data) >= 9:
-            amount = int.from_bytes(data[1:9], "little")
-            s_i, d_i = acct_idxs[0], acct_idxs[1]
-        elif tag == 2 and len(acct_idxs) >= 2 and len(data) >= 12:
-            amount = int.from_bytes(data[4:12], "little")
-            s_i, d_i = acct_idxs[0], acct_idxs[1]
-        else:
-            continue
-        if s_i >= n_accounts or d_i >= n_accounts:
-            continue
-        source, dest = accounts[s_i], accounts[d_i]
-
+    for source, dest, amount in candidates:
         if source == user_to and dest == to_vault:
             swap["from_mint"], swap["from_amount"] = to_mint, amount
         elif source == from_vault and dest == user_from:

@@ -40,25 +40,26 @@ from ..registry import (ALL_PROTOCOLS, COMPUTE_BUDGET_PROGRAM_ID,
                         INNER_DISCRIMINATORS, INSTRUCTION_DISCRIMINATORS,
                         MERGE_SPECS, PROGRAM_ID_BY_PROTOCOL,
                         PROTOCOL_BY_PROGRAM_ID, RAYDIUM_AMM_V4_PROGRAM_ID,
-                        REQUIRES_CPI, ZERO_PUBKEY)
-from ..schemas import EVENT_SCHEMA, METADATA_COL_NAMES, PAYLOAD_FIELDS
-
-_DEC_KINDS = {"u64", "u128"}
+                        REQUIRES_CPI, SYSTEM_PROGRAMS, ZERO_PUBKEY)
+from ..schemas import EVENT_SCHEMA
 
 
 def _decode_batches(iterator: Iterator, bot_wallet: str | None):
-    """mapInPandas body: decode matched instruction rows into event rows."""
+    """mapInPandas body: decode matched instruction rows into event rows.
+
+    The inner-group scans (J1 CPI match, J2 positional pruning) already
+    ran JVM-side — each row arrives with only its few pre-matched
+    candidates, so the Python work per row is the Borsh field extraction
+    plus the payload-dependent merge/match, nothing positional.
+    """
     import pandas as pd
 
-    from ..operators.decode import (CPI_DECODERS, INSTRUCTION_DECODERS,
+    from ..operators.decode import (INSTRUCTION_DECODERS,
                                     decode_compute_budget,
                                     decode_cpi_with_f8)
     from ..operators.swap import scan_swap_data
 
     out_cols = [f.name for f in EVENT_SCHEMA.fields]
-    inner_disc_by_protocol: dict[str, dict[str, str]] = {}
-    for (proto, disc), kind in INNER_DISCRIMINATORS.items():
-        inner_disc_by_protocol.setdefault(proto, {})[disc] = kind
 
     def _nn(v):  # nullable numeric: pandas NaN/NaT -> None
         return None if v is None or (not isinstance(v, (list, tuple))
@@ -100,44 +101,32 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None):
             if payload is None:
                 continue
 
-            inner_group = [
-                (ix["program_id_index"],
-                 [] if ix["account_indices"] is None
-                 else list(ix["account_indices"]),
-                 bytes(ix["data"]) if ix["data"] is not None else b"")
-                for ix in ([] if row.inner_group is None
-                           else row.inner_group)
-            ]
-            tx_accounts = ([] if row.accounts_padded is None
-                           else list(row.accounts_padded))
-
-            # J1: first inner instruction with a matching 16-byte CPI
-            # discriminator for this protocol (event_parser.rs:392-439)
+            # J1: first JVM-matched CPI candidate that DECODES is the
+            # merge source (event_parser.rs:392-439 — scan order is group
+            # order, preserved by the JVM filter)
             cpi_kind, cpi_payload = None, None
-            discs = inner_disc_by_protocol.get(row.protocol, {})
-            for _, _, inner_data in inner_group:
-                if len(inner_data) < 16:
-                    continue
-                kind = discs.get(inner_data[:16].hex())
-                if kind is None:
-                    continue
-                decoded = decode_cpi_with_f8(kind, inner_data[16:],
-                                             row.event_type)
+            for cand in ([] if row.cpi_candidates is None
+                         else row.cpi_candidates):
+                decoded = decode_cpi_with_f8(
+                    cand["kind"],
+                    bytes(cand["body"]) if cand["body"] is not None else b"",
+                    row.event_type)
                 if decoded is not None:
-                    cpi_kind, cpi_payload = kind, decoded
+                    cpi_kind, cpi_payload = cand["kind"], decoded
                     break
 
             # F9 (event_parser.rs:441-448)
             if row.event_type in REQUIRES_CPI and cpi_payload is None:
                 continue
 
-            # J2 swap-data look-ahead on the PRE-merge event (the reference
+            # J2 swap-data match on the PRE-merge event (the reference
             # runs both scans concurrently, event_parser.rs:395-433)
             swap = None
             if row.has_inner_group:
-                cur = -1 if inner_index is None else int(inner_index)
-                swap = scan_swap_data(row.event_type, payload, inner_group,
-                                      cur, tx_accounts)
+                cands = ([] if row.transfer_candidates is None else [
+                    (c["source"], c["dest"], int(c["amount"]))
+                    for c in row.transfer_candidates])
+                swap = scan_swap_data(row.event_type, payload, cands)
 
             # J1 merge: overwrite listed fields (merger_event.rs)
             spec = MERGE_SPECS.get(row.event_type)
@@ -154,23 +143,25 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None):
                 base["swap_description"] = swap["description"]
             rows_out.append({**base, **payload})
 
-        # Column-wise assembly with explicit None fill: the output schema
-        # is ~380 columns but each event sets ~30, so building per-row
-        # then normalizing per-cell would do tens of millions of no-op
-        # operations per batch. object dtype keeps int64 exact.
-        from decimal import Decimal
-        dec_cols = {n for n, k in PAYLOAD_FIELDS.items() if k in _DEC_KINDS}
-        dec_cols |= {"swap_from_amount", "swap_to_amount"}
+        # Column-wise assembly: allocate a fill list only for columns some
+        # row actually set (~30-60 of the ~375-wide union schema); every
+        # untouched column shares one all-None Series. Values stay raw
+        # Python ints — Arrow converts int -> decimal128 exactly, full u64
+        # range, no per-cell Decimal objects.
         n = len(rows_out)
-        cols: dict[str, list] = {c: [None] * n for c in out_cols}
+        none_col = [None] * n
+        cols: dict[str, list] = {}
         for i, rowdict in enumerate(rows_out):
             for k, v in rowdict.items():
                 if v is not None:
-                    cols[k][i] = (Decimal(v) if k in dec_cols
-                                  else list(v) if isinstance(v, tuple)
-                                  else v)
+                    col = cols.get(k)
+                    if col is None:
+                        col = cols[k] = none_col.copy()
+                    col[i] = list(v) if isinstance(v, tuple) else v
+        empty = pd.Series(none_col, dtype=object)
         yield pd.DataFrame(
-            {c: pd.Series(cols[c], dtype=object) for c in out_cols},
+            {c: (pd.Series(cols[c], dtype=object) if c in cols else empty)
+             for c in out_cols},
             columns=out_cols)
 
 
@@ -314,17 +305,120 @@ def build_events_core(raw_tx: DataFrame,
         F.coalesce((F.unix_micros(F.col("block_time")) / 1000)
                    .cast("long"), F.lit(0)))
 
+    # --- J1/J2 JVM pre-scans --------------------------------------------
+    # Both scans over the inner-instruction group are positional/shape
+    # predicates, so they run as Catalyst array expressions here; only the
+    # few matching candidates cross the Arrow boundary — the raw inner
+    # group (every CPI payload of the transaction) never does. At 100 TB
+    # this is the difference between shipping ~100s of bytes vs ~10s of KB
+    # per instruction row into Python.
+    ig = F.coalesce(F.col("inner_group"), F.array())
+    acc = F.col("accounts_padded")
+
+    # J1 (JVM half): inner instructions carrying a 16-byte discriminator
+    # registered for this protocol, in group order (event_parser.rs:
+    # 392-439). Python judges decode success (first successful wins).
+    cpi_entries = []
+    for (proto, disc), kind in INNER_DISCRIMINATORS.items():
+        cpi_entries += [F.lit(proto + ":" + disc), F.lit(kind)]
+    cpi_map = F.create_map(*cpi_entries)
+
+    def _cpi_kind(g):
+        return cpi_map[F.concat(
+            F.col("protocol"), F.lit(":"),
+            F.lower(F.hex(F.substring(g["data"], 1, 16))))]
+
+    rows = rows.withColumn(
+        "cpi_candidates",
+        F.transform(
+            F.filter(ig, lambda g:
+                     (F.coalesce(F.length(g["data"]), F.lit(0)) >= 16)
+                     & _cpi_kind(g).isNotNull()),
+            lambda g: F.struct(
+                _cpi_kind(g).alias("kind"),
+                F.substring(g["data"], F.lit(17), F.length(g["data"]))
+                .alias("body"))))
+
+    # J2 (JVM half): transfer-shaped inner instructions after the event's
+    # position, truncated at the first non-system-program instruction
+    # (types.rs:461-489). The break conditions (program out of bounds /
+    # not an SPL-or-system program) become a first-break position.
+    indexed = F.transform(ig, lambda g, i: F.struct(i.alias("pos"),
+                                                    g.alias("g")))
+    sys_progs = list(SYSTEM_PROGRAMS)
+
+    def _prog(s):
+        return F.element_at(acc, s["g"]["program_id_index"] + 1)
+
+    first_break = F.coalesce(
+        F.array_min(F.transform(
+            F.filter(indexed, lambda s:
+                     (s["g"]["program_id_index"] >= F.size(acc))
+                     | ~_prog(s).isin(sys_progs)),
+            lambda s: s["pos"])),
+        F.size(ig))
+    rows = rows.withColumn("first_break", first_break)
+
+    def _d(s):
+        return s["g"]["data"]
+
+    def _ai(s):
+        return F.coalesce(s["g"]["account_indices"], F.array())
+
+    def _tag_is(s, t):
+        return F.substring(_d(s), 1, 1) == F.lit(bytes([t]))
+
+    def _dlen(s):
+        return F.coalesce(F.length(_d(s)), F.lit(0))
+
+    def _is12(s):
+        return _tag_is(s, 12) & (F.size(_ai(s)) >= 4) & (_dlen(s) >= 9)
+
+    def _is3(s):
+        return _tag_is(s, 3) & (F.size(_ai(s)) >= 3) & (_dlen(s) >= 9)
+
+    def _is2(s):
+        return _tag_is(s, 2) & (F.size(_ai(s)) >= 2) & (_dlen(s) >= 12)
+
+    def _s_i(s):
+        return F.element_at(_ai(s), 1)
+
+    def _d_i(s):
+        return F.when(_is12(s), F.element_at(_ai(s), 3)) \
+                .otherwise(F.element_at(_ai(s), 2))
+
+    def _amount(s):
+        # LE u64: hex the 8-byte slice, reassemble the byte pairs
+        # MSB-first, conv (unsigned-64 exact). NB: F.reverse on BinaryType
+        # goes through a string cast and mangles bytes — don't use it.
+        off = F.when(_is2(s), F.lit(5)).otherwise(F.lit(2))
+        h = F.hex(F.substring(_d(s), off, F.lit(8)))
+        be = F.concat(*[F.substring(h, 1 + 2 * i, 2)
+                        for i in range(7, -1, -1)])
+        return F.conv(be, 16, 10).cast("decimal(20,0)")
+
+    candidates = F.transform(
+        F.filter(indexed, lambda s:
+                 (s["pos"] > F.coalesce(F.col("inner_index"), F.lit(-1)))
+                 & (s["pos"] < F.col("first_break"))
+                 & (_dlen(s) >= 8)
+                 & (_is12(s) | _is3(s) | _is2(s))
+                 & (_s_i(s) < F.size(acc)) & (_d_i(s) < F.size(acc))),
+        lambda s: F.struct(
+            F.element_at(acc, _s_i(s) + 1).alias("source"),
+            F.element_at(acc, _d_i(s) + 1).alias("dest"),
+            _amount(s).alias("amount")))
+    rows = rows.withColumn(
+        "transfer_candidates",
+        F.when(F.col("has_inner_group"), candidates))
+
     decode_input = rows.select(
         "signature", "slot", "transaction_index", "block_time",
         "block_time_ms", "recv_us", "program_id", "protocol", "event_type",
         "outer_index", "inner_index", "data", "resolved_accounts",
-        "inner_group", "has_inner_group",
-        # tx-level accounts are only consumed by the J2 swap scan, which
-        # only runs when an inner group exists — don't ship them otherwise
-        F.when(F.col("has_inner_group"), F.col("accounts_padded"))
-        .alias("accounts_padded"))
+        "has_inner_group", "cpi_candidates", "transfer_candidates")
 
-    # --- P5/P6 + J1 + J2 decode stage (Arrow-batched Python) ------------
+    # --- P5/P6 + J1-merge + J2-match decode stage (Arrow-batched Python) -
     return decode_input.mapInPandas(
         lambda it: _decode_batches(it, None), schema=EVENT_SCHEMA)
 
