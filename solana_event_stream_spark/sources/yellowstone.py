@@ -96,39 +96,83 @@ class YellowstoneStreamReader(DataSourceStreamReader):
         endpoint = self.options.get("endpoint", "")
         self.simulate = endpoint.startswith("simulate://") or not endpoint
         if not self.simulate:
-            try:
-                import grpc  # noqa: F401
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "live Yellowstone subscription requires the grpc "
-                    "package (not in this container); use "
-                    "endpoint=simulate:// for the deterministic generator"
-                ) from exc
+            # Live transport: a driver-side LiveSubscription (bounded
+            # buffer over the gRPC stream, sources/transport.py) drained
+            # by a SimpleDataSourceStreamReader — matching the
+            # reference's single-node subscriber. Requires grpc + the
+            # generated yellowstone proto stubs.
+            from .transport import LiveSubscription
+            self.live = LiveSubscription(endpoint, self.options)
+            self._connect_live(endpoint)
         self.start_slot = int(self.options.get("startslot", "0"))
+
+    def _connect_live(self, endpoint: str):  # pragma: no cover - no grpc
+        try:
+            import grpc
+            from yellowstone_grpc_proto import geyser_pb2 as proto
+            from yellowstone_grpc_proto import geyser_pb2_grpc as proto_grpc
+        except ImportError as exc:
+            raise NotImplementedError(
+                "live Yellowstone subscription requires the grpc package "
+                "and yellowstone-grpc proto stubs (neither in this "
+                "container); use endpoint=simulate:// for the "
+                "deterministic generator") from exc
+        channel = (grpc.secure_channel(endpoint, grpc.ssl_channel_credentials())
+                   if endpoint.startswith("https://")
+                   else grpc.insecure_channel(endpoint))
+        stub = proto_grpc.GeyserStub(channel)
+        self.live.start_yellowstone(proto, stub)
 
     def initialOffset(self):
         return {"slot": self.start_slot}
 
     def latestOffset(self):
         # simulate mode: a fixed number of new slots is available per
-        # trigger; live mode would report the tip slot from the stream.
+        # trigger. Live mode: offsets are positions in the driver-side
+        # buffer — drain here (driver), attach rows to the partition
+        # below (the reference has no replay either: no offset
+        # persistence, at-most-once on restart, SURVEY §2.10).
         if not hasattr(self, "_tip"):
             self._tip = self.start_slot
-        self._tip += SLOTS_PER_BATCH
+        if self.simulate:
+            self._tip += SLOTS_PER_BATCH
+            return {"slot": self._tip}
+        kind = self.options.get("streamtype", "transaction")
+        max_rows = int(self.options.get("maxrowspertrigger", "10000"))
+        rows = [r for k, r in self.live.drain(max_rows) if k == kind]
+        if not hasattr(self, "_live_cache"):
+            self._live_cache = {}
+        self._live_cache[(self._tip, self._tip + len(rows))] = rows
+        self._tip += len(rows)
         return {"slot": self._tip}
 
     def partitions(self, start, end):
         s, e = start["slot"], end["slot"]
         if e <= s:
             return [_SlotRange(s, s, self.options)]
+        if not self.simulate:
+            part = _SlotRange(s, e, self.options)
+            cache = getattr(self, "_live_cache", {})
+            part.rows = [r for (a, b), rs in sorted(cache.items())
+                         if a >= s and b <= e for r in rs]
+            return [part]
         # one partition per slot: parallel decode downstream
         return [_SlotRange(i, i + 1, self.options) for i in range(s, e)]
 
     def commit(self, end):
-        pass  # simulate mode has nothing to acknowledge
+        # simulate mode has nothing to acknowledge; live mode frees
+        # delivered buffer ranges
+        if not self.simulate and hasattr(self, "_live_cache"):
+            e = end["slot"]
+            for key in [k for k in self._live_cache if k[1] <= e]:
+                del self._live_cache[key]
 
     def read(self, partition: _SlotRange):
         fields = [f.name for f in RAW_TRANSACTION_SCHEMA.fields]
+        if getattr(partition, "rows", None) is not None:
+            for t in partition.rows:
+                yield tuple(t.get(f) for f in fields)
+            return
         for slot in range(partition.start, partition.end):
             for t in _simulated_transactions(slot, partition.options):
                 yield tuple(t[f] for f in fields)
