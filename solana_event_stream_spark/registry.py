@@ -32,6 +32,8 @@ COMPUTE_BUDGET_PROGRAM_ID = "ComputeBudget111111111111111111111111111111"
 
 # base58 of 32 zero bytes == Pubkey::default() == system program id
 ZERO_PUBKEY = "11111111111111111111111111111111"
+# solana_sdk::system_program::ID (yellowstone_sub_system.rs:44)
+SYSTEM_PROGRAM_ID = "11111111111111111111111111111111"
 SOL_MINT = "So11111111111111111111111111111111111111111"
 # common/types.rs:361-366 — programs whose transfers J2 scans
 SYSTEM_PROGRAMS = (
