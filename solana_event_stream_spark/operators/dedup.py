@@ -138,17 +138,19 @@ _SQL_BAND_MATCH = " OR ".join(
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
     sigs AS (SELECT doc_id, shingles, {_SQL_MINHASH} FROM sh),
-    banded AS (SELECT doc_id, shingles, {_SQL_BANDS} FROM sigs),
+    banded AS (SELECT doc_id, {_SQL_BANDS} FROM sigs),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.shingles AS sh_a, b.shingles AS sh_b
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b ON a.doc_id < b.doc_id
        AND ({_SQL_BAND_MATCH})),
     verified AS (
       SELECT doc_a, doc_b,
-             len(list_filter(sh_a, s -> list_contains(sh_b, s))) AS n_inter,
-             len(sh_a) AS n_a, len(sh_b) AS n_b
-      FROM pairs)
+             len(list_filter(sa.shingles,
+                             s -> list_contains(sb.shingles, s))) AS n_inter,
+             len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+      FROM pairs
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
     SELECT doc_a, doc_b,
            CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
     FROM verified
@@ -156,17 +158,20 @@ _SQL_BAND_MATCH = " OR ".join(
     """,
     tags=("dedup", "llm-data", "minhash"),
     doc="MinHash(12)+LSH(3 bands x 4 rows): shingle -> signature -> "
-        "band-bucket join -> exact-Jaccard verify >= 0.6.",
+        "band-bucket join on ids ONLY -> re-attach shingles -> "
+        "exact-Jaccard verify >= 0.6.",
 )
 def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     docs = docs_with_dups(spark, sf_dir)
     # Materialize shingles once per row (the signature columns reference
     # the projected column, not 12 recomputations of the shingle array).
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    sigs = sh.select("doc_id", "shingles",
-                     *_minhash_cols(F.col("shingles")))
+    sigs = sh.select("doc_id", *_minhash_cols(F.col("shingles")))
+    # Scale: the band join shuffles (doc_id, band) pairs only — the heavy
+    # shingle arrays never ride the candidate shuffle; they re-attach by
+    # doc_id to the (much smaller) verified-candidate set below.
     bands = sigs.select(
-        "doc_id", "shingles",
+        "doc_id",
         F.posexplode(F.array(*[
             F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
                        for r in range(ROWS_PER_BAND)])
@@ -178,14 +183,19 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
                & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.shingles").alias("sh_a"),
-                F.col("b.shingles").alias("sh_b"))
+                F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"]))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    attached = (pairs
+                .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+                .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+                .select("doc_a", "doc_b",
+                        F.col("sa.shingles").alias("sh_a"),
+                        F.col("sb.shingles").alias("sh_b")))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_inter.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - n_inter)
-    return (pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+    return (attached.select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= 0.6))
 
 
@@ -262,71 +272,106 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (word bigrams, lang + length-bucket blocking)
+# n-gram Jaccard (word bigrams, MinHash-LSH candidate blocking)
 # ---------------------------------------------------------------------------
+
+# 6 bands x 2 rows over 12 minhashes: band threshold (1/6)^(1/2) ~ 0.41,
+# matched to the 0.5 Jaccard verify. Blocking by band keys is BOUNDED —
+# the former (lang, length-bucket) blocks grow with corpus size and go
+# quadratic at scale; a band bucket only collects genuinely-similar docs.
+_JAC_BANDS = 6
+_JAC_ROWS = 2
+
+_SQL_JAC_BANDS = ", ".join(
+    " || ".join(f"mh{b * _JAC_ROWS + r}" for r in range(_JAC_ROWS))
+    + f" AS band{b}"
+    for b in range(_JAC_BANDS))
+
+_SQL_JAC_BAND_MATCH = " OR ".join(
+    f"a.band{b} = b.band{b}" for b in range(_JAC_BANDS))
+
 
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH docs AS (
-      SELECT doc_id, lang, n_chars, text FROM documents
+      SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, lang, n_chars, text || ' xdup'
+      SELECT doc_id + 1000000, text || ' xdup'
       FROM documents WHERE doc_id % 10 = 0
     ),
     grams AS (
-      SELECT doc_id, lang, n_chars // 16 AS len_bucket,
+      SELECT doc_id,
              list_distinct(list_transform(
                range(1, len(string_split(text, ' '))),
                i -> string_split(text, ' ')[i] || ' '
                     || string_split(text, ' ')[i+1])) AS g
-      FROM docs)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
-             / (len(a.g) + len(b.g)
-                - len(list_filter(a.g, x -> list_contains(b.g, x))))
-             AS jaccard
-    FROM grams a JOIN grams b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-     AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
-          / (len(a.g) + len(b.g)
-             - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5
+      FROM docs),
+    sigs AS (SELECT doc_id, {", ".join(
+        f"list_min(list_transform(g, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_HASHES))} FROM grams),
+    banded AS (SELECT doc_id, {_SQL_JAC_BANDS} FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       AND ({_SQL_JAC_BAND_MATCH})),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS n_inter,
+             len(ga.g) AS n_a, len(gb.g) AS n_b
+      FROM pairs
+      JOIN grams ga ON ga.doc_id = doc_a
+      JOIN grams gb ON gb.doc_id = doc_b)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+    FROM verified
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
     """,
     tags=("dedup", "llm-data", "jaccard"),
-    doc="Word-bigram Jaccard >= 0.5 with (lang, length-bucket) blocking.",
+    doc="Word-bigram Jaccard >= 0.5 with MinHash-LSH candidate blocking "
+        "(6 bands x 2 rows, threshold ~0.41): bounded band buckets "
+        "replace the unbounded (lang, length-bucket) blocks; ids-only "
+        "band join, gram arrays re-attached for the verify.",
 )
 def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", "text")
-    dups = (base.filter(F.col("doc_id") % 10 == 0)
-            .select((F.col("doc_id") + 1000000).alias("doc_id"), "lang",
-                    "n_chars",
-                    F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
-    docs = base.unionByName(dups)
+    docs = docs_with_dups(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     bigrams = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
                               F.element_at(words, i + 2))))
-    grams = docs.select(
-        "doc_id", "lang", (F.col("n_chars") / 16).cast("long")
-        .alias("len_bucket"), bigrams.alias("g"))
-    a, b = grams.alias("a"), grams.alias("b")
-    n_inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    grams = docs.select("doc_id", bigrams.alias("g"))
+    sigs = grams.select("doc_id", *_minhash_cols(F.col("g")))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat(*[F.col(f"mh{b * _JAC_ROWS + r}")
+                       for r in range(_JAC_ROWS)])
+            for b in range(_JAC_BANDS)
+        ])).alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"]))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    attached = (pairs
+                .join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+                .join(gb, F.col("gb.doc_id") == F.col("doc_b"))
+                .select("doc_a", "doc_b", F.col("ga.g").alias("g_a"),
+                        F.col("gb.g").alias("g_b")))
+    n_inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     jac = n_inter.cast("double") / (
-        F.size("a.g") + F.size("b.g") - n_inter)
-    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    jac.alias("jaccard"))
+        F.size("g_a") + F.size("g_b") - n_inter)
+    return (attached.select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= 0.5))
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (label-blocked, top-20 by similarity)
+# Embedding-cosine near-dup (hyperplane-LSH-blocked, top-20 by similarity)
 # ---------------------------------------------------------------------------
 
 _SPARK_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
@@ -335,35 +380,64 @@ _SQL_DOT = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform("
             "list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)), "
             "(acc, v) -> acc + v)")
 
+# Deterministic random hyperplanes (shared with operators/similarity.py):
+# weight(plane p, dim d) = +1 if the md5-derived hex nibble is even else
+# -1; bucket = 8 sign bits. Identical arithmetic on both engines.
+_N_PLANES = 8
+
+_SPARK_SIGN = (
+    "aggregate(sequence(0, {np} - 1), cast(0 as long), (acc, p) -> "
+    "acc * 2 + if(aggregate(zip_with(embedding, "
+    "sequence(0, size(embedding) - 1), (x, d) -> cast(x as double) * "
+    "if(instr('02468ace', substring(md5(concat(cast(p as string), '_', "
+    "cast(d as string))), 1, 1)) > 0, 1.0d, -1.0d)), cast(0 as double), "
+    "(acc2, v) -> acc2 + v) > 0d, 1L, 0L))"
+).format(np=_N_PLANES)
+
+_SQL_SIGN = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {np}), "
+    "p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip(embedding, range(0, len(embedding))), "
+    "z -> z[1]::DOUBLE * (CASE WHEN strpos('02468ace', "
+    "substr(md5(p::VARCHAR || '_' || z[2]::VARCHAR), 1, 1)) > 0 "
+    "THEN 1.0 ELSE -1.0 END))), (acc2, v) -> acc2 + v) > 0 "
+    "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)"
+).format(np=_N_PLANES)
+
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH norms AS (
-      SELECT vec_id, label, embedding,
-             sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      SELECT vec_id, embedding,
+             sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
+             {_SQL_SIGN} AS bucket
       FROM embeddings)
     SELECT doc_a, doc_b, cosine FROM (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
                / (a.nrm * b.nrm) AS cosine
       FROM norms a JOIN norms b
-        ON a.label = b.label AND a.vec_id < b.vec_id) t
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
     ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
     """,
     tags=("dedup", "llm-data", "embedding"),
-    doc="Embedding near-dup: label-blocked pairwise cosine, top-20. "
-        "Ordered-fold dot products are bitwise cross-engine deterministic.",
+    doc="Embedding near-dup: 8-bit hyperplane-LSH bucket join (the same "
+        "buckets as ann_lsh_topk) -> pairwise cosine within bucket, "
+        "top-20. Bucket blocks are similarity-bounded, unlike the "
+        "corpus-growing label blocks they replace. Ordered-fold dot "
+        "products are bitwise cross-engine deterministic.",
 )
 def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norms = emb.select(
-        "vec_id", "label", "embedding",
+        "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-        .alias("nrm"))
+        .alias("nrm"),
+        F.expr(_SPARK_SIGN).alias("bucket"))
     a, b = norms.alias("a"), norms.alias("b")
     dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
-    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("doc_a"),
                     F.col("b.vec_id").alias("doc_b"),

@@ -19,11 +19,10 @@ from pyspark.sql.window import Window
 
 from ..catalog import register
 from ..tables import load_table
-from .dedup import _SPARK_DOT, _SQL_DOT
+from .dedup import _SPARK_DOT, _SPARK_SIGN, _SQL_DOT, _SQL_SIGN
 
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 8
 
 
 @register(
@@ -70,26 +69,9 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= TOP_K))
 
 
-# Deterministic hyperplanes: weight(plane p, dim d) = +1 if the md5-derived
-# hex nibble is even else -1. Identical arithmetic on both engines.
-_SPARK_SIGN = (
-    "aggregate(sequence(0, {np} - 1), cast(0 as long), (acc, p) -> "
-    "acc * 2 + if(aggregate(zip_with(embedding, "
-    "sequence(0, size(embedding) - 1), (x, d) -> cast(x as double) * "
-    "if(instr('02468ace', substring(md5(concat(cast(p as string), '_', "
-    "cast(d as string))), 1, 1)) > 0, 1.0d, -1.0d)), cast(0 as double), "
-    "(acc2, v) -> acc2 + v) > 0d, 1L, 0L))"
-).format(np=N_PLANES)
-
-_SQL_SIGN = (
-    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {np}), "
-    "p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
-    "list_transform(list_zip(embedding, range(0, len(embedding))), "
-    "z -> z[1]::DOUBLE * (CASE WHEN strpos('02468ace', "
-    "substr(md5(p::VARCHAR || '_' || z[2]::VARCHAR), 1, 1)) > 0 "
-    "THEN 1.0 ELSE -1.0 END))), (acc2, v) -> acc2 + v) > 0 "
-    "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)"
-).format(np=N_PLANES)
+# Deterministic hyperplanes shared with operators/dedup.py
+# (dedup_embedding_cosine blocks on the same buckets): weight(plane p,
+# dim d) = +1 if the md5-derived hex nibble is even else -1.
 
 
 @register(

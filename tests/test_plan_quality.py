@@ -84,6 +84,39 @@ def test_dedup_joins_are_blocked_not_cross(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_dedup_blocking_keys_are_bounded(spark):
+    """The candidate joins key on similarity-bounded LSH values (band
+    hash / hyperplane bucket), never on corpus-growing attributes like
+    (lang, length-bucket) or label; and the minhash/jaccard band joins
+    ship ids only — the heavy shingle/gram arrays re-attach post-join."""
+    import re
+
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+
+    def exchange_inputs(plan):
+        """Input column lists of every (Broadcast)Exchange node."""
+        blocks = re.split(r"\n\(\d+\) ", plan)
+        return [b for b in blocks if b.startswith(("Exchange",
+                                                   "BroadcastExchange"))]
+
+    for name, payload in [("dedup_minhash_lsh", "shingles#"),
+                          ("dedup_ngram_jaccard", "g#")]:
+        plan = plan_of(cat[name].spark_fn(spark, SF))
+        assert "band_val" in plan, name  # candidate join keyed on bands
+        for ex in exchange_inputs(plan):
+            # no shuffle/broadcast moves band keys AND payload arrays
+            # together: the candidate join is ids+bands only
+            assert not ("band_val" in ex and payload in ex), (name, ex[:300])
+
+    plan = plan_of(cat["dedup_ngram_jaccard"].spark_fn(spark, SF))
+    assert "len_bucket" not in plan and "lang" not in plan
+
+    plan = plan_of(cat["dedup_embedding_cosine"].spark_fn(spark, SF))
+    assert "bucket" in plan   # hyperplane-LSH block key
+    assert "label" not in plan  # corpus-attribute block gone (and pruned)
+
+
 def test_ann_broadcasts_queries(spark):
     from solana_event_stream_spark.catalog import load_catalog
     cat = load_catalog()
