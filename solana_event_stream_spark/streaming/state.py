@@ -1,0 +1,148 @@
+"""Strict cross-batch J3 dev-address state (opt-in).
+
+The default J3 implementation is the window-over-signature in
+plans/pipeline.py:enrich_events — exact whenever a transaction's create
+and trade events arrive in the same micro-batch, which is every case the
+reference's own delivery produces (create and trade share a SIGNATURE,
+i.e. a transaction, and one transaction arrives as one message). This
+module is the strict-parity form for the remaining case (the same
+signature's events split across micro-batches, e.g. duplicate delivery
+or a replay seam): keyed streaming state per signature, mirroring
+`core/global_state.rs`:
+
+- state per signature = {dev_addresses, bonk_dev_addresses}
+  (`global_state.rs:12-18`);
+- writes: PumpFun create registers user (+ creator when distinct and
+  non-zero); Bonk initialize registers creator
+  (`core/event_parser.rs:674-689, 724-727`);
+- reads: PumpFun trades check user/creator membership, Bonk trades check
+  payer (`:690-693, 728-731`);
+- rows are processed in event order (slot, tx_index, outer, inner) —
+  sequential like the reference's callback loop, NOT the window form's
+  whole-partition collect_set;
+- capacity: the reference caps the map at 1000 signatures and evicts 100
+  arbitrary victims when full (`global_state.rs:7-8, 40-68`) — a global
+  bound whose victim choice is explicitly arbitrary. Spark keyed state
+  is partitioned, so a cross-key counter is not expressible; the
+  engine's equivalent bound is per-key timeout eviction, which gives the
+  same guarantee the cap exists for — bounded state under unbounded
+  signatures — with time-based instead of count-based victim selection.
+  Default 10 minutes, configurable.
+
+Implementation note: `applyInPandasWithState` (GroupState) rather than
+the newer `transformWithStateInPandas` — the latter's control channel
+needs google.protobuf, which this environment does not ship; the
+GroupState form expresses identical semantics and runs on the default
+state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (ArrayType, BooleanType, LongType, StringType,
+                               StructField, StructType)
+
+from ..registry import ZERO_PUBKEY
+
+PUMPFUN_CREATES = ("PumpFunCreateToken", "PumpFunCreateV2Token")
+PUMPFUN_TRADES = ("PumpFunBuy", "PumpFunSell")
+BONK_CREATES = ("BonkInitialize", "BonkInitializeV2",
+                "BonkInitializeWithToken2022")
+BONK_TRADES = ("BonkBuyExactIn", "BonkBuyExactOut", "BonkSellExactIn",
+               "BonkSellExactOut")
+
+INPUT_COLS = ["signature", "slot", "transaction_index", "outer_index",
+              "inner_index", "event_type", "user", "creator", "payer"]
+
+OUTPUT_SCHEMA = StructType([
+    StructField("signature", StringType()),
+    StructField("slot", LongType()),
+    StructField("transaction_index", LongType()),
+    StructField("outer_index", LongType()),
+    StructField("inner_index", LongType()),
+    StructField("event_type", StringType()),
+    StructField("is_dev_create_token_trade", BooleanType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("dev", ArrayType(StringType())),
+    StructField("bonk", ArrayType(StringType())),
+])
+
+
+def _make_processor(ttl_ms: int | None):
+    import pandas as pd
+
+    def process(key, pdfs, state):
+        if state.hasTimedOut:
+            # global_state.rs:40-68 eviction analog (time-based victim)
+            state.remove()
+            return
+        dev: set = set()
+        bonk: set = set()
+        if state.exists:
+            prev_dev, prev_bonk = state.get
+            dev, bonk = set(prev_dev or []), set(prev_bonk or [])
+
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(
+            ["slot", "transaction_index", "outer_index", "inner_index"],
+            na_position="first")
+
+        out = []
+        for row in pdf.itertuples(index=False):
+            et = row.event_type
+            flag = None
+            if et in PUMPFUN_CREATES:
+                # event_parser.rs:674-689
+                if row.user is not None:
+                    dev.add(row.user)
+                if row.creator not in (None, ZERO_PUBKEY) \
+                        and row.creator != row.user:
+                    dev.add(row.creator)
+            elif et in BONK_CREATES:
+                # event_parser.rs:724-727
+                if row.creator is not None:
+                    bonk.add(row.creator)
+            elif et in PUMPFUN_TRADES:
+                # event_parser.rs:690-693
+                flag = (row.user in dev) or (row.creator in dev)
+            elif et in BONK_TRADES:
+                # event_parser.rs:728-731
+                flag = row.payer in bonk
+            out.append((row.signature, row.slot, row.transaction_index,
+                        row.outer_index, row.inner_index, et, flag))
+
+        if dev or bonk:
+            state.update((sorted(dev), sorted(bonk)))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         OUTPUT_SCHEMA.fields])
+
+    return process
+
+
+def tag_dev_trades_stateful(events: DataFrame,
+                            ttl_ms: int | None = 10 * 60 * 1000
+                            ) -> DataFrame:
+    """Opt-in strict J3: cross-batch keyed state per signature.
+
+    Input: the event stream (build_events_core output or any frame with
+    INPUT_COLS). Output: one row per event with the strict
+    is_dev_create_token_trade flag; join back on (signature, outer_index,
+    inner_index) if the full event row is needed.
+    """
+    cols = [c for c in INPUT_COLS if c in events.columns]
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (events.select(*cols)
+            .groupBy("signature")
+            .applyInPandasWithState(
+                _make_processor(ttl_ms),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="Append",
+                timeoutConf=timeout))
