@@ -33,10 +33,45 @@ def ordered_events(batch_df: DataFrame) -> DataFrame:
 def foreach_batch_callback(callback: Callable[[list], None],
                            bot_wallet: str | None = None):
     """K1: invoke `callback(rows)` once per micro-batch with enriched,
-    deterministically ordered event rows."""
+    deterministically ordered event rows.
+
+    Faithful to the reference's single-consumer callback — which means
+    every row funnels through the driver (`.collect()`). Correct at the
+    reference's single-node scale; at cluster scale use
+    `foreach_partition_callback` below.
+    """
     def _handle(batch_df: DataFrame, batch_id: int):
         enriched = enrich_events(batch_df, bot_wallet)
         callback(ordered_events(enriched).collect())
+    return _handle
+
+
+def foreach_partition_callback(callback: Callable[[list], None],
+                               bot_wallet: str | None = None,
+                               num_partitions: int | None = None):
+    """K1 at scale: `callback(rows)` runs per PARTITION on the executors
+    — no driver bottleneck.
+
+    Ordering contract (vs the driver form): rows are range-partitioned
+    and sorted on (slot, transaction_index, outer_index, inner_index),
+    so each invocation receives a CONTIGUOUS, internally ordered slice
+    of the batch's total order; invocations themselves run concurrently
+    across executors. Consumers needing the global order concatenate
+    slices by their first key; consumers needing only intra-transaction
+    order (the reference's real contract, SURVEY §2.9) need nothing — a
+    transaction never spans partitions because the range keys lead with
+    (slot, transaction_index).
+    """
+    def _handle(batch_df: DataFrame, batch_id: int):
+        enriched = enrich_events(batch_df, bot_wallet)
+        keys = [F.col("slot"), F.col("transaction_index"),
+                F.col("outer_index"),
+                F.coalesce(F.col("inner_index"), F.lit(-1))]
+        n = num_partitions or batch_df.sparkSession.sparkContext \
+            .defaultParallelism
+        ordered = (enriched.repartitionByRange(n, *keys)
+                   .sortWithinPartitions(*keys, F.col("event_type")))
+        ordered.foreachPartition(lambda rows: callback(list(rows)))
     return _handle
 
 
