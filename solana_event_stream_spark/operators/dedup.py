@@ -97,16 +97,37 @@ def _shingles(col):
         .otherwise(F.array()))
 
 
-def _minhash_cols(shingle_col):
-    """k lexicographic-min md5(seed|shingle) signatures.
+# One md5 per shingle; the k minhashes derive from that single 60-bit
+# digest via universal hashing h_i(x) = (a_i*x + b_i) mod P — 12x fewer
+# digest computations than k seeded md5 passes, same LSH guarantees.
+# Each engine extracts the integer its fast way (Spark: native conv;
+# DuckDB: strpos digit fold) — identical values, verified by the oracle.
+_MH_PRIME = 4294967291       # largest 32-bit prime
+_MH_MOD = 4294967296         # fold digests into [0, 2^32)
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    return 2 * i + 1, (i * 2654435761) % _MH_PRIME
+
+
+def _hash_ints(shingle_col):
+    """shingles -> 32-bit digest ints (ONE md5 per shingle)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long") % _MH_MOD)
+
+
+def _minhash_cols(xs_col):
+    """k universal-hash minima over the digest-int array.
 
     NB: the inner lambda must take exactly ONE parameter — a second
     parameter would make F.transform treat it as an (element, index)
-    lambda and bind the array index over the seed."""
+    lambda and bind the array index over the multiplier."""
     def mh(i: int):
-        seed = f"{i}|"
+        a, b = _mh_params(i)
         return F.array_min(F.transform(
-            shingle_col, lambda s: F.md5(F.concat(F.lit(seed), s))))
+            xs_col, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_PRIME)))
 
     return [mh(i).alias(f"mh{i}") for i in range(N_HASHES)]
 
@@ -118,12 +139,20 @@ _SQL_SHINGLES = """
       ELSE [] END)
 """
 
+_SQL_XS = (
+    "list_transform({g}, s -> list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, 16), i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(s), i, 1)) - 1 AS BIGINT))), (acc, d) -> acc * 16 + d) "
+    f"% {_MH_MOD})")
+
 _SQL_MINHASH = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+    "list_min(list_transform(xs, x -> ({a} * x + {b}) % {p})) AS mh{i}"
+    .format(a=_mh_params(i)[0], b=_mh_params(i)[1], p=_MH_PRIME, i=i)
     for i in range(N_HASHES))
 
 _SQL_BANDS = ", ".join(
-    " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    " || '_' || ".join(f"mh{b * ROWS_PER_BAND + r}"
+                       for r in range(ROWS_PER_BAND))
     + f" AS band{b}"
     for b in range(N_BANDS))
 
@@ -137,7 +166,8 @@ _SQL_BAND_MATCH = " OR ".join(
     WITH {DOCS_CTE},
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
-    sigs AS (SELECT doc_id, shingles, {_SQL_MINHASH} FROM sh),
+    hx AS (SELECT doc_id, {_SQL_XS.format(g='shingles')} AS xs FROM sh),
+    sigs AS (SELECT doc_id, {_SQL_MINHASH} FROM hx),
     banded AS (SELECT doc_id, {_SQL_BANDS} FROM sigs),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -166,15 +196,16 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     # Materialize shingles once per row (the signature columns reference
     # the projected column, not 12 recomputations of the shingle array).
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    sigs = sh.select("doc_id", *_minhash_cols(F.col("shingles")))
+    sigs = (sh.select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
+            .select("doc_id", *_minhash_cols(F.col("xs"))))
     # Scale: the band join shuffles (doc_id, band) pairs only — the heavy
     # shingle arrays never ride the candidate shuffle; they re-attach by
     # doc_id to the (much smaller) verified-candidate set below.
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
-            F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
-                       for r in range(ROWS_PER_BAND)])
+            F.concat_ws("_", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                               for r in range(ROWS_PER_BAND)])
             for b in range(N_BANDS)
         ])).alias("band_idx", "band_val"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -185,7 +216,14 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"]))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    # Re-attach shingles for CANDIDATE docs only: semi-join first so the
+    # shingle arrays are rebuilt for the small candidate set, not the
+    # whole corpus again (twice).
+    cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    cand_sh = sh.join(cand_ids, "doc_id", "left_semi")
+    sa, sb = cand_sh.alias("sa"), cand_sh.alias("sb")
     attached = (pairs
                 .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
                 .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
@@ -283,7 +321,7 @@ _JAC_BANDS = 6
 _JAC_ROWS = 2
 
 _SQL_JAC_BANDS = ", ".join(
-    " || ".join(f"mh{b * _JAC_ROWS + r}" for r in range(_JAC_ROWS))
+    " || '_' || ".join(f"mh{b * _JAC_ROWS + r}" for r in range(_JAC_ROWS))
     + f" AS band{b}"
     for b in range(_JAC_BANDS))
 
@@ -307,9 +345,8 @@ _SQL_JAC_BAND_MATCH = " OR ".join(
                i -> string_split(text, ' ')[i] || ' '
                     || string_split(text, ' ')[i+1])) AS g
       FROM docs),
-    sigs AS (SELECT doc_id, {", ".join(
-        f"list_min(list_transform(g, s -> md5('{i}|' || s))) AS mh{i}"
-        for i in range(N_HASHES))} FROM grams),
+    hx AS (SELECT doc_id, {_SQL_XS.format(g='g')} AS xs FROM grams),
+    sigs AS (SELECT doc_id, {_SQL_MINHASH} FROM hx),
     banded AS (SELECT doc_id, {_SQL_JAC_BANDS} FROM sigs),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -341,12 +378,13 @@ def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
                               F.element_at(words, i + 2))))
     grams = docs.select("doc_id", bigrams.alias("g"))
-    sigs = grams.select("doc_id", *_minhash_cols(F.col("g")))
+    sigs = (grams.select("doc_id", _hash_ints(F.col("g")).alias("xs"))
+            .select("doc_id", *_minhash_cols(F.col("xs"))))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
-            F.concat(*[F.col(f"mh{b * _JAC_ROWS + r}")
-                       for r in range(_JAC_ROWS)])
+            F.concat_ws("_", *[F.col(f"mh{b * _JAC_ROWS + r}")
+                               for r in range(_JAC_ROWS)])
             for b in range(_JAC_BANDS)
         ])).alias("band_idx", "band_val"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -357,7 +395,11 @@ def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"]))
-    ga, gb = grams.alias("ga"), grams.alias("gb")
+    cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    cand_grams = grams.join(cand_ids, "doc_id", "left_semi")
+    ga, gb = cand_grams.alias("ga"), cand_grams.alias("gb")
     attached = (pairs
                 .join(ga, F.col("ga.doc_id") == F.col("doc_a"))
                 .join(gb, F.col("gb.doc_id") == F.col("doc_b"))

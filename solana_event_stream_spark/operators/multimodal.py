@@ -151,3 +151,139 @@ def multimodal_metadata_extract(spark, sf_dir: str) -> DataFrame:
                  F.countDistinct("content_md5").alias("n_distinct_payloads"),
                  F.sum("width").alias("sum_width"),
                  F.sum("height").alias("sum_height")))
+
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("n_sampled", LongType()),
+    StructField("sample_md5", StringType()),
+])
+
+
+def _frame_sample_batches(iterator: Iterator):
+    """Frame sampling over video payloads — the decode step is the
+    deterministic fake (fixed-size byte frames); the Spark-side plumbing
+    (Arrow batches, binary slicing, per-row vectorizable loop) is the
+    real contract. A real codec would replace `_frames` only."""
+    import hashlib
+
+    import pandas as pd
+
+    def _frames(body: bytes):
+        return [body[i:i + FRAME_BYTES]
+                for i in range(0, len(body), FRAME_BYTES)]
+
+    for pdf in iterator:
+        out = []
+        for row in pdf.itertuples(index=False):
+            payload = bytes(row.payload) if row.payload is not None else b""
+            body = payload[12:] if _parse_header(payload)[2] else payload
+            frames = _frames(body)
+            sampled = frames[::FRAME_STRIDE]
+            out.append({
+                "doc_id": row.doc_id,
+                "n_frames": len(frames),
+                "n_sampled": len(sampled),
+                "sample_md5": hashlib.md5(b"".join(sampled)).hexdigest(),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         FRAME_SAMPLE_SCHEMA.fields])
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+           CAST(ceil(ceil(strlen(text) / {FRAME_BYTES}.0)
+                     / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
+           md5(array_to_string(list_transform(
+                 range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT),
+                       {FRAME_STRIDE}),
+                 i -> substr(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})),
+               '')) AS sample_md5
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    tags=("multimodal", "llm-data"),
+    doc="Video frame sampling: BINARY payload -> fixed-size frames -> "
+        "every 4th frame -> content hash, via Arrow-batched mapInPandas "
+        "(the codec is the documented deterministic fake; the batch "
+        "plumbing is real). Oracle recomputes from the text the payload "
+        "was built from.",
+)
+def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs).filter(
+        F.col("media_type") == "video")
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_FACTOR = 2
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("new_width", IntegerType()),
+    StructField("new_height", IntegerType()),
+    StructField("resized_md5", StringType()),
+])
+
+
+def _resize_batches(iterator: Iterator):
+    """'Resize' = halve header dimensions + subsample every 2nd body byte
+    (nearest-neighbor over the fake 1-byte-per-pixel payload). A real
+    image library would replace the body transform only."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in iterator:
+        out = []
+        for row in pdf.itertuples(index=False):
+            payload = bytes(row.payload) if row.payload is not None else b""
+            w, h, ok = _parse_header(payload)
+            body = payload[12:] if ok else payload
+            resized = body[::RESIZE_FACTOR]
+            out.append({
+                "doc_id": row.doc_id,
+                "width": w, "height": h,
+                "new_width": (w or 0) // RESIZE_FACTOR,
+                "new_height": (h or 0) // RESIZE_FACTOR,
+                "resized_md5": hashlib.md5(resized).hexdigest(),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         RESIZE_SCHEMA.fields])
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) % 640 AS INT) AS width,
+           CAST(doc_id % 480 AS INT) AS height,
+           CAST((strlen(text) % 640) // {RESIZE_FACTOR} AS INT) AS new_width,
+           CAST((doc_id % 480) // {RESIZE_FACTOR} AS INT) AS new_height,
+           md5(array_to_string(list_transform(
+                 range(1, strlen(text) + 1, {RESIZE_FACTOR}),
+                 i -> substr(text, CAST(i AS BIGINT), 1)), '')) AS resized_md5
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal", "llm-data"),
+    doc="Image resize stub over image payloads: header dims halved, body "
+        "subsampled (every 2nd byte) and re-hashed — mapInPandas batch "
+        "plumbing real, codec faked deterministically.",
+)
+def multimodal_resize(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs).filter(
+        F.col("media_type") == "image")
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA)

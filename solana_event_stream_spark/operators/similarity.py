@@ -23,6 +23,8 @@ from .dedup import _SPARK_DOT, _SPARK_SIGN, _SQL_DOT, _SQL_SIGN
 
 N_QUERIES = 10
 TOP_K = 5
+IVF_K = 8           # coarse-quantizer cells
+IVF_CENTROID_BASE = 100  # vec_ids used as deterministic centroids
 
 
 @register(
@@ -113,6 +115,85 @@ def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     scored = (F.broadcast(queries)
               .join(sigs, (F.col("q_bucket") == F.col("bucket"))
+                    & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id - {IVF_CENTROID_BASE} AS cent_id,
+             embedding AS c_emb, nrm AS c_nrm
+      FROM norms
+      WHERE vec_id >= {IVF_CENTROID_BASE}
+        AND vec_id < {IVF_CENTROID_BASE + IVF_K}),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               {_SQL_DOT.format(a='embedding', b='c_emb')}
+                 / (nrm * c_nrm) DESC, cent_id) AS crk
+      FROM norms CROSS JOIN cents),
+    cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell
+              FROM assigned WHERE crk = 1),
+    queries AS (SELECT * FROM cells WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.nrm * c.nrm) AS cosine
+      FROM queries q JOIN cells c
+        ON q.cell = c.cell AND q.vec_id != c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    tags=("similarity", "llm-data", "ann", "ivf"),
+    doc="IVF-bucketed ANN (the other scale path): assign every vector to "
+        "its nearest of 8 deterministic coarse centroids (a cross join "
+        "against a BROADCAST 8-row centroid table — the one sanctioned "
+        "small cross join), then search only the query's cell (nprobe=1). "
+        "At 100 TB the assignment is a narrow broadcast pass and the "
+        "search an equi-join on cell id.",
+)
+def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"))
+    cents = (norms.filter(
+        (F.col("vec_id") >= IVF_CENTROID_BASE)
+        & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K))
+        .select((F.col("vec_id") - IVF_CENTROID_BASE).alias("cent_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("nrm").alias("c_nrm")))
+    cdot = F.expr(_SPARK_DOT.format(a="embedding", b="c_emb"))
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.desc(cdot / (F.col("nrm") * F.col("c_nrm"))), F.asc("cent_id"))
+    cells = (norms.crossJoin(F.broadcast(cents))
+             .withColumn("crk", F.row_number().over(wc))
+             .filter(F.col("crk") == 1)
+             .select("vec_id", "embedding", "nrm",
+                     F.col("cent_id").alias("cell")))
+    queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(cells, (F.col("q_cell") == F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       (dot / (F.col("q_nrm") * F.col("nrm")))

@@ -186,6 +186,59 @@ def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "system_transfers",
+    oracle=f"""
+    SELECT slot, COUNT(*) AS n_transfers,
+           COUNT(DISTINCT signature) AS n_signatures
+    FROM read_parquet('{FIXTURES}/raw_transactions.parquet')
+    WHERE list_contains(
+            list_concat(list_concat(
+              COALESCE(static_account_keys, []),
+              COALESCE(loaded_writable_addresses, [])),
+              COALESCE(loaded_readonly_addresses, [])),
+            '11111111111111111111111111111111')
+    GROUP BY slot
+    """,
+    tags=("pipeline", "system"),
+    doc="S3 subscribe_system (yellowstone_sub_system.rs:34-113): "
+        "system-program transactions -> NewTransfer rows, counted per "
+        "slot (no decoding, F4 required-account semantics).",
+)
+def system_transfers(spark, sf_dir: str) -> DataFrame:
+    from ..streaming.subscription import subscribe_system
+    from .pipeline import load_raw_transactions
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    return (subscribe_system(raw)
+            .groupBy("slot")
+            .agg(F.count(F.lit(1)).alias("n_transfers"),
+                 F.countDistinct("signature").alias("n_signatures")))
+
+
+@register(
+    "pubkey_short_by_mint",
+    oracle=f"""
+    SELECT CASE WHEN length(mint) <= 8 THEN mint
+                ELSE substr(mint, 1, 4) || '...'
+                     || substr(mint, length(mint) - 3, 4) END AS mint_short,
+           COUNT(*) AS n_events
+    FROM read_parquet('{GOLDEN}')
+    WHERE mint IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("pipeline", "display"),
+    doc="P10 short-pubkey display helper (common/utils.rs:103-110) over "
+        "pipeline-decoded events.",
+)
+def pubkey_short_by_mint(spark, sf_dir: str) -> DataFrame:
+    from ..functions import format_pubkey_short
+    return (_events(spark)
+            .filter(F.col("mint").isNotNull())
+            .groupBy(format_pubkey_short(F.col("mint")).alias("mint_short"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
     "dex_event_ordering",
     oracle=f"""
     SELECT signature,
