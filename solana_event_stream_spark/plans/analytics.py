@@ -460,3 +460,168 @@ def nation_coverage_distinct(spark, sf_dir: str) -> DataFrame:
              F.countDistinct("l_suppkey").alias("n_suppliers"),
              F.count(F.lit(1)).alias("n_lineitems"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping (nation-pair flows; TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {SQL_DSUM('volume', 'revenue')}
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join"),
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume per ship "
+        "year. Two broadcast nation joins against the fact; one shuffle "
+        "for the 3-key aggregation.",
+)
+def q7_volume_shipping(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    ns = nat.select(F.col("n_nationkey").alias("s_nkey"),
+                    F.col("n_name").alias("supp_nation"))
+    nc = nat.select(F.col("n_nationkey").alias("c_nkey"),
+                    F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share (conditional share of a join; TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN CAST(volume AS DECIMAL(24,6))
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("relational", "join", "share"),
+    doc="TPC-H Q8 shape: one nation's share of a region's PROMO-part "
+        "market per order year — conditional decimal-exact sums divided "
+        "as doubles (deterministic both engines).",
+)
+def q8_market_share(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    nc = nat.select(F.col("n_nationkey").alias("c_nkey"),
+                    F.col("n_regionkey").alias("c_rkey"))
+    ns = nat.select(F.col("n_nationkey").alias("s_nkey"),
+                    F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = vol.cast("decimal(24,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(reg), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3", dec)
+                    .otherwise(F.lit(0).cast("decimal(24,6)")))
+              .cast("double")
+              / F.sum(dec).cast("double")).alias("mkt_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue (correlated per-part average; Q17 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS a_partkey,
+             {SQL_DAVG('l_quantity', 'avg_qty')}
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {SQL_DSUM('l_extendedprice', 'total_revenue')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN part_avg ON l_partkey = a_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < 0.5 * avg_qty
+    """,
+    tags=("relational", "join", "correlated"),
+    doc="TPC-H Q17 shape: lineitems under half their part's average "
+        "quantity, one brand — the correlated scalar subquery expressed "
+        "as an aggregate-then-rejoin (Catalyst's decorrelation target "
+        "shape). The per-part average re-joins the fact on its own "
+        "grouping key, so AQE can plan it as a broadcast after the agg.",
+)
+def q17_small_quantity_revenue(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1")
+    part_avg = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+                .agg(davg(F.col("l_quantity"), "avg_qty")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.a_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(dsum(F.col("l_extendedprice"), "total_revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
