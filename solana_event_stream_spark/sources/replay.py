@@ -35,3 +35,70 @@ def read_transaction_stream(spark: SparkSession, archive_path: str,
             .schema(RAW_TRANSACTION_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(os.path.join(archive_path, "*")))
+
+
+def write_slot_range_archive(raw_tx: DataFrame, path: str,
+                             slots_per_bucket: int = 10_000) -> None:
+    """Archive layout for 100 TB scans: partition directories keyed by
+    slot RANGE (slot // slots_per_bucket), so a slot-range predicate
+    prunes whole directories at planning time (PartitionFilters), unlike
+    the modulo layout of `write_slot_bucketed_archive` (whose buckets
+    exist to give the replay source micro-batch boundaries, not pruning).
+
+    At mainnet rates (~2.5 slots/s) the default bucket is ~1.1 hours of
+    chain — large enough for parquet files in the 100 MB-1 GB sweet
+    spot, small enough that a recent-window query touches few dirs.
+    """
+    from pyspark.sql import functions as F
+    (raw_tx
+     .withColumn("slot_range",
+                 (F.col("slot") / slots_per_bucket).cast("long"))
+     .repartition("slot_range")
+     .write.mode("overwrite").partitionBy("slot_range").parquet(path))
+
+
+def read_archive_slot_window(spark: SparkSession, path: str,
+                             min_slot: int | None = None,
+                             max_slot: int | None = None,
+                             slots_per_bucket: int = 10_000) -> DataFrame:
+    """Batch-read a slot window with DIRECTORY pruning: the slot
+    predicate is restated on the partition column so Catalyst prunes at
+    file-listing time (visible as PartitionFilters in the scan), then
+    re-applied exactly on `slot` for row precision."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(path)
+    if min_slot is not None:
+        df = df.filter(
+            (F.col("slot_range") >= min_slot // slots_per_bucket)
+            & (F.col("slot") >= min_slot))
+    if max_slot is not None:
+        df = df.filter(
+            (F.col("slot_range") <= max_slot // slots_per_bucket)
+            & (F.col("slot") <= max_slot))
+    return df.drop("slot_range")
+
+
+def compact_archive(spark: SparkSession, path: str) -> None:
+    """Compaction pass: rewrite each slot-range partition into one file
+    (small-file pressure is the failure mode of streaming archive
+    writers at scale; compaction restores the large-file scan profile).
+    Rewrites into place via a staging dir + atomic renames so a reader
+    never sees a half-written partition."""
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")),
+                               prefix=".compact_")
+    try:
+        (spark.read.parquet(path)
+         .repartition("slot_range")
+         .write.mode("overwrite").partitionBy("slot_range")
+         .parquet(staging))
+        backup = path.rstrip("/") + ".precompact"
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+    except BaseException:
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        raise

@@ -312,25 +312,40 @@ def build_subscribe_request(proto, options: dict):
     return req
 
 
+# Backpressure presets mirroring `common/config.rs:139-183` (permits,
+# strategy) and the default of `common/constants.rs:6`.
+BACKPRESSURE_PRESETS = {
+    "default": (1000, "block"),
+    "low_latency": (4000, "block"),
+    "high_throughput": (20000, "drop"),
+}
+
+
 class LiveSubscription:
     """Background gRPC consumer feeding a bounded deque the Structured
     Streaming reader drains per micro-batch — the pull-model adapter for
-    the reference's push stream (`yellowstone_grpc.rs:183-275`). Bounded
-    buffer = Block backpressure (`common/config.rs:139-183`): the gRPC
-    thread blocks when the reader falls behind, it never drops.
+    the reference's push stream (`yellowstone_grpc.rs:183-275`).
+
+    Backpressure (`common/config.rs:7-63,139-183`): strategy "block"
+    (lossless — the gRPC thread waits when the reader falls behind) or
+    "drop" (lossy — at-most-once; dropped messages are COUNTED, the A4
+    dropped-event counter of `common/metrics.rs:517-553`). Select via
+    options: backpressure=<preset name> or capacity=<n> +
+    backpressureStrategy=<block|drop>.
     """
 
     def __init__(self, endpoint: str, options: dict, capacity: int = 20000):
-        try:
-            import grpc  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - no grpc in CI
-            raise NotImplementedError(
-                "live subscription requires the grpc package; use "
-                "endpoint=simulate:// for the deterministic generator"
-            ) from exc
+        # NB: constructible without grpc (the buffer half is pure and
+        # unit-tested); the start_* methods that open sockets are the
+        # import gate.
         self.endpoint = endpoint
         self.options = options
-        self.capacity = capacity
+        opts = {k.lower(): v for k, v in options.items()}
+        preset = BACKPRESSURE_PRESETS.get(opts.get("backpressure", ""),
+                                          (capacity, "block"))
+        self.capacity = int(opts.get("capacity", preset[0]))
+        self.strategy = opts.get("backpressurestrategy", preset[1])
+        self.dropped = 0  # A4 counter (metrics.rs:517-553)
         self._buf: deque = deque()
         self._lock = threading.Lock()
         self._not_full = threading.Condition(self._lock)
@@ -339,6 +354,12 @@ class LiveSubscription:
 
     def _push(self, item) -> None:
         with self._not_full:
+            if self.strategy == "drop":
+                if len(self._buf) >= self.capacity:
+                    self.dropped += 1  # at-most-once under Drop
+                    return
+                self._buf.append(item)
+                return
             while len(self._buf) >= self.capacity and not self._stopped:
                 self._not_full.wait(0.1)
             self._buf.append(item)
@@ -356,11 +377,22 @@ class LiveSubscription:
             self._stopped = True
             self._not_full.notify_all()
 
+    def _require_grpc(self) -> None:
+        try:
+            import grpc  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - no grpc in CI
+            raise NotImplementedError(
+                "live subscription requires the grpc package; use "
+                "endpoint=simulate:// for the deterministic generator"
+            ) from exc
+
     def start_yellowstone(self, proto, stub) -> None:  # pragma: no cover
         """Consume a Geyser subscribe stream; requires generated proto
         stubs (yellowstone-grpc-proto). Field mapping stays in the pure
         functions above — this loop only stamps recv_us and pushes."""
         import time
+
+        self._require_grpc()
 
         request = build_subscribe_request(proto, self.options)
 
@@ -381,6 +413,8 @@ class LiveSubscription:
         (`shred/connection.rs:13-34`); each message carries (slot,
         bincode entries) decoded by the pure `entries_to_rows` above."""
         import time
+
+        self._require_grpc()
 
         def run():
             for msg in stub.SubscribeEntries(request):

@@ -161,3 +161,43 @@ def test_live_reader_import_gate():
         YellowstoneStreamReader(None, {"endpoint": "https://example:443"})
     r = YellowstoneStreamReader(None, {"endpoint": "simulate://"})
     assert r.simulate
+
+
+def test_backpressure_block_and_drop():
+    """Backpressure presets (common/config.rs:139-183): block never
+    loses (producer waits), drop loses and COUNTS (the A4 dropped-event
+    counter, metrics.rs:517-553)."""
+    import threading
+
+    from solana_event_stream_spark.sources.transport import (
+        BACKPRESSURE_PRESETS, LiveSubscription)
+
+    assert BACKPRESSURE_PRESETS["high_throughput"] == (20000, "drop")
+    assert BACKPRESSURE_PRESETS["low_latency"] == (4000, "block")
+
+    # drop mode: overflow increments the counter, buffer stays bounded
+    sub = LiveSubscription("x", {"capacity": "3",
+                                 "backpressureStrategy": "drop"})
+    for i in range(10):
+        sub._push(("transaction", i))
+    assert len(sub.drain(100)) == 3
+    assert sub.dropped == 7
+
+    # block mode: a full buffer blocks the producer until drained
+    sub = LiveSubscription("x", {"capacity": "3"})
+    for i in range(3):
+        sub._push(("transaction", i))
+    done = threading.Event()
+
+    def producer():
+        sub._push(("transaction", 99))
+        done.set()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    assert not done.wait(0.3)          # blocked while full
+    assert len(sub.drain(2)) == 2
+    assert done.wait(5)                # unblocked after drain
+    assert sub.dropped == 0
+    got = sub.drain(10)
+    assert [v for _, v in got] == [2, 99]  # FIFO, nothing lost
