@@ -31,7 +31,7 @@ import json
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 
-from ..schemas import RAW_TRANSACTION_SCHEMA
+from ..schemas import RAW_ACCOUNT_SCHEMA, RAW_TRANSACTION_SCHEMA
 
 SLOTS_PER_BATCH = 4
 TXS_PER_SLOT = 3
@@ -42,6 +42,55 @@ class _SlotRange(InputPartition):
         self.start = start
         self.end = end
         self.options = options
+
+
+def _simulated_accounts(slot: int, options: dict):
+    """Deterministic per-slot account updates (SPL token accounts + one
+    mint) for simulate mode with streamType=account — the S1 account
+    sub-stream (F3 gating decides whether it opens at all,
+    grpc/subscription.rs:81-105)."""
+    import random
+    import struct
+    import time
+
+    from ..operators.decode import b58encode
+
+    spl_token = "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"
+    rng = random.Random(slot * 17 + 3)
+
+    def pk():
+        return b58encode(bytes(rng.getrandbits(8) for _ in range(32)))
+
+    def pk_bytes():
+        return bytes(rng.getrandbits(8) for _ in range(32))
+
+    owner_filter = options.get("accountfilterowners")
+    out = []
+    for i in range(TXS_PER_SLOT):
+        # SPL token account: mint pk | owner pk | amount u64 | ... 165B
+        data = (pk_bytes() + pk_bytes()
+                + struct.pack("<Q", slot * 100 + i)
+                + bytes(32) + b"\x01" + bytes(165 - 73 - 19) + bytes(19))
+        data = data[:108] + b"\x01" + data[109:165]  # state=Initialized
+        out.append({
+            "slot": slot, "signature": pk() + pk(),  # 64B-ish display sig
+            "pubkey": pk(), "executable": False,
+            "lamports": 2_039_280, "owner": spl_token,
+            "rent_epoch": 361, "data": data,
+            "recv_us": time.time_ns() // 1000,
+        })
+    # one 82-byte mint per slot
+    mint = bytes(36) + struct.pack("<Q", 10_000_000 + slot) + bytes([6]) \
+        + bytes(82 - 45)
+    out.append({
+        "slot": slot, "signature": pk() + pk(), "pubkey": pk(),
+        "executable": False, "lamports": 1_461_600, "owner": spl_token,
+        "rent_epoch": 361, "data": mint,
+        "recv_us": time.time_ns() // 1000,
+    })
+    if owner_filter:
+        out = [a for a in out if a["owner"] in owner_filter.split(",")]
+    return out
 
 
 def _simulated_transactions(slot: int, options: dict):
@@ -168,13 +217,18 @@ class YellowstoneStreamReader(DataSourceStreamReader):
                 del self._live_cache[key]
 
     def read(self, partition: _SlotRange):
-        fields = [f.name for f in RAW_TRANSACTION_SCHEMA.fields]
+        kind = partition.options.get("streamtype", "transaction")
+        schema = (RAW_ACCOUNT_SCHEMA if kind == "account"
+                  else RAW_TRANSACTION_SCHEMA)
+        fields = [f.name for f in schema.fields]
         if getattr(partition, "rows", None) is not None:
             for t in partition.rows:
                 yield tuple(t.get(f) for f in fields)
             return
+        gen = (_simulated_accounts if kind == "account"
+               else _simulated_transactions)
         for slot in range(partition.start, partition.end):
-            for t in _simulated_transactions(slot, partition.options):
+            for t in gen(slot, partition.options):
                 yield tuple(t[f] for f in fields)
 
 
@@ -187,6 +241,11 @@ class YellowstoneDataSource(DataSource):
         return "yellowstone"
 
     def schema(self):
+        # F3 gating picks the sub-stream; the account stream has its own
+        # row shape (grpc/types.rs:22-32)
+        opts = {k.lower(): v for k, v in self.options.items()}
+        if opts.get("streamtype", "transaction") == "account":
+            return RAW_ACCOUNT_SCHEMA
         return RAW_TRANSACTION_SCHEMA
 
     def streamReader(self, schema):

@@ -152,3 +152,41 @@ def test_high_latency_detector(spark):
     assert flagged.count() == 0
     # contract: the lag column exists and the filter keeps the schema
     assert "latency_lag_ms" in flagged.columns
+
+
+def test_yellowstone_account_stream(spark):
+    """S1 account sub-stream (F3 gating: streamType=account): simulated
+    SPL token accounts + mints decode through the account pipeline
+    (D3/P8) on a streaming DataFrame."""
+    import tempfile
+
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events)
+    from solana_event_stream_spark.sources.yellowstone import (
+        YellowstoneDataSource)
+
+    spark.dataSource.register(YellowstoneDataSource)
+    raw = (spark.readStream.format("yellowstone")
+           .option("endpoint", "simulate://local")
+           .option("streamType", "account")
+           .load())
+    assert raw.isStreaming
+    assert "pubkey" in raw.columns and "lamports" in raw.columns
+    events = build_account_events(raw)
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (events.writeStream.format("memory").queryName("acct_stream")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.table("acct_stream").collect()
+    # 4 slots x (3 token accounts + 1 mint); both decode to TokenAccount
+    # (P8: mint path sets supply/decimals, account path sets amount)
+    assert len(rows) == 16
+    assert {r.event_type for r in rows} == {"TokenAccount"}
+    mints = [r for r in rows if r.supply is not None]
+    accts = [r for r in rows if r.amount is not None]
+    assert len(mints) == 4 and len(accts) == 12
+    assert {int(m.decimals) for m in mints} == {6}
+    # amounts decoded from the simulated layout: slot*100 + i
+    amounts = sorted(int(r.amount) for r in accts)
+    assert amounts[:3] == [0, 1, 2]
