@@ -38,22 +38,29 @@ ROWS_PER_BAND = 4  # P(candidate) = J^4 per band: steep S-curve, few false
                    # candidates on loosely-similar corpora
 
 # SQL fragment shared by all oracles: corpus with injected near-dups
+# (one appended token; found by the similarity operators) AND exact
+# copies (identical text; found by dedup_exact)
 DOCS_CTE = """
     docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text || ' xdup' AS text
       FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 25 = 0
     )
 """
 
 
 def docs_with_dups(spark, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = (base.filter(F.col("doc_id") % 10 == 0)
+    near = (base.filter(F.col("doc_id") % 10 == 0)
             .select((F.col("doc_id") + 1000000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
-    return base.unionByName(dups)
+    exact = (base.filter(F.col("doc_id") % 25 == 0)
+             .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    return base.unionByName(near).unionByName(exact)
 
 
 # ---------------------------------------------------------------------------
@@ -332,12 +339,7 @@ _SQL_JAC_BAND_MATCH = " OR ".join(
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, text || ' xdup'
-      FROM documents WHERE doc_id % 10 = 0
-    ),
+    WITH {DOCS_CTE},
     grams AS (
       SELECT doc_id,
              list_distinct(list_transform(
