@@ -167,10 +167,11 @@ _SQL_BAND_MATCH = " OR ".join(
     f"a.band{b} = b.band{b}" for b in range(N_BANDS))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {DOCS_CTE},
+# Shared CTE chain: corpus -> shingles -> minhash signatures -> LSH bands
+# -> candidate pairs -> exact-Jaccard-verified duplicate pairs. Reused by
+# the pairwise query (dedup_minhash_lsh) and the cluster query
+# (dedup_clusters), so both oracles see the identical pair set.
+_SQL_MINHASH_CTES = f"""{DOCS_CTE},
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
     hx AS (SELECT doc_id, {_SQL_XS.format(g='shingles')} AS xs FROM sh),
@@ -187,11 +188,20 @@ _SQL_BAND_MATCH = " OR ".join(
              len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
       FROM pairs
       JOIN sh sa ON sa.doc_id = doc_a
-      JOIN sh sb ON sb.doc_id = doc_b)
-    SELECT doc_a, doc_b,
-           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-    FROM verified
-    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+      JOIN sh sb ON sb.doc_id = doc_b),
+    dup_pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+      FROM verified
+      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_MINHASH_CTES}
+    SELECT doc_a, doc_b, jaccard FROM dup_pairs
     """,
     tags=("dedup", "llm-data", "minhash"),
     doc="MinHash(12)+LSH(3 bands x 4 rows): shingle -> signature -> "
@@ -199,7 +209,11 @@ _SQL_BAND_MATCH = " OR ".join(
         "exact-Jaccard verify >= 0.6.",
 )
 def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
-    docs = docs_with_dups(spark, sf_dir)
+    return _minhash_verified_pairs(docs_with_dups(spark, sf_dir))
+
+
+def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) LSH candidates with true Jaccard >= 0.6."""
     # Materialize shingles once per row (the signature columns reference
     # the projected column, not 12 recomputations of the shingle array).
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
@@ -489,3 +503,102 @@ def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dup_pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    memb AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM memb GROUP BY cluster_id)
+    SELECT m.doc_id, m.cluster_id, s.cluster_size,
+           m.doc_id = m.cluster_id AS keep
+    FROM memb m JOIN sizes s USING (cluster_id)
+    """,
+    tags=("dedup", "llm-data", "graph"),
+    doc="Duplicate-cluster resolution: connected components over the "
+        "MinHash-verified duplicate pairs (min-label propagation), "
+        "canonical keeper = min doc_id per component. Turns pairwise "
+        "near-dup hits into the actual dedup decision a training "
+        "pipeline needs (which copies to drop).",
+)
+def dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Cluster duplicate pairs into components and pick keepers.
+
+    Distributed min-label propagation: each iteration is one equi-join
+    shuffle (edges ⋈ labels) + a map-side-combined min aggregation;
+    `localCheckpoint` truncates the lineage so plans stay O(1) per
+    iteration. Iteration count = component diameter — near-dup
+    components are near-cliques (every copy pairwise-similar), so this
+    converges in ~2 rounds; a pathological chain is bounded by
+    _CC_MAX_ITERS. The driver loop holds only a changed-row count, never
+    row data. At 100 TB the same loop holds (the alternating
+    small-star/large-star variant would cut worst-case rounds to
+    O(log^2 n)); edges/labels are pre-partitioned on the join key so
+    every iteration reuses one hash partitioning.
+
+    Beyond-reference training-data operator (no analog in
+    /root/reference); completes the dedup family: pair finders say
+    "these two match", this says "keep doc X, drop its whole cluster".
+    """
+    pairs = (_minhash_verified_pairs(docs_with_dups(spark, sf_dir))
+             .select("doc_a", "doc_b"))
+    memb = connected_components(pairs)
+    sizes = memb.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (memb.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id")).alias("keep")))
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id=min in comp).
+
+    Min-label propagation until fixpoint; see :func:`dedup_clusters` for
+    the scale analysis.
+    """
+    pairs = pairs.localCheckpoint()
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .repartition("dst")
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .select("doc_id", F.col("doc_id").alias("label"))
+              .localCheckpoint())
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
+               .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, labels["doc_id"] == nbr["src"],
+                                  "left")
+                      .select(labels["doc_id"],
+                              F.least(labels["label"],
+                                      F.coalesce(nbr["nbr_min"],
+                                                 labels["label"]))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

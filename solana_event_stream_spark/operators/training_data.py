@@ -1,0 +1,273 @@
+"""Training-data pipeline operators over the `documents` table:
+deterministic stratified sampling, token-budget sequence packing,
+composable quality-filter chains, and domain-mixing resampling.
+
+These are the corpus-preparation steps a large-scale LLM training
+pipeline runs between raw ingest and tokenization. Beyond-reference
+operators (no analog in /root/reference) — they extend the engine the
+same way the dedup/similarity family does.
+
+Scale design (100 TB):
+- sampling / filtering / mixing are NARROW per-row transforms (one
+  deterministic md5-hash draw per row, no shuffle); only the summary
+  aggregations shuffle, and those are map-side combined on low-cardinality
+  keys (lang, source, reason);
+- packing is BUCKETED: documents pack within hash buckets (bucket ==
+  partition at scale), so the running-total window sorts per bucket —
+  never a global sort;
+- domain mixing broadcasts a per-domain rate table (5-1000 rows) — the
+  corpus-side plan stays narrow.
+
+Determinism: sampling draws come from md5(doc_id), folded to a unit
+float identically on both engines (Spark `conv`; DuckDB digit fold —
+the same cross-engine recipe as operators/dedup.py minhash). No RNG, no
+seed plumbing: re-running a sample on the same corpus is reproducible by
+construction, and adding/removing rows never changes other rows' draws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..catalog import register
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic unit-interval hash draw (cross-engine identical)
+# ---------------------------------------------------------------------------
+
+_HASH_MOD = 1_000_000
+
+
+def _hash_unit(col) -> F.Column:
+    """md5(value) -> 60-bit int -> uniform double in [0, 1)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("long") % _HASH_MOD) / F.lit(float(_HASH_MOD))
+
+
+_SQL_HASH_UNIT = (
+    "((list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16), "
+    "i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST({c} AS VARCHAR)), i, 1)) - 1 AS BIGINT))), "
+    f"(acc, d) -> acc * 16 + d) % {_HASH_MOD}) / {float(_HASH_MOD)})")
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (per-language rates)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.75}
+
+_SQL_RATE = ("CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())
+    + " ELSE 0.0 END")
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH drawn AS (
+      SELECT lang,
+             CASE WHEN {_SQL_HASH_UNIT.format(c='doc_id')} < ({_SQL_RATE})
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate
+    FROM drawn GROUP BY lang
+    """,
+    tags=("training-data", "llm-data", "sampling"),
+    doc="Deterministic stratified sampling: per-language keep rates via "
+        "an md5(doc_id) unit draw — reproducible, shuffle-free (only the "
+        "5-key summary aggregates), and stable under corpus growth "
+        "(a row's draw never depends on other rows).",
+)
+def sample_stratified_hash(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _SAMPLE_RATES.items()
+                           for x in kv]),
+            F.col("lang")),
+        F.lit(0.0))
+    kept = F.when(_hash_unit(F.col("doc_id")) < rate, 1).otherwise(0)
+    return (docs.select("lang", kept.alias("kept"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum("kept").alias("n_kept"),
+                 (F.sum("kept").cast("double") / F.count(F.lit(1)))
+                 .alias("realized_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUCKETS = 32
+_PACK_BUDGET = 512  # tokens per pack (word-count proxy)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT bucket, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tok
+      FROM toks),
+    packs AS (
+      SELECT bucket,
+             CAST(floor((cum_tok - n_tok) / {float(_PACK_BUDGET)})
+                  AS BIGINT) AS pack_seq,
+             n_tok
+      FROM cum)
+    SELECT bucket, pack_seq, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM packs GROUP BY bucket, pack_seq
+    """,
+    tags=("training-data", "llm-data", "packing"),
+    doc="Greedy token-budget sequence packing: docs fill 512-token packs "
+        "in doc_id order WITHIN hash buckets (bucket == partition at "
+        "scale), so the running-total window never needs a global sort. "
+        "A doc whose tokens straddle the boundary starts in the pack "
+        "where its first token lands (contiguous-fill semantics).",
+)
+def pack_sequences(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = toks.select(
+        "bucket", "n_tok", F.sum("n_tok").over(w).alias("cum_tok"))
+    packs = cum.select(
+        "bucket",
+        F.floor((F.col("cum_tok") - F.col("n_tok"))
+                / F.lit(float(_PACK_BUDGET))).alias("pack_seq"),
+        "n_tok")
+    return (packs.groupBy("bucket", "pack_seq")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("pack_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter chain (first-failing-reason accounting)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+_MIN_WORDS, _MAX_WORDS = 20, 90
+_MIN_STOP_RATIO = 0.01
+_MIN_UNIQUE_RATIO = 0.40
+
+_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH m AS (
+      SELECT len(w) AS n_words,
+             len(list_filter(w, x -> x IN {_SQL_STOPLIST})) * 1.0
+               / len(w) AS stop_ratio,
+             len(list_distinct(w)) * 1.0 / len(w) AS uniq_ratio
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+    verdicts AS (
+      SELECT n_words,
+             CASE WHEN n_words < {_MIN_WORDS} THEN 'too_short'
+                  WHEN n_words > {_MAX_WORDS} THEN 'too_long'
+                  WHEN stop_ratio < {_MIN_STOP_RATIO} THEN 'low_stopword'
+                  WHEN uniq_ratio < {_MIN_UNIQUE_RATIO} THEN 'repetitive'
+                  ELSE 'pass' END AS reason
+      FROM m)
+    SELECT reason, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words
+    FROM verdicts GROUP BY reason
+    """,
+    tags=("training-data", "llm-data", "quality"),
+    doc="Composable quality-filter chain with first-failing-reason "
+        "accounting: length bounds -> stopword-ratio floor -> "
+        "unique-word-ratio floor. Narrow per-row CASE ladder (one pass, "
+        "no UDF); the per-reason rollup is the only shuffle.",
+)
+def quality_filter_chain(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = docs.select(
+        F.size(w).alias("n_words"),
+        (F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+         * F.lit(1.0) / F.size(w)).alias("stop_ratio"),
+        (F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w))
+        .alias("uniq_ratio"))
+    reason = (F.when(F.col("n_words") < _MIN_WORDS, "too_short")
+              .when(F.col("n_words") > _MAX_WORDS, "too_long")
+              .when(F.col("stop_ratio") < _MIN_STOP_RATIO, "low_stopword")
+              .when(F.col("uniq_ratio") < _MIN_UNIQUE_RATIO, "repetitive")
+              .otherwise("pass"))
+    return (m.select("n_words", reason.alias("reason"))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum("n_words").cast("double") / F.count(F.lit(1)))
+                 .alias("avg_words")))
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing (resample to a uniform per-language target)
+# ---------------------------------------------------------------------------
+
+@register(
+    "domain_mix_resample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+    tgt AS (
+      SELECT lang, n_total,
+             least(1.0, (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                         / (SELECT COUNT(DISTINCT lang) FROM documents))
+                        / n_total) AS keep_rate
+      FROM counts),
+    drawn AS (
+      SELECT d.lang,
+             CASE WHEN {_SQL_HASH_UNIT.format(c='d.doc_id')} < t.keep_rate
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN tgt t ON d.lang = t.lang)
+    SELECT t.lang, t.n_total, CAST(SUM(drawn.kept) AS BIGINT) AS n_kept,
+           t.keep_rate
+    FROM drawn JOIN tgt t ON drawn.lang = t.lang
+    GROUP BY t.lang, t.n_total, t.keep_rate
+    """,
+    tags=("training-data", "llm-data", "mixing"),
+    doc="Domain mixing: downsample over-represented languages to a "
+        "uniform target share. Per-domain rates come from one tiny "
+        "aggregate broadcast back against the corpus — the corpus scan "
+        "stays narrow; the same deterministic md5 draw as stratified "
+        "sampling keeps the mix reproducible.",
+)
+def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    scalars = counts.agg(
+        F.sum("n_total").alias("grand_total"),
+        F.count(F.lit(1)).alias("n_langs"))
+    tgt = (counts.crossJoin(F.broadcast(scalars))
+           .select("lang", "n_total",
+                   F.least(
+                       F.lit(1.0),
+                       (F.col("grand_total").cast("double")
+                        / F.col("n_langs")) / F.col("n_total"))
+                   .alias("keep_rate")))
+    drawn = (docs.join(F.broadcast(tgt), "lang")
+             .select("lang", "n_total", "keep_rate",
+                     F.when(_hash_unit(F.col("doc_id"))
+                            < F.col("keep_rate"), 1).otherwise(0)
+                     .alias("kept")))
+    return (drawn.groupBy("lang", "n_total", "keep_rate")
+            .agg(F.sum("kept").alias("n_kept"))
+            .select("lang", "n_total", "n_kept", "keep_rate"))

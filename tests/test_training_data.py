@@ -1,0 +1,96 @@
+"""Unit tests for the training-data operators (dedup clustering,
+sampling, packing, quality chain, domain mixing).
+
+Oracle parity for all of these is covered by test_queries_oracle
+(catalog-driven); these tests pin the operator *semantics* on small
+hand-built inputs where the expected answer is obvious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from solana_event_stream_spark.catalog import load_catalog
+from solana_event_stream_spark.operators.dedup import connected_components
+
+CATALOG = load_catalog()
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3 plus island 10-11: min-label must propagate two hops.
+    pairs = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=3), Row(doc_a=1, doc_b=2),
+         Row(doc_a=10, doc_b=11)])
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_clusters_keeper_per_cluster(spark, sf_dir):
+    out = CATALOG["dedup_clusters"].spark_fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        keepers = [r for r in rows if r.keep]
+        assert len(keepers) == 1, f"cluster {cid}: {len(keepers)} keepers"
+        assert keepers[0].doc_id == min(r.doc_id for r in rows) == cid
+        assert all(r.cluster_size == len(rows) for r in rows)
+        assert len(rows) >= 2  # singletons never enter the edge set
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    fn = CATALOG["sample_stratified_hash"].spark_fn
+    a = {r.lang: r for r in fn(spark, sf_dir).collect()}
+    b = {r.lang: r for r in fn(spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    for lang, r in a.items():
+        assert r.n_kept == b[lang].n_kept  # deterministic draw
+        assert 0 <= r.n_kept <= r.n_total
+        assert abs(r.realized_rate - r.n_kept / r.n_total) < 1e-12
+
+
+def test_pack_sequences_budget_and_coverage(spark, sf_dir):
+    from solana_event_stream_spark.operators.training_data import (
+        _PACK_BUDGET)
+    from solana_event_stream_spark.tables import load_table
+    packs = CATALOG["pack_sequences"].spark_fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(p.pack_tokens for p in packs) == total_tokens
+    # contiguous fill: every pack except a bucket's last starts within
+    # budget of its predecessor => pack_seq values per bucket are dense.
+    by_bucket = {}
+    for p in packs:
+        by_bucket.setdefault(p.bucket, []).append(p.pack_seq)
+    for bucket, seqs in by_bucket.items():
+        seqs = sorted(seqs)
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
+        assert seqs[0] == 0
+
+
+def test_quality_filter_chain_partitions_corpus(spark, sf_dir):
+    from solana_event_stream_spark.tables import load_table
+    rows = CATALOG["quality_filter_chain"].spark_fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs  # exactly one reason each
+    assert all(r.reason in {"too_short", "too_long", "low_stopword",
+                            "repetitive", "pass"} for r in rows)
+
+
+def test_domain_mix_caps_rates(spark, sf_dir):
+    rows = CATALOG["domain_mix_resample"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0.0 < r.keep_rate <= 1.0
+        assert r.n_kept <= r.n_total
+    # the over-represented language must be downsampled hardest
+    biggest = max(rows, key=lambda r: r.n_total)
+    assert biggest.keep_rate == min(r.keep_rate for r in rows)
