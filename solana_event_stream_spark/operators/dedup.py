@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..catalog import register
-from ..tables import load_table
+from ..tables import load_spread, load_table
 
 N_HASHES = 12
 N_BANDS = 3
@@ -60,7 +60,13 @@ def docs_with_dups(spark, sf_dir: str) -> DataFrame:
                     F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
     exact = (base.filter(F.col("doc_id") % 25 == 0)
              .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
-    return base.unionByName(near).unionByName(exact)
+    # The small-SF parquet reads as 1-3 splits; the heavy per-row feature
+    # extraction downstream (shingles, per-word hashes) must not inherit
+    # that. One cheap shuffle of the raw (id, text) rows spreads the
+    # corpus across all cores — at real scale the scan already has
+    # thousands of splits and Spark's AQE would keep this a no-op cost.
+    return (base.unionByName(near).unionByName(exact)
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +220,13 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
 
 def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) LSH candidates with true Jaccard >= 0.6."""
-    # Materialize shingles once per row (the signature columns reference
-    # the projected column, not 12 recomputations of the shingle array).
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    # Materialize shingles ONCE: the signature branch and the verify
+    # re-attach branch both consume this DF, and without a checkpoint
+    # Catalyst re-derives the shingle arrays (the single most expensive
+    # narrow stage) for each branch. At scale this is the classic
+    # "persist the feature DF" pattern.
+    sh = (docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+          .localCheckpoint())
     sigs = (sh.select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
     # Scale: the band join shuffles (doc_id, band) pairs only — the heavy
@@ -393,7 +403,10 @@ def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(words) - 2),
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
                               F.element_at(words, i + 2))))
-    grams = docs.select("doc_id", bigrams.alias("g"))
+    # Same one-computation pattern as minhash: both the signature branch
+    # and the verify branch read the gram arrays.
+    grams = (docs.select("doc_id", bigrams.alias("g"))
+             .localCheckpoint())
     sigs = (grams.select("doc_id", _hash_ints(F.col("g")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
     bands = sigs.select(
@@ -487,7 +500,7 @@ _SQL_SIGN = (
         "products are bitwise cross-engine deterministic.",
 )
 def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import register
-from ..tables import load_table
+from ..tables import load_spread, load_table
 from .dedup import _SPARK_DOT, _SPARK_SIGN, _SQL_DOT, _SQL_SIGN
 
 N_QUERIES = 10
@@ -51,7 +51,7 @@ IVF_CENTROID_BASE = 100  # vec_ids used as deterministic centroids
         "all candidates per query.",
 )
 def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
@@ -102,7 +102,7 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
         "bits -> bucket equi-join -> rank candidates only.",
 )
 def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     sigs = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
@@ -168,7 +168,7 @@ def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
         "search an equi-join on cell id.",
 )
 def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))

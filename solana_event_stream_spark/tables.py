@@ -36,6 +36,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + spread across all cores.
+
+    For tables that feed expensive per-row expressions (embedding dot
+    products, shingle hashing): the small-SF parquet arrives as 1-3
+    splits, which would serialize the narrow compute on one task. One
+    round-robin shuffle of the raw rows costs microseconds here and lets
+    every core work. At real scale the scan already has thousands of
+    splits, so callers at 100 TB would drop this (or leave it — a
+    repartition to the cluster's parallelism stays cheap relative to the
+    per-row compute it parallelizes).
+    """
+    return (load_table(spark, sf_dir, name)
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
 def load_all(spark: SparkSession, sf_dir: str,
              register_views: bool = False) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
