@@ -625,3 +625,268 @@ def q17_small_quantity_revenue(spark, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice"), "total_revenue"),
              F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (4-way join, revenue top-k per customer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue')},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "topk"),
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer "
+        "over one quarter. The quarter+returnflag filters reach the "
+        "scans; customer/nation broadcast against the filtered fact.",
+)
+def q10_returned_items(spark, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "outer-join", "agg"),
+    doc="TPC-H Q13 shape: order-count histogram over ALL customers — "
+        "the left outer join keeps order-less customers as c_count=0 "
+        "(COUNT of a NULL key), then a second aggregate histograms the "
+        "counts. Both aggregates are map-side combined.",
+)
+def q13_customer_distribution(spark, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey")
+    c_orders = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (c_orders.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING-filtered agg joined back to facts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey AS b_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = b_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("relational", "agg", "semi"),
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds 250. The "
+        "HAVING aggregate runs first (map-side combined on the fact), "
+        "and only the tiny surviving set joins orders/customer — the "
+        "aggregate IS the semi-join filter.",
+)
+def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("b_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive bracket predicates (OR-of-ANDs join filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_disjunctive_brackets",
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join", "pushdown"),
+    doc="TPC-H Q19 shape: three OR'd (brand, size, quantity) brackets "
+        "across the join. Catalyst pushes the derivable single-side "
+        "residuals (quantity range union to lineitem, brand/size union "
+        "to part) below the join; the exact disjunction evaluates as "
+        "the join residual.",
+)
+def q19_disjunctive_brackets(spark, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (j.filter(bracket)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant high-balance customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE)
+               / COUNT(*) AS threshold
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT n_name, COUNT(*) AS numcust,
+           {SQL_DSUM('c_acctbal', 'totacctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN avg_bal
+    WHERE c_acctbal > threshold
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1998-03-01 00:00:00')
+    GROUP BY n_name
+    """,
+    tags=("relational", "anti", "scalar-subquery"),
+    doc="TPC-H Q22 shape (phone prefix -> nation): above-average-balance "
+        "customers with no recent orders. The positive-balance average "
+        "is a 1-row broadcast scalar; the recency check is a broadcast "
+        "anti join against date-filtered orders.",
+)
+def q22_dormant_customers(spark, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-03-01").cast("timestamp"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(davg(F.col("c_acctbal"), "threshold")))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(recent.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum(F.col("c_acctbal"), "totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — min-cost supplier per part (correlated min via rank)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT p_partkey, p_brand, s_name, unit_price,
+             ROW_NUMBER() OVER (PARTITION BY p_partkey
+                ORDER BY unit_price, s_name) AS rk
+      FROM offers
+      JOIN part     ON p_partkey = l_partkey AND p_size = 15
+      JOIN supplier ON s_suppkey = l_suppkey)
+    SELECT p_partkey, p_brand, s_name, unit_price
+    FROM ranked WHERE rk = 1
+    ORDER BY p_partkey LIMIT 20
+    """,
+    tags=("relational", "window", "correlated"),
+    doc="TPC-H Q2 shape on the reduced schema (no partsupp): each "
+        "supplier's best observed unit price per part stands in for "
+        "ps_supplycost; the correlated MIN becomes a rank-1 window over "
+        "the per-(part,supplier) aggregate — Catalyst's decorrelation "
+        "target shape, one shuffle on l_partkey shared by the aggregate "
+        "and the window.",
+)
+def q2_min_cost_supplier(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    offers = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_price")))
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_price"), F.asc("s_name"))
+    return (
+        offers.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_price")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "p_brand", "s_name", "unit_price")
+        .orderBy(F.asc("p_partkey"))
+        .limit(20)
+    )
