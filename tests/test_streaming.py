@@ -190,3 +190,63 @@ def test_yellowstone_account_stream(spark):
     # amounts decoded from the simulated layout: slot*100 + i
     amounts = sorted(int(r.amount) for r in accts)
     assert amounts[:3] == [0, 1, 2]
+
+
+def test_watermark_drops_late_events(spark):
+    """SURVEY §2.10 late-data row: with a 10 s watermark on block_time,
+    an event arriving after its window's watermark deadline is DROPPED
+    from the append-mode windowed counts (the reference has no late-data
+    story at all — block_time may even be 0; this is the Spark-side
+    semantics we document for event-time aggregation)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from solana_event_stream_spark.streaming.metrics import (
+        windowed_event_counts)
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    schema = "block_time timestamp, protocol string, event_type string"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+
+        def feed(batch, rows):
+            (spark.createDataFrame(rows, schema)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(src, f"b{batch}")))
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(os.path.join(src, "*")))
+        counts = windowed_event_counts(stream)  # 5 s windows, 10 s wm
+        q = (counts.writeStream.format("memory").queryName("wm_counts")
+             .outputMode("append").start())
+        try:
+            # batch 1: two events in [0,5), one in [5,10)
+            feed(1, [(ts(1), "PumpFun", "Trade"), (ts(2), "PumpFun", "Trade"),
+                     (ts(6), "PumpFun", "Trade")])
+            q.processAllAvailable()  # wm still before window ends: nothing emits
+            # batch 2: t=60 advances the watermark to 50 -> both early
+            # windows close and emit
+            feed(2, [(ts(60), "PumpFun", "Trade")])
+            q.processAllAvailable()
+            emitted = {(r.window_start.second, r.n_events)
+                       for r in spark.sql("SELECT * FROM wm_counts").collect()}
+            assert (0, 2) in emitted and (5, 1) in emitted
+            # batch 3: a LATE event for the closed [0,5) window -> dropped
+            feed(3, [(ts(2), "PumpFun", "Trade")])
+            q.processAllAvailable()
+            # batch 4: t=120 closes the [60,65) window; if the late event
+            # had been counted anywhere, a new/updated row would show
+            feed(4, [(ts(120), "PumpFun", "Trade")])
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT window_start, n_events FROM wm_counts").collect()
+            got = {(r.window_start.minute * 60 + r.window_start.second,
+                    r.n_events) for r in rows}
+            assert got == {(0, 2), (5, 1), (60, 1)}  # late t=2 never lands
+        finally:
+            q.stop()
