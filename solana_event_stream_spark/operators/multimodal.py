@@ -23,8 +23,8 @@ import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from ..catalog import register
 from ..tables import load_table
@@ -287,3 +287,106 @@ def multimodal_resize(spark, sf_dir: str) -> DataFrame:
         F.col("media_type") == "image")
     return media.select("doc_id", "payload").mapInPandas(
         _resize_batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction (numpy-vectorized over the binary payload)
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 256       # bytes per analysis window
+AUDIO_ACTIVE_MEAN = 96   # window is "active" when mean amplitude exceeds
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sum_amplitude", LongType()),
+    StructField("peak", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("n_active_windows", LongType()),
+])
+
+
+def _audio_feature_batches(iterator: Iterator):
+    """Per-payload sample statistics — the decode is the deterministic
+    fake (body bytes as u8 PCM samples); the numpy path is the real
+    contract: one `frombuffer` view per row, vectorized sum/max/square,
+    no per-sample Python. A real audio lib would replace only the
+    bytes->samples step."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in iterator:
+        out = []
+        for row in pdf.itertuples(index=False):
+            payload = bytes(row.payload) if row.payload is not None else b""
+            body = payload[12:] if _parse_header(payload)[2] else payload
+            a = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+            n = int(a.size)
+            sum_amp = int(a.sum()) if n else 0
+            sumsq = int((a * a).sum()) if n else 0
+            nw = (n + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+            active = 0
+            for w in range(nw):
+                c = a[w * AUDIO_WINDOW:(w + 1) * AUDIO_WINDOW]
+                if int(c.sum()) > AUDIO_ACTIVE_MEAN * c.size:
+                    active += 1
+            out.append({
+                "doc_id": row.doc_id,
+                "n_samples": n,
+                "sum_amplitude": sum_amp,
+                "peak": int(a.max()) if n else 0,
+                "rms": math.sqrt(sumsq / n) if n else 0.0,
+                "n_active_windows": active,
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         AUDIO_FEATURES_SCHEMA.fields])
+
+
+# ord() == byte value because the synthetic corpus is ASCII; a non-ASCII
+# corpus would need the oracle to fold utf-8 bytes instead.
+_SQL_AUDIO_BYTES = ("list_transform(range(1, strlen(text) + 1), "
+                    "i -> CAST(ord(substr(text, i, 1)) AS BIGINT))")
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_AUDIO_BYTES} AS bs,
+             CAST(strlen(text) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT doc_id, n AS n_samples,
+           CAST(list_reduce(list_prepend(0::BIGINT, bs),
+                            (a, v) -> a + v) AS BIGINT) AS sum_amplitude,
+           CAST(list_max(bs) AS BIGINT) AS peak,
+           sqrt(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(bs, x -> x * x)), (a, v) -> a + v)
+                / n) AS rms,
+           CAST(list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(0, CAST(ceil(n / {AUDIO_WINDOW}.0) AS BIGINT)),
+               w -> CASE WHEN
+                 list_reduce(list_prepend(0::BIGINT,
+                   bs[(w * {AUDIO_WINDOW} + 1):least((w + 1) * {AUDIO_WINDOW}, n)]),
+                   (a, v) -> a + v)
+                 > {AUDIO_ACTIVE_MEAN} * (least((w + 1) * {AUDIO_WINDOW}, n)
+                                          - w * {AUDIO_WINDOW})
+               THEN 1 ELSE 0 END)), (a, v) -> a + v) AS BIGINT)
+             AS n_active_windows
+    FROM b
+    """,
+    tags=("multimodal", "llm-data", "audio"),
+    doc="Audio feature extraction over audio payloads: u8 samples -> "
+        "count/sum/peak/RMS + active-window detection (256-byte windows "
+        "above a mean-amplitude gate). numpy frombuffer vectorization "
+        "per Arrow batch; codec faked deterministically like the "
+        "image/video ops. RMS = sqrt(sumsq/n) is integer arithmetic "
+        "until one IEEE division + sqrt, so it is cross-engine exact.",
+)
+def multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs).filter(
+        F.col("media_type") == "audio")
+    return media.select("doc_id", "payload").mapInPandas(
+        _audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA)
