@@ -184,3 +184,90 @@ def text_fingerprint(spark, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("fingerprint").alias("n_distinct"),
                  F.min("fingerprint").alias("min_fp")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction with per-kind accounting)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no PII, so (like the dedup near-dup injection)
+# deterministic contact strings are appended to every 5th doc — the
+# operator then has real redactions to demonstrate and the oracle can
+# rebuild the identical corpus. Patterns stay in the Java-regex ∩ RE2
+# syntax subset.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_SQL_PII_DOCS = """
+    pii_docs AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example or 555-01' || CAST(doc_id % 10 AS VARCHAR)
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents)
+"""
+
+
+def _docs_with_pii(spark, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    contact = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example or 555-01"),
+        (F.col("doc_id") % 10).cast("string"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return docs.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 5 == 0, contact)
+        .otherwise(F.col("text")).alias("text"))
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH {_SQL_PII_DOCS},
+    scrubbed AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+      FROM pii_docs)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_redacted,
+           CAST(SUM(strlen(clean)) AS BIGINT) AS sum_len_clean,
+           COUNT(DISTINCT md5(clean)) AS n_distinct_clean
+    FROM scrubbed GROUP BY lang
+    """,
+    tags=("text", "llm-data", "pii"),
+    doc="PII scrubbing: email/phone regex redaction with per-kind "
+        "accounting, rolled up per language. Narrow per-row regex work "
+        "(pushed-down 3-column scan); the 5-key rollup is the only "
+        "shuffle. The md5-of-clean-text distinct count pins the exact "
+        "redacted output, not just the counts.",
+)
+def text_pii_scrub(spark, sf_dir: str) -> DataFrame:
+    docs = _docs_with_pii(spark, sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    scrubbed = docs.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        clean.alias("clean"))
+    return (scrubbed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_emails").alias("n_emails"),
+                 F.sum("n_phones").alias("n_phones"),
+                 F.sum(F.when(F.col("n_emails") + F.col("n_phones") > 0, 1)
+                       .otherwise(0)).alias("n_docs_redacted"),
+                 F.sum(F.length("clean")).alias("sum_len_clean"),
+                 F.count_distinct(F.md5("clean"))
+                 .alias("n_distinct_clean")))
