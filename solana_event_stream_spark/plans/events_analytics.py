@@ -316,3 +316,32 @@ def events_funnel_conversion(spark, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("first_purchase") > F.col("first_view"), 1))
          .alias("n_converted"),
     )
+
+
+@register(
+    "events_counts_salted",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_value,
+           MAX(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "agg", "skew"),
+    doc="Hot-key aggregation via two-phase salting (operators/skew.py): "
+        "event_type has a handful of values over the whole fact table, "
+        "so a direct groupBy funnels each type through one reducer at "
+        "scale. The salted form aggregates (event_type, salt16) first "
+        "(map-side combined, 16-way parallel per hot key), then merges "
+        "the sub-aggregates. Result is identical to the direct groupBy "
+        "(the oracle IS the direct form).",
+)
+def events_counts_salted(spark, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev, ["event_type"], "user_id",
+        [(F.count(F.lit(1)), F.sum, "n_events"),
+         (F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)),
+          F.sum, "n_high_value"),
+         (F.max("ts"), F.max, "max_ts")])

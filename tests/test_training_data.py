@@ -94,3 +94,25 @@ def test_domain_mix_caps_rates(spark, sf_dir):
     # the over-represented language must be downsampled hardest
     biggest = max(rows, key=lambda r: r.n_total)
     assert biggest.keep_rate == min(r.keep_rate for r in rows)
+
+
+def test_salted_aggregate_equals_direct(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from solana_event_stream_spark.operators.skew import salted_aggregate
+    from solana_event_stream_spark.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    direct = {r.event_type: (r.n, r.mx) for r in
+              ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+              .collect()}
+    salted = {r.event_type: (r.n, r.mx) for r in
+              salted_aggregate(ev, ["event_type"], "user_id",
+                               [(F.count(F.lit(1)), F.sum, "n"),
+                                (F.max("value"), F.max, "mx")])
+              .collect()}
+    assert salted == direct
+    # the partial phase really fans a hot key across salt groups
+    salt = (F.abs(F.xxhash64(F.col("user_id"))) % 16)
+    n_groups = (ev.withColumn("s", salt)
+                .select("event_type", "s").distinct().count())
+    assert n_groups > len(direct)
