@@ -350,11 +350,17 @@ def build_events_core(raw_tx: DataFrame,
     def _prog(s):
         return F.element_at(acc, s["g"]["program_id_index"] + 1)
 
+    # The reference scan starts at current_index + 1 (types.rs:461
+    # `.skip((current_index + 1) as usize)`), so instructions at or before
+    # the event's own position — including the event's own (non-system)
+    # protocol instruction — must not register as breaks.
     first_break = F.coalesce(
         F.array_min(F.transform(
             F.filter(indexed, lambda s:
-                     (s["g"]["program_id_index"] >= F.size(acc))
-                     | ~_prog(s).isin(sys_progs)),
+                     (s["pos"] > F.coalesce(F.col("inner_index"),
+                                            F.lit(-1)))
+                     & ((s["g"]["program_id_index"] >= F.size(acc))
+                        | ~_prog(s).isin(sys_progs))),
             lambda s: s["pos"])),
         F.size(ig))
     rows = rows.withColumn("first_break", first_break)

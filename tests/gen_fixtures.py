@@ -1524,6 +1524,47 @@ def scenario_inner_instruction_event():
         is_dev=False, is_bot=False)
 
 
+def scenario_inner_swap_trailing_transfers():
+    # J2 parity for an INNER event with trailing transfers: the reference
+    # scan starts at current_index + 1 (types.rs:461 `.skip(current_index
+    # + 1)`), so the event's OWN (non-system) protocol instruction at its
+    # position must not count as a break; the first non-system program
+    # strictly AFTER the event does, and transfers past it are ignored.
+    foreign = pk()
+    a = [pk(), pk(), pk(), pk(), pk(), pk(), pk(), pk(), SPL_TOKEN,
+         SPL_TOKEN, pk(), pk(), pk()]
+    tx_accounts = a + [RAYDIUM_CPMM_PROGRAM_ID, foreign]
+    cp_i = 13
+    inner = [{"index": 0, "instructions": [
+        # pos 0: the event itself — CPMM program, NOT a system program
+        ix(cp_i, list(range(13)),
+           IX_DISC["RaydiumCpmmSwapBaseInput"] + u64(1_111) + u64(2_000)),
+        # pos 1: input_acct(4) -> input_vault(6): case 3, scanned
+        spl_transfer(4, 6, 1_111, 8),
+        # pos 2: non-system program => break (disc matches no event)
+        ix(cp_i, [], b"\x99" * 8),
+        # pos 3: output_vault(7) -> output_acct(5): case 4, but AFTER the
+        # break — must NOT be scanned
+        spl_transfer(7, 5, 2_222, 8),
+    ]}]
+    tx = new_tx(tx_accounts, [ix(14, [0], b"\x00" * 8)], inner)
+    payload = {
+        "amount_in": 1_111, "minimum_amount_out": 2_000,
+        "payer": a[0], "authority": a[1], "amm_config": a[2],
+        "pool_state": a[3], "input_token_account": a[4],
+        "output_token_account": a[5], "input_vault": a[6],
+        "output_vault": a[7], "input_token_program": a[8],
+        "output_token_program": a[9], "input_token_mint": a[10],
+        "output_token_mint": a[11], "observation_state": a[12],
+    }
+    # Only the pos-1 transfer is matched: from-side filled, to-side stays
+    # at the swap-struct defaults (zero pubkey / 0).
+    swap = {"from_mint": a[10], "to_mint": ZERO_PUBKEY,
+            "from_amount": 1_111, "to_amount": 0, "description": None}
+    golden(tx, "RaydiumCpmmSwapBaseInput", "RaydiumCpmm",
+           RAYDIUM_CPMM_PROGRAM_ID, 0, 0, payload, swap=swap)
+
+
 # ===========================================================================
 # Account-update fixtures (raw_accounts + accounts_golden)
 # ===========================================================================
@@ -2003,6 +2044,7 @@ def main():
     scenario_meteora_swaps()
     scenario_meteora_init_pools()
     scenario_inner_instruction_event()
+    scenario_inner_swap_trailing_transfers()
     scenario_negatives()
     scenario_accounts()
     write_parquet()
