@@ -36,9 +36,13 @@ def _sql_hits(markers):
     return f"len(list_filter(w, x -> list_contains({lst}, x)))"
 
 
-@register(
-    "text_language_id",
-    oracle=f"""
+# The five text_* operators register as ONE catalog entry (text_battery,
+# defined at the bottom) for the driver 50-row-cap reason: the driver's
+# CORRECTNESS harness records at most 50 queries, so each operator keeps
+# its full Spark plan and full oracle SQL, melted to a shared long-format
+# schema (part, k1, metric, vd, vs) and concatenated shuffle-free.
+
+_SQL_LANGUAGE_ID = f"""
     WITH toks AS (
       SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS w
       FROM documents),
@@ -62,12 +66,12 @@ def _sql_hits(markers):
     SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs,
            CAST(SUM(hits_en) AS BIGINT) AS total_marker_hits
     FROM pred GROUP BY labeled_lang, predicted_lang
-    """,
-    tags=("text", "llm-data", "langid"),
-    doc="Language-ID heuristic: marker-word hit counts per language, "
-        "argmax with deterministic tie order, confusion counts vs label.",
-)
+"""
+
+
 def text_language_id(spark, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with deterministic tie order, confusion counts vs label."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     scored = docs.select(
@@ -88,9 +92,7 @@ def text_language_id(spark, sf_dir: str) -> DataFrame:
                  F.sum("hits_en").alias("total_marker_hits")))
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
+_SQL_QUALITY_SCORE = f"""
     WITH feats AS (
       SELECT doc_id, lang, length(text) AS n_chars2,
              len(string_split(text, ' ')) AS n_words,
@@ -108,12 +110,12 @@ def text_language_id(spark, sf_dir: str) -> DataFrame:
                  AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
                 THEN 1 ELSE 0 END AS quality_pass
     FROM feats
-    """,
-    tags=("text", "llm-data", "quality"),
-    doc="Quality scoring: length, avg word length, stopword ratio, "
-        "non-alpha ratio, pass/fail gate.",
-)
+"""
+
+
 def text_quality_score(spark, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, avg word length, stopword ratio,
+    non-alpha ratio, pass/fail gate."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -132,9 +134,7 @@ def text_quality_score(spark, sf_dir: str) -> DataFrame:
                1).otherwise(0).alias("quality_pass"))
 
 
-@register(
-    "text_token_stats",
-    oracle="""
+_SQL_TOKEN_STATS = """
     SELECT doc_id,
            len(string_split(text, ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
@@ -144,11 +144,11 @@ def text_quality_score(spark, sf_dir: str) -> DataFrame:
              / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
              AS bytes_per_token
     FROM documents
-    """,
-    tags=("text", "llm-data", "tokens"),
-    doc="Token counting: whitespace split vs BPE-ish regex segmentation.",
-)
+"""
+
+
 def text_token_stats(spark, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split vs BPE-ish regex segmentation."""
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.size(F.expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
@@ -160,9 +160,7 @@ def text_token_stats(spark, sf_dir: str) -> DataFrame:
         (F.length("text").cast("double") / bpe).alias("bytes_per_token"))
 
 
-@register(
-    "text_fingerprint",
-    oracle="""
+_SQL_FINGERPRINT = """
     WITH fp AS (
       SELECT doc_id, source,
              md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint
@@ -171,12 +169,12 @@ def text_token_stats(spark, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT fingerprint) AS n_distinct,
            MIN(fingerprint) AS min_fp
     FROM fp GROUP BY source
-    """,
-    tags=("text", "llm-data", "fingerprint"),
-    doc="Document fingerprinting: normalized-content md5, per-source "
-        "distinct counts (shard-level dedup accounting).",
-)
+"""
+
+
 def text_fingerprint(spark, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5, per-source
+    distinct counts (shard-level dedup accounting)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.regexp_replace(F.col("text"), " +", " ")))
     return (docs.select("doc_id", "source", fp.alias("fingerprint"))
@@ -224,9 +222,7 @@ def _docs_with_pii(spark, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
 
 
-@register(
-    "text_pii_scrub",
-    oracle=f"""
+_SQL_PII_SCRUB = f"""
     WITH {_SQL_PII_DOCS},
     scrubbed AS (
       SELECT doc_id, lang,
@@ -244,15 +240,15 @@ def _docs_with_pii(spark, sf_dir: str) -> DataFrame:
            CAST(SUM(strlen(clean)) AS BIGINT) AS sum_len_clean,
            COUNT(DISTINCT md5(clean)) AS n_distinct_clean
     FROM scrubbed GROUP BY lang
-    """,
-    tags=("text", "llm-data", "pii"),
-    doc="PII scrubbing: email/phone regex redaction with per-kind "
-        "accounting, rolled up per language. Narrow per-row regex work "
-        "(pushed-down 3-column scan); the 5-key rollup is the only "
-        "shuffle. The md5-of-clean-text distinct count pins the exact "
-        "redacted output, not just the counts.",
-)
+"""
+
+
 def text_pii_scrub(spark, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone regex redaction with per-kind
+    accounting, rolled up per language. Narrow per-row regex work
+    (pushed-down 3-column scan); the 5-key rollup is the only shuffle.
+    The md5-of-clean-text distinct count pins the exact redacted
+    output, not just the counts."""
     docs = _docs_with_pii(spark, sf_dir)
     clean = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
@@ -271,3 +267,109 @@ def text_pii_scrub(spark, sf_dir: str) -> DataFrame:
                  F.sum(F.length("clean")).alias("sum_len_clean"),
                  F.count_distinct(F.md5("clean"))
                  .alias("n_distinct_clean")))
+
+
+# ---------------------------------------------------------------------------
+# text_battery — all five operators as one long-format catalog entry
+# ---------------------------------------------------------------------------
+
+def _melt_df(df: DataFrame, part: str, k1, num_metrics, str_metrics=()):
+    """Melt named columns to long format (part, k1, metric, vd, vs).
+
+    Zero-shuffle: one generate (explode of a literal-size array) per
+    branch; every metric value rides through unchanged, so the driver's
+    value hash still pins each operator's full per-row output.
+    """
+    entries = [F.struct(F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("vd"),
+                        F.lit(None).cast("string").alias("vs"))
+               for m in num_metrics]
+    entries += [F.struct(F.lit(m).alias("metric"),
+                         F.lit(None).cast("double").alias("vd"),
+                         F.col(m).cast("string").alias("vs"))
+                for m in str_metrics]
+    return (df.select(F.lit(part).alias("part"),
+                      k1.cast("string").alias("k1"),
+                      F.explode(F.array(*entries)).alias("m"))
+            .select("part", "k1", F.col("m.metric").alias("metric"),
+                    F.col("m.vd").alias("vd"), F.col("m.vs").alias("vs")))
+
+
+def _melt_sql(part: str, sub_sql: str, k1_expr: str,
+              num_metrics, str_metrics=()) -> str:
+    out = []
+    for m in num_metrics:
+        out.append(
+            f"SELECT '{part}' AS part, CAST({k1_expr} AS VARCHAR) AS k1,"
+            f" '{m}' AS metric, CAST({m} AS DOUBLE) AS vd,"
+            f" CAST(NULL AS VARCHAR) AS vs FROM ({sub_sql}) t")
+    for m in str_metrics:
+        out.append(
+            f"SELECT '{part}' AS part, CAST({k1_expr} AS VARCHAR) AS k1,"
+            f" '{m}' AS metric, CAST(NULL AS DOUBLE) AS vd,"
+            f" CAST({m} AS VARCHAR) AS vs FROM ({sub_sql}) t")
+    return "\nUNION ALL\n".join(out)
+
+
+_BATTERY_METRICS = {
+    "langid": dict(k1="labeled_lang || '->' || predicted_lang",
+                   num=("n_docs", "total_marker_hits")),
+    "quality": dict(k1="doc_id",
+                    num=("n_chars2", "n_words", "avg_word_len",
+                         "stopword_ratio", "nonalpha_ratio",
+                         "quality_pass"),
+                    str_=("lang",)),
+    "tokens": dict(k1="doc_id",
+                   num=("ws_tokens", "bpe_ish_tokens", "n_bytes2",
+                        "bytes_per_token")),
+    "fingerprint": dict(k1="source", num=("n_docs", "n_distinct"),
+                        str_=("min_fp",)),
+    "pii": dict(k1="lang",
+                num=("n_docs", "n_emails", "n_phones", "n_docs_redacted",
+                     "sum_len_clean", "n_distinct_clean")),
+}
+
+_BATTERY_SQL = {
+    "langid": _SQL_LANGUAGE_ID,
+    "quality": _SQL_QUALITY_SCORE,
+    "tokens": _SQL_TOKEN_STATS,
+    "fingerprint": _SQL_FINGERPRINT,
+    "pii": _SQL_PII_SCRUB,
+}
+
+
+@register(
+    "text_battery",
+    oracle="\nUNION ALL\n".join(
+        _melt_sql(part, _BATTERY_SQL[part], spec["k1"], spec["num"],
+                  spec.get("str_", ()))
+        for part, spec in _BATTERY_METRICS.items()),
+    tags=("text", "llm-data", "langid", "quality", "tokens",
+          "fingerprint", "pii"),
+    doc="All five text-analysis operators (language-ID, quality score, "
+        "token stats, fingerprint, PII scrub) as one catalog entry, "
+        "melted to a shared (part, k1, metric, vd, vs) long format so "
+        "each operator's full per-row output stays in the driver's "
+        "value hash (driver 50-row-cap consolidation). Each branch "
+        "keeps its full narrow plan; the melt is a per-row explode of "
+        "a literal-size array — no extra shuffle.",
+)
+def text_battery(spark, sf_dir: str) -> DataFrame:
+    branches = {
+        "langid": text_language_id(spark, sf_dir).withColumn(
+            "k", F.concat_ws("->", "labeled_lang", "predicted_lang")),
+        "quality": text_quality_score(spark, sf_dir).withColumn(
+            "k", F.col("doc_id")),
+        "tokens": text_token_stats(spark, sf_dir).withColumn(
+            "k", F.col("doc_id")),
+        "fingerprint": text_fingerprint(spark, sf_dir).withColumn(
+            "k", F.col("source")),
+        "pii": text_pii_scrub(spark, sf_dir).withColumn(
+            "k", F.col("lang")),
+    }
+    out = None
+    for part, spec in _BATTERY_METRICS.items():
+        melted = _melt_df(branches[part], part, F.col("k"),
+                          spec["num"], spec.get("str_", ()))
+        out = melted if out is None else out.unionByName(melted)
+    return out

@@ -63,9 +63,11 @@ _SQL_RATE = ("CASE " + " ".join(
     + " ELSE 0.0 END")
 
 
-@register(
-    "sample_stratified_hash",
-    oracle=f"""
+# sample_stratified_hash / quality_filter_chain register as ONE catalog
+# entry (training_sample_filter, defined after both) for the driver
+# 50-row-cap reason.
+
+_SQL_SAMPLE_STRATIFIED = f"""
     WITH drawn AS (
       SELECT lang,
              CASE WHEN {_SQL_HASH_UNIT.format(c='doc_id')} < ({_SQL_RATE})
@@ -75,14 +77,14 @@ _SQL_RATE = ("CASE " + " ".join(
            CAST(SUM(kept) AS BIGINT) AS n_kept,
            CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate
     FROM drawn GROUP BY lang
-    """,
-    tags=("training-data", "llm-data", "sampling"),
-    doc="Deterministic stratified sampling: per-language keep rates via "
-        "an md5(doc_id) unit draw — reproducible, shuffle-free (only the "
-        "5-key summary aggregates), and stable under corpus growth "
-        "(a row's draw never depends on other rows).",
-)
+"""
+
+
 def sample_stratified_hash(spark, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via
+    an md5(doc_id) unit draw — reproducible, shuffle-free (only the
+    5-key summary aggregates), and stable under corpus growth (a row's
+    draw never depends on other rows)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     rate = F.coalesce(
         F.element_at(
@@ -169,9 +171,7 @@ _MIN_UNIQUE_RATIO = 0.40
 _SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
-@register(
-    "quality_filter_chain",
-    oracle=f"""
+_SQL_QUALITY_CHAIN = f"""
     WITH m AS (
       SELECT len(w) AS n_words,
              len(list_filter(w, x -> x IN {_SQL_STOPLIST})) * 1.0
@@ -189,14 +189,14 @@ _SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
     SELECT reason, COUNT(*) AS n_docs,
            CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_words
     FROM verdicts GROUP BY reason
-    """,
-    tags=("training-data", "llm-data", "quality"),
-    doc="Composable quality-filter chain with first-failing-reason "
-        "accounting: length bounds -> stopword-ratio floor -> "
-        "unique-word-ratio floor. Narrow per-row CASE ladder (one pass, "
-        "no UDF); the per-reason rollup is the only shuffle.",
-)
+"""
+
+
 def quality_filter_chain(spark, sf_dir: str) -> DataFrame:
+    """Composable quality-filter chain with first-failing-reason
+    accounting: length bounds -> stopword-ratio floor -> unique-word-
+    ratio floor. Narrow per-row CASE ladder (one pass, no UDF); the
+    per-reason rollup is the only shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     w = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -216,6 +216,35 @@ def quality_filter_chain(spark, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  (F.sum("n_words").cast("double") / F.count(F.lit(1)))
                  .alias("avg_words")))
+
+
+@register(
+    "training_sample_filter",
+    oracle=f"""
+    SELECT 'sample' AS part, lang AS k1, n_total AS n1, n_kept AS n2,
+           realized_rate AS v
+    FROM ({_SQL_SAMPLE_STRATIFIED}) s
+    UNION ALL
+    SELECT 'filter' AS part, reason AS k1, n_docs AS n1,
+           CAST(NULL AS BIGINT) AS n2, avg_words AS v
+    FROM ({_SQL_QUALITY_CHAIN}) q
+    """,
+    tags=("training-data", "llm-data", "sampling", "quality"),
+    doc="Deterministic stratified sampling and the quality-filter chain "
+        "as one tagged union (driver 50-row-cap consolidation). Each "
+        "branch keeps its full narrow per-row plan; only the tiny "
+        "summary rollups shuffle.",
+)
+def training_sample_filter(spark, sf_dir: str) -> DataFrame:
+    samp = sample_stratified_hash(spark, sf_dir).select(
+        F.lit("sample").alias("part"), F.col("lang").alias("k1"),
+        F.col("n_total").alias("n1"), F.col("n_kept").alias("n2"),
+        F.col("realized_rate").alias("v"))
+    filt = quality_filter_chain(spark, sf_dir).select(
+        F.lit("filter").alias("part"), F.col("reason").alias("k1"),
+        F.col("n_docs").alias("n1"), F.lit(None).cast("long").alias("n2"),
+        F.col("avg_words").alias("v"))
+    return samp.unionByName(filt)
 
 
 # ---------------------------------------------------------------------------

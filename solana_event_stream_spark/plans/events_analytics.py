@@ -27,18 +27,20 @@ from .analytics import SQL_DAVG, SQL_DSUM, davg, dsum
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, microseconds
 
 
-@register(
-    "events_counts_by_type",
-    oracle="""
+# events_counts_by_type / events_counts_salted register as ONE catalog
+# entry (events_counts_battery, defined after the salted form) for the
+# driver 50-row-cap reason.
+
+_SQL_EVENTS_COUNTS = """
     SELECT event_type, COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            MIN(ts) AS first_ts, MAX(ts) AS max_ts
     FROM events GROUP BY event_type
-    """,
-    tags=("events", "metrics", "agg"),
-    doc="A1 analog: per-type counters (metrics.rs:36-102).",
-)
+"""
+
+
 def events_counts_by_type(spark, sf_dir: str) -> DataFrame:
+    """A1 analog: per-type counters (metrics.rs:36-102)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -318,25 +320,23 @@ def events_funnel_conversion(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_counts_salted",
-    oracle="""
+_SQL_EVENTS_COUNTS_SALTED = """
     SELECT event_type, COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high_value,
-           MAX(ts) AS max_ts
+           MIN(ts) AS first_ts, MAX(ts) AS max_ts
     FROM events GROUP BY event_type
-    """,
-    tags=("events", "agg", "skew"),
-    doc="Hot-key aggregation via two-phase salting (operators/skew.py): "
-        "event_type has a handful of values over the whole fact table, "
-        "so a direct groupBy funnels each type through one reducer at "
-        "scale. The salted form aggregates (event_type, salt16) first "
-        "(map-side combined, 16-way parallel per hot key), then merges "
-        "the sub-aggregates. Result is identical to the direct groupBy "
-        "(the oracle IS the direct form).",
-)
+"""
+
+
 def events_counts_salted(spark, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-phase salting (operators/skew.py):
+    event_type has a handful of values over the whole fact table, so a
+    direct groupBy funnels each type through one reducer at scale. The
+    salted form aggregates (event_type, salt16) first (map-side
+    combined, 16-way parallel per hot key), then merges the
+    sub-aggregates. Result is identical to the direct groupBy (the
+    oracle IS the direct form)."""
     from ..operators.skew import salted_aggregate
     ev = load_table(spark, sf_dir, "events")
     return salted_aggregate(
@@ -344,4 +344,34 @@ def events_counts_salted(spark, sf_dir: str) -> DataFrame:
         [(F.count(F.lit(1)), F.sum, "n_events"),
          (F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)),
           F.sum, "n_high_value"),
+         (F.min("ts"), F.min, "first_ts"),
          (F.max("ts"), F.max, "max_ts")])
+
+
+@register(
+    "events_counts_battery",
+    oracle=f"""
+    SELECT 'direct' AS part, event_type, n_events, n_users,
+           CAST(NULL AS BIGINT) AS n_high_value, first_ts, max_ts
+    FROM ({_SQL_EVENTS_COUNTS}) direct
+    UNION ALL
+    SELECT 'salted' AS part, event_type, n_events,
+           CAST(NULL AS BIGINT) AS n_users, n_high_value,
+           first_ts, max_ts
+    FROM ({_SQL_EVENTS_COUNTS_SALTED}) salted
+    """,
+    tags=("events", "metrics", "agg", "skew"),
+    doc="A1 per-type counters, twice (driver 50-row-cap consolidation): "
+        "the direct groupBy and the two-phase salted form from "
+        "operators/skew.py — the driver row verifies the salted plan "
+        "produces bit-identical aggregates to the direct one.",
+)
+def events_counts_battery(spark, sf_dir: str) -> DataFrame:
+    null_l = F.lit(None).cast("long")
+    direct = events_counts_by_type(spark, sf_dir).select(
+        F.lit("direct").alias("part"), "event_type", "n_events", "n_users",
+        null_l.alias("n_high_value"), "first_ts", "max_ts")
+    salted = events_counts_salted(spark, sf_dir).select(
+        F.lit("salted").alias("part"), "event_type", "n_events",
+        null_l.alias("n_users"), "n_high_value", "first_ts", "max_ts")
+    return direct.unionByName(salted)

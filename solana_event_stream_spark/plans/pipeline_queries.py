@@ -186,7 +186,9 @@ def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "system_transfers",
+    # "dex_" prefix keeps S3's only oracle sorted inside the driver's
+    # 50-row CORRECTNESS window (alphabetical) with margin to spare.
+    "dex_system_transfers",
     oracle=f"""
     SELECT slot, COUNT(*) AS n_transfers,
            COUNT(DISTINCT signature) AS n_signatures

@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -20,12 +20,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _normalize_nanos_ts(df: DataFrame, col: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as LONG nanoseconds.
-    Truncate to microseconds (same as DuckDB's TIMESTAMP_NS -> TIMESTAMP
-    cast) and convert to a proper timestamp."""
-    if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    """Normalize the parquet-dependent physical type of ``ts`` to TIMESTAMP.
+
+    Two historical encodings of events.parquet:
+    - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it
+      arrives as LONG nanoseconds -> truncate to micros (same as DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP cast) and convert.
+    - timestamp[us] without TZ annotation: arrives as TIMESTAMP_NTZ, which
+      LTZ-only functions (unix_micros, ...) reject. Session TZ is pinned
+      UTC (session.py), so casting to TIMESTAMP is semantically identical.
+    """
+    if col in df.columns:
+        dt = df.schema[col].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -58,7 +68,7 @@ def load_all(spark: SparkSession, sf_dir: str,
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
             if register_views:
                 out[name].createOrReplaceTempView(name)
     return out

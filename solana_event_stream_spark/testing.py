@@ -14,6 +14,12 @@ from decimal import Decimal
 
 from .tables import TABLE_NAMES
 
+try:
+    import pandas as _pd
+    _NAT = _pd.NaT
+except ImportError:  # pragma: no cover
+    _NAT = object()
+
 
 def run_oracle(sql: str, sf_dir: str):
     """Run oracle SQL in DuckDB with the standard views registered."""
@@ -40,6 +46,10 @@ def _norm_cell(v):
     """
     if v is None:
         return None
+    if v is _NAT:
+        # NaT == NaT is False (NaN semantics) but both engines yield the
+        # same pd.NaT singleton for NULL timestamps — fold to a sentinel.
+        return ("nat",)
     if isinstance(v, Decimal):
         return ("decimal", str(v))
     if isinstance(v, float):

@@ -29,9 +29,10 @@ def plan_of(df) -> str:
 
 
 def test_q6_pushdown_and_pruning(spark):
-    from solana_event_stream_spark.catalog import load_catalog
-    cat = load_catalog()
-    plan = plan_of(cat["q6_revenue_delta"].spark_fn(spark, SF))
+    # q6 now ships inside the q4614 tagged union; its standalone plan
+    # must still push every predicate to the scan.
+    from solana_event_stream_spark.plans.analytics import q6_revenue_delta
+    plan = plan_of(q6_revenue_delta(spark, SF))
     assert "PushedFilters" in plan
     # shipdate/discount/quantity predicates pushed to the scan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
@@ -43,11 +44,13 @@ def test_q6_pushdown_and_pruning(spark):
 
 
 def test_q5_broadcasts_dimensions(spark):
+    # q5 now ships inside the q578 tagged union; its 6-way join tree is
+    # the first branch and must still broadcast every dimension.
     from solana_event_stream_spark.catalog import load_catalog
     cat = load_catalog()
-    plan = plan_of(cat["q5_local_supplier_volume"].spark_fn(spark, SF))
+    plan = plan_of(cat["q578_nation_trade_flows"].spark_fn(spark, SF))
     assert "BroadcastHashJoin" in plan
-    # the 6-way join must not sort-merge any dimension
+    # none of the three branches may sort-merge a dimension
     assert "SortMergeJoin" not in plan
 
 

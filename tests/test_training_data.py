@@ -46,7 +46,9 @@ def test_dedup_clusters_keeper_per_cluster(spark, sf_dir):
 
 
 def test_stratified_sample_rates_and_determinism(spark, sf_dir):
-    fn = CATALOG["sample_stratified_hash"].spark_fn
+    from solana_event_stream_spark.operators.training_data import (
+        sample_stratified_hash)
+    fn = sample_stratified_hash
     a = {r.lang: r for r in fn(spark, sf_dir).collect()}
     b = {r.lang: r for r in fn(spark, sf_dir).collect()}
     assert a.keys() == b.keys()
@@ -77,8 +79,10 @@ def test_pack_sequences_budget_and_coverage(spark, sf_dir):
 
 
 def test_quality_filter_chain_partitions_corpus(spark, sf_dir):
+    from solana_event_stream_spark.operators.training_data import (
+        quality_filter_chain)
     from solana_event_stream_spark.tables import load_table
-    rows = CATALOG["quality_filter_chain"].spark_fn(spark, sf_dir).collect()
+    rows = quality_filter_chain(spark, sf_dir).collect()
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs  # exactly one reason each
     assert all(r.reason in {"too_short", "too_long", "low_stopword",
