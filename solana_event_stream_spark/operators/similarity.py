@@ -25,6 +25,32 @@ N_QUERIES = 10
 TOP_K = 5
 IVF_K = 8           # coarse-quantizer cells
 IVF_CENTROID_BASE = 100  # vec_ids used as deterministic centroids
+TOPK_SALTS = 32     # phase-1 reduce fan-out of the two-phase top-k
+
+
+def _topk_per_query(scored: DataFrame) -> DataFrame:
+    """Bounded two-phase per-query top-k.
+
+    A single ``Window.partitionBy("query_id")`` funnels every scored
+    candidate into one reducer partition per query — with a small query
+    batch that is a handful of reducers swallowing the whole candidate
+    set. Phase 1 ranks within (query_id, salt) — ``n_queries x
+    TOPK_SALTS`` bounded reduce keys — and keeps only each salt group's
+    top-k (a deterministic neighbor-id hash salt, stable under retries).
+    Phase 2 re-ranks the surviving ``<= n_queries x TOPK_SALTS x k``
+    rows, a trivially small exchange. The global top-k is invariant:
+    every global winner is also a winner inside its salt group.
+    """
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(TOPK_SALTS))
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    partial = (scored.withColumn("_salt", salt)
+               .withColumn("_prk", F.row_number().over(w1))
+               .filter(F.col("_prk") <= TOP_K)
+               .drop("_salt", "_prk"))
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (partial.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= TOP_K))
 
 
 @register(
@@ -65,10 +91,7 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K))
+    return _topk_per_query(scored)
 
 
 # Deterministic hyperplanes shared with operators/dedup.py
@@ -119,10 +142,49 @@ def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K))
+    return _topk_per_query(scored)
+
+
+def _ivf_cells(spark, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid — zero-exchange.
+
+    The 8 centroids are collected to the driver (8 rows — the standard
+    k-means-style pattern; at 100 TB the coarse quantizer is still tiny)
+    and folded into literal arrays, so the assignment is a NARROW
+    projection: per centroid an ordered-fold dot product (bitwise
+    identical to the oracle's list_reduce), then an argmax fold over the
+    8 (cosine, cent_id) structs with strict-> so exact ties keep the
+    smallest cent_id — the same total order as the previous
+    ROW_NUMBER(ORDER BY cosine DESC, cent_id) form, without its full
+    corpus hash exchange.
+    """
+    emb = load_spread(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"))
+    cent_rows = sorted(
+        norms.filter(
+            (F.col("vec_id") >= IVF_CENTROID_BASE)
+            & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K)).collect(),
+        key=lambda r: r.vec_id)
+    choices = []
+    for r in cent_rows:
+        cent_id = int(r.vec_id) - IVF_CENTROID_BASE
+        c_emb = F.array(*[F.lit(float(x)) for x in r.embedding])
+        cdot = F.aggregate(
+            F.zip_with(F.col("embedding"), c_emb,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        cos = cdot / (F.col("nrm") * F.lit(float(r.nrm)))
+        choices.append(F.struct(cos.alias("cos"),
+                                F.lit(cent_id).alias("cid")))
+    best = F.aggregate(
+        F.slice(F.array(*choices), 2, IVF_K - 1),
+        choices[0],
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
+    return norms.select("vec_id", "embedding", "nrm",
+                        best["cid"].alias("cell"))
 
 
 @register(
@@ -161,32 +223,13 @@ def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "llm-data", "ann", "ivf"),
     doc="IVF-bucketed ANN (the other scale path): assign every vector to "
-        "its nearest of 8 deterministic coarse centroids (a cross join "
-        "against a BROADCAST 8-row centroid table — the one sanctioned "
-        "small cross join), then search only the query's cell (nprobe=1). "
-        "At 100 TB the assignment is a narrow broadcast pass and the "
-        "search an equi-join on cell id.",
+        "its nearest of 8 deterministic coarse centroids via a NARROW "
+        "literal-centroid argmax fold (the 8 centroids are collected "
+        "driver-side, k-means style — zero exchanges before the cell "
+        "equi-join), then search only the query's cell (nprobe=1).",
 )
 def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    emb = load_spread(spark, sf_dir, "embeddings")
-    norms = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-        .alias("nrm"))
-    cents = (norms.filter(
-        (F.col("vec_id") >= IVF_CENTROID_BASE)
-        & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K))
-        .select((F.col("vec_id") - IVF_CENTROID_BASE).alias("cent_id"),
-                F.col("embedding").alias("c_emb"),
-                F.col("nrm").alias("c_nrm")))
-    cdot = F.expr(_SPARK_DOT.format(a="embedding", b="c_emb"))
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.desc(cdot / (F.col("nrm") * F.col("c_nrm"))), F.asc("cent_id"))
-    cells = (norms.crossJoin(F.broadcast(cents))
-             .withColumn("crk", F.row_number().over(wc))
-             .filter(F.col("crk") == 1)
-             .select("vec_id", "embedding", "nrm",
-                     F.col("cent_id").alias("cell")))
+    cells = _ivf_cells(spark, sf_dir)
     queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
@@ -198,7 +241,4 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K))
+    return _topk_per_query(scored)

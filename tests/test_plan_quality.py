@@ -125,3 +125,31 @@ def test_ann_broadcasts_queries(spark):
     cat = load_catalog()
     plan = plan_of(cat["ann_lsh_topk"].spark_fn(spark, SF))
     assert "BroadcastHashJoin" in plan  # bucket equi-join, query side small
+
+
+def test_ivf_assignment_is_narrow(spark):
+    # The centroid argmax must be a pure projection: no hash exchange
+    # (the old crossJoin + Window.partitionBy(vec_id) form shuffled the
+    # whole corpus to compute a per-row argmax). The only Exchange
+    # allowed is load_spread's round-robin fan-out.
+    from solana_event_stream_spark.operators.similarity import _ivf_cells
+    plan = plan_of(_ivf_cells(spark, SF))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "Cross" not in plan
+
+
+def test_ann_topk_reduce_is_two_phase(spark):
+    # Phase 1 must rank within (query_id, salt) so the reduce fan-out is
+    # n_queries x TOPK_SALTS, not n_queries; phase 2 ranks the tiny
+    # survivor set on query_id alone.
+    import re
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    for name in ("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"):
+        plan = plan_of(cat[name].spark_fn(spark, SF))
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        salted = [p for p in parts if "query_id" in p and "_salt" in p]
+        plain = [p for p in parts if "query_id" in p and "_salt" not in p]
+        assert salted, (name, parts)
+        assert plain, (name, parts)
