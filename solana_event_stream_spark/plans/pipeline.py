@@ -11,7 +11,7 @@ Stage layout (no shuffle until user-level aggregation):
     P3 index->pubkey resolution (transform/element_at) -> F1+D1 dispatch
     (literal map lookup on (program, discriminator)) -> filter to matched
     rows only.
-  Python (one Arrow-batched mapInPandas over MATCHED rows only — the
+  Python (one Arrow-batched mapInArrow over MATCHED rows only — the
   minimal surface builtins cannot express: Borsh decode with
   length-prefixed strings / option tags):
     P5/P6 decode, J1 CPI-scan+merge (intra-row: both sides come from the
@@ -44,59 +44,79 @@ from ..registry import (ALL_PROTOCOLS, COMPUTE_BUDGET_PROGRAM_ID,
 from ..schemas import EVENT_SCHEMA
 
 
+# Base columns every output row copies verbatim from its source row —
+# carried across the Arrow boundary columnar (take by index), never
+# through per-row Python dicts.
+_PASSTHROUGH = ("signature", "slot", "transaction_index", "block_time",
+                "block_time_ms", "recv_us", "program_id", "protocol",
+                "outer_index", "inner_index")
+
+
 def _decode_batches(iterator: Iterator, bot_wallet: str | None):
-    """mapInPandas body: decode matched instruction rows into event rows.
+    """mapInArrow body: decode matched instruction rows into event rows.
 
     The inner-group scans (J1 CPI match, J2 positional pruning) already
     ran JVM-side — each row arrives with only its few pre-matched
     candidates, so the Python work per row is the Borsh field extraction
     plus the payload-dependent merge/match, nothing positional.
+
+    Arrow in, Arrow out: with the ~375-wide union EVENT_SCHEMA, building
+    pandas DataFrames (one Series per column per batch) costs several
+    times the decode itself, so the stage works on RecordBatches
+    directly — pass-through base columns are `take`n columnar from the
+    input batch, untouched payload columns are constant `pa.nulls`, and
+    only the ~30-60 columns some event actually set are materialized
+    from Python lists (raw ints: Arrow converts int -> decimal128
+    exactly, full u64 range, no per-cell Decimal objects).
     """
-    import pandas as pd
+    import pyarrow as pa
 
     from ..operators.decode import (INSTRUCTION_DECODERS,
                                     decode_compute_budget,
                                     decode_cpi_with_f8)
     from ..operators.swap import scan_swap_data
 
-    out_cols = [f.name for f in EVENT_SCHEMA.fields]
+    out_schema = _arrow_event_schema()
+    pass_set = set(_PASSTHROUGH)
 
-    def _nn(v):  # nullable numeric: pandas NaN/NaT -> None
-        return None if v is None or (not isinstance(v, (list, tuple))
-                                     and pd.isna(v)) else v
+    for batch in iterator:
+        names = batch.schema.names
+        cols = {name: batch.column(i).to_pylist()
+                for i, name in enumerate(names)}
+        protocol_l = cols["protocol"]
+        event_type_l = cols["event_type"]
+        program_id_l = cols["program_id"]
+        data_l = cols["data"]
+        resolved_l = cols["resolved_accounts"]
+        has_ig_l = cols["has_inner_group"]
+        cpi_l = cols["cpi_candidates"]
+        transfer_l = cols["transfer_candidates"]
 
-    for pdf in iterator:
-        rows_out = []
-        for row in pdf.itertuples(index=False):
-            inner_index = _nn(row.inner_index)
-            base = {
-                "signature": row.signature, "slot": row.slot,
-                "transaction_index": row.transaction_index,
-                "block_time": _nn(row.block_time),
-                "block_time_ms": row.block_time_ms,
-                "recv_us": row.recv_us, "program_id": row.program_id,
-                "protocol": row.protocol, "event_type": row.event_type,
-                "outer_index": row.outer_index,
-                "inner_index": inner_index,
-            }
-            data = bytes(row.data) if row.data is not None else b""
+        src_idx: list[int] = []          # input row index per output row
+        event_type_out: list[str] = []   # rewritten for ComputeBudget
+        payloads: list[dict] = []        # decoded payload per output row
+
+        for i in range(batch.num_rows):
+            data = data_l[i] or b""
 
             # ComputeBudget bypasses the protocol registry (D4,
             # core/event_parser.rs:352-360)
-            if row.protocol == "Common":
+            if protocol_l[i] == "Common":
                 cu = decode_compute_budget(data)
                 if cu is None:
                     continue
-                base["event_type"], payload = cu
-                rows_out.append({**base, **payload})
+                src_idx.append(i)
+                event_type_out.append(cu[0])
+                payloads.append(cu[1])
                 continue
 
-            decoder = INSTRUCTION_DECODERS.get(row.event_type)
+            event_type = event_type_l[i]
+            decoder = INSTRUCTION_DECODERS.get(event_type)
             if decoder is None:
                 continue
-            disc_len = 1 if row.program_id == RAYDIUM_AMM_V4_PROGRAM_ID else 8
-            accounts = ([] if row.resolved_accounts is None
-                        else list(row.resolved_accounts))
+            disc_len = (1 if program_id_l[i] == RAYDIUM_AMM_V4_PROGRAM_ID
+                        else 8)
+            accounts = resolved_l[i] or []
             payload = decoder(data[disc_len:], accounts)
             if payload is None:
                 continue
@@ -105,64 +125,74 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None):
             # merge source (event_parser.rs:392-439 — scan order is group
             # order, preserved by the JVM filter)
             cpi_kind, cpi_payload = None, None
-            for cand in ([] if row.cpi_candidates is None
-                         else row.cpi_candidates):
+            for cand in (cpi_l[i] or ()):
                 decoded = decode_cpi_with_f8(
-                    cand["kind"],
-                    bytes(cand["body"]) if cand["body"] is not None else b"",
-                    row.event_type)
+                    cand["kind"], cand["body"] or b"", event_type)
                 if decoded is not None:
                     cpi_kind, cpi_payload = cand["kind"], decoded
                     break
 
             # F9 (event_parser.rs:441-448)
-            if row.event_type in REQUIRES_CPI and cpi_payload is None:
+            if event_type in REQUIRES_CPI and cpi_payload is None:
                 continue
 
             # J2 swap-data match on the PRE-merge event (the reference
             # runs both scans concurrently, event_parser.rs:395-433)
             swap = None
-            if row.has_inner_group:
-                cands = ([] if row.transfer_candidates is None else [
-                    (c["source"], c["dest"], int(c["amount"]))
-                    for c in row.transfer_candidates])
-                swap = scan_swap_data(row.event_type, payload, cands)
+            if has_ig_l[i]:
+                cands = [(c["source"], c["dest"], int(c["amount"]))
+                         for c in (transfer_l[i] or ())]
+                swap = scan_swap_data(event_type, payload, cands)
 
             # J1 merge: overwrite listed fields (merger_event.rs)
-            spec = MERGE_SPECS.get(row.event_type)
+            spec = MERGE_SPECS.get(event_type)
             if cpi_payload is not None and spec and spec[0] == cpi_kind:
                 for fld in spec[1]:
                     if fld in cpi_payload:
                         payload[fld] = cpi_payload[fld]
 
             if swap is not None:
-                base["swap_from_mint"] = swap["from_mint"]
-                base["swap_to_mint"] = swap["to_mint"]
-                base["swap_from_amount"] = swap["from_amount"]
-                base["swap_to_amount"] = swap["to_amount"]
-                base["swap_description"] = swap["description"]
-            rows_out.append({**base, **payload})
+                payload["swap_from_mint"] = swap["from_mint"]
+                payload["swap_to_mint"] = swap["to_mint"]
+                payload["swap_from_amount"] = swap["from_amount"]
+                payload["swap_to_amount"] = swap["to_amount"]
+                payload["swap_description"] = swap["description"]
+            src_idx.append(i)
+            event_type_out.append(event_type)
+            payloads.append(payload)
 
-        # Column-wise assembly: allocate a fill list only for columns some
-        # row actually set (~30-60 of the ~375-wide union schema); every
-        # untouched column shares one all-None Series. Values stay raw
-        # Python ints — Arrow converts int -> decimal128 exactly, full u64
-        # range, no per-cell Decimal objects.
-        n = len(rows_out)
-        none_col = [None] * n
-        cols: dict[str, list] = {}
-        for i, rowdict in enumerate(rows_out):
-            for k, v in rowdict.items():
+        # Columnar assembly: fill lists only for columns some row set.
+        n = len(payloads)
+        touched: dict[str, list] = {}
+        for j, payload in enumerate(payloads):
+            for k, v in payload.items():
                 if v is not None:
-                    col = cols.get(k)
+                    col = touched.get(k)
                     if col is None:
-                        col = cols[k] = none_col.copy()
-                    col[i] = list(v) if isinstance(v, tuple) else v
-        empty = pd.Series(none_col, dtype=object)
-        yield pd.DataFrame(
-            {c: (pd.Series(cols[c], dtype=object) if c in cols else empty)
-             for c in out_cols},
-            columns=out_cols)
+                        col = touched[k] = [None] * n
+                    col[j] = list(v) if isinstance(v, tuple) else v
+
+        take = pa.array(src_idx, type=pa.int32())
+        arrays = []
+        for field in out_schema:
+            name = field.name
+            if name in pass_set:
+                arr = batch.column(names.index(name)).take(take)
+                if arr.type != field.type:
+                    arr = arr.cast(field.type)
+            elif name == "event_type":
+                arr = pa.array(event_type_out, type=field.type)
+            elif name in touched:
+                arr = pa.array(touched[name], type=field.type)
+            else:
+                arr = pa.nulls(n, field.type)
+            arrays.append(arr)
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _arrow_event_schema():
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(EVENT_SCHEMA)
 
 
 def build_events(raw_tx: DataFrame, protocols: tuple[str, ...] = ALL_PROTOCOLS,
@@ -425,7 +455,7 @@ def build_events_core(raw_tx: DataFrame,
         "has_inner_group", "cpi_candidates", "transfer_candidates")
 
     # --- P5/P6 + J1-merge + J2-match decode stage (Arrow-batched Python) -
-    return decode_input.mapInPandas(
+    return decode_input.mapInArrow(
         lambda it: _decode_batches(it, None), schema=EVENT_SCHEMA)
 
 
