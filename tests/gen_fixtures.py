@@ -7,7 +7,8 @@ round-trip them back), and writes:
   /root/repo/fixtures/raw_transactions.parquet  (FIXTURES.md §1 schema)
   /root/repo/fixtures/events_golden.parquet     (FIXTURES.md §4, flattened)
 
-Deterministic: seed 42. Run: python tests/gen_fixtures.py
+Deterministic: per-scenario name-derived seeds (see main()). Run:
+python tests/gen_fixtures.py
 
 Goldens reuse registry metadata (MERGE_SPECS field lists) for assembly but
 never the decode/scan code, so pipeline bugs cannot leak into goldens.
@@ -2023,30 +2024,40 @@ def write_parquet():
         os.path.join(FIXTURES_DIR, "events_golden.parquet"))
     import json
     with open(os.path.join(FIXTURES_DIR, "meta.json"), "w") as f:
-        json.dump({"bot_wallet": BOT_WALLET, "seed": 42,
+        json.dump({"bot_wallet": BOT_WALLET,
+                   "seed": "per-scenario:fixture:<name>",
                    "n_transactions": len(TXS), "n_events": len(GOLDEN)}, f)
     print(f"wrote {len(TXS)} transactions, {len(GOLDEN)} golden events"
           f" -> {FIXTURES_DIR}")
 
 
 def main():
-    scenario_pumpfun_trades()
-    scenario_pumpfun_create_and_dev_trade()
-    scenario_pumpfun_migrate()
-    scenario_bonk_trades()
-    scenario_bonk_initialize_and_dev()
-    scenario_bonk_migrations()
-    scenario_pumpswap_trades()
-    scenario_pumpswap_pool_ops()
-    scenario_cpmm()
-    scenario_clmm()
-    scenario_ammv4()
-    scenario_meteora_swaps()
-    scenario_meteora_init_pools()
-    scenario_inner_instruction_event()
-    scenario_inner_swap_trailing_transfers()
-    scenario_negatives()
-    scenario_accounts()
+    scenarios = [
+        scenario_pumpfun_trades,
+        scenario_pumpfun_create_and_dev_trade,
+        scenario_pumpfun_migrate,
+        scenario_bonk_trades,
+        scenario_bonk_initialize_and_dev,
+        scenario_bonk_migrations,
+        scenario_pumpswap_trades,
+        scenario_pumpswap_pool_ops,
+        scenario_cpmm,
+        scenario_clmm,
+        scenario_ammv4,
+        scenario_meteora_swaps,
+        scenario_meteora_init_pools,
+        scenario_inner_instruction_event,
+        scenario_inner_swap_trailing_transfers,
+        scenario_negatives,
+        scenario_accounts,
+    ]
+    for fn in scenarios:
+        # Independent per-scenario seed (name-derived, so insertion order
+        # is irrelevant): adding/removing/reordering one scenario no
+        # longer shifts the shared RNG stream and churns every other
+        # scenario's golden rows.
+        rng.seed(f"fixture:{fn.__name__}")
+        fn()
     write_parquet()
     write_account_parquet()
 
