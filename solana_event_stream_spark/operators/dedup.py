@@ -599,19 +599,20 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     for _ in range(_CC_MAX_ITERS):
         nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
                .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        # Change detection rides the update row itself (old label and
+        # nbr_min are both present), so no extra join per iteration.
         new_labels = (labels.join(nbr, labels["doc_id"] == nbr["src"],
                                   "left")
                       .select(labels["doc_id"],
                               F.least(labels["label"],
                                       F.coalesce(nbr["nbr_min"],
                                                  labels["label"]))
-                              .alias("label"))
+                              .alias("label"),
+                              (nbr["nbr_min"] < labels["label"])
+                              .alias("chg"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
