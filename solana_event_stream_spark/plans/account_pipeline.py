@@ -221,70 +221,108 @@ ACCOUNT_EVENT_SCHEMA = StructType([
 ])
 
 
-def _decode_account_batches(iterator: Iterator):
-    from decimal import Decimal
+# Output columns copied verbatim from an input column (every input row
+# produces exactly one output row, so the input arrays pass through the
+# Arrow boundary unchanged — zero per-row Python for these).
+_ACCT_PASSTHROUGH = {
+    "slot": "slot", "signature": "signature", "program_id": "owner",
+    "recv_us": "recv_us", "pubkey": "pubkey", "executable": "executable",
+    "lamports": "lamports", "owner": "owner", "rent_epoch": "rent_epoch",
+}
 
-    import pandas as pd
+
+def _decode_account_batches(iterator: Iterator):
+    """mapInArrow body (same columnar-boundary design as
+    plans/pipeline.py:_decode_batches): base columns ride through as the
+    original Arrow arrays, untouched payload columns are constant
+    pa.nulls, and only the columns some account actually set materialize
+    from Python lists (ints/Decimals — Arrow converts both to decimal128
+    exactly, full u64/u128-within-38-digits range)."""
+    import pyarrow as pa
 
     from ..operators.account_decode import (PROTOCOL_ACCOUNT_DECODERS,
                                             decode_nonce, decode_spl_mint,
                                             decode_token2022_mint,
                                             decode_token_amount)
 
-    out_cols = [f.name for f in ACCOUNT_EVENT_SCHEMA.fields]
-    dec_cols = {f.name for f in ACCOUNT_EVENT_SCHEMA.fields
-                if isinstance(f.dataType, DecimalType)}
+    out_schema = _arrow_account_schema()
 
-    for pdf in iterator:
-        rows_out = []
-        for row in pdf.itertuples(index=False):
-            data = bytes(row.data) if row.data is not None else b""
-            base = {
-                "slot": row.slot, "signature": row.signature,
-                "program_id": row.owner, "recv_us": row.recv_us,
-                "pubkey": row.pubkey, "executable": row.executable,
-                "lamports": row.lamports, "owner": row.owner,
-                "rent_epoch": row.rent_epoch,
-            }
+    for batch in iterator:
+        names = batch.schema.names
+        col = {nm: batch.column(i) for i, nm in enumerate(names)}
+        data_l = col["data"].to_pylist()
+        owner_l = col["owner"].to_pylist()
+        aet_l = col["acct_event_type"].to_pylist()
+        ap_l = col["acct_protocol"].to_pylist()
+
+        n = batch.num_rows
+        protocol_out: list = [None] * n
+        event_type_out: list = [None] * n
+        payloads: list = [None] * n
+        for i in range(n):
+            data = data_l[i] or b""
             # 1) protocol account (pre-routed JVM-side)
-            if row.acct_event_type is not None:
-                decoder = PROTOCOL_ACCOUNT_DECODERS.get(row.acct_event_type)
+            aet = aet_l[i]
+            if aet is not None:
+                decoder = PROTOCOL_ACCOUNT_DECODERS.get(aet)
                 if decoder is not None:
                     payload = decoder(data)
                     if payload is not None:
-                        rows_out.append({
-                            **base, "protocol": row.acct_protocol,
-                            "event_type": row.acct_event_type, **payload})
+                        protocol_out[i] = ap_l[i]
+                        event_type_out[i] = aet
+                        payloads[i] = payload
                         continue
             # 2) nonce
             nonce = decode_nonce(data)
             if nonce is not None:
-                rows_out.append({
-                    **base, "protocol": "Common",
-                    "event_type": "NonceAccount", "nonce": nonce["nonce"],
-                    "nonce_authority": nonce["authority"]})
+                protocol_out[i] = "Common"
+                event_type_out[i] = "NonceAccount"
+                payloads[i] = {"nonce": nonce["nonce"],
+                               "nonce_authority": nonce["authority"]}
                 continue
             # 3) token path
             mint = decode_spl_mint(data) or decode_token2022_mint(data)
             if mint is not None:
-                rows_out.append({
-                    **base, "protocol": "Common",
-                    "event_type": "TokenAccount", **mint})
+                protocol_out[i] = "Common"
+                event_type_out[i] = "TokenAccount"
+                payloads[i] = mint
                 continue
-            amount = decode_token_amount(data, row.owner)
-            rows_out.append({
-                **base, "protocol": "Common", "event_type": "TokenAccount",
-                "amount": amount, "token_owner": row.owner})
+            protocol_out[i] = "Common"
+            event_type_out[i] = "TokenAccount"
+            payloads[i] = {"amount": decode_token_amount(data, owner_l[i]),
+                           "token_owner": owner_l[i]}
 
-        n = len(rows_out)
-        cols: dict[str, list] = {c: [None] * n for c in out_cols}
-        for i, rowdict in enumerate(rows_out):
-            for k, v in rowdict.items():
+        touched: dict[str, list] = {}
+        for j, payload in enumerate(payloads):
+            for k, v in payload.items():
                 if v is not None:
-                    cols[k][i] = Decimal(v) if k in dec_cols else v
-        yield pd.DataFrame(
-            {c: pd.Series(cols[c], dtype=object) for c in out_cols},
-            columns=out_cols)
+                    c = touched.get(k)
+                    if c is None:
+                        c = touched[k] = [None] * n
+                    c[j] = v
+
+        arrays = []
+        for field in out_schema:
+            nm = field.name
+            if nm in _ACCT_PASSTHROUGH:
+                arr = col[_ACCT_PASSTHROUGH[nm]]
+                if arr.type != field.type:
+                    arr = arr.cast(field.type)
+            elif nm == "protocol":
+                arr = pa.array(protocol_out, type=field.type)
+            elif nm == "event_type":
+                arr = pa.array(event_type_out, type=field.type)
+            elif nm in touched:
+                arr = pa.array(touched[nm], type=field.type)
+            else:
+                arr = pa.nulls(n, field.type)
+            arrays.append(arr)
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _arrow_account_schema():
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(ACCOUNT_EVENT_SCHEMA)
 
 
 def build_account_events(raw_accounts: DataFrame,
@@ -318,8 +356,8 @@ def build_account_events(raw_accounts: DataFrame,
     decode_input = routed.select(
         "slot", "signature", "pubkey", "executable", "lamports", "owner",
         "rent_epoch", "data", "recv_us", "acct_protocol", "acct_event_type")
-    return decode_input.mapInPandas(_decode_account_batches,
-                                    schema=ACCOUNT_EVENT_SCHEMA)
+    return decode_input.mapInArrow(_decode_account_batches,
+                                   schema=ACCOUNT_EVENT_SCHEMA)
 
 
 def load_raw_accounts(spark, path: str) -> DataFrame:
