@@ -195,17 +195,53 @@ def _arrow_event_schema():
     return to_arrow_schema(EVENT_SCHEMA)
 
 
+# Event types whose decoded rows feed the J3 dev-address pools.
+_CREATE_EVENT_TYPES = ("PumpFunCreateToken", "PumpFunCreateV2Token",
+                       "BonkInitialize", "BonkInitializeV2",
+                       "BonkInitializeWithToken2022")
+
+
 def build_events(raw_tx: DataFrame, protocols: tuple[str, ...] = ALL_PROTOCOLS,
                  bot_wallet: str | None = None) -> DataFrame:
-    """Raw transactions (FIXTURES.md §1 schema) -> enriched event table."""
-    return enrich_events(build_events_core(raw_tx, protocols), bot_wallet)
+    """Raw transactions (FIXTURES.md §1 schema) -> enriched event table.
+
+    The J3 dev pools come from a SLIM second decode pass: the JVM
+    dispatch already knows event_type before Python, so the creates
+    branch filters to the five create/initialize types pre-decode and
+    Python decodes only those few rows. Recomputing the narrow JVM parse
+    for that branch costs one extra scan; it saves shuffling the full
+    ~375-wide event rows on signature (the enrichment join's build side
+    is a per-signature aggregate AQE broadcasts in the common case —
+    see enrich_events).
+    """
+    din = build_decode_input(raw_tx, protocols)
+    events = _apply_decode(din)
+    create_events = _apply_decode(
+        din.filter(F.col("event_type").isin(*_CREATE_EVENT_TYPES)))
+    return enrich_events(events, bot_wallet,
+                         creates=_create_pools(create_events))
 
 
 def build_events_core(raw_tx: DataFrame,
                       protocols: tuple[str, ...] = ALL_PROTOCOLS) -> DataFrame:
     """Pipeline through decode+merge, WITHOUT the J3/J4/P11 enrichment —
-    works on both batch and streaming DataFrames (the enrichment window
-    runs per micro-batch in streaming/sink.py)."""
+    works on both batch and streaming DataFrames (the enrichment runs
+    per micro-batch in streaming/sink.py)."""
+    return _apply_decode(build_decode_input(raw_tx, protocols))
+
+
+def _apply_decode(decode_input: DataFrame) -> DataFrame:
+    """P5/P6 + J1-merge + J2-match decode stage (Arrow-batched Python)."""
+    return decode_input.mapInArrow(
+        lambda it: _decode_batches(it, None), schema=EVENT_SCHEMA)
+
+
+def build_decode_input(raw_tx: DataFrame,
+                       protocols: tuple[str, ...] = ALL_PROTOCOLS
+                       ) -> DataFrame:
+    """The JVM half of the pipeline: filters, account assembly, explodes,
+    dispatch, and the J1/J2 pre-scans — everything up to (excluding) the
+    Python decode stage."""
     program_ids = [PROGRAM_ID_BY_PROTOCOL[p] for p in protocols]
     relevant = program_ids + [COMPUTE_BUDGET_PROGRAM_ID]
 
@@ -448,41 +484,43 @@ def build_events_core(raw_tx: DataFrame,
         "transfer_candidates",
         F.when(F.col("has_inner_group"), candidates))
 
-    decode_input = rows.select(
+    return rows.select(
         "signature", "slot", "transaction_index", "block_time",
         "block_time_ms", "recv_us", "program_id", "protocol", "event_type",
         "outer_index", "inner_index", "data", "resolved_accounts",
         "has_inner_group", "cpi_candidates", "transfer_candidates")
 
-    # --- P5/P6 + J1-merge + J2-match decode stage (Arrow-batched Python) -
-    return decode_input.mapInArrow(
-        lambda it: _decode_batches(it, None), schema=EVENT_SCHEMA)
 
-
-def enrich_events(events: DataFrame, bot_wallet: str | None) -> DataFrame:
-    """J3 dev-address flags (window over signature), J4 bot flag, P11 swap
-    amount fill (core/event_parser.rs:671-736).
+def enrich_events(events: DataFrame, bot_wallet: str | None,
+                  creates: DataFrame | None = None) -> DataFrame:
+    """J3 dev-address flags, J4 bot flag, P11 swap amount fill
+    (core/event_parser.rs:671-736).
 
     The reference's GlobalState map is keyed by signature and only ever
-    read by events of the same transaction — a window over `signature`
-    expresses it without keyed state (SURVEY §2.6 J3). Scale note: this is
-    the pipeline's only wide operation; it partitions by signature, which
-    is near-perfectly uniform (64-byte hashes), so no skew at any scale.
+    read by events of the same transaction (SURVEY §2.6 J3). Instead of
+    a window over `signature` — which would shuffle the FULL ~375-wide
+    event rows — the per-signature dev pools are aggregated from ONLY
+    the create/initialize events (a minuscule fraction of the stream;
+    the aggregate shuffle carries 4 narrow columns) and joined back.
+    AQE sizes the aggregate at runtime: when the create set fits the
+    broadcast threshold (the overwhelmingly common case, per micro-batch
+    or per partition range) the wide side is never exchanged at all;
+    with billions of creates it degrades to exactly the shuffle the
+    window form always paid. Signature is a 64-byte uniform hash, so
+    the fallback shuffle has no skew at any scale.
+
+    ``creates``: pre-aggregated dev pools (from :func:`_create_pools`
+    over a slim creates-only decode — see build_events). When None
+    (streaming micro-batches, standalone use) the pools derive from
+    ``events`` itself; re-evaluating the in-memory batch for the tiny
+    filtered aggregate is cheap there.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("signature")
-
-    pf_create = F.col("event_type").isin("PumpFunCreateToken",
-                                         "PumpFunCreateV2Token")
-    dev_users = F.collect_set(F.when(pf_create, F.col("user"))).over(w)
-    dev_creators = F.collect_set(
-        F.when(pf_create & (F.col("creator") != ZERO_PUBKEY)
-               & (F.col("creator") != F.col("user")), F.col("creator"))
-    ).over(w)
-    bonk_create = F.col("event_type").isin(
-        "BonkInitialize", "BonkInitializeV2", "BonkInitializeWithToken2022")
-    bonk_devs = F.collect_set(F.when(bonk_create, F.col("creator"))).over(w)
+    if creates is None:
+        creates = _create_pools(events)
+    events = events.join(creates, "signature", "left")
+    dev_users = F.col("_dev_users")
+    dev_creators = F.col("_dev_creators")
+    bonk_devs = F.col("_bonk_devs")
 
     is_pf_trade = F.col("event_type").isin("PumpFunBuy", "PumpFunSell")
     is_bonk_trade = F.col("event_type").isin(
@@ -537,7 +575,33 @@ def enrich_events(events: DataFrame, bot_wallet: str | None) -> DataFrame:
                   F.col("user_quote_amount_out").cast(dec))
             .otherwise(F.col("swap_to_amount")))
     )
-    return out
+    return out.drop("_dev_users", "_dev_creators", "_bonk_devs")
+
+
+def _create_pools(events: DataFrame) -> DataFrame:
+    """Per-signature J3 dev pools from decoded create/initialize events.
+
+    Accepts either the full event stream (filters to the five create
+    types itself) or an already-creates-only frame (the filter is then a
+    no-op). collect_set combines partially map-side, so the shuffle
+    carries only signatures that actually contain a create.
+    """
+    pf_create = F.col("event_type").isin("PumpFunCreateToken",
+                                         "PumpFunCreateV2Token")
+    bonk_create = F.col("event_type").isin(
+        "BonkInitialize", "BonkInitializeV2", "BonkInitializeWithToken2022")
+    return (
+        events.filter(pf_create | bonk_create)
+        .select("signature", "event_type", "user", "creator")
+        .groupBy("signature")
+        .agg(F.collect_set(F.when(pf_create, F.col("user")))
+             .alias("_dev_users"),
+             F.collect_set(
+                 F.when(pf_create & (F.col("creator") != ZERO_PUBKEY)
+                        & (F.col("creator") != F.col("user")),
+                        F.col("creator"))).alias("_dev_creators"),
+             F.collect_set(F.when(bonk_create, F.col("creator")))
+             .alias("_bonk_devs")))
 
 
 def load_raw_transactions(spark, path: str) -> DataFrame:

@@ -64,17 +64,33 @@ def test_event_pipeline_core_has_no_shuffle(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
-def test_enrichment_shuffles_only_on_signature(spark):
+def test_enrichment_keeps_wide_rows_unshuffled(spark):
+    """J3 enrichment must never shuffle the full ~375-wide event rows:
+    the dev-pool aggregate (narrow: signature + 3 sets) shuffles, then
+    AQE broadcasts it back onto the un-exchanged wide side. Verified on
+    the FINAL adaptive plan (the static plan conservatively shows a
+    sort-merge join; materializing the frame locks in the runtime
+    broadcast decision on the same QueryExecution)."""
+    import re
+
     from solana_event_stream_spark.plans.pipeline import (
         build_events, load_raw_transactions)
     raw = load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
-    plan = plan_of(build_events(raw))
-    # exactly one shuffle: hashpartitioning on signature for the J3 window
-    import re
-    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges == 1, f"{n_exchanges} exchanges: {plan[:2000]}"
-    assert "hashpartitioning(signature" in plan
+    ev = build_events(raw)
+    ev.collect()  # finalize AQE on this DataFrame's QueryExecution
+    plan = plan_of(ev)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan      # pool broadcast onto wide side
+    assert "SortMergeJoin" not in plan
+    # every surviving shuffle exchange is narrow (the dev-pool aggregate),
+    # never the wide event payload
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if b.startswith("Exchange") and "hashpartitioning" in b:
+            m = re.search(r"Input \[(\d+)\]", b)
+            assert m and int(m.group(1)) <= 8, b[:300]
+            assert "sol_amount" not in b and "swap_from_mint" not in b
 
 
 def test_dedup_joins_are_blocked_not_cross(spark):
