@@ -164,15 +164,16 @@ def account_events_by_type(spark, sf_dir: str) -> DataFrame:
     oracle=None,  # throughput surface; rows-only check
     tags=("pipeline", "dex", "bench"),
     doc="Parse throughput (BASELINE.md bench plan (a)): the fixture corpus "
-        "replicated SPARK_GRAFT_PIPE_SCALE (default 500) times with "
+        "replicated SPARK_GRAFT_PIPE_SCALE (default 2000) times with "
         "distinct signatures/slots -> full decode + merge + enrich DAG -> "
-        "per-type counts (500x = 23,000 transactions).",
+        "per-type counts (2000x = 94,000 transactions; large enough that "
+        "per-job fixed overhead stops dominating the tx/s figure).",
 )
 def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
     from .pipeline import build_events, load_raw_transactions
     raw = load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
-    n = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE", "500"))
+    n = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE", "2000"))
     scaled = (raw.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
               .withColumn("signature",
                           F.concat_ws("_", "signature", "rep"))
