@@ -168,6 +168,12 @@ def _ivf_cells(spark, sf_dir: str) -> DataFrame:
             (F.col("vec_id") >= IVF_CENTROID_BASE)
             & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K)).collect(),
         key=lambda r: r.vec_id)
+    if len(cent_rows) != IVF_K:
+        raise ValueError(
+            f"IVF coarse quantizer expects exactly {IVF_K} centroid "
+            f"vectors (vec_id {IVF_CENTROID_BASE}.."
+            f"{IVF_CENTROID_BASE + IVF_K - 1}) in the corpus; found "
+            f"{len(cent_rows)} — cell assignment would be wrong")
     choices = []
     for r in cent_rows:
         cent_id = int(r.vec_id) - IVF_CENTROID_BASE

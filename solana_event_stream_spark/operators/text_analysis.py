@@ -357,7 +357,10 @@ _BATTERY_SQL = {
 def text_battery(spark, sf_dir: str) -> DataFrame:
     branches = {
         "langid": text_language_id(spark, sf_dir).withColumn(
-            "k", F.concat_ws("->", "labeled_lang", "predicted_lang")),
+            # F.concat (not concat_ws) so a NULL lang propagates to a
+            # NULL key, matching the oracle's `||` semantics exactly.
+            "k", F.concat(F.col("labeled_lang"), F.lit("->"),
+                          F.col("predicted_lang"))),
         "quality": text_quality_score(spark, sf_dir).withColumn(
             "k", F.col("doc_id")),
         "tokens": text_token_stats(spark, sf_dir).withColumn(

@@ -81,16 +81,20 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None):
 
     for batch in iterator:
         names = batch.schema.names
-        cols = {name: batch.column(i).to_pylist()
-                for i, name in enumerate(names)}
-        protocol_l = cols["protocol"]
-        event_type_l = cols["event_type"]
-        program_id_l = cols["program_id"]
-        data_l = cols["data"]
-        resolved_l = cols["resolved_accounts"]
-        has_ig_l = cols["has_inner_group"]
-        cpi_l = cols["cpi_candidates"]
-        transfer_l = cols["transfer_candidates"]
+        # Only the 8 columns the row loop reads are materialized as
+        # Python lists; pass-through columns stay Arrow-columnar until
+        # the take() below.
+        def _pylist(name):
+            return batch.column(names.index(name)).to_pylist()
+
+        protocol_l = _pylist("protocol")
+        event_type_l = _pylist("event_type")
+        program_id_l = _pylist("program_id")
+        data_l = _pylist("data")
+        resolved_l = _pylist("resolved_accounts")
+        has_ig_l = _pylist("has_inner_group")
+        cpi_l = _pylist("cpi_candidates")
+        transfer_l = _pylist("transfer_candidates")
 
         src_idx: list[int] = []          # input row index per output row
         event_type_out: list[str] = []   # rewritten for ComputeBudget

@@ -18,7 +18,10 @@ def _input_batch(spark):
         build_decode_input, load_raw_transactions)
     din = build_decode_input(load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet")))
-    tbl = pa.Table.from_batches(din._collect_as_arrow()).combine_chunks()
+    # Public df.toArrow() (Spark 4.0+) — same Spark->Arrow schema
+    # conversion the mapInArrow input path uses, without depending on
+    # the private _collect_as_arrow API.
+    tbl = din.toArrow().combine_chunks()
     return tbl.to_batches()[0]
 
 
