@@ -1,0 +1,263 @@
+"""Pure-stdlib media codecs (PNG, BMP, WAV) for the multimodal operators.
+
+The container ships no media libraries (no PIL/libjpeg/soundfile), but
+PNG needs only zlib + numpy and BMP/WAV are plain struct layouts, so the
+multimodal pipeline decodes REAL formats end-to-end:
+
+- PNG: 8-bit greyscale (color type 0) and RGB (color type 2), no
+  interlace. The encoder emits filter 0 scanlines; the decoder
+  implements all five PNG filter types (None/Sub/Up/Average/Paeth,
+  PNG spec §9) and verifies chunk CRCs, so it also reads
+  foreign-encoded baseline PNGs, not just its own output.
+- BMP: uncompressed (BI_RGB) 24-bit, the classic bottom-up
+  BGR-with-4-byte-row-padding layout.
+- WAV: canonical 44-byte RIFF/WAVE header + PCM (8-bit unsigned or
+  16-bit signed little-endian).
+
+These are codecs, not a Spark surface: `operators/multimodal.py` calls
+them inside Arrow-batched `mapInPandas` stages. zlib does the heavy
+lifting in C; the per-scanline unfilter is numpy-vectorized for the two
+filters our encoder emits (None, Up) and byte-looped only for the
+left-referencing filters (Sub/Average/Paeth) that appear in foreign
+files.
+
+The reference engine has no media operators (this surface comes from
+the driver brief), so there are no reference citations here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return (struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, *, compress_level: int = 6) -> bytes:
+    """Encode a (H, W) grey or (H, W, 3) RGB uint8 array as a PNG.
+
+    Scanlines use filter type 0 (None) — valid output per the spec and
+    the cheapest to produce; zlib still removes the redundancy.
+    """
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type = 0
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type = 2
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    if h < 1 or w < 1:
+        raise ValueError(f"PNG dimensions must be >= 1, got {w}x{h}")
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a baseline (non-interlaced, 8-bit grey/RGB) PNG.
+
+    Returns (H, W) for greyscale, (H, W, 3) for RGB. Verifies the
+    signature and every chunk CRC; raises ValueError on anything
+    malformed or outside the supported baseline subset.
+    """
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped, as allowed
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2):
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color={color_type}); "
+            "only 8-bit grey/RGB baseline is implemented")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    channels = 1 if color_type == 0 else 3
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"IDAT size {len(raw)} != expected {h * (stride + 1)}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:                       # None
+            out[y] = line
+        elif ftype == 2:                     # Up — vectorized
+            out[y] = line + prev             # uint8 wraps mod 256
+        elif ftype == 1:                     # Sub — left-recurrence
+            rec = out[y]
+            rec[:channels] = line[:channels]
+            for i in range(channels, stride):
+                rec[i] = (int(line[i]) + int(rec[i - channels])) & 0xFF
+        elif ftype == 3:                     # Average
+            rec = out[y]
+            for i in range(stride):
+                left = int(rec[i - channels]) if i >= channels else 0
+                rec[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:                     # Paeth
+            rec = out[y]
+            for i in range(stride):
+                left = int(rec[i - channels]) if i >= channels else 0
+                ul = int(prev[i - channels]) if i >= channels else 0
+                rec[i] = (int(line[i])
+                          + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+    return out if channels == 1 else out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as a 24-bit BI_RGB BMP."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):           # bottom-up rows
+        body += arr[y, :, ::-1].tobytes()    # RGB -> BGR
+        body += b"\x00" * pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into an (H, W, 3) RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (_, _, _, _, data_offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, w, h, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression}); "
+            "only uncompressed 24-bit is implemented")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if data_offset + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        off = data_offset + i * stride
+        row = np.frombuffer(payload, np.uint8, row_bytes, off)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WAV (canonical RIFF/WAVE, PCM)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray | bytes, *, sample_rate: int = 8000,
+               bits: int = 8, channels: int = 1) -> bytes:
+    """Encode PCM samples as a canonical 44-byte-header WAV file.
+
+    8-bit WAV is unsigned (uint8); 16-bit is signed little-endian.
+    """
+    if bits == 8:
+        data = (samples if isinstance(samples, (bytes, bytearray))
+                else np.ascontiguousarray(samples, np.uint8).tobytes())
+    elif bits == 16:
+        data = np.ascontiguousarray(samples, np.dtype("<i2")).tobytes()
+    else:
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    block_align = channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM WAV file.
+
+    Returns (samples, sample_rate, channels, bits) — samples is uint8
+    for 8-bit files, int16 for 16-bit, flat (interleaved) layout.
+    Walks the chunk list (so files with LIST/fact chunks also parse).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE magic)")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}); "
+            "only 8/16-bit PCM is implemented")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    return samples, sample_rate, channels, bits

@@ -1,10 +1,28 @@
 """Multimodal columns: image/audio/video as opaque BINARY columns with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the actual codec work is
-STUBBED (clearly marked below): `decode_image` raises NotImplementedError
-unless PIL is importable, and the pipeline uses a deterministic
-header-parse fake instead. What IS real and tested end-to-end:
+The media payloads are REAL formats decoded end-to-end with the
+pure-stdlib codecs in `imagecodec.py` (the container has no PIL/libjpeg,
+but PNG needs only zlib + numpy and BMP/WAV are plain struct layouts):
+
+- **image** payloads are real PNGs (8-bit greyscale, encoded/decoded
+  through `imagecodec.encode_png`/`decode_png` — full 5-filter
+  unfiltering + CRC verification on the decode side),
+- **audio** payloads are real WAV files (canonical RIFF header + 8-bit
+  PCM, `imagecodec.encode_wav`/`decode_wav`),
+- **video** payloads keep the deterministic `MMB1` fake container (no
+  stdlib video format exists; the header-parse fallback below is the
+  documented stand-in, exactly as before).
+
+Oracle strategy: the synthetic corpus encodes each document's UTF-8
+bytes as the media content (PNG pixel strip / PCM samples), and both
+codecs are lossless, so statistics over *decoded* pixels/samples equal
+statistics over the text bytes — which DuckDB can recompute from the
+`documents` table without being able to parse PNG/WAV. The Spark side
+genuinely decodes; the oracle checks the decode round-trips.
+
+What the Spark plumbing guarantees (unchanged from the stub era, now
+exercised with real codec work inside the batch loop):
 
 - the BINARY payload column + typed metadata struct schema,
 - the Arrow batch path through mapInPandas (batch shape, binary
@@ -13,8 +31,8 @@ header-parse fake instead. What IS real and tested end-to-end:
   `spark.sql.execution.arrow.maxRecordsPerBatch` bounding batch memory —
   the setting that matters when a row carries megabytes of media.
 
-Payload format (deterministic fake "media"): 12-byte header
-``MMB1 | u32 width | u32 height`` followed by the UTF-8 "pixels".
+The reference engine has no media operators (driver-brief surface), so
+there are no reference citations in this module.
 """
 
 from __future__ import annotations
@@ -28,8 +46,11 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
 
 from ..catalog import register
 from ..tables import load_table
+from .imagecodec import (PNG_SIGNATURE, decode_png, decode_bmp, decode_wav,
+                         encode_png, encode_wav)
 
 MAGIC = b"MMB1"
+AUDIO_SAMPLE_RATE = 8000
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -40,29 +61,39 @@ MEDIA_SCHEMA = StructType([
 MEDIA_META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("media_type", StringType()),
-    StructField("n_bytes", LongType()),
+    StructField("payload_bytes", LongType()),
+    StructField("content_bytes", LongType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("content_md5", StringType()),
-    StructField("valid_header", IntegerType()),
+    StructField("decode_ok", IntegerType()),
 ])
 
 
 def decode_image(payload: bytes):
-    """Real image decode — STUB. The Spark-side plumbing around this
-    function (schema, batching, partitioning) is real and tested; the
-    codec itself needs an image library not present in this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "image decoding requires PIL; container ships without it — "
-            "payload headers are parsed by _parse_header instead") from exc
-    raise NotImplementedError("wire PIL decode here when available")
+    """Decode an image payload into a numpy pixel array.
+
+    Dispatches on magic bytes: PNG (greyscale -> (H, W), RGB ->
+    (H, W, 3)) and uncompressed 24-bit BMP are decoded for real by the
+    stdlib codecs in `imagecodec.py`; anything else raises ValueError
+    (the `MMB1` fake container is handled by `_parse_header`, the
+    documented fallback for formats with no stdlib codec).
+    """
+    if payload is None:
+        raise ValueError("payload is NULL")
+    payload = bytes(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(
+        f"unsupported image format (magic {payload[:4]!r}); "
+        "PNG and 24-bit BMP are implemented")
 
 
 def _parse_header(payload: bytes):
-    """Deterministic fake 'decode': parse the MMB1 header."""
+    """Deterministic fake 'decode' for the MMB1 container (video only —
+    no stdlib video codec exists; kept as the documented fallback)."""
     if payload is None or len(payload) < 12 or payload[:4] != MAGIC:
         return None, None, 0
     w, h = struct.unpack("<II", payload[4:12])
@@ -70,46 +101,91 @@ def _parse_header(payload: bytes):
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
-    """documents -> media table: deterministic payload built from text.
+    """documents -> media table with REAL payload bytes.
 
-    header: MMB1 | width = n_chars % 640 | height = (doc_id % 480) ;
-    body: utf-8 text bytes.
+    Synthesizes the media column a real corpus would already have in
+    storage (this builder is the test-fixture path, not a production
+    operator): each document's UTF-8 bytes become the media content —
+
+    - ``image`` (doc_id % 3 == 0): real PNG, one-row greyscale strip,
+      pixels = text bytes (lossless, so pixel stats == byte stats),
+    - ``audio`` (doc_id % 3 == 1): real WAV, 8-bit PCM samples = text
+      bytes,
+    - ``video`` (doc_id % 3 == 2): MMB1 fake container,
+      ``MMB1 | u32 width = n % 640 | u32 height = doc_id % 480 | body``.
+
+    Runs as an Arrow-batched mapInPandas stage (PNG/WAV framing needs
+    zlib/struct); narrow — no shuffle, payloads are built where the
+    document rows live.
     """
-    width = (F.length("text") % 640).cast("int")
-    height = (F.col("doc_id") % 480).cast("int")
+    import numpy as np
+    import pandas as pd
 
-    def le_u32_bin(col):
-        # little-endian u32 as BINARY, JVM-side: hex -> byte-swap -> unhex
-        hx = F.lpad(F.hex(col.cast("long")), 8, "0")
-        return F.unhex(F.concat(
-            F.substring(hx, 7, 2), F.substring(hx, 5, 2),
-            F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+    def _build(iterator: Iterator):
+        for pdf in iterator:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                did = int(row.doc_id)
+                body = (row.text or "").encode("utf-8")
+                kind = did % 3
+                if kind == 0:
+                    payload = (encode_png(
+                        np.frombuffer(body, np.uint8).reshape(1, -1))
+                        if body else None)
+                    rows.append((did, "image", payload))
+                elif kind == 1:
+                    rows.append((did, "audio", encode_wav(
+                        body, sample_rate=AUDIO_SAMPLE_RATE, bits=8)))
+                else:
+                    header = MAGIC + struct.pack(
+                        "<II", len(body) % 640, did % 480)
+                    rows.append((did, "video", header + body))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    header = F.concat(F.lit(MAGIC), le_u32_bin(width), le_u32_bin(height))
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video").alias("media_type"),
-        F.concat(header, F.encode(F.col("text"), "utf-8")).alias("payload"),
-        width.alias("width"), height.alias("height"))
+    return docs.select("doc_id", "text").mapInPandas(
+        _build, schema=MEDIA_SCHEMA)
 
 
 def _extract_batches(iterator: Iterator):
+    """Per-payload metadata via REAL decode: PNG pixels / WAV samples /
+    MMB1 header, per media_type. content_md5 hashes the *decoded*
+    content bytes (pixel strip, PCM samples, fake-container body), so
+    the oracle can recompute it from the source text."""
     import hashlib
 
     import pandas as pd
+
     for pdf in iterator:
         out = []
         for row in pdf.itertuples(index=False):
             payload = bytes(row.payload) if row.payload is not None else b""
-            w, h, ok = _parse_header(payload)
-            body = payload[12:] if ok else payload
+            width = height = None
+            content = b""
+            ok = 0
+            try:
+                if row.media_type == "image":
+                    px = decode_image(payload)
+                    height, width = int(px.shape[0]), int(px.shape[1])
+                    content = px.tobytes()
+                    ok = 1
+                elif row.media_type == "audio":
+                    samples, _rate, _ch, _bits = decode_wav(payload)
+                    content = samples.tobytes()
+                    ok = 1
+                else:
+                    w, h, ok = _parse_header(payload)
+                    width, height = w, h
+                    content = payload[12:] if ok else payload
+            except ValueError:
+                ok = 0
             out.append({
                 "doc_id": row.doc_id, "media_type": row.media_type,
-                "n_bytes": len(payload), "width": w, "height": h,
-                "content_md5": hashlib.md5(body).hexdigest(),
-                "valid_header": ok,
+                "payload_bytes": len(payload),
+                "content_bytes": len(content),
+                "width": width, "height": height,
+                "content_md5": hashlib.md5(content).hexdigest(),
+                "decode_ok": ok,
             })
         yield pd.DataFrame(
             out, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
@@ -125,10 +201,17 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     "multimodal_metadata_extract",
     oracle="""
     SELECT media_type, COUNT(*) AS n_media,
-           CAST(SUM(strlen(text) + 12) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) FILTER (WHERE media_type <> 'image'
+                                    OR strlen(text) > 0) AS BIGINT)
+             AS n_decoded,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_content_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-           CAST(SUM(length(text) % 640) AS BIGINT) AS sum_width,
-           CAST(SUM(doc_id % 480) AS BIGINT) AS sum_height
+           CAST(SUM(CASE WHEN media_type = 'image' THEN strlen(text)
+                         WHEN media_type = 'video' THEN strlen(text) % 640
+                    END) AS BIGINT) AS sum_width,
+           CAST(SUM(CASE WHEN media_type = 'image' THEN 1
+                         WHEN media_type = 'video' THEN doc_id % 480
+                    END) AS BIGINT) AS sum_height
     FROM (
       SELECT doc_id, text,
              CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -138,8 +221,11 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     GROUP BY media_type
     """,
     tags=("multimodal", "llm-data"),
-    doc="Binary media column -> mapInPandas header parse + content hash; "
-        "oracle recomputes the deterministic payload stats from text.",
+    doc="Binary media column -> mapInPandas REAL decode (PNG pixels, "
+        "WAV samples, MMB1 header for video) + content hash; the codecs "
+        "are lossless so the oracle recomputes every aggregate from the "
+        "text the payloads encode. sum_width/sum_height are NULL for "
+        "audio in both engines (WAV has no spatial dims).",
 )
 def multimodal_metadata_extract(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -147,7 +233,8 @@ def multimodal_metadata_extract(spark, sf_dir: str) -> DataFrame:
     meta = extract_media_metadata(media)
     return (meta.groupBy("media_type")
             .agg(F.count(F.lit(1)).alias("n_media"),
-                 F.sum("n_bytes").alias("total_bytes"),
+                 F.sum("decode_ok").alias("n_decoded"),
+                 F.sum("content_bytes").alias("total_content_bytes"),
                  F.countDistinct("content_md5").alias("n_distinct_payloads"),
                  F.sum("width").alias("sum_width"),
                  F.sum("height").alias("sum_height")))
@@ -165,10 +252,11 @@ FRAME_SAMPLE_SCHEMA = StructType([
 
 
 def _frame_sample_batches(iterator: Iterator):
-    """Frame sampling over video payloads — the decode step is the
-    deterministic fake (fixed-size byte frames); the Spark-side plumbing
-    (Arrow batches, binary slicing, per-row vectorizable loop) is the
-    real contract. A real codec would replace `_frames` only."""
+    """Frame sampling over video payloads — video stays on the MMB1
+    fake container (fixed-size byte frames; no stdlib video codec
+    exists), so the decode step is the documented deterministic
+    stand-in; the Spark-side plumbing (Arrow batches, binary slicing,
+    per-row vectorizable loop) is the real contract."""
     import hashlib
 
     import pandas as pd
@@ -212,9 +300,9 @@ def _frame_sample_batches(iterator: Iterator):
     tags=("multimodal", "llm-data"),
     doc="Video frame sampling: BINARY payload -> fixed-size frames -> "
         "every 4th frame -> content hash, via Arrow-batched mapInPandas "
-        "(the codec is the documented deterministic fake; the batch "
-        "plumbing is real). Oracle recomputes from the text the payload "
-        "was built from.",
+        "(video keeps the documented deterministic fake container; the "
+        "batch plumbing is real). Oracle recomputes from the text the "
+        "payload was built from.",
 )
 def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -237,9 +325,11 @@ RESIZE_SCHEMA = StructType([
 
 
 def _resize_batches(iterator: Iterator):
-    """'Resize' = halve header dimensions + subsample every 2nd body byte
-    (nearest-neighbor over the fake 1-byte-per-pixel payload). A real
-    image library would replace the body transform only."""
+    """Nearest-neighbor 2x downscale over REAL decoded PNG pixels:
+    decode_image -> pixels[::2, ::2] -> hash of the resized pixel
+    bytes. On the 1-row pixel strips the synthetic corpus encodes,
+    that is every-2nd-pixel of the strip — which the oracle recomputes
+    as every-2nd-character of the source text (the codec is lossless)."""
     import hashlib
 
     import pandas as pd
@@ -248,15 +338,22 @@ def _resize_batches(iterator: Iterator):
         out = []
         for row in pdf.itertuples(index=False):
             payload = bytes(row.payload) if row.payload is not None else b""
-            w, h, ok = _parse_header(payload)
-            body = payload[12:] if ok else payload
-            resized = body[::RESIZE_FACTOR]
+            try:
+                px = decode_image(payload)
+            except ValueError:
+                out.append({"doc_id": row.doc_id, "width": None,
+                            "height": None, "new_width": None,
+                            "new_height": None,
+                            "resized_md5": hashlib.md5(b"").hexdigest()})
+                continue
+            h, w = int(px.shape[0]), int(px.shape[1])
+            resized = px[::RESIZE_FACTOR, ::RESIZE_FACTOR]
             out.append({
                 "doc_id": row.doc_id,
                 "width": w, "height": h,
-                "new_width": (w or 0) // RESIZE_FACTOR,
-                "new_height": (h or 0) // RESIZE_FACTOR,
-                "resized_md5": hashlib.md5(resized).hexdigest(),
+                "new_width": int(resized.shape[1]),
+                "new_height": int(resized.shape[0]),
+                "resized_md5": hashlib.md5(resized.tobytes()).hexdigest(),
             })
         yield pd.DataFrame(out, columns=[f.name for f in
                                          RESIZE_SCHEMA.fields])
@@ -266,20 +363,22 @@ def _resize_batches(iterator: Iterator):
     "multimodal_resize",
     oracle=f"""
     SELECT doc_id,
-           CAST(strlen(text) % 640 AS INT) AS width,
-           CAST(doc_id % 480 AS INT) AS height,
-           CAST((strlen(text) % 640) // {RESIZE_FACTOR} AS INT) AS new_width,
-           CAST((doc_id % 480) // {RESIZE_FACTOR} AS INT) AS new_height,
+           CAST(strlen(text) AS INT) AS width,
+           CAST(1 AS INT) AS height,
+           CAST((strlen(text) + 1) // {RESIZE_FACTOR} AS INT) AS new_width,
+           CAST(1 AS INT) AS new_height,
            md5(array_to_string(list_transform(
                  range(1, strlen(text) + 1, {RESIZE_FACTOR}),
                  i -> substr(text, CAST(i AS BIGINT), 1)), '')) AS resized_md5
     FROM documents
-    WHERE doc_id % 3 = 0
+    WHERE doc_id % 3 = 0 AND strlen(text) > 0
     """,
     tags=("multimodal", "llm-data"),
-    doc="Image resize stub over image payloads: header dims halved, body "
-        "subsampled (every 2nd byte) and re-hashed — mapInPandas batch "
-        "plumbing real, codec faked deterministically.",
+    doc="Image resize over REAL PNG payloads: stdlib decode -> "
+        "nearest-neighbor [::2, ::2] subsample -> re-hash. The corpus "
+        "encodes text bytes as 1-row pixel strips, so the oracle's "
+        "every-2nd-character hash checks the decode+resize round-trip "
+        "byte-for-byte.",
 )
 def multimodal_resize(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -293,7 +392,7 @@ def multimodal_resize(spark, sf_dir: str) -> DataFrame:
 # Audio feature extraction (numpy-vectorized over the binary payload)
 # ---------------------------------------------------------------------------
 
-AUDIO_WINDOW = 256       # bytes per analysis window
+AUDIO_WINDOW = 256       # samples per analysis window
 AUDIO_ACTIVE_MEAN = 96   # window is "active" when mean amplitude exceeds
 
 AUDIO_FEATURES_SCHEMA = StructType([
@@ -307,11 +406,10 @@ AUDIO_FEATURES_SCHEMA = StructType([
 
 
 def _audio_feature_batches(iterator: Iterator):
-    """Per-payload sample statistics — the decode is the deterministic
-    fake (body bytes as u8 PCM samples); the numpy path is the real
-    contract: one `frombuffer` view per row, vectorized sum/max/square,
-    no per-sample Python. A real audio lib would replace only the
-    bytes->samples step."""
+    """Per-payload sample statistics over REAL WAV decode: the RIFF
+    header/chunk walk in `imagecodec.decode_wav` yields the PCM samples
+    as a numpy view, then the stats are vectorized sum/max/square —
+    one `frombuffer` per row, no per-sample Python."""
     import math
 
     import numpy as np
@@ -321,8 +419,11 @@ def _audio_feature_batches(iterator: Iterator):
         out = []
         for row in pdf.itertuples(index=False):
             payload = bytes(row.payload) if row.payload is not None else b""
-            body = payload[12:] if _parse_header(payload)[2] else payload
-            a = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+            try:
+                samples, _rate, _ch, _bits = decode_wav(payload)
+            except ValueError:
+                samples = np.zeros(0, np.uint8)
+            a = samples.astype(np.int64)
             n = int(a.size)
             sum_amp = int(a.sum()) if n else 0
             sumsq = int((a * a).sum()) if n else 0
@@ -377,12 +478,14 @@ _SQL_AUDIO_BYTES = ("list_transform(range(1, strlen(text) + 1), "
     FROM b
     """,
     tags=("multimodal", "llm-data", "audio"),
-    doc="Audio feature extraction over audio payloads: u8 samples -> "
-        "count/sum/peak/RMS + active-window detection (256-byte windows "
-        "above a mean-amplitude gate). numpy frombuffer vectorization "
-        "per Arrow batch; codec faked deterministically like the "
-        "image/video ops. RMS = sqrt(sumsq/n) is integer arithmetic "
-        "until one IEEE division + sqrt, so it is cross-engine exact.",
+    doc="Audio feature extraction over REAL WAV payloads: RIFF chunk "
+        "walk -> u8 PCM samples -> count/sum/peak/RMS + active-window "
+        "detection (256-sample windows above a mean-amplitude gate). "
+        "numpy frombuffer vectorization per Arrow batch. The 8-bit PCM "
+        "samples are the text bytes (lossless), so the oracle folds "
+        "ord() over the text. RMS = sqrt(sumsq/n) is integer "
+        "arithmetic until one IEEE division + sqrt, so it is "
+        "cross-engine exact.",
 )
 def multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,244 @@
+"""Pixel-level golden tests for the stdlib media codecs (PNG/BMP/WAV)
+and the multimodal payload round-trip. These assert on actual decoded
+pixels/samples, not just headers — the codecs are real, not stubs."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from solana_event_stream_spark.operators.imagecodec import (
+    PNG_SIGNATURE, _png_chunk, decode_bmp, decode_png, decode_wav,
+    encode_bmp, encode_png, encode_wav)
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def test_png_grey_roundtrip_exact():
+    px = _rng().integers(0, 256, size=(17, 23), dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == (17, 23)
+    assert np.array_equal(out, px)
+
+
+def test_png_rgb_roundtrip_exact():
+    px = _rng().integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == (9, 5, 3)
+    assert np.array_equal(out, px)
+
+
+def test_png_single_row_strip_is_text_bytes():
+    body = b"The quick brown fox jumps over the lazy dog"
+    px = np.frombuffer(body, np.uint8).reshape(1, -1)
+    out = decode_png(encode_png(px))
+    assert out.tobytes() == body
+
+
+def _paeth_ref(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _forward_filter(ftype: int, cur, prev, bpp: int) -> bytes:
+    """Apply a PNG filter FORWARD (encoder direction) per spec §9 —
+    an independent construction the decoder must invert exactly."""
+    n = len(cur)
+    out = bytearray(n)
+    for i in range(n):
+        left = cur[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:
+            pred = _paeth_ref(left, up, upleft)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_decode_all_five_filter_types(channels):
+    """Hand-build a PNG whose 5 scanlines use filter types 0..4 (the
+    shapes a foreign encoder like libpng emits); decode must recover
+    the exact pixels."""
+    h, w = 5, 7
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    px = _rng().integers(0, 256, size=shape, dtype=np.uint8)
+    flat = px.reshape(h, w * channels)
+    raw = bytearray()
+    for y in range(h):
+        prev = flat[y - 1] if y else np.zeros(w * channels, np.uint8)
+        raw.append(y)  # filter type = row index: 0,1,2,3,4
+        raw += _forward_filter(y, [int(v) for v in flat[y]],
+                               [int(v) for v in prev], channels)
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    payload = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_idat_split_across_chunks():
+    px = _rng().integers(0, 256, size=(4, 6), dtype=np.uint8)
+    good = encode_png(px)
+    # re-wrap: split the single IDAT into two chunks
+    comp = zlib.compress(
+        b"".join(b"\x00" + px[y].tobytes() for y in range(4)))
+    mid = len(comp) // 2
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    split = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", comp[:mid])
+             + _png_chunk(b"IDAT", comp[mid:])
+             + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(split), decode_png(good))
+
+
+def test_png_crc_corruption_raises():
+    payload = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    payload[-5] ^= 0xFF  # flip a CRC byte of IEND
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_bad_signature_raises():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF" + b"\x00" * 64)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_with_row_padding():
+    # width 5 -> 15-byte rows padded to 16: exercises the 4-byte padding
+    px = _rng().integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(px))
+    assert out.shape == (3, 5, 3)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_bottom_up_orientation():
+    px = np.zeros((2, 1, 3), np.uint8)
+    px[0] = [255, 0, 0]   # top row red
+    px[1] = [0, 0, 255]   # bottom row blue
+    out = decode_bmp(encode_bmp(px))
+    assert list(out[0, 0]) == [255, 0, 0]
+    assert list(out[1, 0]) == [0, 0, 255]
+
+
+def test_bmp_unsupported_bpp_raises():
+    bad = bytearray(encode_bmp(np.zeros((1, 1, 3), np.uint8)))
+    struct.pack_into("<H", bad, 28, 32)  # claim 32bpp
+    with pytest.raises(ValueError, match="bpp"):
+        decode_bmp(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_u8_roundtrip_and_header():
+    body = bytes(range(256))
+    samples, rate, channels, bits = decode_wav(
+        encode_wav(body, sample_rate=8000, bits=8))
+    assert samples.tobytes() == body
+    assert (rate, channels, bits) == (8000, 1, 8)
+
+
+def test_wav_i16_roundtrip():
+    pcm = _rng().integers(-32768, 32768, size=100).astype("<i2")
+    samples, rate, _, bits = decode_wav(
+        encode_wav(pcm, sample_rate=44100, bits=16))
+    assert bits == 16 and rate == 44100
+    assert np.array_equal(samples, pcm)
+
+
+def test_wav_tolerates_extra_chunks():
+    good = encode_wav(b"abcdef", bits=8)
+    # splice a LIST chunk between fmt and data (common in real files)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = bytearray(good[:fmt_end] + extra + good[fmt_end:])
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    samples, _, _, _ = decode_wav(bytes(spliced))
+    assert samples.tobytes() == b"abcdef"
+
+
+def test_wav_bad_magic_raises():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 60)
+
+
+# ---------------------------------------------------------------------------
+# decode_image dispatch + Spark payload round-trip
+# ---------------------------------------------------------------------------
+
+def test_decode_image_dispatches_png_and_bmp():
+    from solana_event_stream_spark.operators.multimodal import decode_image
+    g = _rng().integers(0, 256, size=(3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(g)), g)
+    c = _rng().integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(c)), c)
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"MMB1" + b"\x00" * 16)
+
+
+def test_attach_binary_payload_is_real_media(spark):
+    """End-to-end: the synthesized media column holds REAL PNG/WAV
+    bytes whose decoded content is exactly the source text bytes."""
+    from solana_event_stream_spark.operators.multimodal import (
+        attach_binary_payload, decode_image)
+    docs = spark.createDataFrame(
+        [(0, "image doc pixels"), (1, "audio doc samples"),
+         (2, "video doc frames!")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in attach_binary_payload(docs).collect()}
+    img = bytes(rows[0].payload)
+    assert img[:8] == PNG_SIGNATURE
+    assert decode_image(img).tobytes() == b"image doc pixels"
+    wav = bytes(rows[1].payload)
+    assert wav[:4] == b"RIFF"
+    samples, rate, _, bits = decode_wav(wav)
+    assert samples.tobytes() == b"audio doc samples"
+    assert (rate, bits) == (8000, 8)
+    vid = bytes(rows[2].payload)
+    assert vid[:4] == b"MMB1"
+    assert vid[12:] == b"video doc frames!"
+
+
+def test_resize_operates_on_decoded_pixels(spark):
+    """The resize op's hash equals md5 of the every-2nd-pixel strip of
+    the DECODED image — computed here independently from raw bytes."""
+    from solana_event_stream_spark.operators.multimodal import (
+        _resize_batches, attach_binary_payload)
+    import pandas as pd
+    text = "0123456789abcdef"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    media = attach_binary_payload(docs).collect()
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [bytes(media[0].payload)]})
+    [out] = list(_resize_batches(iter([pdf])))
+    row = out.iloc[0]
+    assert (row.width, row.height) == (16, 1)
+    assert (row.new_width, row.new_height) == (8, 1)
+    assert row.resized_md5 == hashlib.md5(
+        text.encode()[::2]).hexdigest()
