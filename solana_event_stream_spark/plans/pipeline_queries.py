@@ -167,7 +167,13 @@ def account_events_by_type(spark, sf_dir: str) -> DataFrame:
         "replicated SPARK_GRAFT_PIPE_SCALE (default 2000) times with "
         "distinct signatures/slots -> full decode + merge + enrich DAG -> "
         "per-type counts (2000x = 94,000 transactions; large enough that "
-        "per-job fixed overhead stops dominating the tx/s figure).",
+        "per-job fixed overhead stops dominating the tx/s figure). "
+        "Self-checking: this row is rows-only for the driver (DuckDB "
+        "cannot Borsh-decode), so the query itself asserts that per-type "
+        "counts AND a payload checksum equal exactly n x the golden "
+        "fixture's — every replica decodes identical payload bytes, so "
+        "any decode drift at scale raises at collect time instead of "
+        "passing silently.",
 )
 def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
     from .pipeline import build_events, load_raw_transactions
@@ -182,8 +188,40 @@ def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
               .repartition(int(spark.conf.get(
                   "spark.sql.shuffle.partitions", "32"))))
     events = build_events(scaled)
-    return (events.groupBy("protocol", "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events")))
+
+    # Replica-invariant payload checksum: these columns come from the
+    # decoded instruction/CPI bytes (identical in every replica), never
+    # from the replica-varying envelope (signature/slot). pmod keeps the
+    # 94k-row sum far from i64 overflow.
+    check_cols = ["mint", "user", "sol_amount", "token_amount",
+                  "amount_in", "amount_out", "swap_from_mint",
+                  "swap_to_mint", "swap_from_amount", "swap_to_amount"]
+    _sum = F.sum(F.expr(
+        f"pmod(xxhash64({', '.join(check_cols)}), 1000000007)"))
+    actual = (events.groupBy("protocol", "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   _sum.alias("checksum")))
+
+    golden = (spark.read.parquet(GOLDEN)
+              .groupBy("protocol", "event_type")
+              .agg((F.count(F.lit(1)) * n).alias("expected_n"),
+                   (_sum * n).alias("expected_checksum")))
+
+    ok = (F.col("n_events").eqNullSafe(F.col("expected_n"))
+          & F.col("checksum").eqNullSafe(F.col("expected_checksum")))
+    # The check column is part of the output projection, so Catalyst
+    # cannot prune it; raise_error fires only on the failing rows.
+    self_check = F.when(ok, F.lit(True)).otherwise(F.raise_error(F.concat_ws(
+        " ", F.lit("dex_pipeline_throughput decode drift at scale"),
+        F.lit(str(n)), F.lit("for"), F.col("protocol"), F.col("event_type"),
+        F.lit("n_events"), F.col("n_events").cast("string"),
+        F.lit("expected"), F.col("expected_n").cast("string"),
+        F.lit("checksum"), F.col("checksum").cast("string"),
+        F.lit("expected"), F.col("expected_checksum").cast("string"))))
+    return (actual.join(F.broadcast(golden),
+                        ["protocol", "event_type"], "full_outer")
+            .select("protocol", "event_type", "n_events",
+                    self_check.alias("self_check")))
 
 
 @register(
