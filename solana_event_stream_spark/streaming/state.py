@@ -29,11 +29,12 @@ or a replay seam): keyed streaming state per signature, mirroring
   signatures — with time-based instead of count-based victim selection.
   Default 10 minutes, configurable.
 
-Implementation note: `applyInPandasWithState` (GroupState) rather than
-the newer `transformWithStateInPandas` — the latter's control channel
-needs google.protobuf, which this environment does not ship; the
-GroupState form expresses identical semantics and runs on the default
-state store.
+Implementation note: both state backends are provided, sharing one
+replay core (`_replay_rows`): `applyInPandasWithState` (GroupState,
+always available) and `transformWithStateInPandas` (Spark 4 arbitrary
+state v2, import-gated on google.protobuf because its state-server
+control channel needs it — this container ships without protobuf, a
+standard cluster image has it). `tag_dev_trades_strict` auto-selects.
 """
 
 from __future__ import annotations
@@ -71,6 +72,44 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def _replay_rows(frames, dev: set, bonk: set):
+    """Shared sequential replay core for both state backends: sort the
+    batch's rows into event order and fold them through the dev/bonk
+    pools exactly like the reference's callback loop
+    (event_parser.rs:674-731). Returns (output tuples, dev, bonk)."""
+    import pandas as pd
+
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    pdf = pdf.sort_values(
+        ["slot", "transaction_index", "outer_index", "inner_index"],
+        na_position="first")
+
+    out = []
+    for row in pdf.itertuples(index=False):
+        et = row.event_type
+        flag = None
+        if et in PUMPFUN_CREATES:
+            # event_parser.rs:674-689
+            if row.user is not None:
+                dev.add(row.user)
+            if row.creator not in (None, ZERO_PUBKEY) \
+                    and row.creator != row.user:
+                dev.add(row.creator)
+        elif et in BONK_CREATES:
+            # event_parser.rs:724-727
+            if row.creator is not None:
+                bonk.add(row.creator)
+        elif et in PUMPFUN_TRADES:
+            # event_parser.rs:690-693
+            flag = (row.user in dev) or (row.creator in dev)
+        elif et in BONK_TRADES:
+            # event_parser.rs:728-731
+            flag = row.payer in bonk
+        out.append((row.signature, row.slot, row.transaction_index,
+                    row.outer_index, row.inner_index, et, flag))
+    return out, dev, bonk
+
+
 def _make_processor(ttl_ms: int | None):
     import pandas as pd
 
@@ -85,35 +124,7 @@ def _make_processor(ttl_ms: int | None):
             prev_dev, prev_bonk = state.get
             dev, bonk = set(prev_dev or []), set(prev_bonk or [])
 
-        frames = list(pdfs)
-        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-        pdf = pdf.sort_values(
-            ["slot", "transaction_index", "outer_index", "inner_index"],
-            na_position="first")
-
-        out = []
-        for row in pdf.itertuples(index=False):
-            et = row.event_type
-            flag = None
-            if et in PUMPFUN_CREATES:
-                # event_parser.rs:674-689
-                if row.user is not None:
-                    dev.add(row.user)
-                if row.creator not in (None, ZERO_PUBKEY) \
-                        and row.creator != row.user:
-                    dev.add(row.creator)
-            elif et in BONK_CREATES:
-                # event_parser.rs:724-727
-                if row.creator is not None:
-                    bonk.add(row.creator)
-            elif et in PUMPFUN_TRADES:
-                # event_parser.rs:690-693
-                flag = (row.user in dev) or (row.creator in dev)
-            elif et in BONK_TRADES:
-                # event_parser.rs:728-731
-                flag = row.payer in bonk
-            out.append((row.signature, row.slot, row.transaction_index,
-                        row.outer_index, row.inner_index, et, flag))
+        out, dev, bonk = _replay_rows(list(pdfs), dev, bonk)
 
         if dev or bonk:
             state.update((sorted(dev), sorted(bonk)))
@@ -146,3 +157,85 @@ def tag_dev_trades_stateful(events: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="Append",
                 timeoutConf=timeout))
+
+
+def has_transform_with_state() -> bool:
+    """True when the transformWithStateInPandas runtime is usable.
+
+    The operator itself ships with PySpark, but its state-server control
+    channel speaks protobuf (python `google.protobuf`), which this
+    container does not install — so the strict-state API selects the
+    GroupState form there and lights up TWS automatically where protobuf
+    exists (any standard cluster image).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def tag_dev_trades_stateful_tws(events: DataFrame,
+                                ttl_ms: int | None = 10 * 60 * 1000
+                                ) -> DataFrame:
+    """Strict J3 on the `transformWithStateInPandas` backend (Spark 4
+    arbitrary-state v2): identical replay semantics to
+    `tag_dev_trades_stateful` (shared `_replay_rows` core), with the
+    reference's bounded-state cap expressed as native state TTL
+    (`getValueState(..., ttlDurationMs=...)`) instead of GroupState
+    timeouts. Requires google.protobuf at runtime — check
+    `has_transform_with_state()` first (import-gated, raises a clear
+    error otherwise).
+    """
+    if not has_transform_with_state():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not installed; use tag_dev_trades_stateful (GroupState) or "
+            "tag_dev_trades_strict() to auto-select")
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _DevPoolProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "dev_pools", STATE_SCHEMA,
+                ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            dev: set = set()
+            bonk: set = set()
+            if self._state.exists():
+                prev = self._state.get()
+                dev = set(prev[0] or [])
+                bonk = set(prev[1] or [])
+            out, dev, bonk = _replay_rows(list(rows), dev, bonk)
+            if dev or bonk:
+                self._state.update((sorted(dev), sorted(bonk)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             OUTPUT_SCHEMA.fields])
+
+        def close(self) -> None:
+            pass
+
+    cols = [c for c in INPUT_COLS if c in events.columns]
+    return (events.select(*cols)
+            .groupBy("signature")
+            .transformWithStateInPandas(
+                statefulProcessor=_DevPoolProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Append",
+                timeMode=("ProcessingTime" if ttl_ms is not None
+                          else "None")))
+
+
+def tag_dev_trades_strict(events: DataFrame,
+                          ttl_ms: int | None = 10 * 60 * 1000) -> DataFrame:
+    """Strict J3 on whichever state backend the environment supports:
+    transformWithStateInPandas when protobuf is present, else the
+    applyInPandasWithState form. Semantics are identical (both wrap
+    `_replay_rows`); only the state plumbing differs."""
+    if has_transform_with_state():
+        return tag_dev_trades_stateful_tws(events, ttl_ms)
+    return tag_dev_trades_stateful(events, ttl_ms)

@@ -53,13 +53,18 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     products, shingle hashing): the small-SF parquet arrives as 1-3
     splits, which would serialize the narrow compute on one task. One
     round-robin shuffle of the raw rows costs microseconds here and lets
-    every core work. At real scale the scan already has thousands of
-    splits, so callers at 100 TB would drop this (or leave it — a
-    repartition to the cluster's parallelism stays cheap relative to the
-    per-row compute it parallelizes).
+    every core work.
+
+    Self-tuning: the shuffle only happens when the scan has fewer
+    splits than the cluster's parallelism. At real scale (100 TB) the
+    scan already has thousands of splits, so this is a no-op there —
+    no unconditional full shuffle of the corpus.
     """
-    return (load_table(spark, sf_dir, name)
-            .repartition(spark.sparkContext.defaultParallelism))
+    df = load_table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def load_all(spark: SparkSession, sf_dir: str,

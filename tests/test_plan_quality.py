@@ -169,3 +169,37 @@ def test_ann_topk_reduce_is_two_phase(spark):
         plain = [p for p in parts if "query_id" in p and "_salt" not in p]
         assert salted, (name, parts)
         assert plain, (name, parts)
+
+
+def test_load_spread_is_self_tuning(spark, tmp_path):
+    """load_spread's round-robin shuffle is a small-SF parallelism
+    crutch only: when the scan already has >= defaultParallelism splits
+    (the 100 TB case) it must be a no-op — no RoundRobin Exchange."""
+    from solana_event_stream_spark.tables import load_spread
+    cores = spark.sparkContext.defaultParallelism
+
+    wide = str(tmp_path / "wide")
+    os.makedirs(wide)
+    (spark.range(cores * 10).selectExpr("id vec_id", "array(0.1) embedding")
+     .repartition(cores + 4)
+     .write.parquet(os.path.join(wide, "embeddings.parquet")))
+    # Make every file its own split (the small test files would
+    # otherwise be bin-packed below defaultParallelism, which is the
+    # exact case load_spread SHOULD spread).
+    open_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 20))
+    try:
+        df = load_spread(spark, wide, "embeddings")
+        assert df.rdd.getNumPartitions() >= cores
+        assert "roundrobinpartitioning" not in plan_of(df).lower()
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", open_cost)
+
+    narrow = str(tmp_path / "narrow")
+    os.makedirs(narrow)
+    (spark.range(100).selectExpr("id vec_id", "array(0.1) embedding")
+     .coalesce(1)
+     .write.parquet(os.path.join(narrow, "embeddings.parquet")))
+    df = load_spread(spark, narrow, "embeddings")
+    assert df.rdd.getNumPartitions() == cores
+    assert "roundrobinpartitioning" in plan_of(df).lower()
