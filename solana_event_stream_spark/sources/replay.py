@@ -38,7 +38,9 @@ def read_transaction_stream(spark: SparkSession, archive_path: str,
 
 
 def write_slot_range_archive(raw_tx: DataFrame, path: str,
-                             slots_per_bucket: int = 10_000) -> None:
+                             slots_per_bucket: int = 10_000,
+                             sort_within: tuple[str, ...] | None = None
+                             ) -> None:
     """Archive layout for 100 TB scans: partition directories keyed by
     slot RANGE (slot // slots_per_bucket), so a slot-range predicate
     prunes whole directories at planning time (PartitionFilters), unlike
@@ -48,13 +50,25 @@ def write_slot_range_archive(raw_tx: DataFrame, path: str,
     At mainnet rates (~2.5 slots/s) the default bucket is ~1.1 hours of
     chain — large enough for parquet files in the 100 MB-1 GB sweet
     spot, small enough that a recent-window query touches few dirs.
+
+    ``sort_within`` orders rows inside each partition directory before
+    the write, which tightens the parquet row-group min/max statistics
+    on those columns so equality/range predicates skip whole row groups
+    at scan time (the second pruning level below directory pruning).
+    For a decoded-event archive the right order is
+    ``("program_id", "slot")``: the slot dimension is already handled
+    by the directory key, so leading with program_id gives a
+    program-filtered read contiguous runs — row groups that don't
+    contain the program are skipped entirely (measured in
+    tests/test_archive.py and PLANS.md §archive).
     """
     from pyspark.sql import functions as F
-    (raw_tx
-     .withColumn("slot_range",
-                 (F.col("slot") / slots_per_bucket).cast("long"))
-     .repartition("slot_range")
-     .write.mode("overwrite").partitionBy("slot_range").parquet(path))
+    df = raw_tx.withColumn(
+        "slot_range", (F.col("slot") / slots_per_bucket).cast("long"))
+    df = df.repartition("slot_range")
+    if sort_within:
+        df = df.sortWithinPartitions("slot_range", *sort_within)
+    (df.write.mode("overwrite").partitionBy("slot_range").parquet(path))
 
 
 def read_archive_slot_window(spark: SparkSession, path: str,

@@ -89,3 +89,77 @@ def test_compact_archive(spark):
             os.path.join(archive, "slot_range=*", "*.parquet")))
         assert n_files_after == len(buckets)  # one file per bucket
         assert n_files_after < n_files_before
+
+
+def _scan_output_rows(df) -> int:
+    """Rows the parquet reader actually produced (post row-group skip):
+    the numOutputRows metric of the executed scan leaf."""
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    return int(scan.metrics().apply("numOutputRows").value())
+
+
+def test_sorted_within_partition_prunes_row_groups(spark):
+    """The second pruning level below directories: sort_within=
+    ("program_id", "slot") tightens row-group min/max stats so a
+    program-filtered slot-window read pushes the predicate to the scan
+    (PushedFilters) AND the reader skips row groups — strictly fewer
+    rows off disk than the unsorted layout of the same data."""
+    from solana_event_stream_spark.sources.replay import (
+        read_archive_slot_window, write_slot_range_archive)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    golden = spark.read.parquet(
+        os.path.join(fixtures, "events_golden.parquet"))
+    # replicate to ~48k rows over ~12 slot-range dirs; small parquet
+    # blocks force multiple row groups per file so skipping is visible
+    big = (golden.select("slot", "program_id", "event_type", "signature")
+           .crossJoin(spark.range(1200).select(
+               (F.col("id") * 10).alias("shift")))
+           .withColumn("slot", F.col("slot") + F.col("shift") * 10)
+           .drop("shift"))
+    n_big = big.count()
+    prog = golden.groupBy("program_id").count().orderBy("count").first()[0]
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+    with tempfile.TemporaryDirectory() as tmp:
+        sorted_path = os.path.join(tmp, "sorted")
+        unsorted_path = os.path.join(tmp, "unsorted")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old_block = hconf.get("parquet.block.size")
+        hconf.set("parquet.block.size", str(32 * 1024))
+        try:
+            write_slot_range_archive(big, sorted_path,
+                                     slots_per_bucket=10_000,
+                                     sort_within=("program_id", "slot"))
+            write_slot_range_archive(big, unsorted_path,
+                                     slots_per_bucket=10_000)
+        finally:
+            if old_block is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", old_block)
+
+        lo, hi = 1000, 60_000
+
+        def window_scan(path):
+            return read_archive_slot_window(
+                spark, path, lo, hi, slots_per_bucket=10_000).filter(
+                F.col("program_id") == prog)
+
+        # the program predicate reaches the scan
+        plan = _plan(window_scan(sorted_path))
+        assert "PushedFilters:" in plan
+        assert "program_id" in plan.split("PushedFilters:")[1].split(
+            "\n")[0]
+
+        n_match = window_scan(sorted_path).count()
+        assert n_match == window_scan(unsorted_path).count()  # same data
+        rows_sorted = _scan_output_rows(window_scan(sorted_path))
+        rows_unsorted = _scan_output_rows(window_scan(unsorted_path))
+        # unsorted layout reads (nearly) every row in the slot window;
+        # sorted layout skips the row groups that lack the program
+        assert rows_sorted < rows_unsorted / 2, (
+            rows_sorted, rows_unsorted, n_match, n_big)
+        assert rows_sorted >= n_match
