@@ -1,0 +1,113 @@
+"""Scale probe: empirical near-linear-scaling evidence for the two
+hot paths (VERDICT r5 next-step #2).
+
+Not part of the driver's bench battery (multi-minute, writes nothing):
+run manually —  python scale_probe.py  — and record the JSON lines in
+BENCH_NOTES.md. Two experiments:
+
+1. **Pipeline core** (decode+merge+enrich DAG): the fixture corpus
+   replicated 2,000x / 8,000x / 20,000x (94k / 376k / 940k
+   transactions) through the same DAG `dex_pipeline_throughput` times,
+   split into core (shuffle-free scan->decode) and full (enrich +
+   final agg) stages. Near-linear = wall ratio tracks input ratio.
+2. **Blocked dedup** (MinHash-LSH): the sf0.1 documents corpus (5k
+   docs) replicated 1x / 4x / 10x with distinct doc_ids; times the
+   full banded-LSH pair pipeline. Blocking bounds candidate growth, so
+   wall should scale near input ratio, not its square (all-pairs
+   would be 16x / 100x).
+
+Timing note: this sandbox's wall clock swings +-50% under gVisor vCPU
+steal (BENCH_NOTES.md) — each point is best-of-2 in one JVM, and the
+conclusion drawn is the trend across a 10x input span, not any single
+figure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from solana_event_stream_spark.session import get_spark
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _timed(fn, n: int = 2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _scaled_raw(spark, n: int):
+    from solana_event_stream_spark.plans.pipeline import load_raw_transactions
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    return (raw.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
+            .withColumn("signature", F.concat_ws("_", "signature", "rep"))
+            .withColumn("slot", F.col("slot") + F.col("rep") * 10000)
+            .drop("rep")
+            .repartition(int(spark.conf.get(
+                "spark.sql.shuffle.partitions", "32"))))
+
+
+def probe_pipeline(spark) -> list[dict]:
+    from solana_event_stream_spark.plans.pipeline import (build_events,
+                                                          build_events_core)
+    out = []
+    for scale in (2000, 8000, 20000):
+        raw = _scaled_raw(spark, scale)
+        n_tx = 47 * scale
+        t_core = _timed(
+            lambda: build_events_core(raw).select(F.count(F.lit(1))
+                                                  ).collect())
+        t_full = _timed(
+            lambda: build_events(raw).groupBy("protocol", "event_type")
+            .agg(F.count(F.lit(1))).collect())
+        out.append({"probe": "pipeline", "scale": scale, "n_tx": n_tx,
+                    "core_sec": t_core, "full_sec": t_full,
+                    "tx_per_sec_full": round(n_tx / t_full)})
+        print(json.dumps(out[-1]), flush=True)
+    return out
+
+
+def probe_dedup(spark) -> list[dict]:
+    from solana_event_stream_spark.operators.dedup import (
+        _minhash_verified_pairs, docs_with_dups)
+    base = docs_with_dups(spark, SF_DIR)
+    n_base = base.count()
+    out = []
+    for mult in (1, 4, 10):
+        docs = (base.crossJoin(
+            spark.range(mult).select(F.col("id").alias("rep")))
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep"))
+        t = _timed(
+            lambda: _minhash_verified_pairs(docs)
+            .select(F.count(F.lit(1))).collect())
+        out.append({"probe": "dedup_minhash", "mult": mult,
+                    "n_docs": n_base * mult, "sec": t})
+        print(json.dumps(out[-1]), flush=True)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = probe_pipeline(spark) + probe_dedup(spark)
+    print(json.dumps({"probe": "all", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
