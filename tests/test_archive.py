@@ -122,6 +122,7 @@ def test_sorted_within_partition_prunes_row_groups(spark):
     n_big = big.count()
     prog = golden.groupBy("program_id").count().orderBy("count").first()[0]
 
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
     with tempfile.TemporaryDirectory() as tmp:
         sorted_path = os.path.join(tmp, "sorted")
@@ -163,3 +164,5 @@ def test_sorted_within_partition_prunes_row_groups(spark):
         assert rows_sorted < rows_unsorted / 2, (
             rows_sorted, rows_unsorted, n_match, n_big)
         assert rows_sorted >= n_match
+    # restore the shared session conf (other tests depend on it)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)

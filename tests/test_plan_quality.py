@@ -187,13 +187,16 @@ def test_load_spread_is_self_tuning(spark, tmp_path):
     # otherwise be bin-packed below defaultParallelism, which is the
     # exact case load_spread SHOULD spread).
     open_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
     try:
         df = load_spread(spark, wide, "embeddings")
         assert df.rdd.getNumPartitions() >= cores
         assert "roundrobinpartitioning" not in plan_of(df).lower()
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", open_cost)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
 
     narrow = str(tmp_path / "narrow")
     os.makedirs(narrow)
