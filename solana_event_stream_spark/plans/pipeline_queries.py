@@ -179,6 +179,8 @@ def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
     from .pipeline import build_events, load_raw_transactions
     raw = load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    with open(os.path.join(FIXTURES, "meta.json")) as f:
+        bot = json.load(f)["bot_wallet"]
     n = int(os.environ.get("SPARK_GRAFT_PIPE_SCALE", "2000"))
     scaled = (raw.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
               .withColumn("signature",
@@ -187,15 +189,22 @@ def dex_pipeline_throughput(spark, sf_dir: str) -> DataFrame:
               .drop("rep")
               .repartition(int(spark.conf.get(
                   "spark.sql.shuffle.partitions", "32"))))
-    events = build_events(scaled)
+    # same bot_wallet the golden fixture was generated with — the
+    # checksum covers is_bot, so the enrichment config must match
+    events = build_events(scaled, bot_wallet=bot)
 
     # Replica-invariant payload checksum: these columns come from the
-    # decoded instruction/CPI bytes (identical in every replica), never
-    # from the replica-varying envelope (signature/slot). pmod keeps the
-    # 94k-row sum far from i64 overflow.
+    # decoded instruction/CPI bytes and the J3/J4 enrichment (identical
+    # in every replica — dev pools resolve within a replica's own
+    # signatures), never from the replica-varying envelope
+    # (signature/slot). Including the enrichment flags also keeps the
+    # J3 join in the plan — with a count-only aggregate Catalyst prunes
+    # the unused left join and the "full DAG" claim would silently
+    # exclude enrich. pmod keeps the 94k-row sum far from i64 overflow.
     check_cols = ["mint", "user", "sol_amount", "token_amount",
                   "amount_in", "amount_out", "swap_from_mint",
-                  "swap_to_mint", "swap_from_amount", "swap_to_amount"]
+                  "swap_to_mint", "swap_from_amount", "swap_to_amount",
+                  "is_dev_create_token_trade", "is_bot"]
     _sum = F.sum(F.expr(
         f"pmod(xxhash64({', '.join(check_cols)}), 1000000007)"))
     actual = (events.groupBy("protocol", "event_type")
