@@ -128,11 +128,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = line
         elif ftype == 2:                     # Up — vectorized
             out[y] = line + prev             # uint8 wraps mod 256
-        elif ftype == 1:                     # Sub — left-recurrence
+        elif ftype == 1:                     # Sub — per-channel prefix sum
+            # rec[i] = (line[i] + rec[i-c]) mod 256 is a running sum per
+            # channel residue class; cumsum in uint64 then & 0xFF is
+            # bit-exact with the sequential recurrence.
             rec = out[y]
-            rec[:channels] = line[:channels]
-            for i in range(channels, stride):
-                rec[i] = (int(line[i]) + int(rec[i - channels])) & 0xFF
+            for ch in range(channels):
+                rec[ch::channels] = (
+                    np.cumsum(line[ch::channels], dtype=np.uint64) & 0xFF)
         elif ftype == 3:                     # Average
             rec = out[y]
             for i in range(stride):
