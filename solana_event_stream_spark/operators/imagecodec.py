@@ -96,6 +96,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError(f"IHDR must be 13 bytes, got {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat.extend(data)
@@ -250,6 +252,9 @@ def decode_wav(payload: bytes):
         if len(body) != length:
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
+            if length < 16:
+                raise ValueError(f"fmt chunk must be >= 16 bytes, "
+                                 f"got {length}")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":
             data = body
