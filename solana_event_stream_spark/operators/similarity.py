@@ -158,6 +158,20 @@ def _ivf_cells(spark, sf_dir: str) -> DataFrame:
     ROW_NUMBER(ORDER BY cosine DESC, cent_id) form, without its full
     corpus hash exchange.
     """
+    norms, choices = _norms_and_centroid_choices(spark, sf_dir)
+    best = F.aggregate(
+        F.slice(F.array(*choices), 2, IVF_K - 1),
+        choices[0],
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
+    return norms.select("vec_id", "embedding", "nrm",
+                        best["cid"].alias("cell"))
+
+
+def _norms_and_centroid_choices(spark, sf_dir: str):
+    """Shared coarse-quantizer setup: the normalized corpus frame plus,
+    per centroid, a struct(cos, cid) expression against the current
+    row's embedding (literal-folded — the 8 centroids are collected
+    driver-side, the standard k-means-style pattern)."""
     emb = load_spread(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "embedding",
@@ -185,12 +199,7 @@ def _ivf_cells(spark, sf_dir: str) -> DataFrame:
         cos = cdot / (F.col("nrm") * F.lit(float(r.nrm)))
         choices.append(F.struct(cos.alias("cos"),
                                 F.lit(cent_id).alias("cid")))
-    best = F.aggregate(
-        F.slice(F.array(*choices), 2, IVF_K - 1),
-        choices[0],
-        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
-    return norms.select("vec_id", "embedding", "nrm",
-                        best["cid"].alias("cell"))
+    return norms, choices
 
 
 @register(
@@ -240,6 +249,52 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
         F.col("cell").alias("q_cell"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(cells, (F.col("q_cell") == F.col("cell"))
+                    & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    return _topk_per_query(scored)
+
+
+def ann_ivf_topk_probed(spark, sf_dir: str, nprobe: int = 2) -> DataFrame:
+    """IVF ANN with the standard ``nprobe`` recall knob: corpus vectors
+    keep their single nearest cell, but each QUERY probes its nprobe
+    nearest cells — the recall/cost dial every IVF index exposes
+    (candidates scanned scale ~nprobe/IVF_K of the corpus; nprobe=IVF_K
+    degenerates to exact brute-force search, asserted in
+    tests/test_similarity_topk.py).
+
+    Same zero-exchange shape as the nprobe=1 form: the query-side probe
+    list is a literal-folded array_sort over the 8 (cos, cid) structs
+    (sorted by cos DESC, cid ASC — ties keep the smallest cid, matching
+    the argmax fold) + a size-nprobe slice + explode, all narrow; then
+    the same broadcast cell equi-join and two-phase top-k. The catalog's
+    ``ann_ivf_topk`` stays the oracle-pinned nprobe=1 form.
+    """
+    if not 1 <= nprobe <= IVF_K:
+        raise ValueError(f"nprobe must be in [1, {IVF_K}], got {nprobe}")
+    norms, choices = _norms_and_centroid_choices(spark, sf_dir)
+    best = F.aggregate(
+        F.slice(F.array(*choices), 2, IVF_K - 1),
+        choices[0],
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
+    cells = norms.select("vec_id", "embedding", "nrm",
+                         best["cid"].alias("cell"))
+    # (-cos, cid) structs so ascending array_sort gives cos DESC with
+    # cid ASC tie-break; take the first nprobe cell ids
+    ordered = F.array_sort(F.array(*[
+        F.struct((-c["cos"]).alias("ncos"), c["cid"].alias("cid"))
+        for c in choices]))
+    probe_cells = F.transform(F.slice(ordered, 1, nprobe),
+                              lambda s: s["cid"])
+    queries = (norms.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("nrm").alias("q_nrm"),
+                       F.explode(probe_cells).alias("q_cell")))
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     scored = (F.broadcast(queries)
               .join(cells, (F.col("q_cell") == F.col("cell"))

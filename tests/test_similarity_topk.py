@@ -41,3 +41,44 @@ def test_two_phase_topk_matches_naive(spark):
     for qid, _nid, cos, _rk in want:
         per_q.setdefault(qid, []).append(cos)
     assert any(len(set(v)) < len(v) for v in per_q.values())
+
+
+def test_ivf_nprobe_recall_monotone_and_exact_at_full_probe(spark):
+    """The nprobe knob must behave like a real IVF index: recall vs the
+    brute-force ground truth is monotone in nprobe, and probing every
+    cell degenerates to the exact result."""
+    from solana_event_stream_spark.operators.similarity import (
+        IVF_K, ann_cosine_topk, ann_ivf_topk, ann_ivf_topk_probed)
+    sf = "/root/testdata/sf0.001"
+
+    def result_set(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = result_set(ann_cosine_topk(spark, sf))
+
+    def recall(pairs):
+        return len(pairs & truth) / len(truth)
+
+    r1 = recall(result_set(ann_ivf_topk(spark, sf)))
+    r1p = recall(result_set(ann_ivf_topk_probed(spark, sf, nprobe=1)))
+    r2 = recall(result_set(ann_ivf_topk_probed(spark, sf, nprobe=2)))
+    rfull = result_set(ann_ivf_topk_probed(spark, sf, nprobe=IVF_K))
+
+    assert r1p == r1            # nprobe=1 == the argmax single-cell form
+    assert r2 >= r1             # more probes never lose recall
+    assert rfull == truth       # probing all cells == exact brute force
+
+
+def test_ivf_probed_assignment_stays_narrow(spark):
+    """The probe-cell computation must keep the zero-exchange shape of
+    the nprobe=1 assignment: no Window, no cross join."""
+    import io
+    from contextlib import redirect_stdout
+    from solana_event_stream_spark.operators.similarity import (
+        ann_ivf_topk_probed)
+    df = ann_ivf_topk_probed(spark, "/root/testdata/sf0.001", nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "Cross" not in plan
