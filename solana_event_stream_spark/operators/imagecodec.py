@@ -114,11 +114,23 @@ def decode_png(payload: bytes) -> np.ndarray:
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace")
     channels = 1 if color_type == 0 else 3
+    if w < 1 or h < 1 or w * h > 64_000_000:
+        # Dims sanity cap: a hostile IHDR could otherwise make the
+        # bounded decompress below reserve gigabytes.
+        raise ValueError(f"PNG dimensions out of range ({w}x{h})")
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    try:
+        # Bound decompression by the size the (already CRC-verified)
+        # IHDR implies, +1 so an oversized stream is detectable without
+        # letting a small hostile IDAT balloon memory unboundedly.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError(
-            f"IDAT size {len(raw)} != expected {h * (stride + 1)}")
+            f"IDAT size {len(raw)} != expected {expected}")
     out = np.empty((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
@@ -228,9 +240,13 @@ def encode_wav(samples: np.ndarray | bytes, *, sample_rate: int = 8000,
     byte_rate = sample_rate * block_align
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
                       block_align, bits)
-    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    # RIFF requires word-aligned chunks: an odd-length data chunk gets a
+    # pad byte (excluded from the chunk's own length field, included in
+    # the RIFF size) so strict parsers and post-data chunks stay aligned.
+    pad = b"\x00" * (len(data) & 1)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data) + len(pad)) + b"WAVE"
             + b"fmt " + struct.pack("<I", 16) + fmt
-            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+            + b"data" + struct.pack("<I", len(data)) + bytes(data) + pad)
 
 
 def decode_wav(payload: bytes):

@@ -134,8 +134,13 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
                         if body else None)
                     rows.append((did, "image", payload))
                 elif kind == 1:
-                    rows.append((did, "audio", encode_wav(
-                        body, sample_rate=AUDIO_SAMPLE_RATE, bits=8)))
+                    # Symmetric with image: an empty document has no
+                    # media content, so the payload is NULL (not a
+                    # zero-sample WAV) and downstream decode skips it.
+                    payload = (encode_wav(
+                        body, sample_rate=AUDIO_SAMPLE_RATE, bits=8)
+                        if body else None)
+                    rows.append((did, "audio", payload))
                 else:
                     header = MAGIC + struct.pack(
                         "<II", len(body) % 640, did % 480)
@@ -201,7 +206,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     "multimodal_metadata_extract",
     oracle="""
     SELECT media_type, COUNT(*) AS n_media,
-           CAST(COUNT(*) FILTER (WHERE media_type <> 'image'
+           CAST(COUNT(*) FILTER (WHERE media_type = 'video'
                                     OR strlen(text) > 0) AS BIGINT)
              AS n_decoded,
            CAST(SUM(strlen(text)) AS BIGINT) AS total_content_bytes,
@@ -341,10 +346,11 @@ def _resize_batches(iterator: Iterator):
             try:
                 px = decode_image(payload)
             except ValueError:
-                out.append({"doc_id": row.doc_id, "width": None,
-                            "height": None, "new_width": None,
-                            "new_height": None,
-                            "resized_md5": hashlib.md5(b"").hexdigest()})
+                # Undecodable payloads (NULL payload for an empty-text
+                # doc, or a corrupt foreign file) emit NO row — matching
+                # the oracle's `strlen(text) > 0` filter, so Spark and
+                # oracle row counts stay aligned even on corpora that
+                # contain empty documents.
                 continue
             h, w = int(px.shape[0]), int(px.shape[1])
             resized = px[::RESIZE_FACTOR, ::RESIZE_FACTOR]
@@ -422,7 +428,10 @@ def _audio_feature_batches(iterator: Iterator):
             try:
                 samples, _rate, _ch, _bits = decode_wav(payload)
             except ValueError:
-                samples = np.zeros(0, np.uint8)
+                # NULL/undecodable payload (empty-text doc or corrupt
+                # foreign file): no row, matching the oracle's
+                # `strlen(text) > 0` filter.
+                continue
             a = samples.astype(np.int64)
             n = int(a.size)
             sum_amp = int(a.sum()) if n else 0
@@ -457,7 +466,7 @@ _SQL_AUDIO_BYTES = ("list_transform(range(1, strlen(text) + 1), "
     WITH b AS (
       SELECT doc_id, {_SQL_AUDIO_BYTES} AS bs,
              CAST(strlen(text) AS BIGINT) AS n
-      FROM documents WHERE doc_id % 3 = 1)
+      FROM documents WHERE doc_id % 3 = 1 AND strlen(text) > 0)
     SELECT doc_id, n AS n_samples,
            CAST(list_reduce(list_prepend(0::BIGINT, bs),
                             (a, v) -> a + v) AS BIGINT) AS sum_amplitude,

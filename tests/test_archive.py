@@ -124,6 +124,18 @@ def test_sorted_within_partition_prunes_row_groups(spark):
 
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+    try:
+        _run_prune_case(spark, big, n_big, prog)
+    finally:
+        # restore the shared session conf even when an assertion fails
+        # (a leaked 1 GiB override would cascade into other tests)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def _run_prune_case(spark, big, n_big, prog):
+    from solana_event_stream_spark.sources.replay import (
+        read_archive_slot_window, write_slot_range_archive)
+
     with tempfile.TemporaryDirectory() as tmp:
         sorted_path = os.path.join(tmp, "sorted")
         unsorted_path = os.path.join(tmp, "unsorted")
@@ -164,5 +176,3 @@ def test_sorted_within_partition_prunes_row_groups(spark):
         assert rows_sorted < rows_unsorted / 2, (
             rows_sorted, rows_unsorted, n_match, n_big)
         assert rows_sorted >= n_match
-    # restore the shared session conf (other tests depend on it)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)

@@ -93,3 +93,84 @@ def test_crafted_short_fmt_raises_valueerror():
            + b"data" + struct.pack("<I", 0))
     with pytest.raises(ValueError, match="fmt"):
         decode_wav(bad)
+
+
+def test_valid_crc_corrupt_deflate_raises_valueerror():
+    """A PNG whose chunk CRCs are all valid but whose IDAT holds a
+    corrupt deflate stream must raise ValueError (not zlib.error) —
+    the multimodal batch loops only catch ValueError, so a zlib.error
+    escape would fail the whole Spark task on one bad payload."""
+    from solana_event_stream_spark.operators.imagecodec import (
+        PNG_SIGNATURE, _png_chunk)
+    import struct
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0)
+    bad = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", b"\xff\xff not deflate \x00\x01")
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(bad)
+
+
+def test_truncated_deflate_stream_raises_valueerror():
+    """A valid deflate *prefix* (stream cut before the final block) has
+    no zlib error to raise — the eof check must reject it."""
+    import zlib
+    import struct
+    from solana_event_stream_spark.operators.imagecodec import (
+        PNG_SIGNATURE, _png_chunk)
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    full = zlib.compress(b"".join(b"\x00" + px[y].tobytes()
+                                  for y in range(8)), 6)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    bad = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", full[:len(full) // 2])
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_decompression_bomb_is_bounded():
+    """A tiny IDAT that inflates far past the IHDR-implied size must be
+    rejected by the bounded decompress, not ballooned into memory."""
+    import zlib
+    import struct
+    from solana_event_stream_spark.operators.imagecodec import (
+        PNG_SIGNATURE, _png_chunk)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # claims 2x1
+    bomb = zlib.compress(b"\x00" * (16 << 20), 9)        # inflates 16 MiB
+    bad = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", bomb)
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT size"):
+        decode_png(bad)
+
+
+def test_hostile_ihdr_dims_capped():
+    """Giant IHDR dimensions are rejected before any allocation."""
+    import struct
+    from solana_event_stream_spark.operators.imagecodec import (
+        PNG_SIGNATURE, _png_chunk)
+    ihdr = struct.pack(">IIBBBBB", 2 ** 31 - 1, 2 ** 31 - 1, 8, 2, 0, 0, 0)
+    bad = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(bad)
+
+
+def test_wav_odd_length_data_is_word_aligned():
+    """RIFF requires a pad byte after odd-length chunk bodies; the
+    encoder must emit it (and count it in the RIFF size) so strict
+    parsers and post-data chunks stay aligned."""
+    import struct
+    wav = encode_wav(b"\x01\x02\x03", sample_rate=8000, bits=8)
+    (riff_size,) = struct.unpack_from("<I", wav, 4)
+    assert len(wav) % 2 == 0                      # word-aligned file
+    assert riff_size == len(wav) - 8              # size counts the pad
+    (data_len,) = struct.unpack_from("<I", wav, 40)
+    assert data_len == 3                          # length excludes pad
+    samples, rate, ch, bits = decode_wav(wav)
+    assert bytes(samples) == b"\x01\x02\x03"
+    # a chunk AFTER the odd data chunk must still parse
+    wav2 = (wav + b"LIST" + struct.pack("<I", 4) + b"INFO")
+    wav2 = wav2[:4] + struct.pack("<I", len(wav2) - 8) + wav2[8:]
+    samples2, *_ = decode_wav(wav2)
+    assert bytes(samples2) == b"\x01\x02\x03"
