@@ -62,6 +62,45 @@ def high_latency_events(events: DataFrame,
             .filter(F.col("latency_lag_ms") > warn_ms))
 
 
+def latency_summary(progress: list[dict],
+                    warn_ms: int = LATENCY_WARN_MS,
+                    skip_cold: int = 1) -> dict:
+    """BASELINE bench plan (b): trigger-to-sink latency percentiles from
+    listener progress rows (PipelineMetricsListener.progress).
+
+    `triggerExecution` is Structured Streaming's wall time for one full
+    micro-batch — offset resolution through sink commit — i.e. exactly
+    the reference's receive-to-callback latency analog that its
+    LATENCY_WARN_MS=1000 threshold guards
+    (/root/reference/src/streaming/common/constants.rs:18). The first
+    `skip_cold` batches are excluded (JVM/codegen warmup has no analog
+    in the long-running reference process).
+    """
+    def _pct(xs: list[float], q: float) -> float:
+        if not xs:
+            return float("nan")
+        xs = sorted(xs)
+        idx = min(len(xs) - 1, max(0, round(q * (len(xs) - 1))))
+        return float(xs[idx])
+
+    rows = [p for p in progress if p.get("num_input_rows")]
+    warm = rows[skip_cold:] if len(rows) > skip_cold else rows
+    trig = [p["duration_ms"].get("triggerExecution", 0) for p in warm]
+    add = [p["duration_ms"].get("addBatch", 0) for p in warm]
+    return {
+        "n_batches": len(warm),
+        "rows_per_batch": (sum(p["num_input_rows"] for p in warm)
+                           / max(1, len(warm))),
+        "trigger_p50_ms": _pct(trig, 0.50),
+        "trigger_p95_ms": _pct(trig, 0.95),
+        "trigger_max_ms": max(trig) if trig else float("nan"),
+        "add_batch_p50_ms": _pct(add, 0.50),
+        "add_batch_p95_ms": _pct(add, 0.95),
+        "warn_threshold_ms": warn_ms,
+        "batches_over_warn": sum(1 for t in trig if t > warn_ms),
+    }
+
+
 class PipelineMetricsListener:
     """A3/A4/A6 via StreamingQueryListener events; collected per batch."""
 

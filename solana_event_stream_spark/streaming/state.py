@@ -110,6 +110,113 @@ def _replay_rows(frames, dev: set, bonk: set):
     return out, dev, bonk
 
 
+class CappedGlobalState:
+    """Exact-parity port of the reference's GlobalState capacity envelope
+    (`streaming/event_parser/core/global_state.rs:7-8,40-68`): at most
+    ~`max_entries` signatures; every add first runs `maybe_cleanup`,
+    which — when the count STRICTLY exceeds the cap — evicts
+    `evict_count` arbitrary entries (the reference truncates the
+    DashMap's arbitrary iteration order; here dict insertion order plays
+    that role, equally "random selection for simplicity" per its own
+    comment). The store therefore hovers in
+    (max_entries - evict_count, max_entries + 1], exactly like the Rust
+    form.
+
+    This is the single-consumer form: the reference's GlobalState is a
+    process-wide singleton read inside its callback parse loop, which
+    maps to our K1 driver-parity sink (`foreach_batch_callback`), where
+    one Python object persists across micro-batches. The DISTRIBUTED
+    strict backends below cannot express a cross-key count (Spark keyed
+    state is partitioned per signature) and bound memory with per-key
+    TTL instead — same guarantee, time-based victims (module docstring).
+    """
+
+    MAX_SIGNATURES = 1000       # global_state.rs:7
+    CLEANUP_BATCH_SIZE = 100    # global_state.rs:8
+
+    def __init__(self, max_entries: int = MAX_SIGNATURES,
+                 evict_count: int = CLEANUP_BATCH_SIZE):
+        self.max_entries = max_entries
+        self.evict_count = evict_count
+        self._m: dict[str, tuple[set, set]] = {}
+
+    def _maybe_cleanup(self) -> None:
+        # global_state.rs:40-68: trigger only when count > cap; victims
+        # are the first evict_count keys of the map's iteration order
+        if len(self._m) <= self.max_entries:
+            return
+        for key in list(self._m)[:self.evict_count]:
+            del self._m[key]
+
+    def _pools(self, signature: str) -> tuple[set, set]:
+        if signature not in self._m:
+            self._m[signature] = (set(), set())
+        return self._m[signature]
+
+    def add_dev_address(self, signature: str, address: str) -> None:
+        self._maybe_cleanup()
+        self._pools(signature)[0].add(address)
+
+    def add_bonk_dev_address(self, signature: str, address: str) -> None:
+        self._maybe_cleanup()
+        self._pools(signature)[1].add(address)
+
+    def is_dev_address_in_signature(self, signature: str,
+                                    address) -> bool:
+        pools = self._m.get(signature)
+        return bool(pools and address in pools[0])
+
+    def is_bonk_dev_address_in_signature(self, signature: str,
+                                         address) -> bool:
+        pools = self._m.get(signature)
+        return bool(pools and address in pools[1])
+
+    def signature_count(self) -> int:
+        return len(self._m)
+
+    def clear_all_data(self) -> None:
+        self._m.clear()
+
+
+def replay_with_global_state(pdf, state: CappedGlobalState):
+    """Sequential replay of one micro-batch's rows through a
+    CappedGlobalState — the reference's callback parse loop verbatim
+    (event_parser.rs:674-731), including the capacity envelope: a
+    signature's create registrations can be EVICTED before its trade
+    arrives, in which case the trade is simply unflagged (False), never
+    an error. Returns OUTPUT_SCHEMA-shaped tuples in event order.
+
+    Driver-side by design: this is the K1 single-consumer path, where
+    the reference's GlobalState singleton actually lives. Use it inside
+    `foreachBatch` with one CappedGlobalState held across batches.
+    """
+    pdf = pdf.sort_values(
+        ["slot", "transaction_index", "outer_index", "inner_index"],
+        na_position="first")
+    out = []
+    for row in pdf.itertuples(index=False):
+        et = row.event_type
+        sig = row.signature
+        flag = None
+        if et in PUMPFUN_CREATES:
+            if row.user is not None:
+                state.add_dev_address(sig, row.user)
+            if row.creator not in (None, ZERO_PUBKEY) \
+                    and row.creator != row.user:
+                state.add_dev_address(sig, row.creator)
+        elif et in BONK_CREATES:
+            if row.creator is not None:
+                state.add_bonk_dev_address(sig, row.creator)
+        elif et in PUMPFUN_TRADES:
+            flag = (state.is_dev_address_in_signature(sig, row.user)
+                    or state.is_dev_address_in_signature(sig, row.creator))
+        elif et in BONK_TRADES:
+            flag = state.is_bonk_dev_address_in_signature(sig, row.payer)
+        out.append((sig, row.slot, row.transaction_index,
+                    row.outer_index, row.inner_index, et, flag))
+    return out
+
+
 def _make_processor(ttl_ms: int | None):
     import pandas as pd
 

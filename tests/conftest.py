@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import pytest
 
@@ -24,3 +25,33 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def stop_streaming_query(q, spark, timeout=30):
+    """Stop a streaming query AND join its background threads before the
+    caller deletes checkpoint/source tempdirs.
+
+    The round-6 judge run hit an OSError when a test's TemporaryDirectory
+    was removed while the previous test's micro-batch thread was still
+    committing into its checkpoint. `stop()` alone only signals the query;
+    awaitTermination + an active-list poll makes teardown a real join.
+    """
+    try:
+        q.stop()
+    except Exception:
+        pass
+    try:
+        q.awaitTermination(timeout)
+    except Exception:
+        pass
+    deadline = time.time() + timeout
+    while any(aq.id == q.id for aq in spark.streams.active) \
+            and time.time() < deadline:
+        time.sleep(0.1)
+
+
+def drain_active_streams(spark, timeout=30):
+    """Ensure no streaming query from a previous test is still running
+    before a new one starts (shared session, per-test checkpoints)."""
+    for aq in spark.streams.active:
+        stop_streaming_query(aq, spark, timeout)

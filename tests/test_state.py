@@ -12,6 +12,7 @@ import time
 
 import pytest
 
+from conftest import drain_active_streams, stop_streaming_query
 from solana_event_stream_spark.streaming.state import (
     INPUT_COLS, has_transform_with_state, tag_dev_trades_stateful,
     tag_dev_trades_stateful_tws)
@@ -50,6 +51,7 @@ def _run_two_batches(spark, batch1, batch2, tmp,
     global _run_seq
     _run_seq += 1
     sink = f"strict_j3_{_run_seq}"
+    drain_active_streams(spark)  # no leftover query may race our tempdir
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     spark.createDataFrame([tuple(r[c] for c in INPUT_COLS)
@@ -80,7 +82,8 @@ def _run_two_batches(spark, batch1, batch2, tmp,
                 r.is_dev_create_token_trade
                 for r in spark.table(sink).collect()}
     finally:
-        q.stop()
+        stop_streaming_query(q, spark)
+        spark.catalog.dropTempView(sink)
 
 
 @pytest.mark.parametrize("tagger", BACKENDS)
@@ -97,7 +100,7 @@ def test_create_trade_split_across_batches(spark, tagger):
               _event("sigA", 2, "PumpFunSell", user=other, creator=other),
               _event("sigBonk", 2, "BonkBuyExactIn", payer=dev),
               _event("sigOther", 2, "PumpFunBuy", user=other)]
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
         flags = _run_two_batches(spark, batch1, batch2, tmp, tagger)
     # creates carry no flag (reference sets the flag on trades only)
     assert flags[("sigA", "PumpFunCreateToken", 1)] is None
@@ -117,7 +120,7 @@ def test_same_batch_matches_window_form(spark):
                      outer_index=0),
               _event("sigX", 1, "PumpFunBuy", user=dev, outer_index=1)]
     batch2 = [_event("sigY", 2, "PumpFunBuy", user=dev)]
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
         flags = _run_two_batches(spark, batch1, batch2, tmp)
     assert flags[("sigX", "PumpFunBuy", 1)] is True
     # sigY never had a create: not flagged (state is per signature)
@@ -133,10 +136,99 @@ def test_sequential_order_within_batch(spark):
               _event("sigZ", 1, "PumpFunCreateToken", user=dev,
                      outer_index=1)]
     batch2 = [_event("sigZ", 2, "PumpFunBuy", user=dev)]
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
         flags = _run_two_batches(spark, batch1, batch2, tmp)
     assert flags[("sigZ", "PumpFunBuy", 1)] is False   # before the create
     assert flags[("sigZ", "PumpFunBuy", 2)] is True    # after, next batch
+
+
+def _pdf(rows):
+    import pandas as pd
+    return pd.DataFrame([{c: r[c] for c in INPUT_COLS} for r in rows])
+
+
+def test_capped_global_state_eviction_envelope():
+    """Reference capacity parity (global_state.rs:7-8,40-68): cleanup
+    triggers only when the count STRICTLY exceeds the cap, evicts
+    exactly evict_count arbitrary victims, and the store hovers in
+    (max - evict, max + 1]."""
+    from solana_event_stream_spark.streaming.state import CappedGlobalState
+
+    st = CappedGlobalState(max_entries=5, evict_count=2)
+    for i in range(6):
+        st.add_dev_address(f"sig{i}", f"dev{i}")
+    # 6th add saw count==5 (not > 5): no cleanup yet — the reference
+    # overshoots the cap by one before evicting
+    assert st.signature_count() == 6
+    st.add_dev_address("sig6", "dev6")  # sees 6 > 5: evicts 2, inserts 1
+    assert st.signature_count() == 5
+    # victims are the first two keys in map order (sig0, sig1 here)
+    assert not st.is_dev_address_in_signature("sig0", "dev0")
+    assert not st.is_dev_address_in_signature("sig1", "dev1")
+    for i in range(2, 7):
+        assert st.is_dev_address_in_signature(f"sig{i}", f"dev{i}")
+    # long-run envelope: count never exceeds max_entries + 1
+    for i in range(7, 100):
+        st.add_dev_address(f"sig{i}", f"dev{i}")
+        assert st.signature_count() <= st.max_entries + 1
+    # reads and trades never trigger cleanup (reference checks on add only)
+    n = st.signature_count()
+    st.is_dev_address_in_signature("sig99", "dev99")
+    assert st.signature_count() == n
+
+
+def test_capped_replay_degrades_like_reference():
+    """Under overflow the flag DEGRADES exactly like the reference: a
+    signature whose create registration was evicted yields an unflagged
+    (False) trade — never an error, never a stale flag."""
+    from solana_event_stream_spark.streaming.state import (
+        CappedGlobalState, replay_with_global_state)
+
+    dev = "DevWallet1111111111111111111111111111111111"
+    st = CappedGlobalState(max_entries=3, evict_count=1)
+    # batch 1: sigA's create registers dev
+    replay_with_global_state(_pdf(
+        [_event("sigA", 1, "PumpFunCreateToken", user=dev)]), st)
+    # batch 2: filler creates push the store to the cap overshoot (4)
+    replay_with_global_state(_pdf(
+        [_event(s, 2, "PumpFunCreateToken", user=dev)
+         for s in ("sigB", "sigC", "sigD")]), st)
+    assert st.signature_count() == 4
+    # batch 3: trade BEFORE any further add still sees sigA (no cleanup
+    # on reads), then one more create evicts sigA (oldest key)
+    out = replay_with_global_state(_pdf(
+        [_event("sigA", 3, "PumpFunBuy", user=dev)]), st)
+    assert out[0][-1] is True
+    replay_with_global_state(_pdf(
+        [_event("sigE", 4, "PumpFunCreateToken", user=dev)]), st)
+    out = replay_with_global_state(_pdf(
+        [_event("sigA", 5, "PumpFunBuy", user=dev),
+         _event("sigD", 5, "PumpFunBuy", user=dev)]), st)
+    flags = {r[0]: r[-1] for r in out}
+    assert flags["sigA"] is False   # evicted: degraded, not an error
+    assert flags["sigD"] is True    # survivor keeps its registration
+
+
+def test_capped_replay_matches_uncapped_strict_form():
+    """Under the cap, the capped driver-side fold and the distributed
+    _replay_rows core agree row-for-row (shared semantics, different
+    state plumbing)."""
+    from solana_event_stream_spark.streaming.state import (
+        CappedGlobalState, _replay_rows, replay_with_global_state)
+
+    dev = "DevWallet1111111111111111111111111111111111"
+    other = "OtherWallet111111111111111111111111111111111"
+    rows = [_event("sigX", 1, "PumpFunCreateToken", user=dev,
+                   outer_index=0),
+            _event("sigX", 1, "PumpFunBuy", user=dev, outer_index=1),
+            _event("sigX", 1, "PumpFunSell", user=other, creator=other,
+                   outer_index=2),
+            _event("sigX", 1, "BonkInitialize", creator=dev,
+                   outer_index=3),
+            _event("sigX", 1, "BonkBuyExactIn", payer=dev, outer_index=4)]
+    capped = replay_with_global_state(_pdf(rows), CappedGlobalState())
+    uncapped, _, _ = _replay_rows([_pdf(rows)], set(), set())
+    assert [r[-1] for r in capped] == [r[-1] for r in uncapped]
 
 
 def test_tws_import_gate_and_auto_select(spark):

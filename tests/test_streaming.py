@@ -52,6 +52,62 @@ def test_streaming_equals_batch(spark):
     assert _event_key_set(collected) == _event_key_set(batch_rows)
 
 
+def test_streaming_equals_batch_out_of_order_slots(spark):
+    """SURVEY §5.4 verbatim: the SAME corpus fed through a file streaming
+    source with OUT-OF-ORDER slots — micro-batches arrive in descending
+    slot order (highest slots first) — must produce exactly the batch
+    pipeline's output, which in turn is pinned to events_golden.parquet
+    by test_pipeline_golden. Full-column row compare, not just keys."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.sink import start_event_stream
+
+    with open(os.path.join(FIXTURES, "meta.json")) as f:
+        bot = json.load(f)["bot_wallet"]
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    assert len(slots) >= 3
+    cuts = [slots[len(slots) // 3], slots[2 * len(slots) // 3]]
+    groups = [  # descending slot ranges: latest chain segment FIRST
+        raw.filter(raw.slot >= cuts[1]),
+        raw.filter((raw.slot >= cuts[0]) & (raw.slot < cuts[1])),
+        raw.filter(raw.slot < cuts[0]),
+    ]
+
+    batch_rows = [r.asDict() for r in build_events(raw, bot_wallet=bot)
+                  .collect()]
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        archive = os.path.join(tmp, "archive")
+        # the file source orders micro-batches by file modification time:
+        # writing high-slot groups first (with mtime gaps) forces
+        # descending slot order across batches
+        for i, g in enumerate(groups):
+            g.coalesce(1).write.mode("append").parquet(archive)
+            _time.sleep(1.1)
+        collected: list = []
+        q = start_event_stream(
+            read_transaction_stream(spark, archive, max_files_per_trigger=1),
+            lambda rows: collected.extend(r.asDict() for r in rows),
+            os.path.join(tmp, "ckpt"), bot_wallet=bot)
+        q.awaitTermination(120)
+
+    assert len(collected) == len(batch_rows)
+
+    def _full_rows(dicts):
+        return sorted(
+            tuple((k, str(v)) for k, v in sorted(d.items()))
+            for d in dicts)
+
+    assert _full_rows(collected) == _full_rows(batch_rows)
+
+
 def test_streaming_batch_ordering(spark):
     """§2.9: rows delivered to the callback are sorted by
     (slot, tx_index, outer_index, inner_index)."""
@@ -249,4 +305,5 @@ def test_watermark_drops_late_events(spark):
                     r.n_events) for r in rows}
             assert got == {(0, 2), (5, 1), (60, 1)}  # late t=2 never lands
         finally:
-            q.stop()
+            from conftest import stop_streaming_query
+            stop_streaming_query(q, spark)

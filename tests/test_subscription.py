@@ -112,4 +112,5 @@ def test_dynamic_filter_swap_mid_stream(spark):
             assert later, "no batches after filter swap"
             assert sum(later) == 0, (n_before, later)
         finally:
-            q.stop()
+            from conftest import stop_streaming_query
+            stop_streaming_query(q, spark)
