@@ -9,6 +9,10 @@ multimodal pipeline decodes REAL formats end-to-end:
   implements all five PNG filter types (None/Sub/Up/Average/Paeth,
   PNG spec §9) and verifies chunk CRCs, so it also reads
   foreign-encoded baseline PNGs, not just its own output.
+- APNG: animated PNG (acTL/fcTL/fdAT chunks over the same zlib +
+  unfilter core) — real multi-frame video-style payloads for the
+  frame-sampling operator; per-frame zlib streams, consecutive
+  sequence-number validation, frame regions within the canvas.
 - BMP: uncompressed (BI_RGB) 24-bit, the classic bottom-up
   BGR-with-4-byte-row-padding layout.
 - WAV: canonical 44-byte RIFF/WAVE header + PCM (8-bit unsigned or
@@ -73,18 +77,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a baseline (non-interlaced, 8-bit grey/RGB) PNG.
-
-    Returns (H, W) for greyscale, (H, W, 3) for RGB. Verifies the
-    signature and every chunk CRC; raises ValueError on anything
-    malformed or outside the supported baseline subset.
-    """
+def _walk_chunks(payload: bytes):
+    """Yield (tag, data) for every chunk, verifying the signature and
+    each chunk's CRC; raises ValueError on any structural damage."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos, n = 8, len(payload)
-    ihdr = None
-    idat = bytearray()
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4:pos + 8]
@@ -95,37 +93,43 @@ def decode_png(payload: bytes) -> np.ndarray:
         if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         pos += 12 + length
-        if tag == b"IHDR":
-            if length != 13:
-                raise ValueError(f"IHDR must be 13 bytes, got {length}")
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            break
-        # ancillary chunks (tEXt, pHYs, ...) are skipped, as allowed
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+        yield tag, data
+        if tag == b"IEND":
+            return
+
+
+def _parse_ihdr(data: bytes) -> tuple[int, int, int]:
+    """Validate an IHDR against the supported baseline subset; returns
+    (width, height, channels)."""
+    if len(data) != 13:
+        raise ValueError(f"IHDR must be 13 bytes, got {len(data)}")
+    w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", data)
     if bit_depth != 8 or color_type not in (0, 2):
         raise ValueError(
             f"unsupported PNG (bit_depth={bit_depth}, color={color_type}); "
             "only 8-bit grey/RGB baseline is implemented")
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace")
-    channels = 1 if color_type == 0 else 3
     if w < 1 or h < 1 or w * h > 64_000_000:
         # Dims sanity cap: a hostile IHDR could otherwise make the
         # bounded decompress below reserve gigabytes.
         raise ValueError(f"PNG dimensions out of range ({w}x{h})")
+    return w, h, 1 if color_type == 0 else 3
+
+
+def _decode_pixels(compressed: bytes, w: int, h: int,
+                   channels: int) -> np.ndarray:
+    """Inflate + unfilter one image's scanline stream (shared by the
+    still decoder and each APNG frame)."""
     stride = w * channels
     expected = h * (stride + 1)
     try:
         # Bound decompression by the size the (already CRC-verified)
-        # IHDR implies, +1 so an oversized stream is detectable without
+        # header implies, +1 so an oversized stream is detectable without
         # letting a small hostile IDAT balloon memory unboundedly.
         dec = zlib.decompressobj()
-        raw = dec.decompress(bytes(idat), expected + 1)
+        raw = dec.decompress(compressed, expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
     if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
@@ -165,6 +169,168 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
     return out if channels == 1 else out.reshape(h, w, 3)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a baseline (non-interlaced, 8-bit grey/RGB) PNG.
+
+    Returns (H, W) for greyscale, (H, W, 3) for RGB. Verifies the
+    signature and every chunk CRC; raises ValueError on anything
+    malformed or outside the supported baseline subset. On an APNG this
+    returns the default image (the IDAT stream), per the spec's
+    animation-unaware-decoder behavior.
+    """
+    ihdr = None
+    idat = bytearray()
+    for tag, data in _walk_chunks(payload):
+        if tag == b"IHDR":
+            ihdr = _parse_ihdr(data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        # ancillary chunks (tEXt, pHYs, acTL/fcTL/fdAT, ...) are skipped
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, channels = ihdr
+    return _decode_pixels(bytes(idat), w, h, channels)
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — acTL/fcTL/fdAT over the same zlib/unfilter core
+# ---------------------------------------------------------------------------
+
+def encode_apng(frames: list[np.ndarray], *, delay_num: int = 1,
+                delay_den: int = 10, compress_level: int = 6) -> bytes:
+    """Encode a list of uint8 frames as an APNG.
+
+    Frame 0 defines the canvas and rides in the IDAT stream (so
+    animation-unaware PNG decoders show it); later frames may be
+    narrower/shorter than the canvas (anchored at 0,0, dispose NONE,
+    blend SOURCE) and ride in fdAT chunks, each frame its own complete
+    zlib stream per the APNG spec. All frames must share the color kind
+    (all grey (H, W) or all RGB (H, W, 3)).
+    """
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    arrs = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    first = arrs[0]
+    if first.ndim == 2:
+        color_type = 0
+    elif first.ndim == 3 and first.shape[2] == 3:
+        color_type = 2
+    else:
+        raise ValueError(
+            f"expected (H,W) or (H,W,3) uint8 frames, got {first.shape}")
+    ch, cw = first.shape[0], first.shape[1]
+    if ch < 1 or cw < 1:
+        raise ValueError(f"PNG dimensions must be >= 1, got {cw}x{ch}")
+
+    def _raw(a: np.ndarray) -> bytes:
+        return b"".join(b"\x00" + a[y].tobytes() for y in range(a.shape[0]))
+
+    def _fctl(seq: int, w: int, h: int) -> bytes:
+        return _png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0))
+
+    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, color_type, 0, 0, 0)
+    out = [PNG_SIGNATURE, _png_chunk(b"IHDR", ihdr),
+           _png_chunk(b"acTL", struct.pack(">II", len(arrs), 0))]
+    seq = 0
+    out.append(_fctl(seq, cw, ch))
+    seq += 1
+    out.append(_png_chunk(b"IDAT", zlib.compress(_raw(first),
+                                                 compress_level)))
+    for a in arrs[1:]:
+        if a.ndim != first.ndim:
+            raise ValueError("all frames must share the color kind")
+        fh, fw = a.shape[0], a.shape[1]
+        if fh < 1 or fw < 1 or fh > ch or fw > cw:
+            raise ValueError(
+                f"frame {fw}x{fh} outside canvas {cw}x{ch}")
+        out.append(_fctl(seq, fw, fh))
+        seq += 1
+        out.append(_png_chunk(b"fdAT", struct.pack(">I", seq)
+                              + zlib.compress(_raw(a), compress_level)))
+        seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode_apng(payload: bytes) -> list[np.ndarray]:
+    """Decode an APNG into its frame pixel arrays.
+
+    Returns one array per animation frame — the frame's own region
+    ((H, W) grey / (H, W, 3) RGB), not a composited canvas: dispose and
+    blend are presentation semantics, and frame EXTRACTION (the
+    training-data operation) wants the raw regions. Validates chunk
+    CRCs, acTL frame count, the spec's consecutive sequence numbers
+    across fcTL/fdAT, and that every frame region fits the canvas. A
+    plain (non-animated) PNG decodes as a single frame.
+    """
+    ihdr = None
+    actl = None
+    idat = bytearray()
+    idat_is_frame0 = False
+    entries: list[dict] = []       # {"w","h","x","y","data": bytearray}
+    expected_seq = 0
+    for tag, data in _walk_chunks(payload):
+        if tag == b"IHDR":
+            ihdr = _parse_ihdr(data)
+        elif tag == b"acTL":
+            if len(data) != 8:
+                raise ValueError(f"acTL must be 8 bytes, got {len(data)}")
+            actl = struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            if len(data) != 26:
+                raise ValueError(f"fcTL must be 26 bytes, got {len(data)}")
+            (seq, fw, fh, fx, fy, _dn, _dd, dispose, blend) = \
+                struct.unpack(">IIIIIHHBB", data)
+            if seq != expected_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq} != expected {expected_seq}")
+            expected_seq += 1
+            if dispose > 2 or blend > 1:
+                raise ValueError(
+                    f"bad fcTL dispose/blend ({dispose}/{blend})")
+            entries.append({"w": fw, "h": fh, "x": fx, "y": fy,
+                            "data": bytearray()})
+        elif tag == b"IDAT":
+            if entries and not idat and len(entries) == 1 \
+                    and not entries[0]["data"]:
+                idat_is_frame0 = True
+            idat.extend(data)
+            if idat_is_frame0:
+                entries[0]["data"].extend(data)
+        elif tag == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("truncated fdAT sequence number")
+            (seq,) = struct.unpack_from(">I", data, 0)
+            if seq != expected_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq} != expected {expected_seq}")
+            expected_seq += 1
+            if not entries:
+                raise ValueError("fdAT before any fcTL")
+            entries[-1]["data"].extend(data[4:])
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, channels = ihdr
+    if actl is None:
+        # not animated: the still image is the single frame
+        return [_decode_pixels(bytes(idat), w, h, channels)]
+    if actl[0] != len(entries):
+        raise ValueError(
+            f"acTL declares {actl[0]} frames, found {len(entries)}")
+    frames = []
+    for e in entries:
+        fw, fh = e["w"], e["h"]
+        if fw < 1 or fh < 1 or e["x"] + fw > w or e["y"] + fh > h:
+            raise ValueError(
+                f"frame region {fw}x{fh}+{e['x']}+{e['y']} outside "
+                f"canvas {w}x{h}")
+        if not e["data"]:
+            raise ValueError("fcTL with no frame data")
+        frames.append(_decode_pixels(bytes(e["data"]), fw, fh, channels))
+    return frames
 
 
 # ---------------------------------------------------------------------------

@@ -10,9 +10,12 @@ but PNG needs only zlib + numpy and BMP/WAV are plain struct layouts):
   unfiltering + CRC verification on the decode side),
 - **audio** payloads are real WAV files (canonical RIFF header + 8-bit
   PCM, `imagecodec.encode_wav`/`decode_wav`),
-- **video** payloads keep the deterministic `MMB1` fake container (no
-  stdlib video format exists; the header-parse fallback below is the
-  documented stand-in, exactly as before).
+- **video** payloads are real APNGs (animated PNG — acTL/fcTL/fdAT
+  chunks over the same zlib/unfilter core,
+  `imagecodec.encode_apng`/`decode_apng`): each 256-byte slice of the
+  document becomes one 1-row greyscale frame, so "frames" are real
+  decoded pixel arrays. The legacy `MMB1` fake container still parses
+  as a documented fallback for stored corpora.
 
 Oracle strategy: the synthetic corpus encodes each document's UTF-8
 bytes as the media content (PNG pixel strip / PCM samples), and both
@@ -46,11 +49,13 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
 
 from ..catalog import register
 from ..tables import load_table
-from .imagecodec import (PNG_SIGNATURE, decode_png, decode_bmp, decode_wav,
-                         encode_png, encode_wav)
+from .imagecodec import (PNG_SIGNATURE, decode_apng, decode_png, decode_bmp,
+                         decode_wav, encode_apng, encode_png, encode_wav)
 
 MAGIC = b"MMB1"
 AUDIO_SAMPLE_RATE = 8000
+FRAME_BYTES = 256    # bytes of text per video frame (1-row APNG strip)
+FRAME_STRIDE = 4     # frame-sampling keeps every 4th frame
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -92,12 +97,37 @@ def decode_image(payload: bytes):
 
 
 def _parse_header(payload: bytes):
-    """Deterministic fake 'decode' for the MMB1 container (video only —
-    no stdlib video codec exists; kept as the documented fallback)."""
+    """Deterministic fake 'decode' for the LEGACY MMB1 container (the
+    pre-APNG video stand-in; kept so stored corpora in that format still
+    parse)."""
     if payload is None or len(payload) < 12 or payload[:4] != MAGIC:
         return None, None, 0
     w, h = struct.unpack("<II", payload[4:12])
     return w, h, 1
+
+
+def decode_video_frames(payload: bytes):
+    """Decode a video payload into a list of frame pixel arrays.
+
+    APNG (the format `attach_binary_payload` emits) decodes for real —
+    every frame is a decoded pixel region. The legacy MMB1 container
+    falls back to fixed-size byte slicing of its body (the documented
+    pre-APNG stand-in). Raises ValueError for anything else.
+    """
+    if payload is None:
+        raise ValueError("payload is NULL")
+    payload = bytes(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_apng(payload)
+    if payload[:4] == MAGIC:
+        import numpy as np
+        body = payload[12:]
+        return [np.frombuffer(body[i:i + FRAME_BYTES],
+                              dtype=np.uint8).reshape(1, -1)
+                for i in range(0, len(body), FRAME_BYTES)]
+    raise ValueError(
+        f"unsupported video format (magic {payload[:4]!r}); "
+        "APNG and the legacy MMB1 container are implemented")
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
@@ -111,8 +141,14 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
       pixels = text bytes (lossless, so pixel stats == byte stats),
     - ``audio`` (doc_id % 3 == 1): real WAV, 8-bit PCM samples = text
       bytes,
-    - ``video`` (doc_id % 3 == 2): MMB1 fake container,
-      ``MMB1 | u32 width = n % 640 | u32 height = doc_id % 480 | body``.
+    - ``video`` (doc_id % 3 == 2): real APNG — every FRAME_BYTES-byte
+      slice of the text becomes one 1-row greyscale frame (the last
+      frame narrower when the text doesn't divide evenly), so frame
+      extraction downstream decodes real pixel regions.
+
+    Empty documents have no media content in ANY modality: payload is
+    NULL and downstream decode skips the row (symmetric across
+    image/audio/video).
 
     Runs as an Arrow-batched mapInPandas stage (PNG/WAV framing needs
     zlib/struct); narrow — no shuffle, payloads are built where the
@@ -142,9 +178,11 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
                         if body else None)
                     rows.append((did, "audio", payload))
                 else:
-                    header = MAGIC + struct.pack(
-                        "<II", len(body) % 640, did % 480)
-                    rows.append((did, "video", header + body))
+                    frames = [np.frombuffer(body[i:i + FRAME_BYTES],
+                                            np.uint8).reshape(1, -1)
+                              for i in range(0, len(body), FRAME_BYTES)]
+                    payload = encode_apng(frames) if frames else None
+                    rows.append((did, "video", payload))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
@@ -154,9 +192,10 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _extract_batches(iterator: Iterator):
     """Per-payload metadata via REAL decode: PNG pixels / WAV samples /
-    MMB1 header, per media_type. content_md5 hashes the *decoded*
-    content bytes (pixel strip, PCM samples, fake-container body), so
-    the oracle can recompute it from the source text."""
+    APNG frames (MMB1-header fallback), per media_type. content_md5
+    hashes the *decoded* content bytes (pixel strip, PCM samples,
+    concatenated frame pixels), so the oracle can recompute it from the
+    source text."""
     import hashlib
 
     import pandas as pd
@@ -178,10 +217,19 @@ def _extract_batches(iterator: Iterator):
                     samples, _rate, _ch, _bits = decode_wav(payload)
                     content = samples.tobytes()
                     ok = 1
-                else:
+                elif payload[:4] == MAGIC:
+                    # legacy MMB1 corpora: header parse, body as content
                     w, h, ok = _parse_header(payload)
                     width, height = w, h
                     content = payload[12:] if ok else payload
+                else:
+                    frames = decode_video_frames(payload)
+                    # canvas dims = frame 0 region (APNG frame 0 IS the
+                    # canvas); content = concatenated frame pixels
+                    height = int(frames[0].shape[0]) if frames else None
+                    width = int(frames[0].shape[1]) if frames else None
+                    content = b"".join(f.tobytes() for f in frames)
+                    ok = 1
             except ValueError:
                 ok = 0
             out.append({
@@ -204,18 +252,19 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_metadata_extract",
-    oracle="""
+    oracle=f"""
     SELECT media_type, COUNT(*) AS n_media,
-           CAST(COUNT(*) FILTER (WHERE media_type = 'video'
-                                    OR strlen(text) > 0) AS BIGINT)
+           CAST(COUNT(*) FILTER (WHERE strlen(text) > 0) AS BIGINT)
              AS n_decoded,
            CAST(SUM(strlen(text)) AS BIGINT) AS total_content_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
            CAST(SUM(CASE WHEN media_type = 'image' THEN strlen(text)
-                         WHEN media_type = 'video' THEN strlen(text) % 640
+                         WHEN media_type = 'video'
+                           THEN least(strlen(text), {FRAME_BYTES})
                     END) AS BIGINT) AS sum_width,
            CAST(SUM(CASE WHEN media_type = 'image' THEN 1
-                         WHEN media_type = 'video' THEN doc_id % 480
+                         WHEN media_type = 'video' AND strlen(text) > 0
+                           THEN 1
                     END) AS BIGINT) AS sum_height
     FROM (
       SELECT doc_id, text,
@@ -227,10 +276,12 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     """,
     tags=("multimodal", "llm-data"),
     doc="Binary media column -> mapInPandas REAL decode (PNG pixels, "
-        "WAV samples, MMB1 header for video) + content hash; the codecs "
+        "WAV samples, APNG frames for video) + content hash; the codecs "
         "are lossless so the oracle recomputes every aggregate from the "
-        "text the payloads encode. sum_width/sum_height are NULL for "
-        "audio in both engines (WAV has no spatial dims).",
+        "text the payloads encode. Video width/height are the APNG "
+        "canvas dims (1-row strip capped at FRAME_BYTES); "
+        "sum_width/sum_height are NULL for audio in both engines (WAV "
+        "has no spatial dims).",
 )
 def multimodal_metadata_extract(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -245,9 +296,6 @@ def multimodal_metadata_extract(spark, sf_dir: str) -> DataFrame:
                  F.sum("height").alias("sum_height")))
 
 
-FRAME_BYTES = 256
-FRAME_STRIDE = 4
-
 FRAME_SAMPLE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_frames", LongType()),
@@ -257,31 +305,30 @@ FRAME_SAMPLE_SCHEMA = StructType([
 
 
 def _frame_sample_batches(iterator: Iterator):
-    """Frame sampling over video payloads — video stays on the MMB1
-    fake container (fixed-size byte frames; no stdlib video codec
-    exists), so the decode step is the documented deterministic
-    stand-in; the Spark-side plumbing (Arrow batches, binary slicing,
-    per-row vectorizable loop) is the real contract."""
+    """Frame sampling over REAL decoded video frames: decode_apng
+    yields each frame's pixel region (the legacy MMB1 container slices
+    bytes, as before), every FRAME_STRIDE-th frame is kept, and the
+    sample hash covers the kept frames' pixel bytes. Undecodable/NULL
+    payloads (empty-text docs, corrupt foreign files) emit no row,
+    matching the oracle's text filter."""
     import hashlib
 
     import pandas as pd
 
-    def _frames(body: bytes):
-        return [body[i:i + FRAME_BYTES]
-                for i in range(0, len(body), FRAME_BYTES)]
-
     for pdf in iterator:
         out = []
         for row in pdf.itertuples(index=False):
-            payload = bytes(row.payload) if row.payload is not None else b""
-            body = payload[12:] if _parse_header(payload)[2] else payload
-            frames = _frames(body)
+            try:
+                frames = decode_video_frames(row.payload)
+            except ValueError:
+                continue
             sampled = frames[::FRAME_STRIDE]
             out.append({
                 "doc_id": row.doc_id,
                 "n_frames": len(frames),
                 "n_sampled": len(sampled),
-                "sample_md5": hashlib.md5(b"".join(sampled)).hexdigest(),
+                "sample_md5": hashlib.md5(
+                    b"".join(f.tobytes() for f in sampled)).hexdigest(),
             })
         yield pd.DataFrame(out, columns=[f.name for f in
                                          FRAME_SAMPLE_SCHEMA.fields])
@@ -300,14 +347,16 @@ def _frame_sample_batches(iterator: Iterator):
                  i -> substr(text, 1 + i * {FRAME_BYTES}, {FRAME_BYTES})),
                '')) AS sample_md5
     FROM documents
-    WHERE doc_id % 3 = 2
+    WHERE doc_id % 3 = 2 AND strlen(text) > 0
     """,
     tags=("multimodal", "llm-data"),
-    doc="Video frame sampling: BINARY payload -> fixed-size frames -> "
-        "every 4th frame -> content hash, via Arrow-batched mapInPandas "
-        "(video keeps the documented deterministic fake container; the "
-        "batch plumbing is real). Oracle recomputes from the text the "
-        "payload was built from.",
+    doc="Video frame sampling over REAL APNG payloads: stdlib "
+        "acTL/fcTL/fdAT decode -> per-frame pixel regions -> every 4th "
+        "frame -> pixel hash, via Arrow-batched mapInPandas. The corpus "
+        "encodes each 256-byte text slice as a 1-row greyscale frame "
+        "and the codec is lossless, so the oracle recomputes the "
+        "sampled hash from text substrings. Empty docs carry NULL "
+        "payloads and emit no row (both engines filter them).",
 )
 def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

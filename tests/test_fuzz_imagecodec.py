@@ -174,3 +174,62 @@ def test_wav_odd_length_data_is_word_aligned():
     wav2 = wav2[:4] + struct.pack("<I", len(wav2) - 8) + wav2[8:]
     samples2, *_ = decode_wav(wav2)
     assert bytes(samples2) == b"\x01\x02\x03"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 64), st.booleans(),
+       st.integers(0, 2 ** 32 - 1))
+def test_apng_roundtrip_any_frames(n_frames, canvas_w, rgb, seed):
+    """Any frame list (frame 0 = canvas, later frames any width up to
+    the canvas) round-trips exactly through encode_apng/decode_apng."""
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    rng = np.random.default_rng(seed)
+    widths = [canvas_w] + [int(rng.integers(1, canvas_w + 1))
+                           for _ in range(n_frames - 1)]
+    frames = [rng.integers(0, 256,
+                           size=((1, w, 3) if rgb else (1, w)),
+                           dtype=np.uint8) for w in widths]
+    out = decode_apng(encode_apng(frames))
+    assert len(out) == len(frames)
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(2, 4), st.integers(0, 2 ** 32 - 1), st.data())
+def test_corrupted_apng_never_returns_wrong_frames(n_frames, seed, data):
+    """Flip one byte anywhere in a valid APNG: decode either raises
+    ValueError or returns the original frames — never silently wrong
+    pixels, never a non-ValueError escape (the multimodal batch loops
+    only catch ValueError)."""
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(1, 16), dtype=np.uint8)
+              for _ in range(n_frames)]
+    payload = bytearray(encode_apng(frames))
+    pos = data.draw(st.integers(0, len(payload) - 1))
+    payload[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        out = decode_apng(bytes(payload))
+    except ValueError:
+        return
+    except Exception as exc:
+        pytest.fail(f"non-ValueError escape: {type(exc).__name__}: {exc}")
+    assert len(out) == len(frames)
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_arbitrary_bytes_never_crash_video_decode(data):
+    """decode_video_frames (APNG + legacy MMB1 dispatch) must reject
+    garbage with ValueError, never crash."""
+    from solana_event_stream_spark.operators.multimodal import (
+        decode_video_frames)
+    try:
+        decode_video_frames(data)
+    except ValueError:
+        pass

@@ -222,8 +222,11 @@ def test_attach_binary_payload_is_real_media(spark):
     assert samples.tobytes() == b"audio doc samples"
     assert (rate, bits) == (8000, 8)
     vid = bytes(rows[2].payload)
-    assert vid[:4] == b"MMB1"
-    assert vid[12:] == b"video doc frames!"
+    assert vid[:8] == PNG_SIGNATURE  # real APNG, not the MMB1 fake
+    from solana_event_stream_spark.operators.multimodal import (
+        decode_video_frames)
+    frames = decode_video_frames(vid)
+    assert b"".join(f.tobytes() for f in frames) == b"video doc frames!"
 
 
 def test_resize_operates_on_decoded_pixels(spark):
@@ -242,3 +245,94 @@ def test_resize_operates_on_decoded_pixels(spark):
     assert (row.new_width, row.new_height) == (8, 1)
     assert row.resized_md5 == hashlib.md5(
         text.encode()[::2]).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# APNG
+# ---------------------------------------------------------------------------
+
+def test_apng_multiframe_roundtrip_exact():
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    frames = [_rng().integers(0, 256, size=(1, 256), dtype=np.uint8),
+              _rng().integers(0, 256, size=(1, 256), dtype=np.uint8),
+              _rng().integers(0, 256, size=(1, 100), dtype=np.uint8)]
+    out = decode_apng(encode_apng(frames))
+    assert len(out) == 3
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_apng_rgb_roundtrip_exact():
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    frames = [_rng().integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+              for _ in range(3)]
+    out = decode_apng(encode_apng(frames))
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+def test_apng_animation_unaware_decoder_sees_frame0():
+    """Spec behavior: a plain PNG decoder must see the default image
+    (frame 0 rides in IDAT; acTL/fcTL/fdAT are ancillary)."""
+    from solana_event_stream_spark.operators.imagecodec import encode_apng
+    frames = [np.arange(12, dtype=np.uint8).reshape(2, 6),
+              np.ones((1, 3), dtype=np.uint8)]
+    assert np.array_equal(decode_png(encode_apng(frames)), frames[0])
+
+
+def test_apng_still_png_is_single_frame():
+    from solana_event_stream_spark.operators.imagecodec import decode_apng
+    px = _rng().integers(0, 256, size=(3, 7), dtype=np.uint8)
+    frames = decode_apng(encode_png(px))
+    assert len(frames) == 1 and np.array_equal(frames[0], px)
+
+
+def test_apng_sequence_number_tamper_rejected():
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    payload = bytearray(encode_apng(
+        [np.ones((1, 8), np.uint8), np.zeros((1, 8), np.uint8)]))
+    # rewrite the second fcTL's sequence number (and fix its CRC) so the
+    # structure is valid but the animation order is corrupt
+    idx = payload.index(b"fcTL", payload.index(b"fcTL") + 4)
+    length = struct.unpack_from(">I", payload, idx - 4)[0]
+    struct.pack_into(">I", payload, idx + 4, 99)
+    body = bytes(payload[idx:idx + 4 + length])
+    struct.pack_into(">I", payload, idx + 4 + length,
+                     zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="sequence number"):
+        decode_apng(bytes(payload))
+
+
+def test_apng_frame_count_mismatch_rejected():
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    payload = bytearray(encode_apng([np.ones((1, 8), np.uint8)]))
+    idx = payload.index(b"acTL")
+    struct.pack_into(">I", payload, idx + 4, 5)   # claim 5 frames
+    body = bytes(payload[idx:idx + 12])
+    struct.pack_into(">I", payload, idx + 12,
+                     zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="frames"):
+        decode_apng(bytes(payload))
+
+
+def test_decode_video_frames_apng_and_legacy_mmb1():
+    from solana_event_stream_spark.operators.multimodal import (
+        FRAME_BYTES, MAGIC, decode_video_frames)
+    from solana_event_stream_spark.operators.imagecodec import encode_apng
+    body = bytes(range(256)) * 2 + b"tail"
+    frames = [np.frombuffer(body[i:i + FRAME_BYTES], np.uint8)
+              .reshape(1, -1) for i in range(0, len(body), FRAME_BYTES)]
+    apng = decode_video_frames(encode_apng(frames))
+    assert b"".join(f.tobytes() for f in apng) == body
+    assert [f.shape[1] for f in apng] == [256, 256, 4]
+    # legacy MMB1 corpora still parse (documented fallback)
+    legacy = decode_video_frames(
+        MAGIC + struct.pack("<II", 1, 2) + body)
+    assert b"".join(f.tobytes() for f in legacy) == body
+    with pytest.raises(ValueError, match="unsupported video format"):
+        decode_video_frames(b"XXXX" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="NULL"):
+        decode_video_frames(None)
