@@ -3,6 +3,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Interleaved A/B mode (noise-proof plan comparison): set
+``SPARK_GRAFT_BENCH_BASELINE_CATALOG=/path/to/prior/checkout`` (any
+directory containing a ``solana_event_stream_spark`` package, e.g. a
+``git worktree add`` of the previous round's commit). The baseline
+catalog loads IN THIS PROCESS under a renamed top-level package (the
+package is fully relative-import internal, so it runs unmodified), and
+each query timed run alternates current/baseline in the same JVM and
+SparkSession — host steal hits both arms equally, so the ratio is
+meaningful even when this sandbox's wall clock swings +-50%
+(BENCH_NOTES.md). Restrict the compared set with
+``SPARK_GRAFT_BENCH_AB_QUERIES=name1,name2``. The output line gains an
+``"ab"`` key: {name: {"cur": s, "base": s, "ratio": cur/base}}.
 """
 
 from __future__ import annotations
@@ -23,6 +36,73 @@ def force(df) -> int:
     """Fully execute a DataFrame without collecting it to the driver."""
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _load_baseline_catalog(spark, baseline_dir: str):
+    """Load a prior checkout's query catalog in THIS process under a
+    renamed top-level package, so current and baseline plans can be
+    timed interleaved in one JVM.
+
+    The rename ships as a zip through ``addPyFile`` — that reaches the
+    PYTHON WORKERS too, which matters for any baseline query with a
+    mapInPandas/mapInArrow stage (the workers must unpickle functions
+    whose module is ``ses_baseline.*``; a driver-only sys.path insert
+    would fail exactly those queries)."""
+    import importlib
+    import tempfile
+    import zipfile
+
+    pkg_src = os.path.join(baseline_dir, "solana_event_stream_spark")
+    if not os.path.isdir(pkg_src):
+        raise FileNotFoundError(
+            f"no solana_event_stream_spark package under {baseline_dir}")
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="ses_baseline_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_src):
+            for f in files:
+                if f.endswith((".pyc", ".pyo")):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, pkg_src)
+                z.write(full, os.path.join("ses_baseline", rel))
+    spark.sparkContext.addPyFile(zpath)
+    return importlib.import_module("ses_baseline.catalog").load_catalog()
+
+
+def _run_ab(spark, sf_dir, catalog, baseline_dir, n_timed) -> dict:
+    base_catalog = _load_baseline_catalog(spark, baseline_dir)
+    only = os.environ.get("SPARK_GRAFT_BENCH_AB_QUERIES")
+    names = ([n.strip() for n in only.split(",") if n.strip()] if only
+             else sorted(set(catalog) & set(base_catalog)))
+    ab: dict[str, dict] = {}
+    for name in names:
+        if name not in catalog or name not in base_catalog:
+            print(f"# AB skip {name}: not in both catalogs",
+                  file=sys.stderr)
+            continue
+        cur_fn = catalog[name].spark_fn
+        base_fn = base_catalog[name].spark_fn
+        try:
+            force(cur_fn(spark, sf_dir))       # warm both arms
+            force(base_fn(spark, sf_dir))
+            best_cur = best_base = float("inf")
+            for _ in range(n_timed):           # interleave: steal hits both
+                t0 = time.perf_counter()
+                force(cur_fn(spark, sf_dir))
+                best_cur = min(best_cur, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                force(base_fn(spark, sf_dir))
+                best_base = min(best_base, time.perf_counter() - t0)
+        except Exception as exc:
+            print(f"# AB FAIL {name}: {exc}", file=sys.stderr)
+            ab[name] = {"cur": -1.0, "base": -1.0, "ratio": -1.0}
+            continue
+        ab[name] = {"cur": round(best_cur, 4),
+                    "base": round(best_base, 4),
+                    "ratio": round(best_cur / best_base, 3)
+                    if best_base > 0 else -1.0}
+    return ab
 
 
 def main() -> None:
@@ -58,13 +138,17 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    baseline_dir = os.environ.get("SPARK_GRAFT_BENCH_BASELINE_CATALOG")
+    if baseline_dir:
+        out["ab"] = _run_ab(spark, sf_dir, catalog, baseline_dir, n_timed)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -50,7 +50,7 @@ def _scaled_raw(spark, n: int):
 
 
 def run_probe(spark, scale: int, n_buckets: int,
-              trigger_secs: float = 1.0) -> dict:
+              trigger_secs: float = 1.0, sink: str = "callback") -> dict:
     from solana_event_stream_spark.sources.replay import (
         read_transaction_stream, write_slot_bucketed_archive)
     from solana_event_stream_spark.streaming.metrics import (
@@ -72,10 +72,15 @@ def run_probe(spark, scale: int, n_buckets: int,
             stream = read_transaction_stream(spark, archive,
                                              max_files_per_trigger=1)
             events = build_events_core(stream)
+            if sink == "callback":      # full K1 path: enrich+order+collect
+                batch_fn = foreach_batch_callback(
+                    lambda rows: n_rows_seen.__setitem__(
+                        0, n_rows_seen[0] + len(rows)))
+            else:                       # pipeline-only: no enrich/driver hop
+                batch_fn = (lambda df, bid: n_rows_seen.__setitem__(
+                    0, n_rows_seen[0] + df.count()))
             q = (events.writeStream
-                 .foreachBatch(foreach_batch_callback(
-                     lambda rows: n_rows_seen.__setitem__(
-                         0, n_rows_seen[0] + len(rows))))
+                 .foreachBatch(batch_fn)
                  .option("checkpointLocation", os.path.join(tmp, "ckpt"))
                  .trigger(processingTime=f"{trigger_secs} seconds")
                  .start())
@@ -100,7 +105,7 @@ def run_probe(spark, scale: int, n_buckets: int,
     summary = latency_summary(collector.progress)
     summary.update({"probe": "stream_latency", "scale": scale,
                     "n_tx": n_tx, "n_buckets": n_buckets,
-                    "trigger_secs": trigger_secs,
+                    "trigger_secs": trigger_secs, "sink": sink,
                     "events_delivered": n_rows_seen[0],
                     "tx_per_batch": n_tx // n_buckets})
     return summary
@@ -117,6 +122,12 @@ def main() -> None:
         r = run_probe(spark, scale, n_buckets)
         results.append(r)
         print(json.dumps(r), flush=True)
+    # attribution arm: same feed, count-only sink — separates the
+    # micro-batch machinery + decode DAG from the K1 driver-parity
+    # enrich/order/collect cost
+    r = run_probe(spark, 1000, 20, sink="count")
+    results.append(r)
+    print(json.dumps(r), flush=True)
     print(json.dumps({"probe": "stream_latency_all", "results": results}))
 
 

@@ -30,6 +30,12 @@ def ordered_events(batch_df: DataFrame) -> DataFrame:
         F.coalesce(F.col("inner_index"), F.lit(-1)), "event_type")
 
 
+def _row_order_key(r) -> tuple:
+    return (r["slot"], r["transaction_index"], r["outer_index"],
+            r["inner_index"] if r["inner_index"] is not None else -1,
+            r["event_type"])
+
+
 def foreach_batch_callback(callback: Callable[[list], None],
                            bot_wallet: str | None = None):
     """K1: invoke `callback(rows)` once per micro-batch with enriched,
@@ -39,10 +45,24 @@ def foreach_batch_callback(callback: Callable[[list], None],
     every row funnels through the driver (`.collect()`). Correct at the
     reference's single-node scale; at cluster scale use
     `foreach_partition_callback` below.
+
+    Latency note (latency_probe.py attribution): since every row reaches
+    the driver anyway, the total order is applied DRIVER-SIDE — a
+    cluster `orderBy` before a full collect would add a range-partition
+    exchange plus its sampling job to every micro-batch's critical path
+    for rows that are about to leave the cluster.
     """
     def _handle(batch_df: DataFrame, batch_id: int):
-        enriched = enrich_events(batch_df, bot_wallet)
-        callback(ordered_events(enriched).collect())
+        # persist the decoded micro-batch: enrich_events derives its
+        # creates-pool aggregate from the batch itself, which would
+        # otherwise re-run the Arrow decode stage a second time per
+        # batch (measured ~2x addBatch time in latency_probe.py)
+        batch_df = batch_df.persist()
+        try:
+            enriched = enrich_events(batch_df, bot_wallet)
+            callback(sorted(enriched.collect(), key=_row_order_key))
+        finally:
+            batch_df.unpersist()
     return _handle
 
 
@@ -63,15 +83,19 @@ def foreach_partition_callback(callback: Callable[[list], None],
     (slot, transaction_index).
     """
     def _handle(batch_df: DataFrame, batch_id: int):
-        enriched = enrich_events(batch_df, bot_wallet)
-        keys = [F.col("slot"), F.col("transaction_index"),
-                F.col("outer_index"),
-                F.coalesce(F.col("inner_index"), F.lit(-1))]
-        n = num_partitions or batch_df.sparkSession.sparkContext \
-            .defaultParallelism
-        ordered = (enriched.repartitionByRange(n, *keys)
-                   .sortWithinPartitions(*keys, F.col("event_type")))
-        ordered.foreachPartition(lambda rows: callback(list(rows)))
+        batch_df = batch_df.persist()   # one decode pass, not two
+        try:
+            enriched = enrich_events(batch_df, bot_wallet)
+            keys = [F.col("slot"), F.col("transaction_index"),
+                    F.col("outer_index"),
+                    F.coalesce(F.col("inner_index"), F.lit(-1))]
+            n = num_partitions or batch_df.sparkSession.sparkContext \
+                .defaultParallelism
+            ordered = (enriched.repartitionByRange(n, *keys)
+                       .sortWithinPartitions(*keys, F.col("event_type")))
+            ordered.foreachPartition(lambda rows: callback(list(rows)))
+        finally:
+            batch_df.unpersist()
     return _handle
 
 

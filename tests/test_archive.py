@@ -125,14 +125,49 @@ def test_sorted_within_partition_prunes_row_groups(spark):
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
     try:
-        _run_prune_case(spark, big, n_big, prog)
+        _run_prune_case(spark, big, n_big, "program_id", prog,
+                        ("program_id", "slot"))
     finally:
         # restore the shared session conf even when an assertion fails
         # (a leaked 1 GiB override would cascade into other tests)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
 
-def _run_prune_case(spark, big, n_big, prog):
+def test_account_archive_sorted_layout_prunes(spark):
+    """Archive parity for ACCOUNT updates: write_account_archive lays
+    out slot-range dirs with rows sorted by (owner, slot), so the
+    account pipeline's first predicate — owner-program membership —
+    skips row groups exactly like the transaction archive's
+    program_id sort does."""
+    from solana_event_stream_spark.sources.replay import (
+        write_account_archive)
+    from solana_event_stream_spark.plans.account_pipeline import (
+        load_raw_accounts)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    raw = load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet"))
+    big = (raw.select("slot", "owner", "pubkey", "signature", "lamports")
+           .crossJoin(spark.range(2500).select(
+               (F.col("id") * 10).alias("shift")))
+           .withColumn("slot", F.col("slot") + F.col("shift") * 10)
+           .drop("shift"))
+    n_big = big.count()
+    owner = raw.groupBy("owner").count().orderBy("count").first()[0]
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+    try:
+        _run_prune_case(spark, big, n_big, "owner", owner,
+                        ("owner", "slot"),
+                        sorted_writer=write_account_archive)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def _run_prune_case(spark, big, n_big, filter_col, filter_val,
+                    sort_within, sorted_writer=None):
     from solana_event_stream_spark.sources.replay import (
         read_archive_slot_window, write_slot_range_archive)
 
@@ -143,9 +178,12 @@ def _run_prune_case(spark, big, n_big, prog):
         old_block = hconf.get("parquet.block.size")
         hconf.set("parquet.block.size", str(32 * 1024))
         try:
-            write_slot_range_archive(big, sorted_path,
-                                     slots_per_bucket=10_000,
-                                     sort_within=("program_id", "slot"))
+            if sorted_writer is not None:
+                sorted_writer(big, sorted_path, slots_per_bucket=10_000)
+            else:
+                write_slot_range_archive(big, sorted_path,
+                                         slots_per_bucket=10_000,
+                                         sort_within=sort_within)
             write_slot_range_archive(big, unsorted_path,
                                      slots_per_bucket=10_000)
         finally:
@@ -159,12 +197,12 @@ def _run_prune_case(spark, big, n_big, prog):
         def window_scan(path):
             return read_archive_slot_window(
                 spark, path, lo, hi, slots_per_bucket=10_000).filter(
-                F.col("program_id") == prog)
+                F.col(filter_col) == filter_val)
 
-        # the program predicate reaches the scan
+        # the filter predicate reaches the scan
         plan = _plan(window_scan(sorted_path))
         assert "PushedFilters:" in plan
-        assert "program_id" in plan.split("PushedFilters:")[1].split(
+        assert filter_col in plan.split("PushedFilters:")[1].split(
             "\n")[0]
 
         n_match = window_scan(sorted_path).count()
@@ -172,7 +210,7 @@ def _run_prune_case(spark, big, n_big, prog):
         rows_sorted = _scan_output_rows(window_scan(sorted_path))
         rows_unsorted = _scan_output_rows(window_scan(unsorted_path))
         # unsorted layout reads (nearly) every row in the slot window;
-        # sorted layout skips the row groups that lack the program
+        # sorted layout skips the row groups that lack the filter value
         assert rows_sorted < rows_unsorted / 2, (
             rows_sorted, rows_unsorted, n_match, n_big)
         assert rows_sorted >= n_match

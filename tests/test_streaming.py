@@ -307,3 +307,55 @@ def test_watermark_drops_late_events(spark):
         finally:
             from conftest import stop_streaming_query
             stop_streaming_query(q, spark)
+
+
+def test_latency_listener_and_summary(spark):
+    """A5 analog for the streaming engine (BASELINE bench plan (b)):
+    the listener captures per-batch durations and latency_summary
+    reduces them to trigger-to-sink p50/p95 against the reference's
+    1,000 ms warn threshold — batches over threshold are counted the
+    way the reference's high-latency detector warns."""
+    from solana_event_stream_spark.plans.pipeline import (
+        load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.metrics import (
+        PipelineMetricsListener, latency_summary)
+
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    collector = PipelineMetricsListener()
+    listener = collector.make_listener()
+    spark.streams.addListener(listener)
+    try:
+        with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+            archive = os.path.join(tmp, "archive")
+            write_slot_bucketed_archive(raw, archive, n_buckets=3)
+            q = (read_transaction_stream(spark, archive)
+                 .writeStream
+                 .foreachBatch(lambda df, bid: df.count())
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination(120)
+    finally:
+        spark.streams.removeListener(listener)
+
+    data_batches = [p for p in collector.progress if p["num_input_rows"]]
+    # maxFilesPerTrigger=1: one micro-batch per parquet file written
+    # (bucket dirs may hold 1..n part files, so bound not equality)
+    assert len(data_batches) >= 2
+    assert all("triggerExecution" in p["duration_ms"]
+               for p in data_batches)
+
+    n_warm = len(data_batches) - 1  # cold batch excluded
+    s = latency_summary(collector.progress)
+    assert s["n_batches"] == n_warm
+    assert s["trigger_p50_ms"] <= s["trigger_p95_ms"] <= s["trigger_max_ms"]
+    assert s["rows_per_batch"] > 0
+    # over-threshold counting is exact: with warn_ms=0 every batch is
+    # over; with an absurdly high bar none are
+    assert latency_summary(collector.progress,
+                           warn_ms=0)["batches_over_warn"] == n_warm
+    assert latency_summary(collector.progress,
+                           warn_ms=10 ** 9)["batches_over_warn"] == 0
