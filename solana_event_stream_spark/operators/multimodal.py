@@ -262,9 +262,8 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                          WHEN media_type = 'video'
                            THEN least(strlen(text), {FRAME_BYTES})
                     END) AS BIGINT) AS sum_width,
-           CAST(SUM(CASE WHEN media_type = 'image' THEN 1
-                         WHEN media_type = 'video' AND strlen(text) > 0
-                           THEN 1
+           CAST(SUM(CASE WHEN media_type IN ('image', 'video')
+                          AND strlen(text) > 0 THEN 1
                     END) AS BIGINT) AS sum_height
     FROM (
       SELECT doc_id, text,

@@ -71,6 +71,18 @@ def write_slot_range_archive(raw_tx: DataFrame, path: str,
     (df.write.mode("overwrite").partitionBy("slot_range").parquet(path))
 
 
+def read_account_stream(spark: SparkSession, archive_path: str,
+                        max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming DataFrame of raw account updates from a replay archive
+    (the account analog of `read_transaction_stream`; the `*` glob
+    descends into the slot_range partition dirs as plain data)."""
+    from ..schemas import RAW_ACCOUNT_SCHEMA
+    return (spark.readStream
+            .schema(RAW_ACCOUNT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(archive_path, "*")))
+
+
 def write_account_archive(raw_accounts: DataFrame, path: str,
                           slots_per_bucket: int = 10_000) -> None:
     """Account-update archive with the SAME two-level pruning layout as

@@ -5,6 +5,7 @@ pixels/samples, not just headers — the codecs are real, not stubs."""
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 import zlib
 
@@ -336,3 +337,41 @@ def test_decode_video_frames_apng_and_legacy_mmb1():
         decode_video_frames(b"XXXX" + b"\x00" * 20)
     with pytest.raises(ValueError, match="NULL"):
         decode_video_frames(None)
+
+
+def test_multimodal_ops_agree_with_oracle_on_empty_docs(spark, tmp_path):
+    """Cross-engine proof for the EMPTY-document path (previously dead
+    code on the driver corpora): a corpus containing empty docs in all
+    three modalities runs the REAL catalog queries vs their REAL DuckDB
+    oracles — empty docs carry NULL payloads, emit no media rows in the
+    per-doc operators, and still count (undecoded) in the metadata
+    aggregate, identically on both engines."""
+    import pandas as pd
+
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.testing import _norm_rows, run_oracle
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5, 6, 7, 8],
+        "text": ["image doc pixels", "audio doc samples",
+                 "video doc frames " * 40,   # >256 bytes: multi-frame
+                 "", "", "",                  # empty: one per modality
+                 "img2", "aud2", "vid2"],
+        "lang": ["en"] * 9,
+        "source": ["test"] * 9,
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"),
+                    index=False)
+
+    catalog = load_catalog()
+    for name in ("multimodal_metadata_extract", "multimodal_frame_sample",
+                 "multimodal_resize", "multimodal_audio_features"):
+        spec = catalog[name]
+        sdf = spec.spark_fn(spark, str(tmp_path)).toPandas()
+        odf = run_oracle(spec.oracle, str(tmp_path))
+        sc, sr = _norm_rows(sdf)
+        oc, orr = _norm_rows(odf)
+        assert sc == oc, name
+        assert len(sr) == len(orr), (name, len(sr), len(orr))
+        assert sr == orr, name
