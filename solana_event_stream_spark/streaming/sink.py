@@ -99,17 +99,66 @@ def foreach_partition_callback(callback: Callable[[list], None],
     return _handle
 
 
+def foreach_batch_callback_strict(callback: Callable[[list], None],
+                                  state=None,
+                                  bot_wallet: str | None = None):
+    """K1 with reference-EXACT GlobalState semantics: the dev flag is
+    computed by folding the ordered rows through a `CappedGlobalState`
+    that persists ACROSS micro-batches — cross-batch create->trade
+    registration AND the 1000-signature/evict-100 capacity envelope
+    (`core/global_state.rs`), which the per-batch window form cannot
+    express. Driver-side by design: this is the single-consumer path
+    where the reference's process-wide singleton lives. Rows are
+    delivered as dicts (the flag is rewritten post-collect).
+    """
+    from .state import CappedGlobalState, fold_rows_with_global_state
+    state = state if state is not None else CappedGlobalState()
+
+    def _handle(batch_df: DataFrame, batch_id: int):
+        batch_df = batch_df.persist()
+        try:
+            enriched = enrich_events(batch_df, bot_wallet)
+            rows = sorted(enriched.collect(), key=_row_order_key)
+            flags = fold_rows_with_global_state(rows, state)
+            out = []
+            for r, flag in zip(rows, flags):
+                d = r.asDict()
+                d["is_dev_create_token_trade"] = flag
+                out.append(d)
+            callback(out)
+        finally:
+            batch_df.unpersist()
+    return _handle
+
+
 def start_event_stream(raw_stream: DataFrame,
                        callback: Callable[[list], None],
                        checkpoint_dir: str,
                        bot_wallet: str | None = None,
-                       protocols=None):
-    """raw transaction stream -> decoded events -> ordered callback sink."""
+                       protocols=None,
+                       global_state=None):
+    """raw transaction stream -> decoded events -> ordered callback sink.
+
+    ``global_state``: pass a `streaming.state.CappedGlobalState` (or
+    ``True`` for a fresh one) to switch the dev-flag enrichment to the
+    reference-exact cross-batch capped store (see
+    `foreach_batch_callback_strict`); rows then arrive as dicts.
+    Default (None) keeps the window-form per-batch enrichment, exact
+    whenever a signature's events share a micro-batch — every case the
+    reference's own delivery produces.
+    """
     from ..plans.pipeline import build_events_core
     from ..registry import ALL_PROTOCOLS
     events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    if global_state is not None:
+        from .state import CappedGlobalState
+        state = (CappedGlobalState() if global_state is True
+                 else global_state)
+        handler = foreach_batch_callback_strict(callback, state, bot_wallet)
+    else:
+        handler = foreach_batch_callback(callback, bot_wallet)
     return (events.writeStream
-            .foreachBatch(foreach_batch_callback(callback, bot_wallet))
+            .foreachBatch(handler)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())

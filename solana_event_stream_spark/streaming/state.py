@@ -178,6 +178,42 @@ class CappedGlobalState:
         self._m.clear()
 
 
+def _fold_event(state: CappedGlobalState, sig: str, et: str,
+                user, creator, payer):
+    """One step of the reference's callback parse loop
+    (event_parser.rs:674-731) against a CappedGlobalState: creates
+    register addresses, trades read membership. Returns the trade flag
+    (None for non-trades)."""
+    if et in PUMPFUN_CREATES:
+        if user is not None:
+            state.add_dev_address(sig, user)
+        if creator not in (None, ZERO_PUBKEY) and creator != user:
+            state.add_dev_address(sig, creator)
+        return None
+    if et in BONK_CREATES:
+        if creator is not None:
+            state.add_bonk_dev_address(sig, creator)
+        return None
+    if et in PUMPFUN_TRADES:
+        return (state.is_dev_address_in_signature(sig, user)
+                or state.is_dev_address_in_signature(sig, creator))
+    if et in BONK_TRADES:
+        return state.is_bonk_dev_address_in_signature(sig, payer)
+    return None
+
+
+def fold_rows_with_global_state(rows, state: CappedGlobalState) -> list:
+    """Fold an ALREADY event-ordered sequence of mapping-like event rows
+    (dicts or pyspark Rows) through a CappedGlobalState; returns the
+    strict dev flag per row, aligned with the input order. This is the
+    sink-side integration point (`streaming/sink.py`
+    foreach_batch_callback_strict) — the caller keeps one state object
+    across micro-batches."""
+    return [_fold_event(state, r["signature"], r["event_type"],
+                        r["user"], r["creator"], r["payer"])
+            for r in rows]
+
+
 def replay_with_global_state(pdf, state: CappedGlobalState):
     """Sequential replay of one micro-batch's rows through a
     CappedGlobalState — the reference's callback parse loop verbatim
@@ -195,25 +231,11 @@ def replay_with_global_state(pdf, state: CappedGlobalState):
         na_position="first")
     out = []
     for row in pdf.itertuples(index=False):
-        et = row.event_type
-        sig = row.signature
-        flag = None
-        if et in PUMPFUN_CREATES:
-            if row.user is not None:
-                state.add_dev_address(sig, row.user)
-            if row.creator not in (None, ZERO_PUBKEY) \
-                    and row.creator != row.user:
-                state.add_dev_address(sig, row.creator)
-        elif et in BONK_CREATES:
-            if row.creator is not None:
-                state.add_bonk_dev_address(sig, row.creator)
-        elif et in PUMPFUN_TRADES:
-            flag = (state.is_dev_address_in_signature(sig, row.user)
-                    or state.is_dev_address_in_signature(sig, row.creator))
-        elif et in BONK_TRADES:
-            flag = state.is_bonk_dev_address_in_signature(sig, row.payer)
-        out.append((sig, row.slot, row.transaction_index,
-                    row.outer_index, row.inner_index, et, flag))
+        flag = _fold_event(state, row.signature, row.event_type,
+                           row.user, row.creator, row.payer)
+        out.append((row.signature, row.slot, row.transaction_index,
+                    row.outer_index, row.inner_index, row.event_type,
+                    flag))
     return out
 
 

@@ -359,3 +359,46 @@ def test_latency_listener_and_summary(spark):
                            warn_ms=0)["batches_over_warn"] == n_warm
     assert latency_summary(collector.progress,
                            warn_ms=10 ** 9)["batches_over_warn"] == 0
+
+
+def test_strict_global_state_sink_equals_batch(spark):
+    """The reference-exact CappedGlobalState sink: on the fixture corpus
+    (every signature's events share a micro-batch, and the corpus is far
+    under the 1000-signature cap) the strict cross-batch fold must agree
+    with the batch pipeline's window-form enrichment row-for-row —
+    same parity contract as test_streaming_equals_batch, through the
+    `global_state=True` sink path."""
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.sink import start_event_stream
+    from solana_event_stream_spark.streaming.state import CappedGlobalState
+
+    with open(os.path.join(FIXTURES, "meta.json")) as f:
+        bot = json.load(f)["bot_wallet"]
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    batch_rows = [r.asDict() for r in build_events(raw, bot_wallet=bot)
+                  .collect()]
+
+    state = CappedGlobalState()
+    collected: list = []
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        archive = os.path.join(tmp, "archive")
+        write_slot_bucketed_archive(raw, archive, n_buckets=4)
+        q = start_event_stream(
+            read_transaction_stream(spark, archive),
+            lambda rows: collected.extend(rows),   # dicts already
+            os.path.join(tmp, "ckpt"), bot_wallet=bot,
+            global_state=state)
+        q.awaitTermination(120)
+
+    assert len(collected) == len(batch_rows)
+    assert 0 < state.signature_count() <= state.max_entries
+
+    def _rows(dicts):
+        return sorted(tuple((k, str(v)) for k, v in sorted(d.items()))
+                      for d in dicts)
+
+    assert _rows(collected) == _rows(batch_rows)
