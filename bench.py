@@ -66,6 +66,11 @@ def _load_baseline_catalog(spark, baseline_dir: str):
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, pkg_src)
                 z.write(full, os.path.join("ses_baseline", rel))
+    # Spark's file server serves the ORIGINAL zip to workers on demand,
+    # so it must outlive the session — deleting it eagerly poisons every
+    # later Python-worker launch. Clean up at interpreter exit instead.
+    import atexit
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     spark.sparkContext.addPyFile(zpath)
     return importlib.import_module("ses_baseline.catalog").load_catalog()
 

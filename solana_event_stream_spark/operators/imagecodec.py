@@ -240,8 +240,10 @@ def encode_apng(frames: list[np.ndarray], *, delay_num: int = 1,
     out.append(_png_chunk(b"IDAT", zlib.compress(_raw(first),
                                                  compress_level)))
     for a in arrs[1:]:
-        if a.ndim != first.ndim:
-            raise ValueError("all frames must share the color kind")
+        if a.ndim != first.ndim or (a.ndim == 3 and a.shape[2] != 3):
+            raise ValueError(
+                f"all frames must share the color kind; frame shape "
+                f"{a.shape} vs canvas {first.shape}")
         fh, fw = a.shape[0], a.shape[1]
         if fh < 1 or fw < 1 or fh > ch or fw > cw:
             raise ValueError(

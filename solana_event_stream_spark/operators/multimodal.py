@@ -258,8 +258,9 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
              AS n_decoded,
            CAST(SUM(strlen(text)) AS BIGINT) AS total_content_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
-           CAST(SUM(CASE WHEN media_type = 'image' THEN strlen(text)
-                         WHEN media_type = 'video'
+           CAST(SUM(CASE WHEN media_type = 'image' AND strlen(text) > 0
+                           THEN strlen(text)
+                         WHEN media_type = 'video' AND strlen(text) > 0
                            THEN least(strlen(text), {FRAME_BYTES})
                     END) AS BIGINT) AS sum_width,
            CAST(SUM(CASE WHEN media_type IN ('image', 'video')

@@ -28,13 +28,23 @@ def write_slot_bucketed_archive(raw_tx: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("slot_bucket").parquet(path))
 
 
+def _read_archive_stream(spark: SparkSession, archive_path: str, schema,
+                         max_files_per_trigger: int) -> DataFrame:
+    """Shared replay-stream recipe: explicit schema + per-trigger file
+    cap; the `*` glob descends into partition dirs as plain data (no
+    partition-column inference, matching the batch writers)."""
+    return (spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(archive_path, "*")))
+
+
 def read_transaction_stream(spark: SparkSession, archive_path: str,
                             max_files_per_trigger: int = 1) -> DataFrame:
     """Streaming DataFrame of raw transactions from a replay archive."""
-    return (spark.readStream
-            .schema(RAW_TRANSACTION_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(os.path.join(archive_path, "*")))
+    return _read_archive_stream(spark, archive_path,
+                                RAW_TRANSACTION_SCHEMA,
+                                max_files_per_trigger)
 
 
 def write_slot_range_archive(raw_tx: DataFrame, path: str,
@@ -74,13 +84,10 @@ def write_slot_range_archive(raw_tx: DataFrame, path: str,
 def read_account_stream(spark: SparkSession, archive_path: str,
                         max_files_per_trigger: int = 1) -> DataFrame:
     """Streaming DataFrame of raw account updates from a replay archive
-    (the account analog of `read_transaction_stream`; the `*` glob
-    descends into the slot_range partition dirs as plain data)."""
+    (the account analog of `read_transaction_stream`)."""
     from ..schemas import RAW_ACCOUNT_SCHEMA
-    return (spark.readStream
-            .schema(RAW_ACCOUNT_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(os.path.join(archive_path, "*")))
+    return _read_archive_stream(spark, archive_path, RAW_ACCOUNT_SCHEMA,
+                                max_files_per_trigger)
 
 
 def write_account_archive(raw_accounts: DataFrame, path: str,

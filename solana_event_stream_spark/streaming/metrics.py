@@ -84,7 +84,10 @@ def latency_summary(progress: list[dict],
         return float(xs[idx])
 
     rows = [p for p in progress if p.get("num_input_rows")]
-    warm = rows[skip_cold:] if len(rows) > skip_cold else rows
+    # unconditional: a run with <= skip_cold data batches reports
+    # n_batches=0 / NaN percentiles rather than silently presenting the
+    # warmup batch as steady-state latency
+    warm = rows[skip_cold:]
     trig = [p["duration_ms"].get("triggerExecution", 0) for p in warm]
     add = [p["duration_ms"].get("addBatch", 0) for p in warm]
     return {

@@ -21,19 +21,20 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..plans.pipeline import enrich_events
 
-ORDER_COLS = ["slot", "transaction_index", "outer_index"]
-
-
-def ordered_events(batch_df: DataFrame) -> DataFrame:
-    return batch_df.orderBy(
-        "slot", "transaction_index", "outer_index",
-        F.coalesce(F.col("inner_index"), F.lit(-1)), "event_type")
+def _nulls_first(v):
+    """Sort-key wrapper matching Spark's ascending NULLS FIRST."""
+    return (v is not None, 0 if v is None else v)
 
 
 def _row_order_key(r) -> tuple:
-    return (r["slot"], r["transaction_index"], r["outer_index"],
+    """THE §2.9 ordering contract: (slot, transaction_index,
+    outer_index, inner_index NULL->-1, event_type), nulls first —
+    driver-side equivalent of the cluster
+    orderBy(slot, tx, outer, coalesce(inner, -1), event_type)."""
+    return (_nulls_first(r["slot"]), _nulls_first(r["transaction_index"]),
+            _nulls_first(r["outer_index"]),
             r["inner_index"] if r["inner_index"] is not None else -1,
-            r["event_type"])
+            _nulls_first(r["event_type"]))
 
 
 def foreach_batch_callback(callback: Callable[[list], None],

@@ -375,3 +375,41 @@ def test_multimodal_ops_agree_with_oracle_on_empty_docs(spark, tmp_path):
         assert sc == oc, name
         assert len(sr) == len(orr), (name, len(sr), len(orr))
         assert sr == orr, name
+
+
+def test_apng_rejects_mismatched_channel_frames():
+    """Encoder must refuse frame lists its own decoder would reject:
+    a (H, W, 4) or mixed grey/RGB frame after an RGB canvas serializes
+    more/fewer bytes per row than the fcTL implies."""
+    from solana_event_stream_spark.operators.imagecodec import encode_apng
+    rgb = np.zeros((1, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="color kind"):
+        encode_apng([rgb, np.zeros((1, 4, 4), np.uint8)])
+    with pytest.raises(ValueError, match="color kind"):
+        encode_apng([rgb, np.zeros((1, 4), np.uint8)])
+
+
+def test_multimodal_metadata_all_empty_modality(spark, tmp_path):
+    """Degenerate corpus — EVERY document empty: Spark aggregates over
+    all-NULL width/height (SUM -> NULL) and the oracle must agree
+    (NULL, not 0) for every modality."""
+    import pandas as pd
+
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.testing import _norm_rows, run_oracle
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": ["", "", ""],
+        "lang": ["en"] * 3, "source": ["test"] * 3,
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"),
+                    index=False)
+
+    spec = load_catalog()["multimodal_metadata_extract"]
+    sdf = spec.spark_fn(spark, str(tmp_path)).toPandas()
+    odf = run_oracle(spec.oracle, str(tmp_path))
+    sc, sr = _norm_rows(sdf)
+    oc, orr = _norm_rows(odf)
+    assert sc == oc and len(sr) == len(orr) == 3
+    assert sr == orr
