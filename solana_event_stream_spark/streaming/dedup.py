@@ -1,0 +1,50 @@
+"""Cross-batch streaming deduplication for the event stream.
+
+Why it exists: the engine's checkpointed foreachBatch delivery is
+at-least-once (SURVEY §2.10 — stronger than the reference's
+at-most-once-under-Drop backpressure), and the reference's live
+transport can redeliver a transaction after a reconnect/subscription
+refresh (`streaming/yellowstone_grpc.rs` reconnect path). A consumer
+that needs effectively-once event delivery therefore wants a
+cross-batch duplicate filter in front of the sink.
+
+Spark-first design: `dropDuplicatesWithinWatermark` — keyed streaming
+state holding one entry per event identity, EVICTED once the event-time
+watermark passes, so state is bounded by (event rate x watermark
+horizon) instead of growing forever. That is the same bounded-memory
+guarantee the reference's GlobalState cap exists for, expressed with
+the engine-native time bound (cf. `streaming/state.py` module
+docstring). At 100 TB/cluster scale the state is hash-partitioned by
+the dedup key across executors (signature is a 64-byte uniform hash —
+no skew), and the per-batch work is a narrow keyed lookup, no extra
+exchange beyond the state partitioning itself.
+
+The event identity is (signature, event_type, outer_index,
+inner_index): a redelivered transaction replays exactly those rows.
+NULL inner_index is a legal key value (groupBy/dropDuplicates NULL-safe
+equality matches it to itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+EVENT_IDENTITY = ("signature", "event_type", "outer_index", "inner_index")
+
+
+def dedup_event_stream(events: DataFrame,
+                       watermark: str = "10 minutes",
+                       time_col: str = "block_time",
+                       key_cols: tuple[str, ...] = EVENT_IDENTITY
+                       ) -> DataFrame:
+    """Drop cross-batch duplicate deliveries of the same event.
+
+    ``watermark`` bounds both lateness tolerance and state size: a
+    duplicate arriving within the horizon is dropped; the key's state
+    is evicted after it. Rows with NULL ``time_col`` (shred-path events
+    before BlockMeta backfill) never advance or consult the watermark —
+    they still dedup against live state while it exists.
+    """
+    return (events
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

@@ -102,3 +102,30 @@ def test_le_uint_helpers(spark):
     assert int(rows[0].v) == 2 ** 64 - 1
     assert int(rows[1].v) == 123456
     assert rows[1].w == 123456
+
+def test_row_order_key_matches_spark_orderby(spark):
+    """Property: the driver-side sort key is EXACTLY Spark's
+    orderBy(slot, tx, outer, coalesce(inner,-1), event_type) ascending
+    NULLS FIRST — including NULL slot/outer/event_type rows (the class
+    the round-7 review caught: plain tuple keys raise TypeError on
+    None)."""
+    import random
+
+    from solana_event_stream_spark.streaming.sink import _row_order_key
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vals = [0, 1, 5, None]
+    rows = [(rng.choice(vals), rng.choice(vals), rng.choice(vals),
+             rng.choice(vals), rng.choice(["A", "B", None]), i)
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "slot long, transaction_index long, outer_index long, "
+              "inner_index long, event_type string, rid long")
+    spark_order = [r.rid for r in df.orderBy(
+        "slot", "transaction_index", "outer_index",
+        F.coalesce(F.col("inner_index"), F.lit(-1)), "event_type",
+        "rid").collect()]
+    py_order = [r["rid"] for r in sorted(
+        df.collect(), key=lambda r: (_row_order_key(r), r["rid"]))]
+    assert py_order == spark_order

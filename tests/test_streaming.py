@@ -402,3 +402,44 @@ def test_strict_global_state_sink_equals_batch(spark):
                       for d in dicts)
 
     assert _rows(collected) == _rows(batch_rows)
+
+
+def test_streaming_dedup_drops_cross_batch_redelivery(spark):
+    """Duplicate-delivery seam: the SAME raw transactions arriving again
+    in a LATER micro-batch (transport reconnect replay) must be dropped
+    by dedup_event_stream — output equals the batch pipeline's events
+    exactly once, cross-batch."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.dedup import dedup_event_stream
+
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    expected = build_events_core(raw).count()
+    assert expected > 0
+
+    collected: list = []
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        archive = os.path.join(tmp, "archive")
+        # batch 1: the corpus; batch 2 (later mtime): the SAME corpus
+        raw.coalesce(1).write.mode("append").parquet(archive)
+        _time.sleep(1.1)
+        raw.coalesce(1).write.mode("append").parquet(archive)
+
+        deduped = dedup_event_stream(
+            build_events_core(
+                read_transaction_stream(spark, archive,
+                                        max_files_per_trigger=1)))
+        q = (deduped.writeStream
+             .foreachBatch(lambda df, bid: collected.append(df.count()))
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    assert sum(collected) == expected           # every event exactly once
+    assert len([c for c in collected if c]) >= 1
