@@ -28,11 +28,21 @@ SLOW_BATCH_BUDGET_MS = 3.0  # 3000 us per-event parse budget
 
 def observed(events: DataFrame, name: str = "event_metrics") -> DataFrame:
     """Attach A1-style named metrics; read them from QueryProgress
-    .observedMetrics[name] per micro-batch."""
+    .observedMetrics[name] per micro-batch.
+
+    Spark forbids DISTINCT aggregates in observed metrics
+    (INVALID_OBSERVED_METRICS), so the per-batch transaction count is
+    an HLL estimate (`transactions_approx`). For an exact counter use
+    QueryProgress.numInputRows (recorded by the listener below): at the
+    source one row is one transaction — the reference's per-message A1
+    increment — but note numInputRows counts rows PER SOURCE SCAN, and
+    the event DAG's outer+inner explode union scans the source twice.
+    """
     return events.observe(
         name,
         F.count(F.lit(1)).alias("events_processed"),
-        F.count_distinct(F.col("signature")).alias("transactions"),
+        F.approx_count_distinct(F.col("signature"))
+        .alias("transactions_approx"),
         F.max("slot").alias("max_slot"),
     )
 

@@ -443,3 +443,64 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark):
 
     assert sum(collected) == expected           # every event exactly once
     assert len([c for c in collected if c]) >= 1
+
+
+def test_observed_metrics_reach_listener(spark):
+    """A1 named metrics: observe() counters must arrive per micro-batch
+    in the listener's observedMetrics and equal the batch's true
+    event count / distinct transactions / max slot."""
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.metrics import (
+        PipelineMetricsListener, observed)
+
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    n_events = build_events_core(raw).count()
+    n_tx = raw.select("signature").distinct().count()
+    max_slot = raw.agg({"slot": "max"}).first()[0]
+
+    collector = PipelineMetricsListener()
+    listener = collector.make_listener()
+    spark.streams.addListener(listener)
+    try:
+        with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+            archive = os.path.join(tmp, "archive")
+            write_slot_bucketed_archive(raw, archive, n_buckets=2)
+            events = observed(
+                build_events_core(read_transaction_stream(spark, archive)))
+            q = (events.writeStream
+                 .foreachBatch(lambda df, bid: df.count())
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination(120)
+            # listener events are posted async on the bus: wait until
+            # every batch's metrics landed before reading them
+            import time as _time
+            deadline = _time.time() + 30
+            while _time.time() < deadline:
+                got = sum(p["observed"]["event_metrics"]["events_processed"]
+                          for p in collector.progress
+                          if p["observed"].get("event_metrics"))
+                if got >= n_events:
+                    break
+                _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    metrics = [p["observed"]["event_metrics"] for p in collector.progress
+               if p["observed"].get("event_metrics")
+               and p["observed"]["event_metrics"]["events_processed"]]
+    assert metrics  # at least one data batch reported A1 counters
+    assert sum(m["events_processed"] for m in metrics) == n_events
+    assert max(m["max_slot"] for m in metrics) == max_slot
+    # approx transaction counter lands in the right ballpark per batch
+    approx = sum(m["transactions_approx"] for m in metrics)
+    assert 0.8 * n_tx <= approx <= 1.2 * n_tx
+    # numInputRows counts source rows PER SCAN, and the event DAG scans
+    # the source twice (outer + inner explode union branches): the
+    # exact transaction count is numInputRows / 2 for this plan
+    assert sum(p["num_input_rows"] for p in collector.progress) == 2 * n_tx
