@@ -504,3 +504,52 @@ def test_observed_metrics_reach_listener(spark):
     # the source twice (outer + inner explode union branches): the
     # exact transaction count is numInputRows / 2 for this plan
     assert sum(p["num_input_rows"] for p in collector.progress) == 2 * n_tx
+
+
+def test_checkpoint_restart_resumes_without_duplicates(spark):
+    """S6 lifecycle + checkpointed delivery: a query restarted from the
+    SAME checkpoint must deliver only data that arrived after the first
+    run — no redelivery of committed batches — and the union must equal
+    the batch pipeline output exactly once."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.sink import start_event_stream
+
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    cut = slots[len(slots) // 2]
+    first, second = raw.filter(raw.slot < cut), raw.filter(raw.slot >= cut)
+    n_total = build_events_core(raw).count()
+    n_first = build_events_core(first).count()
+    assert 0 < n_first < n_total
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        archive = os.path.join(tmp, "archive")
+        ckpt = os.path.join(tmp, "ckpt")
+        first.coalesce(1).write.mode("append").parquet(archive)
+
+        run1: list = []
+        q = start_event_stream(
+            read_transaction_stream(spark, archive),
+            lambda rows: run1.extend(rows), ckpt)
+        q.awaitTermination(120)          # availableNow: drains and stops
+        assert len(run1) == n_first
+
+        _time.sleep(1.1)                 # distinct mtime for the new file
+        second.coalesce(1).write.mode("append").parquet(archive)
+
+        run2: list = []
+        q = start_event_stream(          # SAME checkpoint dir
+            read_transaction_stream(spark, archive),
+            lambda rows: run2.extend(rows), ckpt)
+        q.awaitTermination(120)
+
+    # restart delivered ONLY the new data — no batch-0 redelivery
+    assert len(run2) == n_total - n_first
+    sigs1 = {r["signature"] for r in run1}
+    assert all(r["signature"] not in sigs1 for r in run2)
