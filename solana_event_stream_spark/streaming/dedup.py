@@ -27,24 +27,40 @@ equality matches it to itself).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 EVENT_IDENTITY = ("signature", "event_type", "outer_index", "inner_index")
 
 
 def dedup_event_stream(events: DataFrame,
                        watermark: str = "10 minutes",
-                       time_col: str = "block_time",
+                       time_col: str | None = None,
                        key_cols: tuple[str, ...] = EVENT_IDENTITY
                        ) -> DataFrame:
     """Drop cross-batch duplicate deliveries of the same event.
 
     ``watermark`` bounds both lateness tolerance and state size: a
     duplicate arriving within the horizon is dropped; the key's state
-    is evicted after it. Rows with NULL ``time_col`` (shred-path events
-    before BlockMeta backfill) never advance or consult the watermark —
-    they still dedup against live state while it exists.
+    is evicted after it.
+
+    The state horizon runs on RECEIVE time by default (``time_col=None``
+    derives it from ``recv_us``, falling back to the batch timestamp),
+    not ``block_time``, for two reasons: redelivery is a receive-time
+    phenomenon (a reconnect replays what was just received, regardless
+    of chain time), and ``block_time`` is NULL on the shred path before
+    BlockMeta backfill — a NULL event time keys the row's state to
+    epoch 0, so it would be evicted at the first real watermark advance
+    and the redelivered row would sail through (observed empirically).
+    Pass an explicit ``time_col`` to anchor the horizon elsewhere.
     """
-    return (events
-            .withWatermark(time_col, watermark)
-            .dropDuplicatesWithinWatermark(list(key_cols)))
+    if time_col is not None:
+        return (events.withWatermark(time_col, watermark)
+                .dropDuplicatesWithinWatermark(list(key_cols)))
+    with_ts = events.withColumn(
+        "_dedup_recv_ts",
+        F.coalesce(F.timestamp_micros(F.col("recv_us")),
+                   F.current_timestamp()))
+    return (with_ts
+            .withWatermark("_dedup_recv_ts", watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols))
+            .drop("_dedup_recv_ts"))

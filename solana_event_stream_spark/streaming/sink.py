@@ -137,7 +137,8 @@ def start_event_stream(raw_stream: DataFrame,
                        checkpoint_dir: str,
                        bot_wallet: str | None = None,
                        protocols=None,
-                       global_state=None):
+                       global_state=None,
+                       dedup_redelivery: str | None = None):
     """raw transaction stream -> decoded events -> ordered callback sink.
 
     ``global_state``: pass a `streaming.state.CappedGlobalState` (or
@@ -147,10 +148,18 @@ def start_event_stream(raw_stream: DataFrame,
     Default (None) keeps the window-form per-batch enrichment, exact
     whenever a signature's events share a micro-batch — every case the
     reference's own delivery produces.
+
+    ``dedup_redelivery``: a watermark duration (e.g. "10 minutes") to
+    insert the cross-batch redelivery filter (`streaming/dedup.py`) in
+    front of the sink — effectively-once delivery under transport
+    reconnect replay, with state bounded by the given horizon.
     """
     from ..plans.pipeline import build_events_core
     from ..registry import ALL_PROTOCOLS
     events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    if dedup_redelivery is not None:
+        from .dedup import dedup_event_stream
+        events = dedup_event_stream(events, watermark=dedup_redelivery)
     if global_state is not None:
         from .state import CappedGlobalState
         state = (CappedGlobalState() if global_state is True

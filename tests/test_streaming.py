@@ -407,42 +407,51 @@ def test_strict_global_state_sink_equals_batch(spark):
 def test_streaming_dedup_drops_cross_batch_redelivery(spark):
     """Duplicate-delivery seam: the SAME raw transactions arriving again
     in a LATER micro-batch (transport reconnect replay) must be dropped
-    by dedup_event_stream — output equals the batch pipeline's events
-    exactly once, cross-batch."""
+    — INCLUDING rows with NULL block_time (shred path pre-backfill),
+    the case a block_time-anchored watermark silently misses because a
+    NULL event time keys the state to epoch 0. Driven through the
+    production entry point (start_event_stream dedup_redelivery)."""
     import time as _time
 
+    from pyspark.sql import functions as F
     from solana_event_stream_spark.plans.pipeline import (
         build_events_core, load_raw_transactions)
     from solana_event_stream_spark.sources.replay import (
         read_transaction_stream)
-    from solana_event_stream_spark.streaming.dedup import dedup_event_stream
+    from solana_event_stream_spark.streaming.sink import start_event_stream
 
     raw = load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    # NULL chain time on ~half the corpus: shred-path rows pre-backfill
+    raw = raw.withColumn(
+        "block_time",
+        F.when(F.col("slot") % 2 == 0, F.col("block_time")))
+    assert raw.filter(F.col("block_time").isNull()).count() > 0
     expected = build_events_core(raw).count()
     assert expected > 0
 
-    collected: list = []
+    batches: list = []
     with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
         archive = os.path.join(tmp, "archive")
-        # batch 1: the corpus; batch 2 (later mtime): the SAME corpus
+        # file 1: the corpus; file 2 (later mtime): the SAME corpus
         raw.coalesce(1).write.mode("append").parquet(archive)
         _time.sleep(1.1)
         raw.coalesce(1).write.mode("append").parquet(archive)
 
-        deduped = dedup_event_stream(
-            build_events_core(
-                read_transaction_stream(spark, archive,
-                                        max_files_per_trigger=1)))
-        q = (deduped.writeStream
-             .foreachBatch(lambda df, bid: collected.append(df.count()))
-             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-             .trigger(availableNow=True)
-             .start())
+        q = start_event_stream(
+            read_transaction_stream(spark, archive,
+                                    max_files_per_trigger=1),
+            lambda rows: batches.append(len(rows)),
+            os.path.join(tmp, "ckpt"),
+            dedup_redelivery="10 minutes")
         q.awaitTermination(120)
 
-    assert sum(collected) == expected           # every event exactly once
-    assert len([c for c in collected if c]) >= 1
+    # the redelivery really arrived in a LATER micro-batch...
+    assert len(batches) >= 2
+    # ...the first batch delivered everything exactly once...
+    assert batches[0] == expected
+    # ...and every redelivered row (NULL block_time included) was dropped
+    assert sum(batches[1:]) == 0
 
 
 def test_observed_metrics_reach_listener(spark):
@@ -500,10 +509,12 @@ def test_observed_metrics_reach_listener(spark):
     # approx transaction counter lands in the right ballpark per batch
     approx = sum(m["transactions_approx"] for m in metrics)
     assert 0.8 * n_tx <= approx <= 1.2 * n_tx
-    # numInputRows counts source rows PER SCAN, and the event DAG scans
-    # the source twice (outer + inner explode union branches): the
-    # exact transaction count is numInputRows / 2 for this plan
-    assert sum(p["num_input_rows"] for p in collector.progress) == 2 * n_tx
+    # numInputRows counts source rows PER SCAN of the physical plan
+    # (currently 2: the outer+inner explode union branches), so it is a
+    # small positive integer multiple of the transaction count — pin
+    # the invariant, not the plan-dependent multiplier
+    total_in = sum(p["num_input_rows"] for p in collector.progress)
+    assert total_in >= n_tx and total_in % n_tx == 0
 
 
 def test_checkpoint_restart_resumes_without_duplicates(spark):
