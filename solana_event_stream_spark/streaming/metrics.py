@@ -35,9 +35,9 @@ def observed(events: DataFrame, name: str = "event_metrics") -> DataFrame:
     an HLL estimate (`transactions_approx`). For an exact counter use
     QueryProgress.numInputRows (recorded by the listener below): at the
     source one row is one transaction — the reference's per-message A1
-    increment — but note numInputRows counts rows PER SOURCE SCAN, so
-    it is (number of source scans in the physical plan) x transactions;
-    the event DAG's outer+inner explode union currently scans twice.
+    increment. numInputRows counts rows PER SOURCE SCAN of the physical
+    plan; the event DAG is single-scan since the combined outer+inner
+    explode (plans/pipeline.py), so the multiplier is currently 1.
     """
     return events.observe(
         name,

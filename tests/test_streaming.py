@@ -510,9 +510,9 @@ def test_observed_metrics_reach_listener(spark):
     approx = sum(m["transactions_approx"] for m in metrics)
     assert 0.8 * n_tx <= approx <= 1.2 * n_tx
     # numInputRows counts source rows PER SCAN of the physical plan
-    # (currently 2: the outer+inner explode union branches), so it is a
-    # small positive integer multiple of the transaction count — pin
-    # the invariant, not the plan-dependent multiplier
+    # (currently 1: the combined outer+inner explode is single-scan),
+    # so it is a small positive integer multiple of the transaction
+    # count — pin the invariant, not the plan-dependent multiplier
     total_in = sum(p["num_input_rows"] for p in collector.progress)
     assert total_in >= n_tx and total_in % n_tx == 0
 
