@@ -71,6 +71,20 @@ def test_event_pipeline_core_has_no_shuffle(spark):
     assert "Union" not in simple
 
 
+def test_account_pipeline_single_scan_no_shuffle(spark):
+    """The account decode core shares the tx core's plan contract:
+    one FileScan, no Union, no Exchange — a narrow dispatch+decode
+    pipeline end to end."""
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events, load_raw_accounts)
+    raw = load_raw_accounts(
+        spark, os.path.join(FIXTURES, "raw_accounts.parquet"))
+    plan = str(build_account_events(raw)._jdf.queryExecution()
+               .executedPlan())
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert "Union" not in plan and "Exchange" not in plan
+
+
 def test_enrichment_keeps_wide_rows_unshuffled(spark):
     """J3 enrichment must never shuffle the full ~375-wide event rows:
     the dev-pool aggregate (narrow: signature + 3 sets) shuffles, then
