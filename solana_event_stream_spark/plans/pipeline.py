@@ -300,8 +300,13 @@ def build_decode_input(raw_tx: DataFrame,
             ix.alias("ix")))
     inner_structs = F.flatten(F.transform(
         F.coalesce(F.col("inner_instructions"), F.array()),
+        # coalesce INSIDE the lambda: a group with a NULL instructions
+        # array otherwise yields a NULL element, flatten propagates it
+        # to a NULL array, and concat+explode would then drop the whole
+        # transaction INCLUDING its outer rows (the old union form only
+        # lost that group's inner rows)
         lambda grp: F.transform(
-            grp["instructions"],
+            F.coalesce(grp["instructions"], F.array()),
             lambda ix, j: F.struct(
                 grp["index"].cast("long").alias("outer_index"),
                 j.cast("long").alias("inner_index"),

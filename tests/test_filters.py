@@ -51,3 +51,34 @@ def test_account_filters(spark):
         spark, os.path.join(FIXTURES, "raw_accounts.parquet"))
     pf = filter_accounts(raw, owners=[PUMPFUN_PROGRAM_ID])
     assert 0 < pf.count() < raw.count()
+
+
+def test_null_inner_group_keeps_outer_rows(spark):
+    """Regression (r7 single-scan explode): an inner_instructions group
+    whose instructions array is NULL must lose only that group's inner
+    rows — never the transaction's OUTER rows. A NULL element would
+    otherwise poison flatten -> concat -> explode into zero rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_decode_input, load_raw_transactions)
+    from solana_event_stream_spark.schemas import INSTRUCTION_TYPE
+
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    baseline_outer = (build_decode_input(raw)
+                      .filter(F.col("inner_index").isNull()).count())
+    assert baseline_outer > 0
+
+    poisoned = raw.withColumn(
+        "inner_instructions",
+        F.array(F.struct(
+            F.lit(0).cast("integer").alias("index"),
+            F.lit(None).cast(ArrayType(INSTRUCTION_TYPE))
+            .alias("instructions"))))
+    rows = build_decode_input(poisoned)
+    # outer rows all survive; the poisoned groups contribute no inner rows
+    assert rows.filter(F.col("inner_index").isNull()).count() \
+        == baseline_outer
+    assert rows.filter(F.col("inner_index").isNotNull()).count() == 0

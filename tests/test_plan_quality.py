@@ -59,14 +59,14 @@ def test_event_pipeline_core_has_no_shuffle(spark):
         build_events_core, load_raw_transactions)
     raw = load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
-    plan = plan_of(build_events_core(raw))
+    core = build_events_core(raw)
+    plan = plan_of(core)
     # parse/decode/merge is a single narrow pipeline: no exchange at all
     assert "Exchange" not in plan, plan[:2000]
     # ...and a SINGLE source scan: the combined outer+inner explode
     # replaced the union-of-two-explodes that read the archive twice
     # per (micro-)batch — 2x read amplification at 100 TB (r7)
-    simple = str(build_events_core(raw)._jdf.queryExecution()
-                 .executedPlan())
+    simple = str(core._jdf.queryExecution().executedPlan())
     assert simple.count("FileScan") == 1, simple[:2000]
     assert "Union" not in simple
 
