@@ -82,3 +82,65 @@ def test_null_inner_group_keeps_outer_rows(spark):
     assert rows.filter(F.col("inner_index").isNull()).count() \
         == baseline_outer
     assert rows.filter(F.col("inner_index").isNotNull()).count() == 0
+
+
+def test_combined_explode_matches_reference_enumeration(spark):
+    """Property: for random instruction trees (including NULL inner
+    groups, NULL group arrays, empty arrays), build_decode_input emits
+    exactly the (outer_index, inner_index) pairs a direct Python
+    enumeration of the transaction produces — the contract the
+    single-scan rewrite must preserve."""
+    import random
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_decode_input)
+    from solana_event_stream_spark.registry import PUMPFUN_PROGRAM_ID
+    from solana_event_stream_spark.schemas import RAW_TRANSACTION_SCHEMA
+
+    rng = random.Random(1234)
+    PF = PUMPFUN_PROGRAM_ID
+
+    buy_disc = bytes.fromhex("66063d1201daebea")  # PumpFunBuy (D1 match)
+
+    def mk_ix():
+        # program_id_index 0 -> PF, known discriminator so D1 keeps it
+        return {"program_id_index": 0, "account_indices": [0],
+                "data": buy_disc
+                + bytes(rng.randrange(256) for _ in range(4))}
+
+    txs, expected = [], set()
+    for t in range(40):
+        sig = f"sig{t}"
+        n_outer = rng.randrange(0, 4)
+        instructions = [mk_ix() for _ in range(n_outer)] or None
+        inner = []
+        for g in range(rng.randrange(0, 3)):
+            gi = rng.randrange(0, max(1, n_outer))
+            shape = rng.randrange(3)
+            if shape == 0:
+                inner.append({"index": gi, "instructions": None})
+            elif shape == 1:
+                inner.append({"index": gi, "instructions": []})
+            else:
+                inner.append({"index": gi, "instructions":
+                              [mk_ix() for _ in range(rng.randrange(1, 3))]})
+        txs.append({
+            "slot": 1, "transaction_index": t, "block_time": None,
+            "signature": sig, "is_vote": False, "recv_us": 1,
+            "static_account_keys": [PF],
+            "loaded_writable_addresses": None,
+            "loaded_readonly_addresses": None,
+            "instructions": instructions,
+            "inner_instructions": inner or None, "source": "t",
+        })
+        for i in range(n_outer):
+            expected.add((sig, i, None))
+        for grp in inner:
+            for j in range(len(grp["instructions"] or [])):
+                expected.add((sig, grp["index"], j))
+
+    raw = spark.createDataFrame(txs, RAW_TRANSACTION_SCHEMA)
+    got = {(r.signature, r.outer_index, r.inner_index)
+           for r in build_decode_input(raw)
+           .select("signature", "outer_index", "inner_index").collect()}
+    assert got == expected
