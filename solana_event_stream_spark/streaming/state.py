@@ -32,9 +32,13 @@ or a replay seam): keyed streaming state per signature, mirroring
 Implementation note: both state backends are provided, sharing one
 replay core (`_replay_rows`): `applyInPandasWithState` (GroupState,
 always available) and `transformWithStateInPandas` (Spark 4 arbitrary
-state v2, import-gated on google.protobuf because its state-server
-control channel needs it — this container ships without protobuf, a
-standard cluster image has it). `tag_dev_trades_strict` auto-selects.
+state v2, gated on google.protobuf because its state-server control
+channel needs it, and on the RocksDB state-store provider because its
+state is multi-column-family). `protobuf_compat.ensure_protobuf()`
+(called by `session.get_spark` before the JVM starts) discovers a
+bundled pure-python protobuf runtime on hosts without an installed
+one, so both backends execute in this sandbox; `tag_dev_trades_strict`
+auto-selects.
 """
 
 from __future__ import annotations
@@ -292,16 +296,40 @@ def has_transform_with_state() -> bool:
     """True when the transformWithStateInPandas runtime is usable.
 
     The operator itself ships with PySpark, but its state-server control
-    channel speaks protobuf (python `google.protobuf`), which this
-    container does not install — so the strict-state API selects the
-    GroupState form there and lights up TWS automatically where protobuf
-    exists (any standard cluster image).
+    channel speaks protobuf (python `google.protobuf`). Where protobuf
+    is not pip-installed, `protobuf_compat.ensure_protobuf()` (run by
+    `session.get_spark` BEFORE the JVM starts, so workers inherit the
+    path) can activate a bundled runtime; this check reports the
+    resulting importability. The strict-state API auto-selects the
+    GroupState form when this returns False.
     """
     try:
         import google.protobuf  # noqa: F401
     except ImportError:
         return False
     return True
+
+
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
+def _require_rocksdb_provider(df: DataFrame) -> None:
+    """transformWithStateInPandas keeps multi-column-family state, which
+    the default HDFSBackedStateStoreProvider rejects at the first
+    micro-batch ([UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_
+    FAMILIES]) — fail at plan-build time with an actionable message
+    instead. `session.get_spark` configures RocksDB by default."""
+    spark = df.sparkSession
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                              "")
+    if "RocksDB" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state store: "
+            "set spark.sql.streaming.stateStore.providerClass="
+            f"{_ROCKSDB_PROVIDER} before starting the query (the "
+            "session.get_spark factory does this by default; "
+            "SPARK_GRAFT_STATE_STORE=hdfs overrides it)")
 
 
 def tag_dev_trades_stateful_tws(events: DataFrame,
@@ -312,15 +340,16 @@ def tag_dev_trades_stateful_tws(events: DataFrame,
     `tag_dev_trades_stateful` (shared `_replay_rows` core), with the
     reference's bounded-state cap expressed as native state TTL
     (`getValueState(..., ttlDurationMs=...)`) instead of GroupState
-    timeouts. Requires google.protobuf at runtime — check
-    `has_transform_with_state()` first (import-gated, raises a clear
-    error otherwise).
+    timeouts. Requires google.protobuf at runtime (check
+    `has_transform_with_state()` first) and the RocksDB state-store
+    provider (session.get_spark's default; checked at plan build).
     """
     if not has_transform_with_state():
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf, which is "
             "not installed; use tag_dev_trades_stateful (GroupState) or "
             "tag_dev_trades_strict() to auto-select")
+    _require_rocksdb_provider(events)
 
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -362,9 +391,12 @@ def tag_dev_trades_stateful_tws(events: DataFrame,
 def tag_dev_trades_strict(events: DataFrame,
                           ttl_ms: int | None = 10 * 60 * 1000) -> DataFrame:
     """Strict J3 on whichever state backend the environment supports:
-    transformWithStateInPandas when protobuf is present, else the
+    transformWithStateInPandas when protobuf is importable AND the
+    session uses the RocksDB state store, else the
     applyInPandasWithState form. Semantics are identical (both wrap
     `_replay_rows`); only the state plumbing differs."""
-    if has_transform_with_state():
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+    if has_transform_with_state() and "RocksDB" in provider:
         return tag_dev_trades_stateful_tws(events, ttl_ms)
     return tag_dev_trades_stateful(events, ttl_ms)

@@ -23,8 +23,9 @@ BACKENDS = [
         tag_dev_trades_stateful_tws, id="transformWithStateInPandas",
         marks=pytest.mark.skipif(
             not has_transform_with_state(),
-            reason="transformWithStateInPandas needs google.protobuf, "
-                   "not installed in this container")),
+            reason="transformWithStateInPandas needs google.protobuf and "
+                   "no installed or bundled runtime was found "
+                   "(protobuf_compat.ensure_protobuf)")),
 ]
 
 _run_seq = 0
