@@ -19,6 +19,19 @@ trigger-to-sink p50/p95 (cold batch excluded).
 Timing note: wall clock here swings under gVisor vCPU steal
 (BENCH_NOTES.md); the conclusion is the p50/p95 ORDER OF MAGNITUDE vs
 the 1,000 ms threshold, not single-ms precision.
+
+Extra modes (round 8):
+
+- ``python latency_probe.py --ab-statestore`` — interleaved
+  RocksDB-vs-HDFS state store comparison on the streaming-dedup arm
+  (same process, alternating runs, the A/B discipline BENCH_NOTES
+  mandates for provider claims).
+- ``python latency_probe.py --state-growth`` — ~100 micro-batches of
+  the dedup query with event time advancing per batch, recording
+  state-store rows/memory per batch from
+  StreamingQueryProgress.stateOperators: the empirical proof that
+  watermark eviction holds state at a plateau (streaming/dedup.py's
+  bounded-state claim).
 """
 
 from __future__ import annotations
@@ -39,20 +52,67 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "fixtures")
 
 
-def _scaled_raw(spark, n: int):
+def _scaled_raw(spark, n: int, advance_recv_secs: float = 0.0):
     from solana_event_stream_spark.plans.pipeline import load_raw_transactions
     raw = load_raw_transactions(
         spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
-    return (raw.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
-            .withColumn("signature", F.concat_ws("_", "signature", "rep"))
-            .withColumn("slot", F.col("slot") + F.col("rep") * 10000)
-            .drop("rep"))
+    scaled = (raw.crossJoin(spark.range(n).select(F.col("id").alias("rep")))
+              .withColumn("signature", F.concat_ws("_", "signature", "rep"))
+              .withColumn("slot", F.col("slot") + F.col("rep") * 10000))
+    if advance_recv_secs:
+        # advance receive time per replica so the dedup watermark (keyed
+        # on recv_us) moves forward bucket by bucket — the state-growth
+        # probe needs event time to progress for eviction to fire
+        scaled = scaled.withColumn(
+            "recv_us", F.col("recv_us")
+            + (F.col("rep") * int(advance_recv_secs * 1_000_000)))
+    return scaled.drop("rep")
+
+
+_PROVIDERS = {
+    "rocksdb": ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"),
+    "hdfs": ("org.apache.spark.sql.execution.streaming.state."
+             "HDFSBackedStateStoreProvider"),
+}
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _write_ordered_archive(raw, path: str, n_buckets: int) -> None:
+    """Probe-local archive writer for the state-growth run: contiguous
+    slot-ordered chunks, one file per micro-batch, with strictly
+    increasing mtimes so FileStreamSource (which orders by file
+    timestamp) replays them in EVENT-TIME order. The engine's
+    `write_slot_bucketed_archive` modulo layout interleaves slots
+    across buckets — right for latency pacing, wrong for watching a
+    watermark advance."""
+    import pyarrow.parquet as pq
+
+    tbl = raw.orderBy("slot").toArrow()
+    os.makedirs(path, exist_ok=True)
+    n = tbl.num_rows
+    per = (n + n_buckets - 1) // n_buckets
+    now = time.time()
+    for i in range(n_buckets):
+        chunk = tbl.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        fpath = os.path.join(path, f"{i:05d}.parquet")
+        pq.write_table(chunk, fpath)
+        os.utime(fpath, (now + i, now + i))
 
 
 def run_probe(spark, scale: int, n_buckets: int,
-              trigger_secs: float = 1.0, sink: str = "callback") -> dict:
+              trigger_secs: float = 1.0, sink: str = "callback",
+              dedup_watermark: str | None = None,
+              provider: str | None = None,
+              advance_recv_secs: float = 0.0,
+              ordered_archive: bool = False,
+              deadline_secs: float | None = None) -> dict:
     from solana_event_stream_spark.sources.replay import (
         read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.dedup import dedup_event_stream
     from solana_event_stream_spark.streaming.metrics import (
         PipelineMetricsListener, latency_summary)
     from solana_event_stream_spark.streaming.sink import (
@@ -64,14 +124,25 @@ def run_probe(spark, scale: int, n_buckets: int,
     listener = collector.make_listener()
     spark.streams.addListener(listener)
     n_rows_seen = [0]
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
+    if provider is not None:
+        # runtime-settable: the provider is read once at query start
+        spark.conf.set(_PROVIDER_KEY, _PROVIDERS.get(provider, provider))
     try:
         with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
             archive = os.path.join(tmp, "archive")
-            write_slot_bucketed_archive(_scaled_raw(spark, scale), archive,
-                                        n_buckets=n_buckets)
+            scaled = _scaled_raw(spark, scale, advance_recv_secs)
+            if ordered_archive:
+                _write_ordered_archive(scaled, archive, n_buckets)
+            else:
+                write_slot_bucketed_archive(scaled, archive,
+                                            n_buckets=n_buckets)
             stream = read_transaction_stream(spark, archive,
                                              max_files_per_trigger=1)
             events = build_events_core(stream)
+            if dedup_watermark is not None:
+                events = dedup_event_stream(events,
+                                            watermark=dedup_watermark)
             if sink == "callback":      # full K1 path: enrich+order+collect
                 batch_fn = foreach_batch_callback(
                     lambda rows: n_rows_seen.__setitem__(
@@ -86,7 +157,9 @@ def run_probe(spark, scale: int, n_buckets: int,
                  .start())
             try:
                 # one micro-batch per bucket file + a couple of empty polls
-                deadline = time.time() + 60 + 3 * n_buckets * trigger_secs
+                deadline = time.time() + (
+                    deadline_secs if deadline_secs is not None
+                    else 60 + 3 * n_buckets * trigger_secs)
                 while time.time() < deadline:
                     done = [p for p in collector.progress
                             if p["num_input_rows"]]
@@ -101,19 +174,95 @@ def run_probe(spark, scale: int, n_buckets: int,
                     pass
     finally:
         spark.streams.removeListener(listener)
+        if provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev_provider)
 
     summary = latency_summary(collector.progress)
     summary.update({"probe": "stream_latency", "scale": scale,
                     "n_tx": n_tx, "n_buckets": n_buckets,
                     "trigger_secs": trigger_secs, "sink": sink,
+                    "dedup_watermark": dedup_watermark,
+                    "provider": provider,
                     "events_delivered": n_rows_seen[0],
                     "tx_per_batch": n_tx // n_buckets})
+    state_rows = [
+        {"batch_id": p["batch_id"],
+         "rows_total": sum(so["rows_total"]
+                           for so in p.get("state_operators", [])),
+         "memory_bytes": sum(so["memory_bytes"]
+                             for so in p.get("state_operators", []))}
+        for p in collector.progress if p.get("state_operators")]
+    if state_rows:
+        summary["state_rows"] = state_rows
     return summary
+
+
+def main_ab_statestore(spark, reps: int = 3) -> None:
+    """Interleaved RocksDB-vs-HDFS comparison on the dedup arm: same
+    process, alternating runs (rocksdb, hdfs, rocksdb, ...) so host
+    drift hits both sides equally. Mid feed (scale=1000 -> 2,350
+    tx/batch over 20 buckets), 10-minute dedup watermark (the
+    production default — no eviction inside the run)."""
+    per = {"rocksdb": [], "hdfs": []}
+    for rep in range(reps):
+        for prov in ("rocksdb", "hdfs"):
+            r = run_probe(spark, 1000, 20, sink="count",
+                          dedup_watermark="10 minutes", provider=prov)
+            r.pop("state_rows", None)
+            r["rep"] = rep
+            per[prov].append(r["trigger_p50_ms"])
+            print(json.dumps(r), flush=True)
+    med = {p: sorted(v)[len(v) // 2] for p, v in per.items()}
+    print(json.dumps({"probe": "statestore_ab_summary", "reps": reps,
+                      "p50_ms": med,
+                      "rocksdb_over_hdfs":
+                          round(med["rocksdb"] / med["hdfs"], 3)}),
+          flush=True)
+
+
+def main_state_growth(spark) -> None:
+    """~100 micro-batches of the dedup query with receive time advancing
+    10 s per replica and a 30 s watermark: state rows must PLATEAU (the
+    watermark evicts old keys) rather than grow linearly with input.
+    Emits per-batch state rows + a plateau verdict."""
+    r = run_probe(spark, 500, 100, trigger_secs=0.5, sink="count",
+                  dedup_watermark="30 seconds",
+                  advance_recv_secs=10.0, ordered_archive=True,
+                  deadline_secs=480)
+    series = r.pop("state_rows", [])
+    print(json.dumps(r), flush=True)
+    rows = [s["rows_total"] for s in series]
+    mem = [s["memory_bytes"] for s in series]
+    # linear growth would end at ~n_tx total keys; a plateau stays at a
+    # small multiple of one batch's keys
+    verdict = {
+        "probe": "state_growth",
+        "n_batches": len(rows),
+        "total_keys_seen": r["events_delivered"],
+        "state_rows_first10_max": max(rows[:10], default=0),
+        "state_rows_last20_max": max(rows[-20:], default=0),
+        "state_rows_peak": max(rows, default=0),
+        "state_mem_peak_bytes": max(mem, default=0),
+        "series": [{"batch": s["batch_id"], "rows": s["rows_total"]}
+                   for s in series],
+        "plateaued": bool(rows) and max(rows[-20:], default=0)
+        <= 0.25 * max(1, r["events_delivered"]),
+    }
+    print(json.dumps(verdict), flush=True)
 
 
 def main() -> None:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ab-statestore" in sys.argv:
+        main_ab_statestore(spark)
+        return
+    if "--state-growth" in sys.argv:
+        main_state_growth(spark)
+        return
     results = []
     # ~235 tx/batch (reference-like per-second feed at its 4k TPS
     # envelope is ~4000 tx/s; 2350 tx/batch on a 1 s trigger matches

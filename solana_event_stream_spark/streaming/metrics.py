@@ -140,6 +140,16 @@ class PipelineMetricsListener:
                     "observed": {k: v.asDict() if hasattr(v, "asDict") else v
                                  for k, v in
                                  (p.observedMetrics or {}).items()},
+                    # stateful queries only: per-operator state-store
+                    # footprint, the evidence for watermark-bounded state
+                    # (latency_probe --state-growth)
+                    "state_operators": [
+                        {"operator": so.operatorName,
+                         "rows_total": so.numRowsTotal,
+                         "rows_updated": so.numRowsUpdated,
+                         "rows_removed": so.numRowsRemoved,
+                         "memory_bytes": so.memoryUsedBytes}
+                        for so in (p.stateOperators or [])],
                 }
                 outer.progress.append(row)
                 total = sum((p.durationMs or {}).values())
