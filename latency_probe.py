@@ -26,6 +26,10 @@ Extra modes (round 8):
   RocksDB-vs-HDFS state store comparison on the streaming-dedup arm
   (same process, alternating runs, the A/B discipline BENCH_NOTES
   mandates for provider claims).
+- ``python latency_probe.py --ab-ckptfsync`` — K1 floor attribution:
+  records that OSS Spark's async progress tracking rejects
+  ForeachBatchSink, then quantifies the offset/commit-log fsync share
+  of the callback floor with interleaved disk-vs-tmpfs checkpoint runs.
 - ``python latency_probe.py --state-growth`` — ~100 micro-batches of
   the dedup query with event time advancing per batch, recording
   state-store rows/memory per batch from
@@ -109,7 +113,9 @@ def run_probe(spark, scale: int, n_buckets: int,
               provider: str | None = None,
               advance_recv_secs: float = 0.0,
               ordered_archive: bool = False,
-              deadline_secs: float | None = None) -> dict:
+              deadline_secs: float | None = None,
+              async_progress: bool = False,
+              checkpoint_root: str | None = None) -> dict:
     from solana_event_stream_spark.sources.replay import (
         read_transaction_stream, write_slot_bucketed_archive)
     from solana_event_stream_spark.streaming.dedup import dedup_event_stream
@@ -150,11 +156,23 @@ def run_probe(spark, scale: int, n_buckets: int,
             else:                       # pipeline-only: no enrich/driver hop
                 batch_fn = (lambda df, bid: n_rows_seen.__setitem__(
                     0, n_rows_seen[0] + df.count()))
-            q = (events.writeStream
-                 .foreachBatch(batch_fn)
-                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                 .trigger(processingTime=f"{trigger_secs} seconds")
-                 .start())
+            ckpt_parent = (tempfile.mkdtemp(dir=checkpoint_root)
+                           if checkpoint_root else tmp)
+            writer = (events.writeStream
+                      .foreachBatch(batch_fn)
+                      .option("checkpointLocation",
+                              os.path.join(ckpt_parent, "ckpt"))
+                      .trigger(processingTime=f"{trigger_secs} seconds"))
+            if async_progress:
+                # take the offset/commit-log fsync off the critical path
+                # (trades exactly-once offset tracking for at-least-once,
+                # which the K1 callback path already is end-to-end)
+                writer = (writer
+                          .option("asyncProgressTrackingEnabled", "true")
+                          .option(
+                              "asyncProgressTrackingCheckpointIntervalMs",
+                              "1000"))
+            q = writer.start()
             try:
                 # one micro-batch per bucket file + a couple of empty polls
                 deadline = time.time() + (
@@ -172,6 +190,9 @@ def run_probe(spark, scale: int, n_buckets: int,
                     q.awaitTermination(30)
                 except Exception:
                     pass
+                if checkpoint_root:
+                    import shutil
+                    shutil.rmtree(ckpt_parent, ignore_errors=True)
     finally:
         spark.streams.removeListener(listener)
         if provider is not None:
@@ -254,9 +275,66 @@ def main_state_growth(spark) -> None:
     print(json.dumps(verdict), flush=True)
 
 
+def main_ab_ckptfsync(spark, reps: int = 2) -> None:
+    """Attribution for the K1 callback latency floor (round-7 verdict
+    item 4).
+
+    Part 1 — the verdict's named knob, async progress tracking, is
+    structurally unavailable on this path in OSS Spark: the
+    AsyncProgressTrackingMicroBatchExecution whitelist rejects
+    ForeachBatchSink ("Sink ForeachBatchSink does not support async
+    progress tracking"). Captured as evidence, not hand-waved.
+
+    Part 2 — measure the offset/commit-log fsync share of the floor
+    directly instead: interleaved runs with the checkpoint on disk
+    (/tmp) vs tmpfs (/dev/shm, no durable fsync cost), callback sink,
+    at the closing-table feed levels."""
+    try:
+        run_probe(spark, 10, 2, sink="callback", async_progress=True,
+                  deadline_secs=30)
+        supported = True
+        err = None
+    except Exception as exc:  # expected: whitelist rejection
+        supported = False
+        err = str(exc).split("\n")[0][:200]
+    print(json.dumps({"probe": "asyncprogress_support",
+                      "foreachbatch_supported": supported,
+                      "error": err}), flush=True)
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    per: dict[tuple[int, str], list[float]] = {}
+    for rep in range(reps):
+        for scale in (100, 1000, 5000):
+            for root, tag in ((None, "disk"), (shm, "tmpfs")):
+                if tag == "tmpfs" and shm is None:
+                    continue
+                r = run_probe(spark, scale, 20, sink="callback",
+                              checkpoint_root=root)
+                r.pop("state_rows", None)
+                r.update({"rep": rep, "ckpt": tag})
+                per.setdefault((scale, tag), []).append(
+                    r["trigger_p50_ms"])
+                print(json.dumps(r), flush=True)
+    summary = {}
+    for scale in (100, 1000, 5000):
+        row = {}
+        for tag in ("disk", "tmpfs"):
+            xs = sorted(per.get((scale, tag), []))
+            if xs:
+                row[tag] = xs[len(xs) // 2]
+        if "disk" in row and "tmpfs" in row:
+            row["tmpfs_over_disk"] = round(row["tmpfs"] / row["disk"], 3)
+        summary[f"scale{scale}"] = row
+    print(json.dumps({"probe": "ckptfsync_ab_summary", "reps": reps,
+                      "p50_ms": summary}), flush=True)
+
+
 def main() -> None:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ab-ckptfsync" in sys.argv:
+        main_ab_ckptfsync(spark)
+        return
     if "--ab-statestore" in sys.argv:
         main_ab_statestore(spark)
         return

@@ -12,4 +12,6 @@ Layout:
   streaming/  -- sinks, ordering contract, metrics listeners
 """
 
-__version__ = "0.1.0"
+# single source of truth: pyproject reads this via
+# [tool.setuptools.dynamic] version = { attr = ... }
+__version__ = "0.8.0"

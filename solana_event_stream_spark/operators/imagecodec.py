@@ -257,6 +257,19 @@ def encode_apng(frames: list[np.ndarray], *, delay_num: int = 1,
     return b"".join(out)
 
 
+def png_canvas_size(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a PNG/APNG's CANVAS from its IHDR — which for
+    a foreign APNG whose default image is not part of the animation
+    (first fcTL after IDAT) can differ from frame 0's region dims.
+    Validates signature + chunk CRCs up to the IHDR."""
+    for tag, data in _walk_chunks(payload):
+        if tag == b"IHDR":
+            w, h, _channels = _parse_ihdr(data)
+            return w, h
+        break  # IHDR must be the first chunk
+    raise ValueError("missing IHDR")
+
+
 def decode_apng(payload: bytes) -> list[np.ndarray]:
     """Decode an APNG into its frame pixel arrays.
 
@@ -296,6 +309,14 @@ def decode_apng(payload: bytes) -> list[np.ndarray]:
             entries.append({"w": fw, "h": fh, "x": fx, "y": fy,
                             "data": bytearray()})
         elif tag == b"IDAT":
+            # spec: IDAT chunks are the default image and precede the
+            # animation's fdAT stream — an IDAT after a second fcTL or
+            # after any fdAT is structurally malformed; fail fast here
+            # rather than via _decode_pixels' stream-size mismatch
+            if len(entries) > 1 or expected_seq > len(entries):
+                raise ValueError(
+                    "IDAT after a later fcTL/fdAT: default-image data "
+                    "must be consecutive and precede the animation")
             if entries and not idat and len(entries) == 1 \
                     and not entries[0]["data"]:
                 idat_is_frame0 = True

@@ -50,7 +50,8 @@ from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
 from ..catalog import register
 from ..tables import load_table
 from .imagecodec import (PNG_SIGNATURE, decode_apng, decode_png, decode_bmp,
-                         decode_wav, encode_apng, encode_png, encode_wav)
+                         decode_wav, encode_apng, encode_png, encode_wav,
+                         png_canvas_size)
 
 MAGIC = b"MMB1"
 AUDIO_SAMPLE_RATE = 8000
@@ -224,10 +225,11 @@ def _extract_batches(iterator: Iterator):
                     content = payload[12:] if ok else payload
                 else:
                     frames = decode_video_frames(payload)
-                    # canvas dims = frame 0 region (APNG frame 0 IS the
-                    # canvas); content = concatenated frame pixels
-                    height = int(frames[0].shape[0]) if frames else None
-                    width = int(frames[0].shape[1]) if frames else None
+                    # canvas dims from the IHDR, not frames[0]: a
+                    # foreign APNG whose default image is outside the
+                    # animation (first fcTL after IDAT) has frame-0
+                    # region dims != canvas dims
+                    width, height = png_canvas_size(payload)
                     content = b"".join(f.tobytes() for f in frames)
                     ok = 1
             except ValueError:

@@ -23,6 +23,17 @@ The event identity is (signature, event_type, outer_index,
 inner_index): a redelivered transaction replays exactly those rows.
 NULL inner_index is a legal key value (groupBy/dropDuplicates NULL-safe
 equality matches it to itself).
+
+Fork caveat (deliberate): the default identity omits ``slot``, so a
+transaction that re-lands on a DIFFERENT slot after a fork within the
+watermark horizon is collapsed into its first delivery — consumers see
+one event, at the first-landed slot. That matches this operator's
+purpose (transport-redelivery suppression: a replayed message is the
+same payload, slot included) but differs from the reference transport,
+which would deliver both landings. Consumers that need fork
+re-landings delivered pass ``fork_aware=True`` (adds ``slot`` to the
+key, at the cost of delivering genuine same-payload redeliveries
+twice when a fork changed the slot between them).
 """
 
 from __future__ import annotations
@@ -35,7 +46,8 @@ EVENT_IDENTITY = ("signature", "event_type", "outer_index", "inner_index")
 def dedup_event_stream(events: DataFrame,
                        watermark: str = "10 minutes",
                        time_col: str | None = None,
-                       key_cols: tuple[str, ...] = EVENT_IDENTITY
+                       key_cols: tuple[str, ...] = EVENT_IDENTITY,
+                       fork_aware: bool = False
                        ) -> DataFrame:
     """Drop cross-batch duplicate deliveries of the same event.
 
@@ -52,15 +64,31 @@ def dedup_event_stream(events: DataFrame,
     epoch 0, so it would be evicted at the first real watermark advance
     and the redelivered row would sail through (observed empirically).
     Pass an explicit ``time_col`` to anchor the horizon elsewhere.
+
+    Mixed-clock caveat for the NULL-``recv_us`` fallback: those rows
+    take the driver's ``current_timestamp()`` (processing time) while
+    the rest carry receive time. When processing time runs AHEAD of the
+    feed's receive timestamps (e.g. replaying an old archive), a batch
+    of mostly-NULL rows advances the watermark past the genuine
+    receive times and expires their dedup state before the configured
+    horizon. Live feeds are immune (recv_us ~= wall clock, and the
+    transports always stamp recv_us); archive replays should either
+    carry recv_us throughout or pass an explicit ``time_col``.
+
+    ``fork_aware=True`` adds ``slot`` to the identity so a post-fork
+    re-landing on a new slot is delivered instead of collapsed (module
+    docstring).
     """
+    keys = list(key_cols) + (["slot"] if fork_aware
+                             and "slot" not in key_cols else [])
     if time_col is not None:
         return (events.withWatermark(time_col, watermark)
-                .dropDuplicatesWithinWatermark(list(key_cols)))
+                .dropDuplicatesWithinWatermark(keys))
     with_ts = events.withColumn(
         "_dedup_recv_ts",
         F.coalesce(F.timestamp_micros(F.col("recv_us")),
                    F.current_timestamp()))
     return (with_ts
             .withWatermark("_dedup_recv_ts", watermark)
-            .dropDuplicatesWithinWatermark(list(key_cols))
+            .dropDuplicatesWithinWatermark(keys)
             .drop("_dedup_recv_ts"))

@@ -17,9 +17,17 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from ..plans.pipeline import enrich_events
+
+# Default for the per-batch persist below: spills to local disk instead
+# of failing/evicting under memory pressure — at cluster batch sizes a
+# hot MEMORY_ONLY cache of the decoded batch can exceed executor
+# storage memory. Every factory takes `storage_level` so memory-tight
+# deployments can choose (e.g. StorageLevel.DISK_ONLY).
+DEFAULT_BATCH_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 def _nulls_first(v):
     """Sort-key wrapper matching Spark's ascending NULLS FIRST."""
@@ -38,7 +46,9 @@ def _row_order_key(r) -> tuple:
 
 
 def foreach_batch_callback(callback: Callable[[list], None],
-                           bot_wallet: str | None = None):
+                           bot_wallet: str | None = None,
+                           storage_level: StorageLevel =
+                           DEFAULT_BATCH_STORAGE):
     """K1: invoke `callback(rows)` once per micro-batch with enriched,
     deterministically ordered event rows.
 
@@ -58,7 +68,7 @@ def foreach_batch_callback(callback: Callable[[list], None],
         # creates-pool aggregate from the batch itself, which would
         # otherwise re-run the Arrow decode stage a second time per
         # batch (measured ~2x addBatch time in latency_probe.py)
-        batch_df = batch_df.persist()
+        batch_df = batch_df.persist(storage_level)
         try:
             enriched = enrich_events(batch_df, bot_wallet)
             callback(sorted(enriched.collect(), key=_row_order_key))
@@ -69,7 +79,9 @@ def foreach_batch_callback(callback: Callable[[list], None],
 
 def foreach_partition_callback(callback: Callable[[list], None],
                                bot_wallet: str | None = None,
-                               num_partitions: int | None = None):
+                               num_partitions: int | None = None,
+                               storage_level: StorageLevel =
+                               DEFAULT_BATCH_STORAGE):
     """K1 at scale: `callback(rows)` runs per PARTITION on the executors
     — no driver bottleneck.
 
@@ -84,7 +96,7 @@ def foreach_partition_callback(callback: Callable[[list], None],
     (slot, transaction_index).
     """
     def _handle(batch_df: DataFrame, batch_id: int):
-        batch_df = batch_df.persist()   # one decode pass, not two
+        batch_df = batch_df.persist(storage_level)  # one decode pass, not two
         try:
             enriched = enrich_events(batch_df, bot_wallet)
             keys = [F.col("slot"), F.col("transaction_index"),
@@ -102,7 +114,9 @@ def foreach_partition_callback(callback: Callable[[list], None],
 
 def foreach_batch_callback_strict(callback: Callable[[list], None],
                                   state=None,
-                                  bot_wallet: str | None = None):
+                                  bot_wallet: str | None = None,
+                                  storage_level: StorageLevel =
+                                  DEFAULT_BATCH_STORAGE):
     """K1 with reference-EXACT GlobalState semantics: the dev flag is
     computed by folding the ordered rows through a `CappedGlobalState`
     that persists ACROSS micro-batches — cross-batch create->trade
@@ -116,7 +130,7 @@ def foreach_batch_callback_strict(callback: Callable[[list], None],
     state = state if state is not None else CappedGlobalState()
 
     def _handle(batch_df: DataFrame, batch_id: int):
-        batch_df = batch_df.persist()
+        batch_df = batch_df.persist(storage_level)
         try:
             enriched = enrich_events(batch_df, bot_wallet)
             rows = sorted(enriched.collect(), key=_row_order_key)
@@ -138,7 +152,9 @@ def start_event_stream(raw_stream: DataFrame,
                        bot_wallet: str | None = None,
                        protocols=None,
                        global_state=None,
-                       dedup_redelivery: str | None = None):
+                       dedup_redelivery: str | None = None,
+                       storage_level: StorageLevel =
+                       DEFAULT_BATCH_STORAGE):
     """raw transaction stream -> decoded events -> ordered callback sink.
 
     ``global_state``: pass a `streaming.state.CappedGlobalState` (or
@@ -164,9 +180,11 @@ def start_event_stream(raw_stream: DataFrame,
         from .state import CappedGlobalState
         state = (CappedGlobalState() if global_state is True
                  else global_state)
-        handler = foreach_batch_callback_strict(callback, state, bot_wallet)
+        handler = foreach_batch_callback_strict(callback, state, bot_wallet,
+                                                storage_level)
     else:
-        handler = foreach_batch_callback(callback, bot_wallet)
+        handler = foreach_batch_callback(callback, bot_wallet,
+                                         storage_level)
     return (events.writeStream
             .foreachBatch(handler)
             .option("checkpointLocation", checkpoint_dir)

@@ -413,3 +413,54 @@ def test_multimodal_metadata_all_empty_modality(spark, tmp_path):
     oc, orr = _norm_rows(odf)
     assert sc == oc and len(sr) == len(orr) == 3
     assert sr == orr
+
+
+def _png_chunk_raw(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def test_apng_idat_after_animation_rejected():
+    """Round-7 advice: an IDAT appearing after a later fcTL (or any
+    fdAT) must fail fast with a structural error instead of being
+    appended to frame 0's zlib stream and failing later (or not) via
+    the decoded-size check."""
+    from solana_event_stream_spark.operators.imagecodec import (
+        decode_apng, encode_apng)
+    payload = bytearray(encode_apng(
+        [np.ones((1, 8), np.uint8), np.zeros((1, 8), np.uint8)]))
+    iend = payload.index(b"IEND") - 4
+    stray = _png_chunk_raw(b"IDAT", zlib.compress(b"\x00" * 9))
+    tampered = bytes(payload[:iend]) + stray + bytes(payload[iend:])
+    with pytest.raises(ValueError, match="IDAT after"):
+        decode_apng(tampered)
+
+
+def test_png_canvas_size_foreign_apng_default_image_outside_animation():
+    """Round-7 advice: canvas dims must come from the IHDR. Build a
+    foreign-style APNG whose default image (IDAT, 4x4) is NOT part of
+    the animation (first fcTL AFTER the IDAT, declaring a 2x2 region):
+    frame 0's region dims differ from the canvas."""
+    from solana_event_stream_spark.operators.imagecodec import (
+        PNG_SIGNATURE, decode_apng, png_canvas_size)
+
+    def _raw_gray(arr):
+        return b"".join(b"\x00" + arr[y].tobytes()
+                        for y in range(arr.shape[0]))
+
+    canvas = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    region = np.ones((2, 2), np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    fctl = struct.pack(">IIIIIHHBB", 0, 2, 2, 1, 1, 1, 10, 0, 0)
+    fdat = struct.pack(">I", 1) + zlib.compress(_raw_gray(region))
+    payload = (PNG_SIGNATURE
+               + _png_chunk_raw(b"IHDR", ihdr)
+               + _png_chunk_raw(b"acTL", struct.pack(">II", 1, 0))
+               + _png_chunk_raw(b"IDAT",
+                                zlib.compress(_raw_gray(canvas)))
+               + _png_chunk_raw(b"fcTL", fctl)
+               + _png_chunk_raw(b"fdAT", fdat)
+               + _png_chunk_raw(b"IEND", b""))
+    frames = decode_apng(payload)
+    assert len(frames) == 1 and frames[0].shape == (2, 2)
+    assert png_canvas_size(payload) == (4, 4)   # IHDR, not frames[0]

@@ -129,3 +129,48 @@ def test_row_order_key_matches_spark_orderby(spark):
     py_order = [r["rid"] for r in sorted(
         df.collect(), key=lambda r: (_row_order_key(r), r["rid"]))]
     assert py_order == spark_order
+
+
+def test_sink_storage_level_knob(spark, monkeypatch):
+    """Item from round-7 verdict: the per-batch persist honours the
+    `storage_level` parameter (default MEMORY_AND_DISK) so memory-tight
+    clusters can choose DISK_ONLY. Asserted by recording the level each
+    factory passes to DataFrame.persist."""
+    from pyspark import StorageLevel
+    from pyspark.sql import DataFrame
+    from solana_event_stream_spark.streaming.sink import (
+        DEFAULT_BATCH_STORAGE, foreach_batch_callback,
+        foreach_batch_callback_strict, foreach_partition_callback)
+
+    seen: list = []
+    real_persist = DataFrame.persist
+
+    def recording_persist(self, storageLevel=StorageLevel.MEMORY_AND_DISK):
+        seen.append(storageLevel)
+        return real_persist(self, storageLevel)
+
+    monkeypatch.setattr(DataFrame, "persist", recording_persist)
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    df = build_events_core(load_raw_transactions(
+        spark, os.path.join(fixtures, "raw_transactions.parquet")))
+
+    assert DEFAULT_BATCH_STORAGE == StorageLevel.MEMORY_AND_DISK
+    for factory, kwargs, expect in [
+            (foreach_batch_callback, {}, StorageLevel.MEMORY_AND_DISK),
+            (foreach_batch_callback,
+             {"storage_level": StorageLevel.DISK_ONLY},
+             StorageLevel.DISK_ONLY),
+            (foreach_partition_callback,
+             {"storage_level": StorageLevel.DISK_ONLY},
+             StorageLevel.DISK_ONLY),
+            (foreach_batch_callback_strict,
+             {"storage_level": StorageLevel.DISK_ONLY},
+             StorageLevel.DISK_ONLY)]:
+        seen.clear()
+        handler = factory(lambda rows: None, **kwargs)
+        handler(df, 0)
+        assert seen and seen[0] == expect, (factory.__name__, seen)

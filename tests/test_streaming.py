@@ -454,6 +454,50 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark):
     assert sum(batches[1:]) == 0
 
 
+def test_streaming_dedup_fork_aware_delivers_relanding(spark):
+    """Round-7 advice: the default identity collapses a fork
+    re-landing (same signature, new slot) as a redelivery;
+    fork_aware=True adds slot to the key so the re-landing is
+    DELIVERED. Both behaviors verified on a two-batch replay whose
+    second batch repeats the corpus with shifted slots."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.dedup import dedup_event_stream
+
+    raw = load_raw_transactions(
+        spark, os.path.join(FIXTURES, "raw_transactions.parquet"))
+    relanded = raw.withColumn("slot", F.col("slot") + F.lit(7))
+    expected = build_events_core(raw).count()
+    assert expected > 0
+
+    for fork_aware, expect_second in ((False, 0), (True, expected)):
+        counts: list = []
+        with tempfile.TemporaryDirectory(
+                ignore_cleanup_errors=True) as tmp:
+            archive = os.path.join(tmp, "archive")
+            raw.coalesce(1).write.mode("append").parquet(archive)
+            _time.sleep(1.1)
+            relanded.coalesce(1).write.mode("append").parquet(archive)
+
+            events = dedup_event_stream(
+                build_events_core(read_transaction_stream(
+                    spark, archive, max_files_per_trigger=1)),
+                watermark="10 minutes", fork_aware=fork_aware)
+            q = (events.writeStream
+                 .foreachBatch(lambda df, bid: counts.append(df.count()))
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+        assert len(counts) >= 2, counts
+        assert counts[0] == expected, (fork_aware, counts)
+        assert sum(counts[1:]) == expect_second, (fork_aware, counts)
+
+
 def test_observed_metrics_reach_listener(spark):
     """A1 named metrics: observe() counters must arrive per micro-batch
     in the listener's observedMetrics and equal the batch's true
