@@ -338,10 +338,16 @@ def build_decode_input(raw_tx: DataFrame,
     )
 
     # --- F1 + D1 dispatch (JVM) -----------------------------------------
+    # try_element_at, NOT element_at: under ANSI mode (Spark 4 default)
+    # element_at RAISES on an out-of-range index, so one corrupt
+    # transaction with program_id_index >= len(accounts) would kill the
+    # whole query; the reference's accounts.get() returns None and the
+    # row is dropped (event_parser.rs:373-377 filter_map semantics).
+    # Found by the J1/J2 candidate property test (round 8).
     rows = rows.withColumn(
         "program_id",
-        F.element_at(F.col("accounts_padded"),
-                     F.col("ix.program_id_index") + 1))
+        F.try_element_at(F.col("accounts_padded"),
+                         F.col("ix.program_id_index") + 1))
     rows = rows.filter(F.col("program_id").isin(relevant))
 
     disc_len = F.when(F.col("program_id") == RAYDIUM_AMM_V4_PROGRAM_ID,
@@ -383,7 +389,8 @@ def build_decode_input(raw_tx: DataFrame,
         F.filter(
             F.transform(
                 F.coalesce(F.col("ix.account_indices"), F.array()),
-                lambda i: F.element_at(F.col("accounts_padded"), i + 1)),
+                lambda i: F.try_element_at(F.col("accounts_padded"),
+                                           i + 1)),
             lambda x: x.isNotNull()))
 
     # P9 block_time_ms (event_parser.rs:336-337; 0 when block_time null)
@@ -435,7 +442,11 @@ def build_decode_input(raw_tx: DataFrame,
     sys_progs = list(SYSTEM_PROGRAMS)
 
     def _prog(s):
-        return F.element_at(acc, s["g"]["program_id_index"] + 1)
+        # try_element_at: whole-stage codegen's subexpression elimination
+        # can hoist this lookup PAST the bounds guard in the same
+        # predicate (observed: INVALID_ARRAY_INDEX_IN_ELEMENT_AT from
+        # the first-break filter), so the lookup itself must be total
+        return F.try_element_at(acc, s["g"]["program_id_index"] + 1)
 
     # The reference scan starts at current_index + 1 (types.rs:461
     # `.skip((current_index + 1) as usize)`), so instructions at or before
@@ -474,11 +485,11 @@ def build_decode_input(raw_tx: DataFrame,
         return _tag_is(s, 2) & (F.size(_ai(s)) >= 2) & (_dlen(s) >= 12)
 
     def _s_i(s):
-        return F.element_at(_ai(s), 1)
+        return F.try_element_at(_ai(s), F.lit(1))
 
     def _d_i(s):
-        return F.when(_is12(s), F.element_at(_ai(s), 3)) \
-                .otherwise(F.element_at(_ai(s), 2))
+        return F.when(_is12(s), F.try_element_at(_ai(s), F.lit(3))) \
+                .otherwise(F.try_element_at(_ai(s), F.lit(2)))
 
     def _amount(s):
         # LE u64: hex the 8-byte slice, reassemble the byte pairs
@@ -498,8 +509,8 @@ def build_decode_input(raw_tx: DataFrame,
                  & (_is12(s) | _is3(s) | _is2(s))
                  & (_s_i(s) < F.size(acc)) & (_d_i(s) < F.size(acc))),
         lambda s: F.struct(
-            F.element_at(acc, _s_i(s) + 1).alias("source"),
-            F.element_at(acc, _d_i(s) + 1).alias("dest"),
+            F.try_element_at(acc, _s_i(s) + 1).alias("source"),
+            F.try_element_at(acc, _d_i(s) + 1).alias("dest"),
             _amount(s).alias("amount")))
     rows = rows.withColumn(
         "transfer_candidates",

@@ -142,21 +142,24 @@ def test_sink_storage_level_knob(spark, monkeypatch):
         DEFAULT_BATCH_STORAGE, foreach_batch_callback,
         foreach_batch_callback_strict, foreach_partition_callback)
 
-    seen: list = []
-    real_persist = DataFrame.persist
-
-    def recording_persist(self, storageLevel=StorageLevel.MEMORY_AND_DISK):
-        seen.append(storageLevel)
-        return real_persist(self, storageLevel)
-
-    monkeypatch.setattr(DataFrame, "persist", recording_persist)
-
     from solana_event_stream_spark.plans.pipeline import (
         build_events_core, load_raw_transactions)
     fixtures = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "fixtures")
     df = build_events_core(load_raw_transactions(
         spark, os.path.join(fixtures, "raw_transactions.parquet")))
+
+    # patch the CONCRETE class (pyspark.sql.classic DataFrame), not the
+    # pyspark.sql.DataFrame facade — the subclass overrides persist
+    cls = type(df)
+    seen: list = []
+    real_persist = cls.persist
+
+    def recording_persist(self, storageLevel=StorageLevel.MEMORY_AND_DISK):
+        seen.append(storageLevel)
+        return real_persist(self, storageLevel)
+
+    monkeypatch.setattr(cls, "persist", recording_persist)
 
     assert DEFAULT_BATCH_STORAGE == StorageLevel.MEMORY_AND_DISK
     for factory, kwargs, expect in [
