@@ -86,8 +86,11 @@ def sample_stratified_hash(spark, sf_dir: str) -> DataFrame:
     5-key summary aggregates), and stable under corpus growth (a row's
     draw never depends on other rows)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # try_element_at: under ANSI mode element_at(map, key) THROWS on a
+    # missing key, so a corpus with a lang outside _SAMPLE_RATES would
+    # kill the query instead of taking the coalesce's 0.0 default
     rate = F.coalesce(
-        F.element_at(
+        F.try_element_at(
             F.create_map(*[F.lit(x) for kv in _SAMPLE_RATES.items()
                            for x in kv]),
             F.col("lang")),

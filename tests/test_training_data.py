@@ -120,3 +120,25 @@ def test_salted_aggregate_equals_direct(spark, sf_dir):
     n_groups = (ev.withColumn("s", salt)
                 .select("event_type", "s").distinct().count())
     assert n_groups > len(direct)
+
+
+def test_stratified_sample_unknown_lang_takes_default(spark, tmp_path):
+    """ANSI-mode regression (round 8): element_at(map, key) throws on a
+    missing key, so a corpus with a lang outside _SAMPLE_RATES used to
+    kill the query; try_element_at + coalesce must take the 0.0 default
+    (keep nothing) instead."""
+    import os
+
+    from solana_event_stream_spark.operators.training_data import (
+        sample_stratified_hash)
+
+    rows = [("d1", "hello world", "xx", "web", 11),
+            ("d2", "bonjour", "en", "web", 7)]
+    spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, source string, "
+              "n_chars int") \
+        .write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["lang"]: r.asDict()
+           for r in sample_stratified_hash(spark, str(tmp_path)).collect()}
+    assert out["xx"]["n_kept"] == 0 and out["xx"]["n_total"] == 1
