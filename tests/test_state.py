@@ -250,3 +250,57 @@ def test_tws_import_gate_and_auto_select(spark):
             st.tag_dev_trades_stateful_tws(stream)
         # auto-select silently uses the GroupState form
         assert st.tag_dev_trades_strict(stream) is not None
+
+
+@pytest.mark.parametrize("tagger", BACKENDS)
+def test_strict_state_survives_query_restart(spark, tagger):
+    """Keyed J3 state must RECOVER from the checkpoint across a full
+    query stop/start (the reference process keeps its GlobalState in
+    memory for its lifetime; our durable equivalent is the state store
+    checkpoint — for the TWS backend that exercises RocksDB changelog
+    checkpointing end-to-end): a create registered in run 1 must flag a
+    trade delivered in run 2."""
+    dev = "DevWallet1111111111111111111111111111111111"
+    batch1 = [_event("sigR", 1, "PumpFunCreateToken", user=dev)]
+    batch2 = [_event("sigR", 2, "PumpFunBuy", user=dev)]
+
+    drain_active_streams(spark)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src)
+
+        def _write(batch):
+            spark.createDataFrame([tuple(r[c] for c in INPUT_COLS)
+                                   for r in batch], SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        def _run(expected_rows):
+            # foreachBatch sink: the memory sink is not fault-tolerant
+            # and refuses to RESUME from a checkpoint, which is the
+            # whole point here
+            rows: list = []
+            stream = (spark.readStream.schema(SCHEMA)
+                      .option("maxFilesPerTrigger", "1").parquet(src))
+            q = (tagger(stream).writeStream
+                 .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            try:
+                q.awaitTermination(120)
+            finally:
+                stop_streaming_query(q, spark)
+            assert len(rows) == expected_rows, rows
+            return {(r.signature, r.event_type):
+                    r.is_dev_create_token_trade for r in rows}
+
+        _write(batch1)
+        flags1 = _run(1)                 # run 1: create only, then STOP
+        assert flags1[("sigR", "PumpFunCreateToken")] is None
+
+        time.sleep(1.1)                  # distinct mtime for file 2
+        _write(batch2)
+        flags2 = _run(1)                 # run 2: SAME checkpoint
+        # the dev pool registered in run 1 must have been recovered
+        # from the state store checkpoint
+        assert flags2[("sigR", "PumpFunBuy")] is True
