@@ -87,3 +87,97 @@ def test_truncation_sweep_on_golden_payloads(spark):
 @given(raw=st.binary(min_size=0, max_size=64))
 def test_b58_roundtrip(raw):
     assert b58decode(b58encode(raw)) == raw
+
+
+def test_full_pipeline_survives_structural_corruption(spark):
+    """End-to-end robustness (round 8): randomly corrupted REAL fixture
+    transactions — truncated/bit-flipped instruction data, out-of-range
+    program and account indices, NULLed account-key arrays, duplicated
+    and out-of-range inner-group indices, NULL times — must flow
+    through the FULL pipeline (JVM dispatch + pre-scans + Arrow decode
+    + merge + enrichment) without raising, per the reference's
+    drop-don't-crash contract (event_parser.rs filter_map semantics).
+    Complements the per-decoder hypothesis fuzz (Python halves) and the
+    J1/J2 candidate property test (JVM halves) with the composed plan."""
+    import os
+    import random
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events, load_raw_transactions)
+    from solana_event_stream_spark.registry import INSTRUCTION_DISCRIMINATORS
+    from solana_event_stream_spark.schemas import RAW_TRANSACTION_SCHEMA
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    base = [r.asDict(recursive=True) for r in load_raw_transactions(
+        spark, os.path.join(fixtures, "raw_transactions.parquet"))
+        .collect()]
+    rng = random.Random(20260814)
+
+    def corrupt_ix(ix):
+        ix = dict(ix)
+        roll = rng.randrange(6)
+        d = ix.get("data")
+        if roll == 0 and d:
+            ix["data"] = bytes(d)[:rng.randrange(len(d) + 1)]
+        elif roll == 1 and d:
+            b = bytearray(d)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            ix["data"] = bytes(b)
+        elif roll == 2:
+            ix["program_id_index"] = rng.choice((0, 63, 255, 1000))
+        elif roll == 3 and ix.get("account_indices"):
+            ai = list(ix["account_indices"])
+            ai[rng.randrange(len(ai))] = rng.choice((63, 255, 1000))
+            ix["account_indices"] = ai
+        elif roll == 4:
+            ix["account_indices"] = rng.choice((None, []))
+        else:
+            ix["data"] = rng.choice((None, b""))
+        return ix
+
+    mutants = []
+    for rep in range(3):
+        for t, tx in enumerate(base):
+            m = dict(tx)
+            m["signature"] = f"{tx['signature']}_m{rep}"
+            roll = rng.randrange(5)
+            if roll == 0 and m.get("instructions"):
+                m["instructions"] = [corrupt_ix(ix)
+                                     for ix in m["instructions"]]
+            elif roll == 1 and m.get("inner_instructions"):
+                m["inner_instructions"] = [
+                    {"index": rng.choice((g["index"], g["index"], 99)),
+                     "instructions": rng.choice((
+                         g["instructions"],
+                         None,
+                         [corrupt_ix(ix)
+                          for ix in (g["instructions"] or [])]))}
+                    for g in m["inner_instructions"]]
+                if rng.random() < 0.3:      # duplicate a group index
+                    m["inner_instructions"] = (
+                        m["inner_instructions"]
+                        + m["inner_instructions"][:1])
+            elif roll == 2:
+                m["static_account_keys"] = rng.choice((
+                    None, [],
+                    (m["static_account_keys"] or [])[:1]))
+            elif roll == 3:
+                m["loaded_writable_addresses"] = None
+                m["loaded_readonly_addresses"] = None
+                m["block_time"] = None
+                m["recv_us"] = None
+            else:
+                m["instructions"] = rng.choice((None, []))
+            mutants.append(m)
+
+    raw = spark.createDataFrame(base + mutants, RAW_TRANSACTION_SCHEMA)
+    baseline_types = {r.event_type for r in build_events(
+        spark.createDataFrame(base, RAW_TRANSACTION_SCHEMA)).collect()}
+    events = build_events(raw).collect()        # must not raise
+    assert len(events) > 0                      # uncorrupted base decodes
+    # corruption may flip a disc into another REGISTERED type or a
+    # ComputeBudget variant, never into something outside the registry
+    known = (set(INSTRUCTION_DISCRIMINATORS.values())
+             | baseline_types | {None})
+    assert {r.event_type for r in events} <= known
