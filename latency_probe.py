@@ -115,7 +115,8 @@ def run_probe(spark, scale: int, n_buckets: int,
               ordered_archive: bool = False,
               deadline_secs: float | None = None,
               async_progress: bool = False,
-              checkpoint_root: str | None = None) -> dict:
+              checkpoint_root: str | None = None,
+              shuffle_partitions: int | None = None) -> dict:
     from solana_event_stream_spark.sources.replay import (
         read_transaction_stream, write_slot_bucketed_archive)
     from solana_event_stream_spark.streaming.dedup import dedup_event_stream
@@ -134,6 +135,12 @@ def run_probe(spark, scale: int, n_buckets: int,
     if provider is not None:
         # runtime-settable: the provider is read once at query start
         spark.conf.set(_PROVIDER_KEY, _PROVIDERS.get(provider, provider))
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        # pinned into the checkpoint at FIRST query start: this is the
+        # state-partition width for stateful queries
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
     try:
         with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
             archive = os.path.join(tmp, "archive")
@@ -200,6 +207,8 @@ def run_probe(spark, scale: int, n_buckets: int,
                 spark.conf.unset(_PROVIDER_KEY)
             else:
                 spark.conf.set(_PROVIDER_KEY, prev_provider)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     summary = latency_summary(collector.progress)
     summary.update({"probe": "stream_latency", "scale": scale,
@@ -329,9 +338,36 @@ def main_ab_ckptfsync(spark, reps: int = 2) -> None:
                       "p50_ms": summary}), flush=True)
 
 
+def main_ab_stateparts(spark, reps: int = 2) -> None:
+    """State-partition width vs micro-batch latency on the dedup arm.
+
+    `spark.sql.shuffle.partitions` at FIRST query start fixes the
+    number of state-store instances for the checkpoint's lifetime: at
+    100 TB you want hundreds (state parallelism + bounded per-instance
+    size), but every micro-batch pays per-instance open/commit, so a
+    low-latency small-batch deployment may want far fewer. Interleaved
+    32-vs-8-vs-4 at mainnet-like feed quantifies the local trade."""
+    per: dict[int, list[float]] = {}
+    for rep in range(reps):
+        for n in (32, 8, 4):
+            r = run_probe(spark, 1000, 20, sink="count",
+                          dedup_watermark="10 minutes",
+                          shuffle_partitions=n)
+            r.pop("state_rows", None)
+            r.update({"rep": rep, "state_partitions": n})
+            per.setdefault(n, []).append(r["trigger_p50_ms"])
+            print(json.dumps(r), flush=True)
+    med = {str(n): sorted(v)[len(v) // 2] for n, v in per.items()}
+    print(json.dumps({"probe": "stateparts_ab_summary", "reps": reps,
+                      "p50_ms": med}), flush=True)
+
+
 def main() -> None:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ab-stateparts" in sys.argv:
+        main_ab_stateparts(spark)
+        return
     if "--ab-ckptfsync" in sys.argv:
         main_ab_ckptfsync(spark)
         return
