@@ -127,21 +127,28 @@ def read_archive_slot_window(spark: SparkSession, path: str,
     return df.drop("slot_range")
 
 
-def compact_archive(spark: SparkSession, path: str) -> None:
+def compact_archive(spark: SparkSession, path: str,
+                    sort_within: tuple[str, ...] | None = None) -> None:
     """Compaction pass: rewrite each slot-range partition into one file
     (small-file pressure is the failure mode of streaming archive
     writers at scale; compaction restores the large-file scan profile).
     Rewrites into place via a staging dir + atomic renames so a reader
-    never sees a half-written partition."""
+    never sees a half-written partition.
+
+    ``sort_within`` additionally restores the row-group-stat ordering a
+    streaming writer cannot express (e.g. ("program_id", "slot") for
+    the decoded-event archive, `streaming/event_archive.py`). Run with
+    the stream stopped (the rewrite drops the file-sink commit log)."""
     import shutil
     import tempfile
 
     staging = tempfile.mkdtemp(dir=os.path.dirname(path.rstrip("/")),
                                prefix=".compact_")
     try:
-        (spark.read.parquet(path)
-         .repartition("slot_range")
-         .write.mode("overwrite").partitionBy("slot_range")
+        df = spark.read.parquet(path).repartition("slot_range")
+        if sort_within:
+            df = df.sortWithinPartitions("slot_range", *sort_within)
+        (df.write.mode("overwrite").partitionBy("slot_range")
          .parquet(staging))
         backup = path.rstrip("/") + ".precompact"
         os.rename(path, backup)

@@ -1,0 +1,81 @@
+"""Streamed decoded-event archive: decode once, query many.
+
+At 100 TB the expensive thing is not any single query — it is
+re-running explode+dispatch+decode over the raw transaction archive
+for EVERY query. This sink materializes the decode once, as a
+columnar event lake with the same two-level pruning layout as the raw
+archives (`sources/replay.py`): slot-range directory partitions
+(planning-time PartitionFilters) over the wide event schema, written
+exactly-once by Structured Streaming's file sink (the `_spark_metadata`
+commit log means a concurrent batch reader only ever sees committed
+files — Spark's batch parquet reader honors the log automatically when
+pointed at the sink directory).
+
+Enrichment (J3/J4/P11) is deliberately NOT baked into the archive:
+the creates-pool join is computed per micro-batch on the live path,
+but an archive reader can do strictly better by running
+`plans.pipeline.enrich_events` over the whole archive (global pools —
+the exact batch semantics). Store the core decode, enrich at read.
+
+Row-group-level pruning (the (program_id, slot) sort the batch writer
+applies) cannot be expressed in a streaming write — run
+`sources.replay.compact_archive(..., sort_within=("program_id",
+"slot"))` periodically (with the stream stopped or against a snapshot)
+to restore both the large-file profile and tight row-group stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_SLOTS_PER_DIR = 10_000
+
+
+def start_event_archive_stream(raw_stream: DataFrame,
+                               archive_dir: str,
+                               checkpoint_dir: str,
+                               slots_per_dir: int = DEFAULT_SLOTS_PER_DIR,
+                               protocols=None,
+                               available_now: bool = False,
+                               processing_time: str = "10 seconds"):
+    """raw transaction stream -> decoded events -> partitioned parquet.
+
+    Exactly-once: the file sink's commit log. Partitioning: slot-range
+    directories (same key as `write_slot_range_archive`), so archived
+    events get planning-time slot pruning from day one.
+    """
+    from ..plans.pipeline import build_events_core
+    from ..registry import ALL_PROTOCOLS
+
+    events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    out = events.withColumn(
+        "slot_range", (F.col("slot") / slots_per_dir).cast("long"))
+    writer = (out.writeStream.format("parquet")
+              .partitionBy("slot_range")
+              .option("path", archive_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def load_event_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
+    """Batch-read the streamed event archive (commit-log aware: only
+    committed files are visible). `slot_range` is kept for pruning;
+    use :func:`read_event_archive_slot_window` for windowed reads or
+    drop it yourself."""
+    return spark.read.parquet(archive_dir)
+
+
+def read_event_archive_slot_window(spark: SparkSession, archive_dir: str,
+                                   min_slot: int | None = None,
+                                   max_slot: int | None = None,
+                                   slots_per_dir: int =
+                                   DEFAULT_SLOTS_PER_DIR) -> DataFrame:
+    """Slot-window read with directory pruning — identical contract to
+    `sources.replay.read_archive_slot_window`, over decoded events."""
+    from ..sources.replay import read_archive_slot_window
+    return read_archive_slot_window(spark, archive_dir, min_slot,
+                                    max_slot, slots_per_dir)

@@ -58,6 +58,12 @@ def _norm_cell(v):
         return ("float", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    # numpy arrays (Spark array<> columns via toPandas) — fold to tuples
+    # so cell equality is well-defined (ndarray __eq__ is elementwise)
+    if getattr(v, "ndim", 0) >= 1 and hasattr(v, "tolist"):
+        return tuple(_norm_cell(x) for x in v.tolist())
     return v
 
 

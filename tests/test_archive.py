@@ -214,3 +214,70 @@ def _run_prune_case(spark, big, n_big, filter_col, filter_val,
         assert rows_sorted < rows_unsorted / 2, (
             rows_sorted, rows_unsorted, n_match, n_big)
         assert rows_sorted >= n_match
+
+
+def test_event_archive_stream_roundtrip_and_pruning(spark):
+    """Streamed decoded-event archive (streaming/event_archive.py):
+    (a) the streamed archive's content equals the batch decode exactly;
+    (b) enrich-at-read over the archive equals the batch build_events
+        output (global pools — the documented contract);
+    (c) a slot-window read prunes slot_range directories at planning
+        time (PartitionFilters);
+    (d) compact_archive(sort_within=...) preserves content while
+        restoring the single-file-per-partition layout."""
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events, build_events_core, enrich_events)
+    from solana_event_stream_spark.sources.replay import (
+        compact_archive, read_transaction_stream,
+        write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, read_event_archive_slot_window,
+        start_event_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    raw = _make_raw(spark)
+    slots = [r.slot for r in raw.select("slot").distinct().collect()]
+    expected_core = build_events_core(raw).toPandas()
+    expected_full = build_events(raw).toPandas()
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        write_slot_bucketed_archive(raw, src, n_buckets=3)
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=100,
+            available_now=True)
+        q.awaitTermination(180)
+
+        # (a) content parity with the batch decode
+        got_core = load_event_archive(spark, archive) \
+            .drop("slot_range").toPandas()
+        assert _norm_rows(got_core) == _norm_rows(expected_core)
+
+        # (b) enrich-at-read == batch build_events
+        enriched = enrich_events(
+            load_event_archive(spark, archive).drop("slot_range"),
+            bot_wallet=None).toPandas()
+        exp = expected_full
+        if "is_bot" in exp.columns:       # bot wallet not passed here
+            enriched = enriched.drop(columns=["is_bot"])
+            exp = exp.drop(columns=["is_bot"])
+        assert _norm_rows(enriched) == _norm_rows(exp)
+
+        # (c) directory pruning for a slot window
+        lo, hi = min(slots), min(slots) + 50
+        windowed = read_event_archive_slot_window(
+            spark, archive, min_slot=lo, max_slot=hi, slots_per_dir=100)
+        plan = _plan(windowed)
+        assert "PartitionFilters" in plan
+        assert "slot_range" in plan.split("PartitionFilters")[1][:300]
+
+        # (d) compaction with row-group sort preserves content
+        compact_archive(spark, archive,
+                        sort_within=("program_id", "slot"))
+        recompacted = load_event_archive(spark, archive) \
+            .drop("slot_range").toPandas()
+        assert _norm_rows(recompacted) == _norm_rows(expected_core)
+        for d in glob.glob(os.path.join(archive, "slot_range=*")):
+            assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
