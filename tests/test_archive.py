@@ -281,3 +281,33 @@ def test_event_archive_stream_roundtrip_and_pruning(spark):
         assert _norm_rows(recompacted) == _norm_rows(expected_core)
         for d in glob.glob(os.path.join(archive, "slot_range=*")):
             assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+
+def test_event_archive_column_pruning(spark):
+    """A narrow projection over the 375-column event archive must reach
+    the scan as a narrow ReadSchema (column pruning) — the point of
+    materializing the decode as columnar events: a 3-column query reads
+    3 columns, not the wide row."""
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive)
+
+    raw = _make_raw(spark)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        archive = os.path.join(tmp, "events")
+        (build_events_core(raw)
+         .withColumn("slot_range", (F.col("slot") / 100).cast("long"))
+         .write.partitionBy("slot_range").parquet(archive))
+        narrow = (load_event_archive(spark, archive)
+                  .filter(F.col("event_type").isNotNull())
+                  .select("signature", "event_type", "slot"))
+        plan = _plan(narrow)
+        read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+        # only the projected/filtered columns reach the scan
+        for col in ("signature", "event_type", "slot"):
+            assert col in read_schema
+        for wide in ("accounts_padded", "inner_group", "sol_amount",
+                     "transfer_candidates"):
+            assert wide not in read_schema
+        assert "PushedFilters" in plan
