@@ -278,7 +278,10 @@ def test_strict_state_survives_query_restart(spark, tagger):
         def _run(expected_rows):
             # foreachBatch sink: the memory sink is not fault-tolerant
             # and refuses to RESUME from a checkpoint, which is the
-            # whole point here
+            # whole point here. Poll-then-stop rather than
+            # awaitTermination: an availableNow query with
+            # processing-time state timeouts does not self-terminate
+            # promptly, so awaiting would burn the full timeout.
             rows: list = []
             stream = (spark.readStream.schema(SCHEMA)
                       .option("maxFilesPerTrigger", "1").parquet(src))
@@ -287,7 +290,12 @@ def test_strict_state_survives_query_restart(spark, tagger):
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
             try:
-                q.awaitTermination(120)
+                deadline = time.time() + 120
+                while len(rows) < expected_rows and time.time() < deadline:
+                    time.sleep(0.5)
+                # one extra beat so the batch's state commit finishes
+                # before we stop (the NEXT run must recover it)
+                time.sleep(2.0)
             finally:
                 stop_streaming_query(q, spark)
             assert len(rows) == expected_rows, rows
