@@ -30,6 +30,10 @@ Extra modes (round 8):
   records that OSS Spark's async progress tracking rejects
   ForeachBatchSink, then quantifies the offset/commit-log fsync share
   of the callback floor with interleaved disk-vs-tmpfs checkpoint runs.
+- ``python latency_probe.py --ab-stateparts`` — state-partition width
+  (shuffle.partitions at first checkpoint) vs micro-batch latency on
+  the dedup arm: the pinned-at-first-start width is a real deployment
+  decision (BENCH_NOTES r8: 32 -> 8 cut p50 ~30% locally).
 - ``python latency_probe.py --state-growth`` — ~100 micro-batches of
   the dedup query with event time advancing per batch, recording
   state-store rows/memory per batch from
