@@ -181,3 +181,50 @@ def test_full_pipeline_survives_structural_corruption(spark):
     known = (set(INSTRUCTION_DISCRIMINATORS.values())
              | baseline_types | {None})
     assert {r.event_type for r in events} <= known
+
+
+def test_account_pipeline_survives_structural_corruption(spark):
+    """Account-pipeline analog of the transaction corruption fuzz:
+    randomly corrupted fixture account updates (truncated/bit-flipped
+    data, NULL data/owner/pubkey, wrong owners) must flow through the
+    full D3 dispatch + Arrow decode without raising; corrupted rows
+    degrade to dropped/NULL-field events, never errors."""
+    import os
+    import random
+
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events, load_raw_accounts)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    base = [r.asDict() for r in load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet")).collect()]
+    rng = random.Random(8142026)
+
+    mutants = []
+    for rep in range(3):
+        for a in base:
+            m = dict(a)
+            m["pubkey"] = f"{a['pubkey']}_m{rep}"
+            roll = rng.randrange(5)
+            d = m.get("data")
+            if roll == 0 and d:
+                m["data"] = bytes(d)[:rng.randrange(len(d) + 1)]
+            elif roll == 1 and d:
+                b = bytearray(d)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                m["data"] = bytes(b)
+            elif roll == 2:
+                m["data"] = rng.choice((None, b"", b"\x00"))
+            elif roll == 3:
+                m["owner"] = rng.choice((None, "NotAProgram111111111111"
+                                         "1111111111111111111"))
+            else:
+                m["lamports"] = rng.choice((None, 0, 2**62))
+                m["slot"] = rng.choice((m["slot"], None))
+            mutants.append(m)
+
+    from solana_event_stream_spark.schemas import RAW_ACCOUNT_SCHEMA
+    raw = spark.createDataFrame(base + mutants, RAW_ACCOUNT_SCHEMA)
+    events = build_account_events(raw).collect()    # must not raise
+    assert len(events) > 0
