@@ -61,6 +61,45 @@ def start_event_archive_stream(raw_stream: DataFrame,
     return writer.start()
 
 
+def start_account_archive_stream(raw_account_stream: DataFrame,
+                                 archive_dir: str,
+                                 checkpoint_dir: str,
+                                 slots_per_dir: int =
+                                 DEFAULT_SLOTS_PER_DIR,
+                                 available_now: bool = False,
+                                 processing_time: str = "10 seconds"):
+    """Account-update analog: decoded account events (D3 dispatch,
+    `plans/account_pipeline.py`) into the same slot-range lake layout."""
+    from ..plans.account_pipeline import build_account_events
+
+    events = build_account_events(raw_account_stream)
+    out = events.withColumn(
+        "slot_range", (F.col("slot") / slots_per_dir).cast("long"))
+    writer = (out.writeStream.format("parquet")
+              .partitionBy("slot_range")
+              .option("path", archive_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_event_archive_stream(spark: SparkSession, archive_dir: str,
+                              max_files_per_trigger: int = 16
+                              ) -> DataFrame:
+    """STREAM the decoded-event lake: downstream jobs (analytics,
+    training-data extraction) tail committed event files instead of
+    re-decoding raw transactions. Schema comes from the committed
+    files; new files appear as micro-batches. `slot_range` rides along
+    for windowed downstream filters."""
+    schema = spark.read.parquet(archive_dir).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(archive_dir))
+
+
 def load_event_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
     """Batch-read the streamed event archive (commit-log aware: only
     committed files are visible). `slot_range` is kept for pruning;

@@ -64,6 +64,11 @@ def _norm_cell(v):
     # so cell equality is well-defined (ndarray __eq__ is elementwise)
     if getattr(v, "ndim", 0) >= 1 and hasattr(v, "tolist"):
         return tuple(_norm_cell(x) for x in v.tolist())
+    # struct/map cells (dicts under Arrow) — normalize values recursively
+    # and fix the key order so equality and sorting are well-defined
+    if isinstance(v, dict):
+        return ("dict",) + tuple(
+            (k, _norm_cell(x)) for k, x in sorted(v.items()))
     return v
 
 

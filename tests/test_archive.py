@@ -311,3 +311,68 @@ def test_event_archive_column_pruning(spark):
                      "transfer_candidates"):
             assert wide not in read_schema
         assert "PushedFilters" in plan
+
+
+def test_account_archive_stream_matches_batch(spark):
+    """Account-side lake sink: streamed decoded account events equal the
+    batch account pipeline output."""
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events, load_raw_accounts)
+    from solana_event_stream_spark.sources.replay import (
+        read_account_stream, write_account_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, start_account_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    raw = load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet"))
+    expected = build_account_events(raw).toPandas()
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        write_account_archive(raw, src, slots_per_bucket=100)
+        q = start_account_archive_stream(
+            read_account_stream(spark, src, max_files_per_trigger=4),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=100,
+            available_now=True)
+        q.awaitTermination(180)
+        got = load_event_archive(spark, archive) \
+            .drop("slot_range").toPandas()
+        assert _norm_rows(got) == _norm_rows(expected)
+
+
+def test_event_archive_streaming_readback(spark):
+    """The lake is also a STREAM source: a downstream job tailing the
+    archive sees every committed event exactly once (file-sink commit
+    log honored by the file stream source)."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        read_event_archive_stream, start_event_archive_stream)
+
+    raw = _make_raw(spark)
+    expected = build_events_core(raw).count()
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        write_slot_bucketed_archive(raw, src, n_buckets=2)
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt_w"), slots_per_dir=100,
+            available_now=True)
+        q.awaitTermination(180)
+
+        seen: list = []
+        q2 = (read_event_archive_stream(spark, archive)
+              .writeStream
+              .foreachBatch(lambda df, bid: seen.append(df.count()))
+              .option("checkpointLocation", os.path.join(tmp, "ckpt_r"))
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        assert sum(seen) == expected
