@@ -110,6 +110,36 @@ def main() -> None:
             .agg(F.count(F.lit(1)), F.sum(F.size("instructions")),
                  F.sum(F.size("static_account_keys"))).collect())
 
+    # --- decoded-event lake payoff (r8) --------------------------------
+    # Same corpus, two ways to answer "events by type + SOL volume":
+    # re-run the decode DAG over the raw archive per query, or read the
+    # materialized lake's three relevant columns. The ratio is what
+    # ingest-once buys every downstream query.
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    with tempfile.TemporaryDirectory() as tmp2:
+        lake = os.path.join(tmp2, "lake")
+        (build_events_core(big)
+         .withColumn("slot_range",
+                     (F.col("slot") / SLOTS_PER_BUCKET).cast("long"))
+         .write.partitionBy("slot_range").parquet(lake))
+
+        def _agg(df):
+            return (df.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("sol_amount").alias("vol")).collect())
+
+        # decode arm runs over the in-memory raw lineage spread across
+        # the cores like a real raw-archive scan would be (the bare
+        # crossJoin inherits the 46-row fixture's 1-2 splits and would
+        # serialize the decode); no raw scan cost is charged —
+        # CONSERVATIVE: the lake's real-world edge is larger
+        spread = big.repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions", "32")))
+        t_decode_query = _timed(lambda: _agg(build_events_core(spread)))
+        t_lake_query = _timed(lambda: _agg(
+            spark.read.parquet(lake)
+            .select("event_type", "sol_amount")))
+
     print(json.dumps({
         "metric": "archive_layout",
         "unit": "sec",
@@ -120,6 +150,10 @@ def main() -> None:
         "compacted_files": n_files_compact,
         "window_scan_fragmented_sec": t_frag,
         "window_scan_compacted_sec": t_compacted,
+        "decode_query_sec": t_decode_query,
+        "lake_query_sec": t_lake_query,
+        "lake_speedup": round(t_decode_query / t_lake_query, 1)
+        if t_lake_query > 0 else -1.0,
     }))
 
 
