@@ -108,6 +108,18 @@ def load_event_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
     return spark.read.parquet(archive_dir)
 
 
+def load_enriched_events(spark: SparkSession, archive_dir: str,
+                         bot_wallet: str | None = None) -> DataFrame:
+    """The documented enrich-at-read pattern as an API: archive core
+    events + `enrich_events` with GLOBAL creates pools — equal to batch
+    `build_events` over the original raws (tested in
+    test_event_archive_stream_roundtrip_and_pruning)."""
+    from ..plans.pipeline import enrich_events
+    return enrich_events(
+        load_event_archive(spark, archive_dir).drop("slot_range"),
+        bot_wallet)
+
+
 def read_event_archive_slot_window(spark: SparkSession, archive_dir: str,
                                    min_slot: int | None = None,
                                    max_slot: int | None = None,

@@ -255,10 +255,10 @@ def test_event_archive_stream_roundtrip_and_pruning(spark):
             .drop("slot_range").toPandas()
         assert _norm_rows(got_core) == _norm_rows(expected_core)
 
-        # (b) enrich-at-read == batch build_events
-        enriched = enrich_events(
-            load_event_archive(spark, archive).drop("slot_range"),
-            bot_wallet=None).toPandas()
+        # (b) enrich-at-read == batch build_events (via the API wrapper)
+        from solana_event_stream_spark.streaming.event_archive import (
+            load_enriched_events)
+        enriched = load_enriched_events(spark, archive).toPandas()
         exp = expected_full
         if "is_bot" in exp.columns:       # bot wallet not passed here
             enriched = enriched.drop(columns=["is_bot"])
