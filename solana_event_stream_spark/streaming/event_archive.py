@@ -37,12 +37,20 @@ def start_event_archive_stream(raw_stream: DataFrame,
                                slots_per_dir: int = DEFAULT_SLOTS_PER_DIR,
                                protocols=None,
                                available_now: bool = False,
-                               processing_time: str = "10 seconds"):
+                               processing_time: str = "10 seconds",
+                               max_records_per_file: int | None = None,
+                               writer_options: dict | None = None):
     """raw transaction stream -> decoded events -> partitioned parquet.
 
     Exactly-once: the file sink's commit log. Partitioning: slot-range
     directories (same key as `write_slot_range_archive`), so archived
     events get planning-time slot pruning from day one.
+
+    ``max_records_per_file`` caps file sizes at high feed rates (the
+    other half of the small-file problem: ONE giant file per partition
+    per batch is as bad for parallel reads as thousands of tiny ones);
+    ``writer_options`` passes any extra DataStreamWriter options
+    through (e.g. parquet compression codec).
     """
     from ..plans.pipeline import build_events_core
     from ..registry import ALL_PROTOCOLS
@@ -54,6 +62,11 @@ def start_event_archive_stream(raw_stream: DataFrame,
               .partitionBy("slot_range")
               .option("path", archive_dir)
               .option("checkpointLocation", checkpoint_dir))
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile",
+                               str(max_records_per_file))
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

@@ -376,3 +376,33 @@ def test_event_archive_streaming_readback(spark):
               .trigger(availableNow=True).start())
         q2.awaitTermination(120)
         assert sum(seen) == expected
+
+
+def test_event_archive_max_records_per_file(spark):
+    """File-size control on the lake sink: max_records_per_file caps
+    rows per written file (the other half of the small-file problem at
+    high feed rates)."""
+    import pyarrow.parquet as pq
+
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, start_event_archive_stream)
+
+    raw = _make_raw(spark)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        write_slot_bucketed_archive(raw, src, n_buckets=1)
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=1_000_000,
+            available_now=True, max_records_per_file=10)
+        q.awaitTermination(180)
+        files = glob.glob(os.path.join(
+            archive, "slot_range=*", "*.parquet"))
+        assert len(files) > 1
+        assert all(pq.ParquetFile(f).metadata.num_rows <= 10
+                   for f in files)
+        assert load_event_archive(spark, archive).count() == \
+            sum(pq.ParquetFile(f).metadata.num_rows for f in files)
