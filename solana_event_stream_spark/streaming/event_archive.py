@@ -39,7 +39,8 @@ def start_event_archive_stream(raw_stream: DataFrame,
                                available_now: bool = False,
                                processing_time: str = "10 seconds",
                                max_records_per_file: int | None = None,
-                               writer_options: dict | None = None):
+                               writer_options: dict | None = None,
+                               dedup_redelivery: str | None = None):
     """raw transaction stream -> decoded events -> partitioned parquet.
 
     Exactly-once: the file sink's commit log. Partitioning: slot-range
@@ -51,11 +52,20 @@ def start_event_archive_stream(raw_stream: DataFrame,
     per batch is as bad for parallel reads as thousands of tiny ones);
     ``writer_options`` passes any extra DataStreamWriter options
     through (e.g. parquet compression codec).
+
+    ``dedup_redelivery``: a watermark duration (e.g. "10 minutes")
+    inserts the cross-batch redelivery filter (`streaming/dedup.py`)
+    before the write — an effectively-once LAKE even when the
+    transport redelivers after reconnects, at the cost of the keyed
+    state (same knob as `start_event_stream`).
     """
     from ..plans.pipeline import build_events_core
     from ..registry import ALL_PROTOCOLS
 
     events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    if dedup_redelivery is not None:
+        from .dedup import dedup_event_stream
+        events = dedup_event_stream(events, watermark=dedup_redelivery)
     out = events.withColumn(
         "slot_range", (F.col("slot") / slots_per_dir).cast("long"))
     writer = (out.writeStream.format("parquet")

@@ -406,3 +406,30 @@ def test_event_archive_max_records_per_file(spark):
                    for f in files)
         assert load_event_archive(spark, archive).count() == \
             sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def test_event_archive_dedup_redelivery(spark):
+    """Effectively-once lake: with dedup_redelivery set, a replayed
+    corpus file adds ZERO rows to the archive."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, start_event_archive_stream)
+
+    raw = _make_raw(spark)
+    expected = build_events_core(raw).count()
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        raw.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        raw.coalesce(1).write.mode("append").parquet(src)   # redelivery
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=100,
+            available_now=True, dedup_redelivery="10 minutes")
+        q.awaitTermination(240)
+        assert load_event_archive(spark, archive).count() == expected
