@@ -75,39 +75,65 @@ def _load_baseline_catalog(spark, baseline_dir: str):
     return importlib.import_module("ses_baseline.catalog").load_catalog()
 
 
+def _ab_one(spark, sf_dir, cur_fn, base_fn, n_timed):
+    force(cur_fn(spark, sf_dir))       # warm both arms
+    force(base_fn(spark, sf_dir))
+    best_cur = best_base = float("inf")
+    for _ in range(n_timed):           # interleave: steal hits both
+        t0 = time.perf_counter()
+        force(cur_fn(spark, sf_dir))
+        best_cur = min(best_cur, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        force(base_fn(spark, sf_dir))
+        best_base = min(best_base, time.perf_counter() - t0)
+    return best_cur, best_base
+
+
 def _run_ab(spark, sf_dir, catalog, baseline_dir, n_timed) -> dict:
+    """Interleaved A/B vs a baseline checkout.
+
+    BENCH_NOTES standing rule (r8): the comparison is only readable
+    when a CONTROL query — same code in both checkouts — sits at ~1.0.
+    ``SPARK_GRAFT_BENCH_AB_CONTROL`` names one; when its ratio drifts
+    outside [0.9, 1.1] the rep count doubles (once per doubling, up to
+    4x) and every query re-times, because min-of-N hasn't converged
+    under host steal yet (observed: a 3-rep control at 0.62 that
+    6 reps brought to 1.02)."""
     base_catalog = _load_baseline_catalog(spark, baseline_dir)
     only = os.environ.get("SPARK_GRAFT_BENCH_AB_QUERIES")
     names = ([n.strip() for n in only.split(",") if n.strip()] if only
              else sorted(set(catalog) & set(base_catalog)))
-    ab: dict[str, dict] = {}
-    for name in names:
-        if name not in catalog or name not in base_catalog:
-            print(f"# AB skip {name}: not in both catalogs",
-                  file=sys.stderr)
-            continue
-        cur_fn = catalog[name].spark_fn
-        base_fn = base_catalog[name].spark_fn
-        try:
-            force(cur_fn(spark, sf_dir))       # warm both arms
-            force(base_fn(spark, sf_dir))
-            best_cur = best_base = float("inf")
-            for _ in range(n_timed):           # interleave: steal hits both
-                t0 = time.perf_counter()
-                force(cur_fn(spark, sf_dir))
-                best_cur = min(best_cur, time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                force(base_fn(spark, sf_dir))
-                best_base = min(best_base, time.perf_counter() - t0)
-        except Exception as exc:
-            print(f"# AB FAIL {name}: {exc}", file=sys.stderr)
-            ab[name] = {"cur": -1.0, "base": -1.0, "ratio": -1.0}
-            continue
-        ab[name] = {"cur": round(best_cur, 4),
-                    "base": round(best_base, 4),
-                    "ratio": round(best_cur / best_base, 3)
-                    if best_base > 0 else -1.0}
-    return ab
+    control = os.environ.get("SPARK_GRAFT_BENCH_AB_CONTROL")
+    reps = n_timed
+    while True:
+        ab: dict[str, dict] = {}
+        for name in ([control] if control and control not in names
+                     else []) + names:
+            if name not in catalog or name not in base_catalog:
+                print(f"# AB skip {name}: not in both catalogs",
+                      file=sys.stderr)
+                continue
+            try:
+                best_cur, best_base = _ab_one(
+                    spark, sf_dir, catalog[name].spark_fn,
+                    base_catalog[name].spark_fn, reps)
+            except Exception as exc:
+                print(f"# AB FAIL {name}: {exc}", file=sys.stderr)
+                ab[name] = {"cur": -1.0, "base": -1.0, "ratio": -1.0}
+                continue
+            ab[name] = {"cur": round(best_cur, 4),
+                        "base": round(best_base, 4),
+                        "ratio": round(best_cur / best_base, 3)
+                        if best_base > 0 else -1.0}
+        if not control or control not in ab:
+            return ab
+        cr = ab[control]["ratio"]
+        if 0.9 <= cr <= 1.1 or reps >= n_timed * 4:
+            ab["_control"] = {"name": control, "ratio": cr, "reps": reps}
+            return ab
+        print(f"# AB control {control} at {cr}: doubling reps "
+              f"{reps} -> {reps * 2}", file=sys.stderr)
+        reps *= 2
 
 
 def main() -> None:
