@@ -16,6 +16,10 @@ meaningful even when this sandbox's wall clock swings +-50%
 (BENCH_NOTES.md). Restrict the compared set with
 ``SPARK_GRAFT_BENCH_AB_QUERIES=name1,name2``. The output line gains an
 ``"ab"`` key: {name: {"cur": s, "base": s, "ratio": cur/base}}.
+``SPARK_GRAFT_BENCH_AB_CONTROL=name`` adds a convergence gate: the
+named query (unchanged in both checkouts) must land at ~1.0 or the rep
+count auto-doubles and everything re-times (BENCH_NOTES r8 standing
+rule).
 """
 
 from __future__ import annotations
