@@ -81,6 +81,36 @@ def probe_pipeline(spark) -> list[dict]:
     return out
 
 
+def probe_accounts(spark) -> list[dict]:
+    """Account-pipeline (D3/P8) scaling: fixture account updates
+    replicated with distinct pubkeys/slots through the full
+    dispatch+decode, same near-linear expectation as the transaction
+    pipeline."""
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events, load_raw_accounts)
+
+    base = load_raw_accounts(
+        spark, os.path.join(FIXTURES, "raw_accounts.parquet"))
+    n_base = base.count()
+    out = []
+    for mult in (2000, 8000, 20000):
+        raw = (base.crossJoin(
+            spark.range(mult).select(F.col("id").alias("rep")))
+            .withColumn("pubkey", F.concat_ws("_", "pubkey", "rep"))
+            .withColumn("slot", F.col("slot") + F.col("rep") * 10000)
+            .drop("rep")
+            .repartition(int(spark.conf.get(
+                "spark.sql.shuffle.partitions", "32"))))
+        t = _timed(
+            lambda: build_account_events(raw)
+            .groupBy("event_type").agg(F.count(F.lit(1))).collect())
+        out.append({"probe": "account_pipeline", "mult": mult,
+                    "n_updates": n_base * mult, "sec": t,
+                    "updates_per_sec": round(n_base * mult / t)})
+        print(json.dumps(out[-1]), flush=True)
+    return out
+
+
 def probe_dedup(spark) -> list[dict]:
     from solana_event_stream_spark.operators.dedup import (
         _minhash_verified_pairs, docs_with_dups)
@@ -105,7 +135,8 @@ def probe_dedup(spark) -> list[dict]:
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    results = probe_pipeline(spark) + probe_dedup(spark)
+    results = (probe_pipeline(spark) + probe_accounts(spark)
+               + probe_dedup(spark))
     print(json.dumps({"probe": "all", "results": results}))
 
 
