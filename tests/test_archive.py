@@ -433,3 +433,80 @@ def test_event_archive_dedup_redelivery(spark):
             available_now=True, dedup_redelivery="10 minutes")
         q.awaitTermination(240)
         assert load_event_archive(spark, archive).count() == expected
+
+
+def test_lake_is_dropin_for_catalog_query(spark):
+    """The catalog's dex_events_by_type aggregation computed over the
+    LAKE (enrich-at-read) equals the catalog query's own result — the
+    lake is a drop-in substrate for the engine's query surface."""
+    import json as _json
+
+    from solana_event_stream_spark.plans.pipeline_queries import (
+        dex_events_by_type)
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_enriched_events, start_event_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    with open(os.path.join(fixtures, "meta.json")) as fh:
+        bot = _json.load(fh)["bot_wallet"]
+    expected = dex_events_by_type(spark, fixtures).toPandas()
+
+    raw = _make_raw(spark)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        write_slot_bucketed_archive(raw, src, n_buckets=2)
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), available_now=True)
+        q.awaitTermination(180)
+        got = (load_enriched_events(spark, archive, bot_wallet=bot)
+               .groupBy("protocol", "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.countDistinct("signature").alias("n_txs"))
+               ).toPandas()
+    assert _norm_rows(got) == _norm_rows(expected)
+
+
+def test_lake_sink_restart_no_duplicates(spark):
+    """S6 for the lake: a sink restarted from the SAME checkpoint
+    appends only data that arrived after the first run — the file-sink
+    commit log guarantees an exactly-once archive across restarts."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, start_event_archive_stream)
+
+    raw = _make_raw(spark)
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    cut = slots[len(slots) // 2]
+    first, second = raw.filter(raw.slot < cut), raw.filter(raw.slot >= cut)
+    n_total = build_events_core(raw).count()
+    n_first = build_events_core(first).count()
+    assert 0 < n_first < n_total
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        ckpt = os.path.join(tmp, "ckpt")
+        first.coalesce(1).write.mode("append").parquet(src)
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src), archive, ckpt,
+            available_now=True)
+        q.awaitTermination(180)
+        assert load_event_archive(spark, archive).count() == n_first
+
+        _time.sleep(1.1)
+        second.coalesce(1).write.mode("append").parquet(src)
+        q = start_event_archive_stream(          # SAME checkpoint
+            read_transaction_stream(spark, src), archive, ckpt,
+            available_now=True)
+        q.awaitTermination(180)
+        assert load_event_archive(spark, archive).count() == n_total
