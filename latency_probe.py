@@ -30,6 +30,10 @@ Extra modes (round 8):
   records that OSS Spark's async progress tracking rejects
   ForeachBatchSink, then quantifies the offset/commit-log fsync share
   of the callback floor with interleaved disk-vs-tmpfs checkpoint runs.
+- ``python latency_probe.py --ab-archivesink`` — decoded-event lake
+  ingestion overhead: interleaved count-sink vs parquet-lake-sink
+  (slot-ordered batches; BENCH_NOTES r8 records both the ~1.2 s/batch
+  cost and the partition-scatter anti-pattern).
 - ``python latency_probe.py --ab-stateparts`` — state-partition width
   (shuffle.partitions at first checkpoint) vs micro-batch latency on
   the dedup arm: the pinned-at-first-start width is a real deployment

@@ -137,7 +137,6 @@ def test_sink_storage_level_knob(spark, monkeypatch):
     clusters can choose DISK_ONLY. Asserted by recording the level each
     factory passes to DataFrame.persist."""
     from pyspark import StorageLevel
-    from pyspark.sql import DataFrame
     from solana_event_stream_spark.streaming.sink import (
         DEFAULT_BATCH_STORAGE, foreach_batch_callback,
         foreach_batch_callback_strict, foreach_partition_callback)
