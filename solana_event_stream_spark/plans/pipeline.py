@@ -32,6 +32,7 @@ repartition.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -52,7 +53,14 @@ _PASSTHROUGH = ("signature", "slot", "transaction_index", "block_time",
                 "outer_index", "inner_index")
 
 
-def _decode_batches(iterator: Iterator, bot_wallet: str | None):
+# Vectorized fast path default (operators/decode_vec.py); per-row-only
+# is kept selectable for A/B measurement and as an escape hatch.
+_VECTOR_DECODE_DEFAULT = os.environ.get(
+    "SES_SPARK_DECODE_VECTOR", "1") != "0"
+
+
+def _decode_batches(iterator: Iterator, bot_wallet: str | None,
+                    vectorized: bool | None = None):
     """mapInArrow body: decode matched instruction rows into event rows.
 
     The inner-group scans (J1 CPI match, J2 positional pruning) already
@@ -60,138 +68,155 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None):
     candidates, so the Python work per row is the Borsh field extraction
     plus the payload-dependent merge/match, nothing positional.
 
-    Arrow in, Arrow out: with the ~375-wide union EVENT_SCHEMA, building
-    pandas DataFrames (one Series per column per batch) costs several
-    times the decode itself, so the stage works on RecordBatches
-    directly — pass-through base columns are `take`n columnar from the
-    input batch, untouched payload columns are constant `pa.nulls`, and
-    only the ~30-60 columns some event actually set are materialized
-    from Python lists (raw ints: Arrow converts int -> decimal128
-    exactly, full u64 range, no per-cell Decimal objects).
+    Arrow in, Arrow out, and vectorized where the layout is fixed: the
+    spec-covered event types (operators/decode_vec.py — trades, swaps,
+    deposits/withdraws, ComputeBudget) decode as NumPy reads over the
+    Arrow binary buffers plus `take`s over the account list offsets, so
+    neither payload bytes nor account pubkeys become Python objects.
+    Rows the specs can't express (var-length Borsh, option tails, >= 2
+    CPI candidates) run through the per-row decoders on a `take`n
+    subset batch. Output assembly is shared (decode_vec.assemble_output)
+    and restores exact input-row order, so both paths compose
+    row-identically; `vectorized=False` forces everything through the
+    per-row path (A/B harness + escape hatch).
     """
+    import numpy as np
     import pyarrow as pa
 
+    from ..operators.decode_vec import assemble_output, decode_batch_vectorized
+
+    use_vec = (_VECTOR_DECODE_DEFAULT if vectorized is None else vectorized)
+    out_schema = _arrow_event_schema()
+    pass_set = set(_PASSTHROUGH)
+
+    for batch in iterator:
+        if use_vec:
+            groups, slow = decode_batch_vectorized(batch)
+            if slow.size:
+                sub = batch.take(pa.array(slow, pa.int64()))
+                local_idx, etypes, payloads = _decode_rows_python(sub)
+                groups.append(_python_group(
+                    slow[np.asarray(local_idx, np.int64)]
+                    if local_idx else np.empty(0, np.int64),
+                    etypes, payloads))
+        else:
+            local_idx, etypes, payloads = _decode_rows_python(batch)
+            groups = [_python_group(
+                np.asarray(local_idx, np.int64), etypes, payloads)]
+        yield assemble_output(batch, groups, out_schema, pass_set)
+
+
+def _python_group(src, etypes: list, payloads: list):
+    """Wrap per-row decode results as a decode_vec Group: one Python
+    list per column some row actually set (same sparse materialization
+    the pre-vectorization assembly used)."""
+    from ..operators.decode_vec import Group
+
+    n = len(payloads)
+    touched: dict[str, list] = {}
+    for j, payload in enumerate(payloads):
+        for k, v in payload.items():
+            if v is not None:
+                col = touched.get(k)
+                if col is None:
+                    col = touched[k] = [None] * n
+                col[j] = list(v) if isinstance(v, tuple) else v
+    return Group(src, etypes,
+                 {k: ("pylist", v) for k, v in touched.items()})
+
+
+def _decode_rows_python(batch):
+    """Per-row decode of one Arrow batch: returns (row indices into the
+    batch, event_type per output row, decoded payload dict per row)."""
     from ..operators.decode import (INSTRUCTION_DECODERS,
                                     decode_compute_budget,
                                     decode_cpi_with_f8)
     from ..operators.swap import scan_swap_data
 
-    out_schema = _arrow_event_schema()
-    pass_set = set(_PASSTHROUGH)
+    names = batch.schema.names
 
-    for batch in iterator:
-        names = batch.schema.names
-        # Only the 8 columns the row loop reads are materialized as
-        # Python lists; pass-through columns stay Arrow-columnar until
-        # the take() below.
-        def _pylist(name):
-            return batch.column(names.index(name)).to_pylist()
+    def _pylist(name):
+        return batch.column(names.index(name)).to_pylist()
 
-        protocol_l = _pylist("protocol")
-        event_type_l = _pylist("event_type")
-        program_id_l = _pylist("program_id")
-        data_l = _pylist("data")
-        resolved_l = _pylist("resolved_accounts")
-        has_ig_l = _pylist("has_inner_group")
-        cpi_l = _pylist("cpi_candidates")
-        transfer_l = _pylist("transfer_candidates")
+    protocol_l = _pylist("protocol")
+    event_type_l = _pylist("event_type")
+    program_id_l = _pylist("program_id")
+    data_l = _pylist("data")
+    resolved_l = _pylist("resolved_accounts")
+    has_ig_l = _pylist("has_inner_group")
+    cpi_l = _pylist("cpi_candidates")
+    transfer_l = _pylist("transfer_candidates")
 
-        src_idx: list[int] = []          # input row index per output row
-        event_type_out: list[str] = []   # rewritten for ComputeBudget
-        payloads: list[dict] = []        # decoded payload per output row
+    src_idx: list[int] = []          # input row index per output row
+    event_type_out: list[str] = []   # rewritten for ComputeBudget
+    payloads: list[dict] = []        # decoded payload per output row
 
-        for i in range(batch.num_rows):
-            data = data_l[i] or b""
+    for i in range(batch.num_rows):
+        data = data_l[i] or b""
 
-            # ComputeBudget bypasses the protocol registry (D4,
-            # core/event_parser.rs:352-360)
-            if protocol_l[i] == "Common":
-                cu = decode_compute_budget(data)
-                if cu is None:
-                    continue
-                src_idx.append(i)
-                event_type_out.append(cu[0])
-                payloads.append(cu[1])
+        # ComputeBudget bypasses the protocol registry (D4,
+        # core/event_parser.rs:352-360)
+        if protocol_l[i] == "Common":
+            cu = decode_compute_budget(data)
+            if cu is None:
                 continue
-
-            event_type = event_type_l[i]
-            decoder = INSTRUCTION_DECODERS.get(event_type)
-            if decoder is None:
-                continue
-            disc_len = (1 if program_id_l[i] == RAYDIUM_AMM_V4_PROGRAM_ID
-                        else 8)
-            accounts = resolved_l[i] or []
-            payload = decoder(data[disc_len:], accounts)
-            if payload is None:
-                continue
-
-            # J1: first JVM-matched CPI candidate that DECODES is the
-            # merge source (event_parser.rs:392-439 — scan order is group
-            # order, preserved by the JVM filter)
-            cpi_kind, cpi_payload = None, None
-            for cand in (cpi_l[i] or ()):
-                decoded = decode_cpi_with_f8(
-                    cand["kind"], cand["body"] or b"", event_type)
-                if decoded is not None:
-                    cpi_kind, cpi_payload = cand["kind"], decoded
-                    break
-
-            # F9 (event_parser.rs:441-448)
-            if event_type in REQUIRES_CPI and cpi_payload is None:
-                continue
-
-            # J2 swap-data match on the PRE-merge event (the reference
-            # runs both scans concurrently, event_parser.rs:395-433)
-            swap = None
-            if has_ig_l[i]:
-                cands = [(c["source"], c["dest"], int(c["amount"]))
-                         for c in (transfer_l[i] or ())]
-                swap = scan_swap_data(event_type, payload, cands)
-
-            # J1 merge: overwrite listed fields (merger_event.rs)
-            spec = MERGE_SPECS.get(event_type)
-            if cpi_payload is not None and spec and spec[0] == cpi_kind:
-                for fld in spec[1]:
-                    if fld in cpi_payload:
-                        payload[fld] = cpi_payload[fld]
-
-            if swap is not None:
-                payload["swap_from_mint"] = swap["from_mint"]
-                payload["swap_to_mint"] = swap["to_mint"]
-                payload["swap_from_amount"] = swap["from_amount"]
-                payload["swap_to_amount"] = swap["to_amount"]
-                payload["swap_description"] = swap["description"]
             src_idx.append(i)
-            event_type_out.append(event_type)
-            payloads.append(payload)
+            event_type_out.append(cu[0])
+            payloads.append(cu[1])
+            continue
 
-        # Columnar assembly: fill lists only for columns some row set.
-        n = len(payloads)
-        touched: dict[str, list] = {}
-        for j, payload in enumerate(payloads):
-            for k, v in payload.items():
-                if v is not None:
-                    col = touched.get(k)
-                    if col is None:
-                        col = touched[k] = [None] * n
-                    col[j] = list(v) if isinstance(v, tuple) else v
+        event_type = event_type_l[i]
+        decoder = INSTRUCTION_DECODERS.get(event_type)
+        if decoder is None:
+            continue
+        disc_len = (1 if program_id_l[i] == RAYDIUM_AMM_V4_PROGRAM_ID
+                    else 8)
+        accounts = resolved_l[i] or []
+        payload = decoder(data[disc_len:], accounts)
+        if payload is None:
+            continue
 
-        take = pa.array(src_idx, type=pa.int32())
-        arrays = []
-        for field in out_schema:
-            name = field.name
-            if name in pass_set:
-                arr = batch.column(names.index(name)).take(take)
-                if arr.type != field.type:
-                    arr = arr.cast(field.type)
-            elif name == "event_type":
-                arr = pa.array(event_type_out, type=field.type)
-            elif name in touched:
-                arr = pa.array(touched[name], type=field.type)
-            else:
-                arr = pa.nulls(n, field.type)
-            arrays.append(arr)
-        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+        # J1: first JVM-matched CPI candidate that DECODES is the
+        # merge source (event_parser.rs:392-439 — scan order is group
+        # order, preserved by the JVM filter)
+        cpi_kind, cpi_payload = None, None
+        for cand in (cpi_l[i] or ()):
+            decoded = decode_cpi_with_f8(
+                cand["kind"], cand["body"] or b"", event_type)
+            if decoded is not None:
+                cpi_kind, cpi_payload = cand["kind"], decoded
+                break
+
+        # F9 (event_parser.rs:441-448)
+        if event_type in REQUIRES_CPI and cpi_payload is None:
+            continue
+
+        # J2 swap-data match on the PRE-merge event (the reference
+        # runs both scans concurrently, event_parser.rs:395-433)
+        swap = None
+        if has_ig_l[i]:
+            cands = [(c["source"], c["dest"], int(c["amount"]))
+                     for c in (transfer_l[i] or ())]
+            swap = scan_swap_data(event_type, payload, cands)
+
+        # J1 merge: overwrite listed fields (merger_event.rs)
+        spec = MERGE_SPECS.get(event_type)
+        if cpi_payload is not None and spec and spec[0] == cpi_kind:
+            for fld in spec[1]:
+                if fld in cpi_payload:
+                    payload[fld] = cpi_payload[fld]
+
+        if swap is not None:
+            payload["swap_from_mint"] = swap["from_mint"]
+            payload["swap_to_mint"] = swap["to_mint"]
+            payload["swap_from_amount"] = swap["from_amount"]
+            payload["swap_to_amount"] = swap["to_amount"]
+            payload["swap_description"] = swap["description"]
+        src_idx.append(i)
+        event_type_out.append(event_type)
+        payloads.append(payload)
+
+    return src_idx, event_type_out, payloads
 
 
 def _arrow_event_schema():
