@@ -66,6 +66,55 @@ def start_event_archive_stream(raw_stream: DataFrame,
     if dedup_redelivery is not None:
         from .dedup import dedup_event_stream
         events = dedup_event_stream(events, watermark=dedup_redelivery)
+    return _start_lake_writer(events, archive_dir, checkpoint_dir,
+                              slots_per_dir, available_now,
+                              processing_time, max_records_per_file,
+                              writer_options)
+
+
+# An account update's redelivery identity: the same account state at
+# the same slot from the same transaction (the tx-side analog is
+# streaming/dedup.EVENT_IDENTITY).
+ACCOUNT_IDENTITY = ("pubkey", "slot", "signature")
+
+
+def start_account_archive_stream(raw_account_stream: DataFrame,
+                                 archive_dir: str,
+                                 checkpoint_dir: str,
+                                 slots_per_dir: int =
+                                 DEFAULT_SLOTS_PER_DIR,
+                                 available_now: bool = False,
+                                 processing_time: str = "10 seconds",
+                                 max_records_per_file: int | None = None,
+                                 writer_options: dict | None = None,
+                                 dedup_redelivery: str | None = None):
+    """Account-update analog: decoded account events (D3 dispatch,
+    `plans/account_pipeline.py`) into the same slot-range lake layout.
+
+    Same knobs as the tx-side sink — the small-file and redelivery
+    physics are identical: ``max_records_per_file`` caps per-partition
+    file sizes, ``writer_options`` passes writer options through, and
+    ``dedup_redelivery`` (a watermark duration) inserts the cross-batch
+    duplicate filter keyed on :data:`ACCOUNT_IDENTITY` before the
+    write."""
+    from ..plans.account_pipeline import build_account_events
+
+    events = build_account_events(raw_account_stream)
+    if dedup_redelivery is not None:
+        from .dedup import dedup_event_stream
+        events = dedup_event_stream(events, watermark=dedup_redelivery,
+                                    key_cols=ACCOUNT_IDENTITY)
+    return _start_lake_writer(events, archive_dir, checkpoint_dir,
+                              slots_per_dir, available_now,
+                              processing_time, max_records_per_file,
+                              writer_options)
+
+
+def _start_lake_writer(events: DataFrame, archive_dir: str,
+                       checkpoint_dir: str, slots_per_dir: int,
+                       available_now: bool, processing_time: str,
+                       max_records_per_file: int | None,
+                       writer_options: dict | None):
     out = events.withColumn(
         "slot_range", (F.col("slot") / slots_per_dir).cast("long"))
     writer = (out.writeStream.format("parquet")
@@ -77,31 +126,6 @@ def start_event_archive_stream(raw_stream: DataFrame,
                                str(max_records_per_file))
     for k, v in (writer_options or {}).items():
         writer = writer.option(k, v)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
-
-
-def start_account_archive_stream(raw_account_stream: DataFrame,
-                                 archive_dir: str,
-                                 checkpoint_dir: str,
-                                 slots_per_dir: int =
-                                 DEFAULT_SLOTS_PER_DIR,
-                                 available_now: bool = False,
-                                 processing_time: str = "10 seconds"):
-    """Account-update analog: decoded account events (D3 dispatch,
-    `plans/account_pipeline.py`) into the same slot-range lake layout."""
-    from ..plans.account_pipeline import build_account_events
-
-    events = build_account_events(raw_account_stream)
-    out = events.withColumn(
-        "slot_range", (F.col("slot") / slots_per_dir).cast("long"))
-    writer = (out.writeStream.format("parquet")
-              .partitionBy("slot_range")
-              .option("path", archive_dir)
-              .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

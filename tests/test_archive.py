@@ -510,3 +510,72 @@ def test_lake_sink_restart_no_duplicates(spark):
             available_now=True)
         q.awaitTermination(180)
         assert load_event_archive(spark, archive).count() == n_total
+
+
+def test_account_archive_max_records_per_file(spark):
+    """Knob parity (VERDICT r8 item 3): the account-side lake sink has
+    the same file-size control as the tx-side sink."""
+    import pyarrow.parquet as pq
+
+    from solana_event_stream_spark.plans.account_pipeline import (
+        load_raw_accounts)
+    from solana_event_stream_spark.sources.replay import (
+        read_account_stream, write_account_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, start_account_archive_stream)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    raw = load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet"))
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        write_account_archive(raw, src, slots_per_bucket=1_000_000)
+        q = start_account_archive_stream(
+            read_account_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=1_000_000,
+            available_now=True, max_records_per_file=5,
+            writer_options={"compression": "zstd"})
+        q.awaitTermination(180)
+        files = glob.glob(os.path.join(
+            archive, "slot_range=*", "*.parquet"))
+        assert len(files) > 1
+        assert all(pq.ParquetFile(f).metadata.num_rows <= 5
+                   for f in files)
+        # writer_options reached the parquet writer
+        assert all(".zstd." in os.path.basename(f) or
+                   pq.ParquetFile(f).metadata.row_group(0).column(0)
+                   .compression.lower() == "zstd" for f in files)
+
+
+def test_account_archive_dedup_redelivery(spark):
+    """Knob parity: a replayed account corpus adds ZERO rows when
+    dedup_redelivery is set (keyed on ACCOUNT_IDENTITY)."""
+    import time as _time
+
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events, load_raw_accounts)
+    from solana_event_stream_spark.sources.replay import (
+        read_account_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        load_event_archive, start_account_archive_stream)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    raw = load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet"))
+    expected = build_account_events(raw).count()
+    assert expected > 0
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        raw.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        raw.coalesce(1).write.mode("append").parquet(src)   # redelivery
+        q = start_account_archive_stream(
+            read_account_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=100,
+            available_now=True, dedup_redelivery="10 minutes")
+        q.awaitTermination(240)
+        assert load_event_archive(spark, archive).count() == expected
