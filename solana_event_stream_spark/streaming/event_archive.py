@@ -18,13 +18,18 @@ but an archive reader can do strictly better by running
 the exact batch semantics). Store the core decode, enrich at read.
 
 Row-group-level pruning (the (program_id, slot) sort the batch writer
-applies) cannot be expressed in a streaming write — run
-`sources.replay.compact_archive(..., sort_within=("program_id",
-"slot"))` periodically (with the stream stopped or against a snapshot)
-to restore both the large-file profile and tight row-group stats.
+applies) cannot be expressed in a streaming write — compaction
+restores the large-file profile and tight row-group stats. Two forms:
+`sources.replay.compact_archive` rewrites the sink dir in place
+(stream must be stopped); `compact_event_archive_snapshot` below is
+the 100 TB form — generational snapshots + an atomic manifest swap
+that run WHILE the stream keeps appending (read via
+`load_event_lake`).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -131,6 +136,187 @@ def _start_lake_writer(events: DataFrame, archive_dir: str,
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Live snapshot compaction (VERDICT r8 item 5)
+#
+# `sources.replay.compact_archive` rewrites the sink directory in place
+# and therefore needs the stream stopped. At 100 TB the stream never
+# stops, so the lake supports GENERATIONAL snapshot compaction instead:
+#
+#   * a snapshot absorbs the files the sink's commit log listed at one
+#     point in time (committed files are immutable — the sink only ever
+#     appends new files and new log entries, so the snapshot races with
+#     nothing) plus the previous generation, rewritten large + sorted;
+#   * a one-line JSON manifest records {gen, absorbed}; the swap is a
+#     single os.replace, so a reader sees either (gen K, longer live
+#     tail) or (gen K+1, shorter tail) — both complete, never a tear;
+#   * `load_event_lake` = compacted generation UNION the committed sink
+#     files the manifest does not absorb (explicit file list — bounded
+#     by the compaction cadence, exact by construction).
+#
+# The streaming query is untouched throughout: it keeps appending to
+# the sink directory and its own _spark_metadata log.
+# ---------------------------------------------------------------------------
+
+_LAKE_MANIFEST = "_LAKE_MANIFEST.json"
+
+
+def _sink_committed_files(archive_dir: str) -> set[str]:
+    """Sink-relative paths of data files the file-sink commit log lists
+    (latest .compact as the base, later batch files applied on top;
+    'delete' actions honored). Reading a log file the sink is writing
+    concurrently is safe to skip: its files simply stay un-absorbed
+    until the next snapshot."""
+    import json as _json
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    log_dir = _os.path.join(archive_dir, "_spark_metadata")
+    if not _os.path.isdir(log_dir):
+        return set()
+    batches: dict[int, str] = {}
+    compacts: dict[int, str] = {}
+    for name in _os.listdir(log_dir):
+        if name.startswith("."):
+            continue
+        stem = name.split(".")[0]
+        if not stem.isdigit():
+            continue
+        (compacts if name.endswith(".compact") else batches)[
+            int(stem)] = _os.path.join(log_dir, name)
+    base = max(compacts) if compacts else -1
+    ordered = ([compacts[base]] if compacts else []) + [
+        batches[i] for i in sorted(batches) if i > base]
+
+    root = _os.path.abspath(archive_dir)
+    out: set[str] = set()
+    for path in ordered:
+        try:
+            with open(path) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            continue
+        for line in lines:
+            if not line.startswith("{"):
+                continue
+            try:
+                entry = _json.loads(line)
+            except ValueError:
+                continue
+            p = entry.get("path")
+            if not p:
+                continue
+            rel = _os.path.relpath(
+                _os.path.abspath(unquote(urlparse(p).path)), root)
+            if entry.get("action") == "delete":
+                out.discard(rel)
+            else:
+                out.add(rel)
+    return out
+
+
+def _read_lake_manifest(compacted_dir: str) -> dict | None:
+    import json as _json
+    try:
+        with open(os.path.join(compacted_dir, _LAKE_MANIFEST)) as fh:
+            return _json.load(fh)
+    except OSError:
+        return None
+
+
+def compact_event_archive_snapshot(spark: SparkSession, archive_dir: str,
+                                   compacted_dir: str,
+                                   sort_within: tuple[str, ...] =
+                                   ("program_id", "slot"),
+                                   max_records_per_file: int | None = None
+                                   ) -> dict:
+    """Compact the lake WITHOUT stopping the stream: absorb the current
+    committed sink files (+ the previous generation) into generation
+    K+1 — one large sorted file per slot_range partition — and swap the
+    manifest atomically. Returns {gen, absorbed_total, absorbed_new}.
+
+    Old generations are left on disk for in-flight readers; prune them
+    with :func:`prune_event_archive_generations` once drained."""
+    import json as _json
+    import tempfile as _tempfile
+
+    prev = _read_lake_manifest(compacted_dir) or {"gen": 0, "absorbed": []}
+    prev_absorbed = set(prev["absorbed"])
+    new_files = sorted(_sink_committed_files(archive_dir) - prev_absorbed)
+
+    parts = []
+    if prev["gen"] > 0:
+        parts.append(spark.read.parquet(
+            os.path.join(compacted_dir, f"gen={prev['gen']}")))
+    if new_files:
+        parts.append(spark.read.option("basePath", archive_dir).parquet(
+            *[os.path.join(archive_dir, f) for f in new_files]))
+    if not parts:
+        return {"gen": prev["gen"], "absorbed_total": len(prev_absorbed),
+                "absorbed_new": 0}
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = (df.withColumn("slot_range", F.col("slot_range").cast("long"))
+          .repartition("slot_range")
+          .sortWithinPartitions("slot_range", *sort_within))
+
+    gen = prev["gen"] + 1
+    writer = df.write.mode("overwrite").partitionBy("slot_range")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile",
+                               str(max_records_per_file))
+    writer.parquet(os.path.join(compacted_dir, f"gen={gen}"))
+
+    manifest = {"gen": gen,
+                "absorbed": sorted(prev_absorbed | set(new_files))}
+    fd, tmp = _tempfile.mkstemp(dir=compacted_dir, prefix=".manifest_")
+    with os.fdopen(fd, "w") as fh:
+        _json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(compacted_dir, _LAKE_MANIFEST))
+    return {"gen": gen, "absorbed_total": len(manifest["absorbed"]),
+            "absorbed_new": len(new_files)}
+
+
+def prune_event_archive_generations(compacted_dir: str) -> list[str]:
+    """Delete generations older than the manifest's current one (call
+    after in-flight readers of the old generation have drained)."""
+    import shutil as _shutil
+
+    manifest = _read_lake_manifest(compacted_dir)
+    if manifest is None:
+        return []
+    removed = []
+    for name in os.listdir(compacted_dir):
+        if name.startswith("gen=") and name != f"gen={manifest['gen']}":
+            _shutil.rmtree(os.path.join(compacted_dir, name))
+            removed.append(name)
+    return removed
+
+
+def load_event_lake(spark: SparkSession, archive_dir: str,
+                    compacted_dir: str | None = None) -> DataFrame:
+    """Read the lake through the compaction manifest: the compacted
+    generation plus the committed-but-not-yet-absorbed sink tail. With
+    no manifest (or no ``compacted_dir``) this is exactly
+    :func:`load_event_archive`."""
+    manifest = (_read_lake_manifest(compacted_dir)
+                if compacted_dir is not None else None)
+    if manifest is None:
+        return load_event_archive(spark, archive_dir)
+    gen_df = (spark.read.parquet(
+        os.path.join(compacted_dir, f"gen={manifest['gen']}"))
+        .withColumn("slot_range", F.col("slot_range").cast("long")))
+    tail = sorted(_sink_committed_files(archive_dir)
+                  - set(manifest["absorbed"]))
+    if not tail:
+        return gen_df
+    tail_df = (spark.read.option("basePath", archive_dir).parquet(
+        *[os.path.join(archive_dir, f) for f in tail])
+        .withColumn("slot_range", F.col("slot_range").cast("long")))
+    return gen_df.unionByName(tail_df)
 
 
 def read_event_archive_stream(spark: SparkSession, archive_dir: str,

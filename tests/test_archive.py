@@ -579,3 +579,112 @@ def test_account_archive_dedup_redelivery(spark):
             available_now=True, dedup_redelivery="10 minutes")
         q.awaitTermination(240)
         assert load_event_archive(spark, archive).count() == expected
+
+
+def test_lake_snapshot_compaction_while_streaming(spark):
+    """Live compaction (VERDICT r8 item 5): snapshot-compact the lake
+    TWICE while the sink stream keeps running, with row parity at every
+    step, an atomic manifest swap, small-file absorption, and the live
+    tail staying visible through the union view."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        compact_event_archive_snapshot, load_event_lake,
+        prune_event_archive_generations, start_event_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    raw = _make_raw(spark)
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    parts = [raw.filter((F.col("slot") >= lo) & (F.col("slot") < hi))
+             for lo, hi in ((0, slots[15]), (slots[15], slots[30]),
+                            (slots[30], 10**9))]
+    counts = [build_events_core(p).count() for p in parts]
+    assert all(c > 0 for c in counts)
+
+    def _expect(k):
+        df = parts[0]
+        for p in parts[1:k]:
+            df = df.unionByName(p)
+        return _norm_rows(build_events_core(df).toPandas())
+
+    def _got(archive, compacted):
+        return _norm_rows(load_event_lake(spark, archive, compacted)
+                          .drop("slot_range").toPandas())
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        compacted = os.path.join(tmp, "compacted")
+        os.makedirs(compacted)
+
+        def _feed_and_wait(part, want_rows):
+            part.coalesce(1).write.mode("append").parquet(src)
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if q.exception():
+                    raise q.exception()
+                try:
+                    if (load_event_lake(spark, archive, compacted)
+                            .count() >= want_rows):
+                        return
+                except Exception:
+                    pass
+                _time.sleep(0.5)
+            raise AssertionError("sink did not commit in time")
+
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src, max_files_per_trigger=1),
+            archive, os.path.join(tmp, "ckpt"), slots_per_dir=10,
+            processing_time="1 seconds", max_records_per_file=3)
+        try:
+            _feed_and_wait(parts[0], counts[0])
+
+            # --- compaction #1, stream RUNNING -------------------------
+            n_small = len(glob.glob(os.path.join(
+                archive, "slot_range=*", "*.parquet")))
+            stats = compact_event_archive_snapshot(
+                spark, archive, compacted, sort_within=("program_id",
+                                                        "slot"))
+            assert stats["gen"] == 1 and stats["absorbed_new"] > 0
+            assert q.isActive
+            assert _got(archive, compacted) == _expect(1)
+            gen1_files = glob.glob(os.path.join(
+                compacted, "gen=1", "slot_range=*", "*.parquet"))
+            assert 0 < len(gen1_files) < n_small      # absorbed small files
+            # one sorted file per partition dir
+            per_dir: dict = {}
+            for f in gen1_files:
+                per_dir.setdefault(os.path.dirname(f), []).append(f)
+            assert all(len(v) == 1 for v in per_dir.values())
+
+            # --- live tail stays visible through the union view --------
+            _feed_and_wait(parts[1], counts[0] + counts[1])
+            assert _got(archive, compacted) == _expect(2)
+
+            # --- compaction #2 absorbs the tail ------------------------
+            stats2 = compact_event_archive_snapshot(
+                spark, archive, compacted)
+            assert stats2["gen"] == 2 and stats2["absorbed_new"] > 0
+            assert _got(archive, compacted) == _expect(2)
+            assert prune_event_archive_generations(compacted) == ["gen=1"]
+            assert _got(archive, compacted) == _expect(2)
+
+            # --- stream still healthy: a third part flows through ------
+            _feed_and_wait(parts[2], sum(counts))
+            assert _got(archive, compacted) == _expect(3)
+            assert q.isActive and q.exception() is None
+        finally:
+            from tests.conftest import stop_streaming_query
+            stop_streaming_query(q, spark)
+
+        # no duplicates anywhere in the final view
+        final = load_event_lake(spark, archive, compacted)
+        assert final.count() == sum(counts)
+        assert final.select("signature", "event_type", "outer_index",
+                            "inner_index").distinct().count() == \
+            sum(counts)
