@@ -1,4 +1,4 @@
-"""Synthesize an sf0.5 test-data directory from the driver's sf0.1.
+"""Synthesize a scaled test-data directory from the driver's sf0.1.
 
 Round-8 verdict item 9 wants one committed bench run at sf0.5 (the
 driver gate stays sf0.1) to surface constant factors that hide at
@@ -18,7 +18,8 @@ script scales sf0.1 by 5x into `<repo>/.bench_data/sf0.5`
 - `events` keeps its timestamp range (same window, 5x the rate) with
   user_id offset per replica.
 
-Usage:  python scripts/make_sf05.py  [src_sf_dir]  [out_dir]
+Usage:  python scripts/make_sf05.py  [src_sf_dir]  [out_dir]  [reps]
+(reps defaults to 5 -> sf0.5; reps=10 -> sf1.0, VERDICT r8 item 8)
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPS = 5
+REPS = 5          # default; argv[3] overrides
 
 KEY_OFFSETS = {
     # table -> {column: entity} ; per-entity offsets are consistent
@@ -50,10 +51,12 @@ def main() -> None:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    reps_n = int(sys.argv[3]) if len(sys.argv) > 3 else REPS
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = (sys.argv[2] if len(sys.argv) > 2 else
            os.path.join(os.path.dirname(os.path.dirname(
-               os.path.abspath(__file__))), ".bench_data", "sf0.5"))
+               os.path.abspath(__file__))), ".bench_data",
+               f"sf{reps_n / 10:g}"))
     os.makedirs(out, exist_ok=True)
 
     # per-entity strides from the base tables
@@ -73,7 +76,7 @@ def main() -> None:
     for name, cols in KEY_OFFSETS.items():
         base = tables[name]
         reps = []
-        for r in range(REPS):
+        for r in range(reps_n):
             t = base
             for col, entity in cols.items():
                 idx = t.schema.get_field_index(col)

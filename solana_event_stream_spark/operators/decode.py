@@ -1259,11 +1259,16 @@ CPI_DECODERS = {
 }
 
 
-def decode_cpi_with_f8(kind: str, payload: bytes, instruction_event_type: str):
+def decode_cpi_with_f8(kind: str, payload: bytes, instruction_event_type: str,
+                       decoders: dict | None = None):
     """Decode a CPI payload, applying the F8 direction-consistency rule for
     Bonk trades (bonk/parser.rs:115-133): a trade CPI whose direction
-    contradicts the instruction's Buy*/Sell* type is treated as no-match."""
-    decoder = CPI_DECODERS.get(kind)
+    contradicts the instruction's Buy*/Sell* type is treated as no-match.
+
+    ``decoders`` overrides the module registry — the decode stage passes
+    its driver-captured snapshot so plug-in CPI kinds resolve on
+    executors (plans/pipeline.py:_decode_tables)."""
+    decoder = (CPI_DECODERS if decoders is None else decoders).get(kind)
     if decoder is None:
         return None
     out = decoder(payload)

@@ -24,7 +24,7 @@ from pyspark.sql.types import (ArrayType, BooleanType, DecimalType,
                                StructField, StructType)
 
 from ..operators.account_decode import ACCOUNT_DISCRIMINATORS
-from ..registry import ALL_PROTOCOLS, PROGRAM_ID_BY_PROTOCOL
+from ..registry import PROGRAM_ID_BY_PROTOCOL
 
 _DEC20 = DecimalType(20, 0)
 _DEC38 = DecimalType(38, 0)
@@ -326,8 +326,10 @@ def _arrow_account_schema():
 
 
 def build_account_events(raw_accounts: DataFrame,
-                         protocols: tuple[str, ...] = ALL_PROTOCOLS
+                         protocols: tuple[str, ...] | None = None
                          ) -> DataFrame:
+    if protocols is None:
+        protocols = tuple(PROGRAM_ID_BY_PROTOCOL)
     program_ids = {PROGRAM_ID_BY_PROTOCOL[p]: p for p in protocols}
 
     proto_entries = []

@@ -37,11 +37,11 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..registry import (ALL_PROTOCOLS, COMPUTE_BUDGET_PROGRAM_ID,
-                        INNER_DISCRIMINATORS, INSTRUCTION_DISCRIMINATORS,
-                        MERGE_SPECS, PROGRAM_ID_BY_PROTOCOL,
-                        PROTOCOL_BY_PROGRAM_ID, RAYDIUM_AMM_V4_PROGRAM_ID,
-                        REQUIRES_CPI, SYSTEM_PROGRAMS, ZERO_PUBKEY)
+from ..registry import (COMPUTE_BUDGET_PROGRAM_ID, INNER_DISCRIMINATORS,
+                        INSTRUCTION_DISCRIMINATORS,
+                        PROGRAM_ID_BY_PROTOCOL, PROTOCOL_BY_PROGRAM_ID,
+                        RAYDIUM_AMM_V4_PROGRAM_ID, SYSTEM_PROGRAMS,
+                        ZERO_PUBKEY)
 from ..schemas import EVENT_SCHEMA
 
 
@@ -60,7 +60,8 @@ _VECTOR_DECODE_DEFAULT = os.environ.get(
 
 
 def _decode_batches(iterator: Iterator, bot_wallet: str | None,
-                    vectorized: bool | None = None):
+                    vectorized: bool | None = None,
+                    tables: dict | None = None):
     """mapInArrow body: decode matched instruction rows into event rows.
 
     The inner-group scans (J1 CPI match, J2 positional pruning) already
@@ -85,8 +86,12 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None,
 
     from ..operators.decode_vec import assemble_output, decode_batch_vectorized
 
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     use_vec = (_VECTOR_DECODE_DEFAULT if vectorized is None else vectorized)
-    out_schema = _arrow_event_schema()
+    if tables is None:       # direct invocation (tests, per-row A/B):
+        tables = _decode_tables()  # worker-module state, as pre-plugin
+    out_schema = to_arrow_schema(tables["schema"])
     pass_set = set(_PASSTHROUGH)
 
     for batch in iterator:
@@ -94,13 +99,14 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None,
             groups, slow = decode_batch_vectorized(batch)
             if slow.size:
                 sub = batch.take(pa.array(slow, pa.int64()))
-                local_idx, etypes, payloads = _decode_rows_python(sub)
+                local_idx, etypes, payloads = _decode_rows_python(
+                    sub, tables)
                 groups.append(_python_group(
                     slow[np.asarray(local_idx, np.int64)]
                     if local_idx else np.empty(0, np.int64),
                     etypes, payloads))
         else:
-            local_idx, etypes, payloads = _decode_rows_python(batch)
+            local_idx, etypes, payloads = _decode_rows_python(batch, tables)
             groups = [_python_group(
                 np.asarray(local_idx, np.int64), etypes, payloads)]
         yield assemble_output(batch, groups, out_schema, pass_set)
@@ -125,13 +131,18 @@ def _python_group(src, etypes: list, payloads: list):
                  {k: ("pylist", v) for k, v in touched.items()})
 
 
-def _decode_rows_python(batch):
+def _decode_rows_python(batch, tables: dict):
     """Per-row decode of one Arrow batch: returns (row indices into the
-    batch, event_type per output row, decoded payload dict per row)."""
-    from ..operators.decode import (INSTRUCTION_DECODERS,
-                                    decode_compute_budget,
-                                    decode_cpi_with_f8)
+    batch, event_type per output row, decoded payload dict per row).
+    Registry lookups go through ``tables`` (the driver-captured
+    snapshot) so plug-in protocols decode on executors."""
+    from ..operators.decode import decode_compute_budget, decode_cpi_with_f8
     from ..operators.swap import scan_swap_data
+
+    instruction_decoders = tables["instruction_decoders"]
+    cpi_decoders = tables["cpi_decoders"]
+    merge_specs = tables["merge_specs"]
+    requires_cpi = tables["requires_cpi"]
 
     names = batch.schema.names
 
@@ -166,7 +177,7 @@ def _decode_rows_python(batch):
             continue
 
         event_type = event_type_l[i]
-        decoder = INSTRUCTION_DECODERS.get(event_type)
+        decoder = instruction_decoders.get(event_type)
         if decoder is None:
             continue
         disc_len = (1 if program_id_l[i] == RAYDIUM_AMM_V4_PROGRAM_ID
@@ -182,13 +193,14 @@ def _decode_rows_python(batch):
         cpi_kind, cpi_payload = None, None
         for cand in (cpi_l[i] or ()):
             decoded = decode_cpi_with_f8(
-                cand["kind"], cand["body"] or b"", event_type)
+                cand["kind"], cand["body"] or b"", event_type,
+                decoders=cpi_decoders)
             if decoded is not None:
                 cpi_kind, cpi_payload = cand["kind"], decoded
                 break
 
         # F9 (event_parser.rs:441-448)
-        if event_type in REQUIRES_CPI and cpi_payload is None:
+        if event_type in requires_cpi and cpi_payload is None:
             continue
 
         # J2 swap-data match on the PRE-merge event (the reference
@@ -200,7 +212,7 @@ def _decode_rows_python(batch):
             swap = scan_swap_data(event_type, payload, cands)
 
         # J1 merge: overwrite listed fields (merger_event.rs)
-        spec = MERGE_SPECS.get(event_type)
+        spec = merge_specs.get(event_type)
         if cpi_payload is not None and spec and spec[0] == cpi_kind:
             for fld in spec[1]:
                 if fld in cpi_payload:
@@ -230,7 +242,8 @@ _CREATE_EVENT_TYPES = ("PumpFunCreateToken", "PumpFunCreateV2Token",
                        "BonkInitializeWithToken2022")
 
 
-def build_events(raw_tx: DataFrame, protocols: tuple[str, ...] = ALL_PROTOCOLS,
+def build_events(raw_tx: DataFrame,
+                 protocols: tuple[str, ...] | None = None,
                  bot_wallet: str | None = None) -> DataFrame:
     """Raw transactions (FIXTURES.md §1 schema) -> enriched event table.
 
@@ -252,25 +265,50 @@ def build_events(raw_tx: DataFrame, protocols: tuple[str, ...] = ALL_PROTOCOLS,
 
 
 def build_events_core(raw_tx: DataFrame,
-                      protocols: tuple[str, ...] = ALL_PROTOCOLS) -> DataFrame:
+                      protocols: tuple[str, ...] | None = None
+                      ) -> DataFrame:
     """Pipeline through decode+merge, WITHOUT the J3/J4/P11 enrichment —
     works on both batch and streaming DataFrames (the enrichment runs
     per micro-batch in streaming/sink.py)."""
     return _apply_decode(build_decode_input(raw_tx, protocols))
 
 
+def _decode_tables() -> dict:
+    """Snapshot of the registries the Python decode stage consumes,
+    captured at PLAN-BUILD time on the driver and shipped in the UDF
+    closure. Required for protocol plug-ins (plugins.register_protocol):
+    executor workers import the modules fresh, so driver-side
+    registrations are only visible through this capture. Builtin
+    decoders pickle by reference; plug-in decoders by value
+    (cloudpickle)."""
+    from ..operators.decode import CPI_DECODERS, INSTRUCTION_DECODERS
+    from ..registry import MERGE_SPECS, REQUIRES_CPI
+    from ..schemas import event_schema
+    return {"schema": event_schema(),
+            "instruction_decoders": dict(INSTRUCTION_DECODERS),
+            "cpi_decoders": dict(CPI_DECODERS),
+            "merge_specs": dict(MERGE_SPECS),
+            "requires_cpi": tuple(REQUIRES_CPI)}
+
+
 def _apply_decode(decode_input: DataFrame) -> DataFrame:
     """P5/P6 + J1-merge + J2-match decode stage (Arrow-batched Python)."""
+    tables = _decode_tables()
     return decode_input.mapInArrow(
-        lambda it: _decode_batches(it, None), schema=EVENT_SCHEMA)
+        lambda it: _decode_batches(it, None, tables=tables),
+        schema=tables["schema"])
 
 
 def build_decode_input(raw_tx: DataFrame,
-                       protocols: tuple[str, ...] = ALL_PROTOCOLS
+                       protocols: tuple[str, ...] | None = None
                        ) -> DataFrame:
     """The JVM half of the pipeline: filters, account assembly, explodes,
     dispatch, and the J1/J2 pre-scans — everything up to (excluding) the
-    Python decode stage."""
+    Python decode stage. ``protocols=None`` means every protocol
+    registered at CALL time (so plug-ins registered after import are
+    dispatched)."""
+    if protocols is None:
+        protocols = tuple(PROGRAM_ID_BY_PROTOCOL)
     program_ids = [PROGRAM_ID_BY_PROTOCOL[p] for p in protocols]
     relevant = program_ids + [COMPUTE_BUDGET_PROGRAM_ID]
 

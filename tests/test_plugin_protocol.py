@@ -1,0 +1,331 @@
+"""Protocol plug-in worked example (VERDICT r8 item 4, SURVEY §2.11):
+an 8th protocol registered through `plugins.register_protocol` — pure
+data + decoders, ZERO edits outside this test — must flow through the
+whole engine: F1/D1 JVM dispatch, P5 decode on executors, J1 CPI merge,
+the widened event schema, coexistence with the builtin protocols, the
+merge-spec completeness gates, and clean unregistration."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+TS_PID = "TestSwap1111111111111111111111111111111111"
+TS_BUY_DISC = "0102030405060708"
+TS_CREATE_DISC = "1112131415161718"
+TS_CPI_DISC = "aa" * 8 + "01" * 8          # 16-byte inner discriminator
+
+MINT = "MintAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+USER = "UserBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBBB"
+
+
+def _ts_buy(data, accounts):
+    if len(data) < 8 or len(accounts) < 2:
+        return None
+    return {"amount": int.from_bytes(data[:8], "little"),
+            "mint": accounts[0], "user": accounts[1], "ts_flag": True}
+
+
+def _ts_create(data, accounts):
+    if len(accounts) < 1:
+        return None
+    return {"mint": accounts[0], "ts_label": "created"}
+
+
+def _ts_cpi(body):
+    if len(body) < 16:
+        return None
+    return {"ts_pool_fee": int.from_bytes(body[:8], "little"),
+            "amount": int.from_bytes(body[8:16], "little")}
+
+
+@pytest.fixture()
+def plugin():
+    from solana_event_stream_spark.plugins import register_protocol
+    unregister = register_protocol(
+        name="TestSwap",
+        program_id=TS_PID,
+        instruction_discriminators={TS_BUY_DISC: "TestSwapBuy",
+                                    TS_CREATE_DISC: "TestSwapCreate"},
+        instruction_decoders={"TestSwapBuy": _ts_buy,
+                              "TestSwapCreate": _ts_create},
+        payload_fields={"amount": "u64", "mint": "pk", "user": "pk",
+                        "ts_flag": "bool", "ts_label": "str",
+                        "ts_pool_fee": "u64"},
+        inner_discriminators={TS_CPI_DISC: "testswap_trade"},
+        cpi_decoders={"testswap_trade": _ts_cpi},
+        merge_specs={"TestSwapBuy": ("testswap_trade",
+                                     ["ts_pool_fee", "amount"])},
+    )
+    yield
+    unregister()
+
+
+def _plugin_raw(spark):
+    """Two plug-in transactions + the golden fixture corpus, one frame."""
+    from solana_event_stream_spark.plans.pipeline import (
+        load_raw_transactions)
+    from solana_event_stream_spark.schemas import RAW_TRANSACTION_SCHEMA
+
+    ix_buy = {"program_id_index": 2, "account_indices": [0, 1],
+              "data": bytes.fromhex(TS_BUY_DISC)
+              + (77).to_bytes(8, "little")}
+    cpi = {"program_id_index": 2, "account_indices": [],
+           "data": bytes.fromhex(TS_CPI_DISC)
+           + (5).to_bytes(8, "little") + (99).to_bytes(8, "little")}
+    ix_create = {"program_id_index": 1, "account_indices": [0],
+                 "data": bytes.fromhex(TS_CREATE_DISC) + b"xyz"}
+    ts = datetime.datetime(2026, 8, 14, tzinfo=datetime.timezone.utc)
+    rows = [
+        {"slot": 900001, "transaction_index": 0, "block_time": ts,
+         "signature": "ts_sig_buy", "is_vote": False, "recv_us": 1,
+         "static_account_keys": [MINT, USER, TS_PID],
+         "loaded_writable_addresses": [], "loaded_readonly_addresses": [],
+         "instructions": [ix_buy],
+         "inner_instructions": [{"index": 0, "instructions": [cpi]}],
+         "source": "test"},
+        {"slot": 900002, "transaction_index": 0, "block_time": ts,
+         "signature": "ts_sig_create", "is_vote": False, "recv_us": 2,
+         "static_account_keys": [MINT, TS_PID],
+         "loaded_writable_addresses": [], "loaded_readonly_addresses": [],
+         "instructions": [ix_create], "inner_instructions": [],
+         "source": "test"},
+    ]
+    plugin_raw = spark.createDataFrame(rows, RAW_TRANSACTION_SCHEMA)
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    golden = load_raw_transactions(
+        spark, os.path.join(fixtures, "raw_transactions.parquet"))
+    return plugin_raw.unionByName(golden)
+
+
+def test_plugin_flows_through_pipeline(spark, plugin):
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+
+    ev = build_events_core(_plugin_raw(spark))
+    # the schema widened: plug-in fields exist alongside the builtins
+    for col in ("ts_flag", "ts_label", "ts_pool_fee"):
+        assert col in ev.columns
+
+    rows = {r.event_type: r for r in ev.filter(
+        F.col("protocol") == "TestSwap").collect()}
+    assert set(rows) == {"TestSwapBuy", "TestSwapCreate"}
+
+    buy = rows["TestSwapBuy"]
+    assert buy.program_id == TS_PID
+    assert buy.mint == MINT and buy.user == USER
+    assert buy.ts_flag is True
+    # J1 merge overwrote amount from the CPI (77 -> 99) and set the fee
+    assert int(buy.amount) == 99
+    assert int(buy.ts_pool_fee) == 5
+
+    create = rows["TestSwapCreate"]
+    assert create.ts_label == "created" and create.mint == MINT
+
+    # builtin protocols still decode in the SAME frame (coexistence)
+    n_builtin = ev.filter(F.col("protocol") != "TestSwap").count()
+    from solana_event_stream_spark.plans.pipeline import (
+        load_raw_transactions)
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    golden_only = build_events_core(load_raw_transactions(
+        spark, os.path.join(fixtures, "raw_transactions.parquet"))).count()
+    assert n_builtin == golden_only
+
+
+def test_plugin_cpi_guards(spark, plugin):
+    """A truncated plug-in CPI body must not merge (F7 on the plug-in's
+    own decoder), and the instruction still decodes un-merged."""
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.schemas import RAW_TRANSACTION_SCHEMA
+    import datetime as _dt
+
+    cpi_short = {"program_id_index": 2, "account_indices": [],
+                 "data": bytes.fromhex(TS_CPI_DISC) + b"\x01\x02"}
+    ix = {"program_id_index": 2, "account_indices": [0, 1],
+          "data": bytes.fromhex(TS_BUY_DISC) + (42).to_bytes(8, "little")}
+    ts = _dt.datetime(2026, 8, 14, tzinfo=_dt.timezone.utc)
+    raw = spark.createDataFrame([
+        {"slot": 900003, "transaction_index": 0, "block_time": ts,
+         "signature": "ts_sig_short", "is_vote": False, "recv_us": 3,
+         "static_account_keys": [MINT, USER, TS_PID],
+         "loaded_writable_addresses": [], "loaded_readonly_addresses": [],
+         "instructions": [ix],
+         "inner_instructions": [{"index": 0, "instructions": [cpi_short]}],
+         "source": "test"}], RAW_TRANSACTION_SCHEMA)
+    row = build_events_core(raw).filter(
+        F.col("event_type") == "TestSwapBuy").collect()
+    assert len(row) == 1
+    assert int(row[0].amount) == 42          # instruction value kept
+    assert row[0].ts_pool_fee is None        # no merge happened
+
+
+def test_plugin_passes_merge_spec_gates(plugin):
+    """The completeness gates run over the LIVE registries — the
+    plug-in's entries must satisfy them with no exemption edits."""
+    from tests import test_merge_spec_gate as gate
+
+    gate.test_every_cpi_kind_feeds_a_merge_spec()
+    gate.test_every_merge_spec_kind_has_a_discriminator_or_exemption()
+    gate.test_every_merge_spec_event_type_has_an_instruction_decoder()
+
+
+def test_unregister_restores_engine(spark):
+    from solana_event_stream_spark.operators.decode import (
+        CPI_DECODERS, INSTRUCTION_DECODERS)
+    from solana_event_stream_spark.plugins import register_protocol
+    from solana_event_stream_spark import registry, schemas
+
+    before = (len(INSTRUCTION_DECODERS), len(CPI_DECODERS),
+              len(schemas.PAYLOAD_FIELDS), registry.ALL_PROTOCOLS,
+              len(registry.MERGE_SPECS))
+    unregister = register_protocol(
+        name="TestSwap", program_id=TS_PID,
+        instruction_discriminators={TS_BUY_DISC: "TestSwapBuy"},
+        instruction_decoders={"TestSwapBuy": _ts_buy},
+        payload_fields={"ts_flag": "bool"})
+    assert "TestSwap" in registry.ALL_PROTOCOLS
+    assert "ts_flag" in schemas.event_schema().fieldNames()
+    unregister()
+    assert (len(INSTRUCTION_DECODERS), len(CPI_DECODERS),
+            len(schemas.PAYLOAD_FIELDS), registry.ALL_PROTOCOLS,
+            len(registry.MERGE_SPECS)) == before
+    assert "ts_flag" not in schemas.event_schema().fieldNames()
+
+
+def test_registration_validation():
+    from solana_event_stream_spark.plugins import register_protocol
+
+    with pytest.raises(ValueError, match="already registered"):
+        register_protocol(
+            name="PumpFun", program_id=TS_PID,
+            instruction_discriminators={TS_BUY_DISC: "X"},
+            instruction_decoders={"X": _ts_buy}, payload_fields={})
+    with pytest.raises(ValueError, match="collides"):
+        register_protocol(
+            name="TestSwap", program_id=TS_PID,
+            instruction_discriminators={TS_BUY_DISC: "PumpFunBuy"},
+            instruction_decoders={"PumpFunBuy": _ts_buy},
+            payload_fields={})
+    with pytest.raises(ValueError, match="kind"):
+        register_protocol(
+            name="TestSwap", program_id=TS_PID,
+            instruction_discriminators={TS_BUY_DISC: "TestSwapBuy"},
+            instruction_decoders={"TestSwapBuy": _ts_buy},
+            payload_fields={"amount": "str"})   # kind mismatch
+
+
+def test_lake_schema_evolution_across_plugin_registration(spark):
+    """VERDICT r8 item 7: the archive written BEFORE a plug-in widened
+    the event schema must stay readable with the archive written after —
+    batch read (mergeSchema), the stream reader's union-schema pin, the
+    lake view, and snapshot compaction across the evolution boundary."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    from solana_event_stream_spark.plugins import register_protocol
+    from solana_event_stream_spark.schemas import RAW_TRANSACTION_SCHEMA
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        compact_event_archive_snapshot, load_event_archive,
+        load_event_lake, read_event_archive_stream,
+        start_event_archive_stream)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    golden = load_raw_transactions(
+        spark, os.path.join(fixtures, "raw_transactions.parquet"))
+    n_v1 = build_events_core(golden).count()
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        ckpt = os.path.join(tmp, "ckpt")
+        compacted = os.path.join(tmp, "compacted")
+        os.makedirs(compacted)
+
+        # ---- schema v1: builtin protocols only --------------------------
+        golden.coalesce(1).write.mode("append").parquet(src)
+        q = start_event_archive_stream(
+            read_transaction_stream(spark, src), archive, ckpt,
+            available_now=True)
+        q.awaitTermination(180)
+        v1_cols = set(load_event_archive(spark, archive).columns)
+        assert "ts_pool_fee" not in v1_cols
+
+        # ---- register the plug-in; schema v2 into the SAME archive ------
+        unregister = register_protocol(
+            name="TestSwap", program_id=TS_PID,
+            instruction_discriminators={TS_BUY_DISC: "TestSwapBuy"},
+            instruction_decoders={"TestSwapBuy": _ts_buy},
+            payload_fields={"amount": "u64", "mint": "pk", "user": "pk",
+                            "ts_flag": "bool", "ts_pool_fee": "u64"},
+            inner_discriminators={TS_CPI_DISC: "testswap_trade"},
+            cpi_decoders={"testswap_trade": _ts_cpi},
+            merge_specs={"TestSwapBuy": ("testswap_trade",
+                                         ["ts_pool_fee", "amount"])})
+        try:
+            ix = {"program_id_index": 2, "account_indices": [0, 1],
+                  "data": bytes.fromhex(TS_BUY_DISC)
+                  + (77).to_bytes(8, "little")}
+            cpi = {"program_id_index": 2, "account_indices": [],
+                   "data": bytes.fromhex(TS_CPI_DISC)
+                   + (5).to_bytes(8, "little")
+                   + (99).to_bytes(8, "little")}
+            ts = datetime.datetime(2026, 8, 14,
+                                   tzinfo=datetime.timezone.utc)
+            plugin_raw = spark.createDataFrame([
+                {"slot": 900001, "transaction_index": 0, "block_time": ts,
+                 "signature": "ts_sig_buy", "is_vote": False,
+                 "recv_us": 1,
+                 "static_account_keys": [MINT, USER, TS_PID],
+                 "loaded_writable_addresses": [],
+                 "loaded_readonly_addresses": [],
+                 "instructions": [ix],
+                 "inner_instructions": [{"index": 0,
+                                         "instructions": [cpi]}],
+                 "source": "test"}], RAW_TRANSACTION_SCHEMA)
+            _time.sleep(1.1)
+            plugin_raw.coalesce(1).write.mode("append").parquet(src)
+            q = start_event_archive_stream(     # SAME checkpoint + dir
+                read_transaction_stream(spark, src), archive, ckpt,
+                available_now=True)
+            q.awaitTermination(180)
+
+            # batch read across the boundary: old rows NULL-fill the new
+            # columns, the plug-in row carries its merged values
+            df = load_event_archive(spark, archive, merge_schema=True)
+            assert "ts_pool_fee" in df.columns
+            assert df.count() == n_v1 + 1
+            buy = df.filter(F.col("event_type") == "TestSwapBuy").collect()
+            assert len(buy) == 1 and int(buy[0].amount) == 99 \
+                and int(buy[0].ts_pool_fee) == 5
+            assert df.filter(F.col("ts_pool_fee").isNotNull()).count() == 1
+
+            # the STREAM reader's schema is the union, not whichever
+            # file single-file inference sampled
+            assert "ts_pool_fee" in \
+                read_event_archive_stream(spark, archive).schema.names
+
+            # snapshot compaction across the evolution boundary
+            stats = compact_event_archive_snapshot(spark, archive,
+                                                   compacted)
+            assert stats["gen"] == 1
+            lake = load_event_lake(spark, archive, compacted)
+            assert lake.count() == n_v1 + 1
+            assert "ts_pool_fee" in lake.columns
+            assert lake.filter(
+                F.col("ts_pool_fee").isNotNull()).count() == 1
+        finally:
+            unregister()
