@@ -103,11 +103,12 @@ class CpiSpec:
 class InstSpec:
     __slots__ = ("etype", "disc_len", "min_data", "min_accounts", "nums",
                  "bools", "accounts", "consts", "remaining_from", "cpi",
-                 "j2_fields")
+                 "j2_fields", "opt_bools", "data_pks", "requires_cpi")
 
     def __init__(self, etype, min_data, min_accounts, nums=(), bools=(),
                  accounts=(), consts=None, remaining_from=None, cpi=None,
-                 disc_len=8, j2_fields=()):
+                 disc_len=8, j2_fields=(), opt_bools=(), data_pks=(),
+                 requires_cpi=False):
         self.etype = etype
         self.disc_len = disc_len
         self.min_data = min_data          # after-discriminator bytes
@@ -119,6 +120,13 @@ class InstSpec:
         self.remaining_from = remaining_from
         self.cpi = cpi
         self.j2_fields = j2_fields        # payload keys scan_swap_data reads
+        # borsh Option<bool> with both bytes inside min_data
+        # (common/utils.rs:60-72): tag==0 -> NULL, else next byte != 0
+        self.opt_bools = opt_bools        # (field, tag_offset)
+        # pubkey read from the DATA bytes, present when the row's
+        # after-disc length >= min_len, else the default pubkey
+        self.data_pks = data_pks          # (field, offset, min_len)
+        self.requires_cpi = requires_cpi  # F9: drop rows w/o decoded CPI
 
 
 def _acc(names, start=0):
@@ -327,6 +335,58 @@ _PS_DW_ACCOUNTS = (
     ("pool_base_token_account", "idx", 9),
     ("pool_quote_token_account", "idx", 10))
 
+_CPI_PUMPFUN_MIGRATE = CpiSpec(
+    "pumpfun_migrate", 160,  # pumpfun/events.rs:318-325
+    nums=(("mint_amount", "u64", 64), ("sol_amount", "u64", 72),
+          ("pool_migration_fee", "u64", 80), ("timestamp", "i64", 120)),
+    pks=(("user", 0), ("mint", 32), ("bonding_curve", 88), ("pool", 128)),
+)
+
+_PUMPFUN_MIGRATE = InstSpec(
+    "PumpFunMigrate", 0, 24,  # pumpfun/parser.rs:315-353
+    accounts=_acc(("global", "withdraw_authority", "mint", "bonding_curve",
+                   "associated_bonding_curve", "user", "system_program",
+                   "token_program", "pump_amm", "pool", "pool_authority",
+                   "pool_authority_mint_account",
+                   "pool_authority_wsol_account", "amm_global_config",
+                   "wsol_mint", "lp_mint", "user_pool_token_account",
+                   "pool_base_token_account", "pool_quote_token_account",
+                   "token_2022_program", "associated_token_program",
+                   "pump_amm_event_authority", "event_authority",
+                   "program")),
+    cpi=_CPI_PUMPFUN_MIGRATE, requires_cpi=True)
+
+_CPI_PUMPSWAP_CREATE_POOL = CpiSpec(
+    "pumpswap_create_pool", 325,  # pumpswap/events.rs:156-163
+    nums=(("timestamp", "i64", 0), ("index", "u16", 8),
+          ("base_mint_decimals", "u8", 106),
+          ("quote_mint_decimals", "u8", 107),
+          ("base_amount_in", "u64", 108), ("quote_amount_in", "u64", 116),
+          ("pool_base_amount", "u64", 124),
+          ("pool_quote_amount", "u64", 132),
+          ("minimum_liquidity", "u64", 140),
+          ("initial_liquidity", "u64", 148),
+          ("lp_token_amount_out", "u64", 156), ("pool_bump", "u8", 164)),
+    pks=(("creator", 10), ("base_mint", 42), ("quote_mint", 74),
+         ("pool", 165), ("lp_mint", 197),
+         ("user_base_token_account", 229),
+         ("user_quote_token_account", 261), ("coin_creator", 293)),
+)
+
+_PUMPSWAP_CREATE_POOL = InstSpec(
+    "PumpSwapCreatePool", 18, 11,  # pumpswap/parser.rs:206-244
+    nums=(("index", "u16", 0), ("base_amount_in", "u64", 2),
+          ("quote_amount_in", "u64", 10)),
+    accounts=(("pool", "idx", 0), ("creator", "idx", 2),
+              ("base_mint", "idx", 3), ("quote_mint", "idx", 4),
+              ("lp_mint", "idx", 5), ("user_base_token_account", "idx", 6),
+              ("user_quote_token_account", "idx", 7),
+              ("user_pool_token_account", "idx", 8),
+              ("pool_base_token_account", "idx", 9),
+              ("pool_quote_token_account", "idx", 10)),
+    data_pks=(("coin_creator", 18, 50),),
+    cpi=_CPI_PUMPSWAP_CREATE_POOL)
+
 _PUMPSWAP_DEPOSIT = InstSpec(
     "PumpSwapDeposit", 24, 11,  # pumpswap/parser.rs:247-278
     nums=(("lp_token_amount_out", "u64", 0),
@@ -453,6 +513,100 @@ _CLMM_CREATE_POOL = InstSpec(
                    "token_program0", "token_program1", "system_program",
                    "rent")))
 
+_CLMM_INCREASE_LIQUIDITY_V2 = InstSpec(
+    "RaydiumClmmIncreaseLiquidityV2", 34, 15,  # parser.rs:183-215
+    nums=(("liquidity", "u128", 0), ("amount0_max", "u64", 16),
+          ("amount1_max", "u64", 24)),
+    opt_bools=(("base_flag", 32),),
+    accounts=_acc(("nft_owner", "nft_account", "pool_state",
+                   "protocol_position", "personal_position",
+                   "tick_array_lower", "tick_array_upper",
+                   "token_account0", "token_account1", "token_vault0",
+                   "token_vault1", "token_program", "token_program2022",
+                   "vault0_mint", "vault1_mint")))
+
+_CLMM_DECREASE_LIQUIDITY_V2 = InstSpec(
+    "RaydiumClmmDecreaseLiquidityV2", 32, 16,  # parser.rs:249-282
+    nums=(("liquidity", "u128", 0), ("amount0_min", "u64", 16),
+          ("amount1_min", "u64", 24)),
+    accounts=_acc(("nft_owner", "nft_account", "personal_position",
+                   "pool_state", "protocol_position", "token_vault0",
+                   "token_vault1", "tick_array_lower", "tick_array_upper",
+                   "recipient_token_account0", "recipient_token_account1",
+                   "token_program", "token_program2022", "memo_program",
+                   "vault0_mint", "vault1_mint")),
+    remaining_from=16)
+
+_CLMM_OPEN_HEAD = (("tick_lower_index", "i32", 0),
+                   ("tick_upper_index", "i32", 4),
+                   ("tick_array_lower_start_index", "i32", 8),
+                   ("tick_array_upper_start_index", "i32", 12),
+                   ("liquidity", "u128", 16), ("amount0_max", "u64", 32),
+                   ("amount1_max", "u64", 40))
+
+_CLMM_OPEN_POSITION_T22 = InstSpec(
+    "RaydiumClmmOpenPositionWithToken22Nft", 51, 20,  # parser.rs:88-180
+    nums=_CLMM_OPEN_HEAD, bools=(("with_metadata", 48),),
+    opt_bools=(("base_flag", 49),),
+    accounts=_acc(("payer", "position_nft_owner", "position_nft_mint",
+                   "position_nft_account", "pool_state",
+                   "protocol_position", "tick_array_lower",
+                   "tick_array_upper", "personal_position",
+                   "token_account0", "token_account1", "token_vault0",
+                   "token_vault1", "rent", "system_program",
+                   "token_program", "associated_token_program",
+                   "token_program2022", "vault0_mint", "vault1_mint")))
+
+_CLMM_OPEN_POSITION_V2 = InstSpec(
+    "RaydiumClmmOpenPositionV2", 51, 22,
+    nums=_CLMM_OPEN_HEAD, bools=(("with_metadata", 48),),
+    opt_bools=(("base_flag", 49),),
+    accounts=_acc(("payer", "position_nft_owner", "position_nft_mint",
+                   "position_nft_account", "metadata_account", "pool_state",
+                   "protocol_position", "tick_array_lower",
+                   "tick_array_upper", "personal_position",
+                   "token_account0", "token_account1", "token_vault0",
+                   "token_vault1", "rent", "system_program",
+                   "token_program", "associated_token_program",
+                   "metadata_program", "token_program2022", "vault0_mint",
+                   "vault1_mint")),
+    remaining_from=22)
+
+_BONK_MIGRATE_TO_AMM = InstSpec(
+    "BonkMigrateToAmm", 17, 32,  # bonk/parser.rs:519-573
+    nums=(("base_lot_size", "u64", 0), ("quote_lot_size", "u64", 8),
+          ("market_vault_signer_nonce", "u8", 16)),
+    accounts=_acc(("payer", "base_mint", "quote_mint", "openbook_program",
+                   "market", "request_queue", "event_queue", "bids",
+                   "asks", "market_vault_signer", "market_base_vault",
+                   "market_quote_vault", "amm_program", "amm_pool",
+                   "amm_authority", "amm_open_orders", "amm_lp_mint",
+                   "amm_base_vault", "amm_quote_vault",
+                   "amm_target_orders", "amm_config",
+                   "amm_create_fee_destination", "authority", "pool_state",
+                   "global_config", "base_vault", "quote_vault",
+                   "pool_lp_token", "spl_token_program",
+                   "associated_token_program", "system_program",
+                   "rent_program")))
+# NB: BonkMigrateToAmm's merge spec references the unreachable
+# "bonk_trade_unused" kind (registry.py) — cpi=None here, so any row
+# that somehow carries a candidate defers to the per-row scan.
+
+_BONK_MIGRATE_TO_CPSWAP = InstSpec(
+    "BonkMigrateToCpswap", 0, 28,  # bonk/parser.rs:576-616
+    accounts=_acc(("payer", "base_mint", "quote_mint", "platform_config",
+                   "cpswap_program", "cpswap_pool", "cpswap_authority",
+                   "cpswap_lp_mint", "cpswap_base_vault",
+                   "cpswap_quote_vault", "cpswap_config",
+                   "cpswap_create_pool_fee", "cpswap_observation",
+                   "lock_program", "lock_authority", "lock_lp_vault",
+                   "authority", "pool_state", "global_config",
+                   "base_vault", "quote_vault", "pool_lp_token",
+                   "base_token_program", "quote_token_program",
+                   "associated_token_program", "system_program",
+                   "rent_program", "metadata_program")),
+    remaining_from=28)
+
 # raydium_amm_v4/parser.rs:232-327: the 17-account form has no
 # amm_target_orders; names at physical index >= 4 shift down by one and
 # amm_target_orders itself resolves to the default pubkey. Mode "ammv4"
@@ -561,12 +715,16 @@ _METEORA_SWAP2 = InstSpec(
 
 SPECS: dict[str, InstSpec] = {
     s.etype: s for s in (
-        _PUMPFUN_BUY, _PUMPFUN_SELL, _PUMPSWAP_BUY, _PUMPSWAP_SELL,
+        _PUMPFUN_BUY, _PUMPFUN_SELL, _PUMPFUN_MIGRATE,
+        _PUMPSWAP_BUY, _PUMPSWAP_SELL, _PUMPSWAP_CREATE_POOL,
         _PUMPSWAP_DEPOSIT, _PUMPSWAP_WITHDRAW, *_BONK_SPECS,
+        _BONK_MIGRATE_TO_AMM, _BONK_MIGRATE_TO_CPSWAP,
         _cpmm_swap_spec("RaydiumCpmmSwapBaseInput", True),
         _cpmm_swap_spec("RaydiumCpmmSwapBaseOutput", False),
         _CPMM_DEPOSIT, _CPMM_INITIALIZE, _CPMM_WITHDRAW,
         _CLMM_SWAP, _CLMM_SWAP_V2, _CLMM_CLOSE_POSITION, _CLMM_CREATE_POOL,
+        _CLMM_INCREASE_LIQUIDITY_V2, _CLMM_DECREASE_LIQUIDITY_V2,
+        _CLMM_OPEN_POSITION_T22, _CLMM_OPEN_POSITION_V2,
         _ammv4_swap_spec("RaydiumAmmV4SwapBaseIn", True),
         _ammv4_swap_spec("RaydiumAmmV4SwapBaseOut", False),
         _AMMV4_DEPOSIT, _AMMV4_INITIALIZE2, _AMMV4_WITHDRAW,
@@ -833,6 +991,26 @@ def _col_values_at(g_cols: dict, name: str, positions: np.ndarray, n: int):
     raise AssertionError(tag)
 
 
+def _filter_group(rows: np.ndarray, g: dict, keep: np.ndarray):
+    """Row-filter a group's tagged columns (F9 post-CPI drop)."""
+    sel = np.nonzero(keep)[0]
+    sel_pa = pa.array(sel, pa.int64())
+    out: dict = {}
+    for name, v in g.items():
+        if isinstance(v, pa.Array):
+            out[name] = v.take(sel_pa)
+        elif isinstance(v, np.ndarray):
+            out[name] = v[sel]
+        elif v[0] == "masked":
+            out[name] = ("masked", v[1][sel], v[2][sel])
+        elif v[0] == "pylist":
+            lst = v[1]
+            out[name] = ("pylist", [lst[i] for i in sel.tolist()])
+        else:                                   # const
+            out[name] = v
+    return rows[sel], out
+
+
 def decode_batch_vectorized(batch: pa.RecordBatch):
     """Vector-decode every spec-covered row of a decode_input batch.
 
@@ -906,6 +1084,9 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
         valid = ((np.maximum(dlen[trow] - spec.disc_len, 0)
                   >= spec.min_data)
                  & (alen[trow] >= spec.min_accounts))
+        if spec.requires_cpi:
+            # F9: no candidates at all -> no CPI -> dropped outright
+            valid &= ncpi[trow] >= 1
         defer = valid & (ncpi[trow] >= (2 if spec.cpi is not None else 1))
         if defer.any():
             slow_parts.append(trow[defer])
@@ -922,6 +1103,18 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
             g[name] = _read(buf, starts + off, kind)
         for name, off in spec.bools:
             g[name] = buf[starts + off] == 1
+        for name, off in spec.opt_bools:
+            tag = buf[starts + off]
+            g[name] = ("masked", buf[starts + off + 1] != 0, tag == 0)
+        if spec.data_pks:
+            row_dlen = np.diff(offs) - spec.disc_len
+            for name, off, need in spec.data_pks:
+                present = row_dlen >= need
+                vals = [b58encode(buf[s + off:s + off + 32].tobytes())
+                        if p else ZERO_PUBKEY
+                        for s, p in zip(starts.tolist(),
+                                        present.tolist())]
+                g[name] = ("pylist", vals)
 
         asub = col["resolved_accounts"].take(idx_pa)
         aoffs, avals = _list_view(asub)
@@ -967,6 +1160,7 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
             if not any_swap:
                 swap_cols = None
 
+        cpi_ok = None
         if spec.cpi is not None:
             csub = col["cpi_candidates"].take(idx_pa)
             coffs, cvals = _list_view(csub)
@@ -986,10 +1180,22 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
                         spec.cpi, body, sel_positions, rows.size)
                     _merge_cpi(g, ok_mask, cpi_cols,
                                MERGE_SPECS[etype][1])
+                    cpi_ok = ok_mask
 
         if swap_cols is not None:
             for k, v in swap_cols.items():
                 g[k] = ("pylist", v)
+
+        if spec.requires_cpi:
+            # F9 (event_parser.rs:441-448): keep only rows whose single
+            # candidate DECODED; the no-candidate rows were dropped in
+            # the validity mask above
+            keep = (cpi_ok if cpi_ok is not None
+                    else np.zeros(rows.size, bool))
+            if not keep.all():
+                rows, g = _filter_group(rows, g, keep)
+                if rows.size == 0:
+                    continue
 
         groups.append(Group(rows, etype, g))
 
