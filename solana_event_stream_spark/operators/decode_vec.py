@@ -1172,6 +1172,18 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
                     pa.array(first, pa.int64(), mask=~hasc))
                 kind_ok = _np_col(pc.equal(kind_arr, spec.cpi.kind),
                                   fill=False).astype(bool)
+                if spec.requires_cpi:
+                    # F9 parity: the per-row path accepts ANY candidate
+                    # that decodes under its OWN kind
+                    # (decode.decode_cpi_with_f8 — event_parser.rs:441-448
+                    # checks "a CPI decoded", not "the spec's CPI kind
+                    # decoded"). A wrong-kind candidate is undecidable
+                    # here (this spec only knows its own layout), so
+                    # defer those rows to the per-row fallback instead
+                    # of dropping them.
+                    wrong_kind = hasc & ~kind_ok
+                    if wrong_kind.any():
+                        slow_parts.append(rows[wrong_kind])
                 sel_positions = np.nonzero(kind_ok)[0]
                 if sel_positions.size:
                     body = cvals.field("body").take(

@@ -126,6 +126,52 @@ def test_corruption_differential(spark):
         _assert_equal(vec, py, f"seed={seed}")
 
 
+def test_f9_wrong_kind_decodable_cpi_parity(spark):
+    """ADVICE r9 (medium): a requires_cpi row (PumpFunMigrate) with
+    exactly ONE candidate whose kind differs from the spec's CPI kind
+    (same-protocol, so the JVM J1 filter attaches it) but whose body
+    DECODES under its own kind must be KEPT — the per-row F9 accepts
+    any decoded candidate (event_parser.rs:441-448). The fast path
+    can't decide this (it only knows its own layout), so it defers the
+    row to the per-row fallback; both paths must stay bit-identical."""
+    from solana_event_stream_spark.operators.decode import (
+        decode_cpi_with_f8)
+
+    batch = _input_batch(spark)
+    names = batch.schema.names
+    cols = {nm: batch.column(i).to_pylist() for i, nm in enumerate(names)}
+    n = batch.num_rows
+
+    # harvest a same-protocol candidate that decodes under its own kind
+    donor = None
+    for i in range(n):
+        for c in (cols["cpi_candidates"][i] or ()):
+            if c["kind"] == "pumpfun_trade" and decode_cpi_with_f8(
+                    "pumpfun_trade", c["body"] or b"",
+                    cols["event_type"][i]) is not None:
+                donor = dict(c)
+                break
+        if donor:
+            break
+    assert donor is not None, "fixture lost its pumpfun_trade CPI rows"
+
+    migrate_rows = [i for i in range(n)
+                    if cols["event_type"][i] == "PumpFunMigrate"]
+    assert migrate_rows, "fixture lost its PumpFunMigrate rows"
+    for i in migrate_rows:
+        cols["cpi_candidates"][i] = [donor]
+
+    arrays = [pa.array(cols[nm], batch.schema.field(nm).type)
+              for nm in names]
+    mutated = pa.RecordBatch.from_arrays(arrays, schema=batch.schema)
+    vec, py = _run_both(mutated)
+    _assert_equal(vec, py, "f9-wrong-kind")
+    # and the per-row semantics really do KEEP the row (no merge applied)
+    kept = py.filter(pa.compute.equal(py.column("event_type"),
+                                      "PumpFunMigrate"))
+    assert kept.num_rows == len(migrate_rows)
+
+
 def test_all_common_empty_data(spark):
     """Every row skipped must still yield a schema-correct empty batch
     through the vector path (mirrors the arrow-boundary guard)."""
