@@ -124,6 +124,15 @@ def start_account_archive_stream(raw_account_stream: DataFrame,
                               stateful=dedup_redelivery is not None)
 
 
+# How long the sink keeps superseded per-batch commit-log files after
+# they fold into a .compact. Spark's 10-minute default is tuned for
+# sinks nobody else reads; the lake compactor attributes absorption by
+# batch id, so batch log files must outlive the SNAPSHOT cadence —
+# 30 days covers any sane cadence while still bounding the log dir.
+SINK_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
+_SINK_LOG_DELAY_CONF = "spark.sql.streaming.fileSink.log.cleanupDelay"
+
+
 def _start_lake_writer(events: DataFrame, archive_dir: str,
                        checkpoint_dir: str, slots_per_dir: int,
                        available_now: bool, processing_time: str,
@@ -148,12 +157,21 @@ def _start_lake_writer(events: DataFrame, archive_dir: str,
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
+    spark = events.sparkSession
     restore = pin_state_width(
-        events.sparkSession, checkpoint_dir,
+        spark, checkpoint_dir,
         resolve_state_width(state_partitions, stateful))
+    # Bracketed like the state width: StreamExecution clones the session
+    # conf at start, so the long log retention binds to THIS query only.
+    prev_delay = spark.conf.get(_SINK_LOG_DELAY_CONF, None)
+    spark.conf.set(_SINK_LOG_DELAY_CONF, str(SINK_LOG_RETENTION_MS))
     try:
         return writer.start()
     finally:
+        if prev_delay is None:
+            spark.conf.unset(_SINK_LOG_DELAY_CONF)
+        else:
+            spark.conf.set(_SINK_LOG_DELAY_CONF, prev_delay)
         restore()
 
 
@@ -182,19 +200,40 @@ def _start_lake_writer(events: DataFrame, archive_dir: str,
 _LAKE_MANIFEST = "_LAKE_MANIFEST.json"
 
 
-def _sink_committed_files(archive_dir: str) -> set[str]:
-    """Sink-relative paths of data files the file-sink commit log lists
-    (latest .compact as the base, later batch files applied on top;
-    'delete' actions honored). Reading a log file the sink is writing
-    concurrently is safe to skip: its files simply stay un-absorbed
-    until the next snapshot."""
+class LakeLogIntegrityError(RuntimeError):
+    """The sink commit log can no longer be aligned with the lake
+    manifest's absorption high-water mark (a batch log file in the
+    unabsorbed range was cleaned up, or the ordered-prefix self-check
+    failed). Prevent it by compacting at least once per
+    ``spark.sql.streaming.fileSink.log.cleanupDelay`` — the lake writer
+    pins a long delay (see ``_start_lake_writer``) precisely so routine
+    cadences can never hit this."""
+
+
+def _sink_log_entries(archive_dir: str) -> tuple[list[str], int]:
+    """The sink commit log as an ORDERED list of sink-relative data-file
+    paths, plus the max log id seen.
+
+    Order is the absorption contract the v2 manifest relies on: Spark's
+    CompactibleFileStreamLog concatenates old entries before new ones on
+    every log compaction and the file sink only ever APPENDS (no delete
+    actions), so the committed-file sequence is append-only — a snapshot
+    that absorbed the first K entries stays a prefix of every later
+    scan. The manifest additionally records the K-th path and readers
+    re-verify it, so a violated assumption fails loudly
+    (:class:`LakeLogIntegrityError`), never silently.
+
+    Reading a log file the sink is writing concurrently is safe: log
+    files are published by atomic rename, so a listed file is complete;
+    files committed after the listing simply stay un-absorbed until the
+    next snapshot."""
     import json as _json
     import os as _os
     from urllib.parse import unquote, urlparse
 
     log_dir = _os.path.join(archive_dir, "_spark_metadata")
     if not _os.path.isdir(log_dir):
-        return set()
+        return [], -1
     batches: dict[int, str] = {}
     compacts: dict[int, str] = {}
     for name in _os.listdir(log_dir):
@@ -206,11 +245,21 @@ def _sink_committed_files(archive_dir: str) -> set[str]:
         (compacts if name.endswith(".compact") else batches)[
             int(stem)] = _os.path.join(log_dir, name)
     base = max(compacts) if compacts else -1
+    batch_ids = sorted(i for i in batches if i > base)
+    for want, got in zip(range(base + 1, base + 1 + len(batch_ids)),
+                         batch_ids):
+        if want != got:
+            raise LakeLogIntegrityError(
+                f"sink log batch {want} missing under {log_dir} (have "
+                f"compact={base}, batches={batch_ids}); a log file was "
+                "cleaned up before the lake absorbed it")
     ordered = ([compacts[base]] if compacts else []) + [
-        batches[i] for i in sorted(batches) if i > base]
+        batches[i] for i in batch_ids]
+    max_id = max([base] + batch_ids)
 
     root = _os.path.abspath(archive_dir)
-    out: set[str] = set()
+    out: list[str] = []
+    seen: set[str] = set()
     for path in ordered:
         try:
             with open(path) as fh:
@@ -227,13 +276,23 @@ def _sink_committed_files(archive_dir: str) -> set[str]:
             p = entry.get("path")
             if not p:
                 continue
+            if entry.get("action") == "delete":
+                raise LakeLogIntegrityError(
+                    "file-sink log carries a 'delete' action — the "
+                    "append-only absorption contract does not hold for "
+                    f"{archive_dir}")
             rel = _os.path.relpath(
                 _os.path.abspath(unquote(urlparse(p).path)), root)
-            if entry.get("action") == "delete":
-                out.discard(rel)
-            else:
-                out.add(rel)
-    return out
+            if rel not in seen:          # compact re-lists batch entries
+                seen.add(rel)
+                out.append(rel)
+    return out, max_id
+
+
+def _sink_committed_files(archive_dir: str) -> set[str]:
+    """Set form of :func:`_sink_log_entries` (legacy v1 manifests)."""
+    entries, _ = _sink_log_entries(archive_dir)
+    return set(entries)
 
 
 def _read_lake_manifest(compacted_dir: str) -> dict | None:
@@ -245,74 +304,259 @@ def _read_lake_manifest(compacted_dir: str) -> dict | None:
         return None
 
 
+def _write_lake_manifest(compacted_dir: str, manifest: dict) -> None:
+    import json as _json
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(dir=compacted_dir, prefix=".manifest_")
+    with os.fdopen(fd, "w") as fh:
+        _json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(compacted_dir, _LAKE_MANIFEST))
+
+
+_PART_RE = None
+
+
+def _file_partition(rel_path: str) -> str:
+    """slot_range value of a sink-relative data-file path."""
+    import re as _re
+    global _PART_RE
+    if _PART_RE is None:
+        _PART_RE = _re.compile(r"(?:^|/)slot_range=([^/]+)/")
+    m = _PART_RE.search(rel_path)
+    if m is None:
+        raise ValueError(
+            f"sink file {rel_path!r} is not under a slot_range= "
+            "partition directory — not a lake sink layout")
+    return m.group(1)
+
+
+def _lake_tail(archive_dir: str, manifest: dict | None
+               ) -> tuple[list[str], int, list[str]]:
+    """(committed-but-not-absorbed sink files in order, max log id,
+    ALL committed files in order).
+
+    v2 manifests record absorption as an O(1) high-water mark over the
+    ORDERED commit log — ``absorbed_count`` entries, ending at
+    ``absorbed_last`` — instead of an ever-growing file list (the list
+    form grew by every path ever committed and was rescanned in full
+    each cycle). The recorded last path is re-verified against the
+    current scan, so the ordered-prefix assumption is self-checking."""
+    entries, max_id = _sink_log_entries(archive_dir)
+    if manifest is None:
+        return entries, max_id, entries
+    if "absorbed_count" in manifest:                      # v2
+        k = manifest["absorbed_count"]
+        if k:
+            if len(entries) < k:
+                raise LakeLogIntegrityError(
+                    f"sink log lists {len(entries)} committed files but "
+                    f"the manifest absorbed {k} — log rewritten?")
+            if entries[k - 1] != manifest["absorbed_last"]:
+                raise LakeLogIntegrityError(
+                    "absorbed prefix mismatch at entry "
+                    f"{k - 1}: log has {entries[k - 1]!r}, manifest "
+                    f"recorded {manifest['absorbed_last']!r}")
+        return entries[k:], max_id, entries
+    absorbed = set(manifest.get("absorbed", ()))          # legacy v1
+    return [e for e in entries if e not in absorbed], max_id, entries
+
+
+def _manifest_partitions(compacted_dir: str, manifest: dict
+                         ) -> dict[str, int]:
+    """slot_range -> generation map. v1 manifests (single full
+    generation) are upgraded by listing the generation directory."""
+    if "partitions" in manifest:
+        return dict(manifest["partitions"])
+    parts: dict[str, int] = {}
+    gen_dir = os.path.join(compacted_dir, f"gen={manifest['gen']}")
+    if os.path.isdir(gen_dir):
+        for name in os.listdir(gen_dir):
+            if name.startswith("slot_range="):
+                parts[name.split("=", 1)[1]] = manifest["gen"]
+    return parts
+
+
+def _read_generation_partitions(spark: SparkSession, compacted_dir: str,
+                                parts: dict[str, int]) -> DataFrame | None:
+    """Union the per-generation partition directories the manifest maps
+    to — one read per DISTINCT generation (bounded by compaction
+    cadence between full rewrites), each pruned to its own partition
+    dirs, never a byte from a superseded copy."""
+    by_gen: dict[int, list[str]] = {}
+    for n, g in parts.items():
+        by_gen.setdefault(g, []).append(n)
+    df = None
+    for g, ns in sorted(by_gen.items()):
+        base = os.path.join(compacted_dir, f"gen={g}")
+        sub = (spark.read.option("mergeSchema", "true")
+               .option("basePath", base)
+               .parquet(*[os.path.join(base, f"slot_range={n}")
+                          for n in sorted(ns)])
+               .withColumn("slot_range", F.col("slot_range").cast("long")))
+        df = sub if df is None else df.unionByName(
+            sub, allowMissingColumns=True)
+    return df
+
+
 def compact_event_archive_snapshot(spark: SparkSession, archive_dir: str,
                                    compacted_dir: str,
                                    sort_within: tuple[str, ...] =
                                    ("program_id", "slot"),
-                                   max_records_per_file: int | None = None
-                                   ) -> dict:
-    """Compact the lake WITHOUT stopping the stream: absorb the current
-    committed sink files (+ the previous generation) into generation
-    K+1 — one large sorted file per slot_range partition — and swap the
-    manifest atomically. Returns {gen, absorbed_total, absorbed_new}.
+                                   max_records_per_file: int | None = None,
+                                   full_rewrite: bool = False) -> dict:
+    """Compact the lake WITHOUT stopping the stream — PARTITION-SCOPED:
+    only ``slot_range`` partitions that received new sink files since
+    the previous snapshot are rewritten (previous compacted copy of the
+    partition + its new tail, one large sorted file per partition);
+    untouched partitions carry forward in the manifest by generation
+    indirection, zero bytes copied. A live feed is slot-contiguous, so
+    the touched set is a tiny suffix of the lake — each cycle costs
+    O(new data), not O(lake).
 
-    Old generations are left on disk for in-flight readers; prune them
-    with :func:`prune_event_archive_generations` once drained."""
-    import json as _json
-    import tempfile as _tempfile
+    ``full_rewrite=True`` is the MAJOR form: rewrite every partition
+    into one generation (collapses the generation fan-out a long minor
+    cadence accumulates; the previous O(lake) behavior, now opt-in).
 
-    prev = _read_lake_manifest(compacted_dir) or {"gen": 0, "absorbed": []}
-    prev_absorbed = set(prev["absorbed"])
-    new_files = sorted(_sink_committed_files(archive_dir) - prev_absorbed)
+    The manifest swap stays a single atomic rename; a reader sees
+    either (gen K, longer live tail) or (gen K+1, shorter tail), never
+    a tear. Superseded partition copies are left on disk for in-flight
+    readers and recorded in the manifest's garbage ledger; reap them
+    with :func:`prune_event_archive_generations` after a grace period.
+
+    Returns {gen, absorbed_total, absorbed_new, rewritten_partitions,
+    carried_partitions}.
+    """
+    import time as _time
+
+    prev = _read_lake_manifest(compacted_dir)
+    tail, max_id, entries = _lake_tail(archive_dir, prev)
+    prev_parts = (_manifest_partitions(compacted_dir, prev)
+                  if prev else {})
+    prev_count = (prev.get("absorbed_count",
+                           len(prev.get("absorbed", ()))) if prev else 0)
+    gen_prev = prev["gen"] if prev else 0
+
+    if not tail and not (full_rewrite and prev_parts):
+        return {"gen": gen_prev, "absorbed_total": prev_count,
+                "absorbed_new": 0, "rewritten_partitions": 0,
+                "carried_partitions": len(prev_parts)}
+
+    by_part: dict[str, list[str]] = {}
+    for f in tail:
+        by_part.setdefault(_file_partition(f), []).append(f)
+    touched = (dict.fromkeys(list(prev_parts) + list(by_part))
+               if full_rewrite else by_part)
 
     parts = []
-    if prev["gen"] > 0:
-        parts.append(spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(compacted_dir, f"gen={prev['gen']}")))
-    if new_files:
+    old_touched = {n: g for n, g in prev_parts.items() if n in touched}
+    if old_touched:
+        parts.append(_read_generation_partitions(
+            spark, compacted_dir, old_touched))
+    if tail:
         parts.append(spark.read.option("mergeSchema", "true")
                      .option("basePath", archive_dir).parquet(
-                         *[os.path.join(archive_dir, f)
-                           for f in new_files]))
-    if not parts:
-        return {"gen": prev["gen"], "absorbed_total": len(prev_absorbed),
-                "absorbed_new": 0}
+                         *[os.path.join(archive_dir, f) for f in tail])
+                     .withColumn("slot_range",
+                                 F.col("slot_range").cast("long")))
     df = parts[0]
     for p in parts[1:]:
         # allowMissingColumns: the sink schema may have EVOLVED between
         # the previous generation and the new tail (plug-in columns)
         df = df.unionByName(p, allowMissingColumns=True)
-    df = (df.withColumn("slot_range", F.col("slot_range").cast("long"))
-          .repartition("slot_range")
+    df = (df.repartition("slot_range")
           .sortWithinPartitions("slot_range", *sort_within))
 
-    gen = prev["gen"] + 1
+    gen = gen_prev + 1
     writer = df.write.mode("overwrite").partitionBy("slot_range")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile",
                                str(max_records_per_file))
     writer.parquet(os.path.join(compacted_dir, f"gen={gen}"))
 
-    manifest = {"gen": gen,
-                "absorbed": sorted(prev_absorbed | set(new_files))}
-    fd, tmp = _tempfile.mkstemp(dir=compacted_dir, prefix=".manifest_")
-    with os.fdopen(fd, "w") as fh:
-        _json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(compacted_dir, _LAKE_MANIFEST))
-    return {"gen": gen, "absorbed_total": len(manifest["absorbed"]),
-            "absorbed_new": len(new_files)}
+    now = _time.time()
+    garbage = [g for g in (prev or {}).get("garbage", ())]
+    new_parts: dict[str, int] = {}
+    for n, g in prev_parts.items():
+        if n in touched:
+            garbage.append({"path": f"gen={g}/slot_range={n}",
+                            "since": now})
+        else:
+            new_parts[n] = g
+    for n in touched:
+        new_parts[n] = gen
+
+    entries_total = prev_count + len(tail)
+    # entries[entries_total-1] rather than tail[-1]: also correct when
+    # upgrading a v1 manifest with an empty tail (full_rewrite), where
+    # v1 never recorded a last-absorbed path
+    manifest = {"version": 2, "gen": gen,
+                "absorbed_count": entries_total,
+                "absorbed_last": (entries[entries_total - 1]
+                                  if entries_total else ""),
+                "absorbed_through": max_id,
+                "partitions": new_parts,
+                "garbage": garbage,
+                "created_utc": now}
+    _write_lake_manifest(compacted_dir, manifest)
+    return {"gen": gen, "absorbed_total": entries_total,
+            "absorbed_new": len(tail),
+            "rewritten_partitions": len(touched),
+            "carried_partitions": len(new_parts) - len(touched)}
 
 
-def prune_event_archive_generations(compacted_dir: str) -> list[str]:
-    """Delete generations older than the manifest's current one (call
-    after in-flight readers of the old generation have drained)."""
+#: Superseded partition copies younger than this are NOT reaped — the
+#: grace period an in-flight reader (whose plan resolved file lists
+#: against the previous manifest) gets to finish its scan.
+DEFAULT_PRUNE_GRACE_SECONDS = 3600.0
+
+
+def prune_event_archive_generations(compacted_dir: str,
+                                    grace_seconds: float =
+                                    DEFAULT_PRUNE_GRACE_SECONDS
+                                    ) -> list[str]:
+    """Reap superseded compacted data the current manifest no longer
+    references, once it has been unreferenced for ``grace_seconds``
+    (readers that planned against an older manifest keep their files
+    for the grace window — nothing enforces reader draining except
+    this TTL, so don't pass 0 while readers may be mid-scan).
+
+    v2 manifests reap partition-scoped garbage from the manifest's
+    ledger (and drop reaped entries from it, atomically); v1 manifests
+    keep the old whole-generation semantics with no grace."""
     import shutil as _shutil
+    import time as _time
 
     manifest = _read_lake_manifest(compacted_dir)
     if manifest is None:
         return []
-    removed = []
-    for name in os.listdir(compacted_dir):
+    removed: list[str] = []
+    if "garbage" in manifest or "partitions" in manifest:     # v2
+        now = _time.time()
+        keep: list[dict] = []
+        for entry in manifest.get("garbage", ()):
+            if now - entry["since"] < grace_seconds:
+                keep.append(entry)
+                continue
+            full = os.path.join(compacted_dir, entry["path"])
+            if os.path.isdir(full):
+                _shutil.rmtree(full)
+            removed.append(entry["path"])
+            parent = os.path.dirname(full)
+            try:                       # drop a fully-reaped generation
+                if os.path.basename(parent).startswith("gen=") and not any(
+                        n.startswith("slot_range=")
+                        for n in os.listdir(parent)):
+                    _shutil.rmtree(parent)
+                    removed.append(os.path.basename(parent))
+            except OSError:
+                pass
+        if removed:
+            manifest = dict(manifest)
+            manifest["garbage"] = keep
+            _write_lake_manifest(compacted_dir, manifest)
+        return removed
+    for name in os.listdir(compacted_dir):                     # v1
         if name.startswith("gen=") and name != f"gen={manifest['gen']}":
             _shutil.rmtree(os.path.join(compacted_dir, name))
             removed.append(name)
@@ -321,25 +565,28 @@ def prune_event_archive_generations(compacted_dir: str) -> list[str]:
 
 def load_event_lake(spark: SparkSession, archive_dir: str,
                     compacted_dir: str | None = None) -> DataFrame:
-    """Read the lake through the compaction manifest: the compacted
-    generation plus the committed-but-not-yet-absorbed sink tail. With
-    no manifest (or no ``compacted_dir``) this is exactly
-    :func:`load_event_archive`."""
+    """Read the lake through the compaction manifest: every partition's
+    current compacted copy (resolved per generation through the
+    manifest's partition map) plus the committed-but-not-yet-absorbed
+    sink tail. With no manifest (or no ``compacted_dir``) this is
+    exactly :func:`load_event_archive`."""
     manifest = (_read_lake_manifest(compacted_dir)
                 if compacted_dir is not None else None)
     if manifest is None:
         return load_event_archive(spark, archive_dir)
-    gen_df = (spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(compacted_dir, f"gen={manifest['gen']}"))
-        .withColumn("slot_range", F.col("slot_range").cast("long")))
-    tail = sorted(_sink_committed_files(archive_dir)
-                  - set(manifest["absorbed"]))
+    gen_df = _read_generation_partitions(
+        spark, compacted_dir, _manifest_partitions(compacted_dir,
+                                                   manifest))
+    tail, _, _ = _lake_tail(archive_dir, manifest)
     if not tail:
-        return gen_df
+        return gen_df if gen_df is not None else \
+            load_event_archive(spark, archive_dir).limit(0)
     tail_df = (spark.read.option("mergeSchema", "true")
                .option("basePath", archive_dir).parquet(
                    *[os.path.join(archive_dir, f) for f in tail])
                .withColumn("slot_range", F.col("slot_range").cast("long")))
+    if gen_df is None:
+        return tail_df
     return gen_df.unionByName(tail_df, allowMissingColumns=True)
 
 

@@ -666,18 +666,70 @@ def test_lake_snapshot_compaction_while_streaming(spark):
             _feed_and_wait(parts[1], counts[0] + counts[1])
             assert _got(archive, compacted) == _expect(2)
 
-            # --- compaction #2 absorbs the tail ------------------------
+            # --- compaction #2 absorbs the tail, PARTITION-SCOPED ------
+            # (VERDICT r9 item 2): untouched gen=1 partitions must carry
+            # forward byte-identical — zero data copied for them.
+            gen1_bytes = {
+                f: open(f, "rb").read() for f in glob.glob(os.path.join(
+                    compacted, "gen=1", "slot_range=*", "*.parquet"))}
             stats2 = compact_event_archive_snapshot(
                 spark, archive, compacted)
             assert stats2["gen"] == 2 and stats2["absorbed_new"] > 0
+            # the tail only touched parts[1] slot ranges; everything
+            # else is manifest indirection, not a rewrite
+            assert stats2["carried_partitions"] > 0
+            from solana_event_stream_spark.streaming.event_archive import (
+                _read_lake_manifest)
+            man2 = _read_lake_manifest(compacted)
+            untouched = [f for f in gen1_bytes if "/slot_range=" in f and
+                         man2["partitions"].get(
+                             f.split("slot_range=")[1].split("/")[0]) == 1]
+            assert untouched, "every gen=1 partition rewritten?"
+            for f in untouched:
+                assert open(f, "rb").read() == gen1_bytes[f], f
             assert _got(archive, compacted) == _expect(2)
-            assert prune_event_archive_generations(compacted) == ["gen=1"]
+
+            # --- prune honors the reader grace TTL ---------------------
+            # a reader planned against the pre-prune manifest:
+            reader_df = load_event_lake(spark, archive, compacted)
+            assert prune_event_archive_generations(compacted) == []
+            # default grace: superseded copies survive; both the old
+            # reader and a fresh one still see exact rows
+            assert _norm_rows(reader_df.drop("slot_range").toPandas()) \
+                == _expect(2)
+            # grace elapsed (0 = reap immediately): only partitions the
+            # tail superseded go; parity must hold after the reap
+            removed = prune_event_archive_generations(
+                compacted, grace_seconds=0)
+            assert all(r.startswith("gen=1") for r in removed)
+            assert set(untouched) == set(
+                f for f in gen1_bytes if os.path.exists(f))
             assert _got(archive, compacted) == _expect(2)
 
             # --- stream still healthy: a third part flows through ------
             _feed_and_wait(parts[2], sum(counts))
             assert _got(archive, compacted) == _expect(3)
             assert q.isActive and q.exception() is None
+
+            # --- minor #3 then MAJOR compaction collapse ----------------
+            stats3 = compact_event_archive_snapshot(
+                spark, archive, compacted)
+            assert stats3["gen"] == 3 and stats3["absorbed_new"] > 0
+            stats4 = compact_event_archive_snapshot(
+                spark, archive, compacted, full_rewrite=True)
+            assert stats4["gen"] == 4
+            assert stats4["carried_partitions"] == 0   # all rewritten
+            from solana_event_stream_spark.streaming.event_archive import (
+                _read_lake_manifest)
+            man = _read_lake_manifest(compacted)
+            assert set(man["partitions"].values()) == {4}
+            removed = prune_event_archive_generations(
+                compacted, grace_seconds=0)
+            assert removed
+            left = {os.path.basename(d) for d in glob.glob(
+                os.path.join(compacted, "gen=*"))}
+            assert left == {"gen=4"}
+            assert _got(archive, compacted) == _expect(3)
         finally:
             from tests.conftest import stop_streaming_query
             stop_streaming_query(q, spark)
@@ -737,3 +789,72 @@ def test_lake_dedup_state_width_default(spark):
             available_now=True)
         q.awaitTermination(180)
         assert _ckpt_width(os.path.join(tmp, "ckpt_ns")) == prev
+
+
+def test_lake_manifest_v1_upgrade(spark):
+    """A pre-r10 (v1) manifest — full-generation layout + explicit
+    absorbed-file list — upgrades in place on the next compaction: the
+    tail is computed from the legacy list one last time, and the new
+    manifest carries the O(1) high-water mark + partition map."""
+    import json as _json
+    import time as _time
+
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        _read_lake_manifest, compact_event_archive_snapshot,
+        load_event_lake, start_event_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    raw = _make_raw(spark)
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    first = raw.filter(F.col("slot") < slots[20])
+    second = raw.filter(F.col("slot") >= slots[20])
+    expect_all = _norm_rows(build_events_core(raw).toPandas())
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        compacted = os.path.join(tmp, "compacted")
+        os.makedirs(compacted)
+
+        def _feed(part):
+            part.coalesce(1).write.mode("append").parquet(src)
+            q = start_event_archive_stream(
+                read_transaction_stream(spark, src), archive,
+                os.path.join(tmp, "ckpt"), slots_per_dir=10,
+                available_now=True)
+            q.awaitTermination(180)
+
+        _feed(first)
+        stats = compact_event_archive_snapshot(spark, archive, compacted)
+        assert stats["gen"] == 1
+
+        # rewrite the manifest in the LEGACY v1 shape
+        man = _read_lake_manifest(compacted)
+        from solana_event_stream_spark.streaming.event_archive import (
+            _sink_log_entries)
+        entries, _ = _sink_log_entries(archive)
+        assert man["absorbed_count"] == len(entries)
+        v1 = {"gen": man["gen"], "absorbed": entries}
+        with open(os.path.join(compacted, "_LAKE_MANIFEST.json"),
+                  "w") as fh:
+            _json.dump(v1, fh)
+
+        # v1 manifest still reads exactly
+        got1 = _norm_rows(load_event_lake(spark, archive, compacted)
+                          .drop("slot_range").toPandas())
+        assert got1 == _norm_rows(build_events_core(first).toPandas())
+
+        # next compaction upgrades v1 -> v2 and absorbs the new tail
+        _feed(second)
+        stats2 = compact_event_archive_snapshot(spark, archive, compacted)
+        assert stats2["gen"] == 2 and stats2["absorbed_new"] > 0
+        man2 = _read_lake_manifest(compacted)
+        assert man2["version"] == 2 and "absorbed" not in man2
+        assert man2["absorbed_count"] > 0 and man2["absorbed_last"]
+        assert man2["partitions"]
+        got2 = _norm_rows(load_event_lake(spark, archive, compacted)
+                          .drop("slot_range").toPandas())
+        assert got2 == expect_all
