@@ -453,27 +453,104 @@ _SQL_DOT = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform("
 
 # Deterministic random hyperplanes (shared with operators/similarity.py):
 # weight(plane p, dim d) = +1 if the md5-derived hex nibble is even else
-# -1; bucket = 8 sign bits. Identical arithmetic on both engines.
+# -1; bucket = n sign bits. Identical arithmetic on both engines. The
+# md5 family extends to ANY plane count without changing the algorithm,
+# which is the 100 TB lever: within-bucket candidate pairs grow
+# ~quadratically in corpus/2^n_planes, so n_planes must track the
+# corpus (see scaled_n_planes). The 8-bit forms below stay pinned — the
+# catalog oracles are written against them.
 _N_PLANES = 8
 
-_SPARK_SIGN = (
-    "aggregate(sequence(0, {np} - 1), cast(0 as long), (acc, p) -> "
-    "acc * 2 + if(aggregate(zip_with(embedding, "
-    "sequence(0, size(embedding) - 1), (x, d) -> cast(x as double) * "
-    "if(instr('02468ace', substring(md5(concat(cast(p as string), '_', "
-    "cast(d as string))), 1, 1)) > 0, 1.0d, -1.0d)), cast(0 as double), "
-    "(acc2, v) -> acc2 + v) > 0d, 1L, 0L))"
-).format(np=_N_PLANES)
 
-_SQL_SIGN = (
-    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {np}), "
-    "p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
-    "list_transform(list_zip(embedding, range(0, len(embedding))), "
-    "z -> z[1]::DOUBLE * (CASE WHEN strpos('02468ace', "
-    "substr(md5(p::VARCHAR || '_' || z[2]::VARCHAR), 1, 1)) > 0 "
-    "THEN 1.0 ELSE -1.0 END))), (acc2, v) -> acc2 + v) > 0 "
-    "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)"
-).format(np=_N_PLANES)
+def spark_sign_expr(n_planes: int) -> str:
+    """Spark SQL for the n-bit hyperplane signature of `embedding`."""
+    return (
+        "aggregate(sequence(0, {np} - 1), cast(0 as long), (acc, p) -> "
+        "acc * 2 + if(aggregate(zip_with(embedding, "
+        "sequence(0, size(embedding) - 1), (x, d) -> cast(x as double) * "
+        "if(instr('02468ace', substring(md5(concat(cast(p as string), '_', "
+        "cast(d as string))), 1, 1)) > 0, 1.0d, -1.0d)), cast(0 as double), "
+        "(acc2, v) -> acc2 + v) > 0d, 1L, 0L))"
+    ).format(np=n_planes)
+
+
+def sql_sign_expr(n_planes: int) -> str:
+    """DuckDB equivalent of :func:`spark_sign_expr` (oracles/tests)."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {np}), "
+        "p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip(embedding, range(0, len(embedding))), "
+        "z -> z[1]::DOUBLE * (CASE WHEN strpos('02468ace', "
+        "substr(md5(p::VARCHAR || '_' || z[2]::VARCHAR), 1, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END))), (acc2, v) -> acc2 + v) > 0 "
+        "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)"
+    ).format(np=n_planes)
+
+
+def scaled_n_planes(corpus_rows: int, target_bucket_size: int = 64,
+                    floor: int = _N_PLANES) -> int:
+    """Corpus-tracking plane count: n ≈ log2(corpus) − log2(bucket),
+    so the expected bucket population stays ~target_bucket_size and
+    within-bucket pairwise work stays ~corpus × target instead of
+    ~corpus²/2^8 (e.g. ~20 bits for 1e9 vectors at ~1k/bucket)."""
+    import math
+    return max(floor, math.ceil(math.log2(
+        max(corpus_rows, 1) / max(target_bucket_size, 1))))
+
+
+_SPARK_SIGN = spark_sign_expr(_N_PLANES)
+_SQL_SIGN = sql_sign_expr(_N_PLANES)
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """The ±1 hyperplane weight matrix, materialized ONCE driver-side.
+    Same rule as the SQL forms: weight(p, d) = +1 iff the first hex
+    nibble of md5("{p}_{d}") is even — hashlib.md5 and Spark/DuckDB md5
+    agree by definition."""
+    import hashlib
+    return [[1.0 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0]
+             in "02468ace" else -1.0 for d in range(dim)]
+            for p in range(n_planes)]
+
+
+def sign_bucket_col(n_planes: int, dim: int):
+    """The n-bit hyperplane signature as a literal-weight Column.
+
+    Numerically IDENTICAL to ``spark_sign_expr`` (same left-fold of
+    double(x_d) * (±1.0) per plane, same >0 sign, same bit fold) but
+    ~n_planes×dim md5-of-string evaluations per ROW cheaper: the
+    md5-derived weights depend only on (plane, dim), so they fold into
+    literal arrays at plan build instead of being recomputed inside the
+    per-row expression — the signature stage drops from hash-bound to
+    a handful of fused double multiply-adds. Requires a uniform
+    embedding dimension (the expression form handles ragged rows)."""
+    bucket = F.lit(0).cast("long")
+    for w in plane_weights(n_planes, dim):
+        wlit = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), wlit,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket * 2 + F.when(dot > 0.0, F.lit(1)).otherwise(
+            F.lit(0)).cast("long")
+    return bucket
+
+
+def embedding_dim(emb: DataFrame) -> int | None:
+    """Dimension of the embedding column (one-row probe), or None on an
+    empty corpus — callers fall back to the row-independent expression
+    form."""
+    row = emb.select(F.size("embedding").alias("d")).first()
+    return int(row.d) if row is not None else None
+
+
+def bucket_col_for(emb: DataFrame, n_planes: int):
+    """Best signature form for this corpus: literal weights when the
+    probe finds a dimension, the md5 expression otherwise."""
+    dim = embedding_dim(emb)
+    if dim is None:
+        return F.expr(spark_sign_expr(n_planes))
+    return sign_bucket_col(n_planes, dim)
 
 
 @register(
@@ -500,12 +577,17 @@ _SQL_SIGN = (
         "products are bitwise cross-engine deterministic.",
 )
 def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
+    return _embedding_cosine_pairs(spark, sf_dir, _N_PLANES)
+
+
+def _embedding_cosine_pairs(spark, sf_dir: str, n_planes: int,
+                            limit: int = 20) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
         .alias("nrm"),
-        F.expr(_SPARK_SIGN).alias("bucket"))
+        bucket_col_for(emb, n_planes).alias("bucket"))
     a, b = norms.alias("a"), norms.alias("b")
     dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -515,7 +597,31 @@ def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
                     (dot / (F.col("a.nrm") * F.col("b.nrm")))
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
-            .limit(20))
+            .limit(limit))
+
+
+def dedup_embedding_cosine_scaled(spark, sf_dir: str,
+                                  n_planes: int | None = None,
+                                  target_bucket_size: int = 64,
+                                  limit: int = 20) -> DataFrame:
+    """The 100 TB form of ``dedup_embedding_cosine``: identical
+    algorithm, but the hyperplane count tracks the corpus
+    (:func:`scaled_n_planes`) so expected bucket population — and with
+    it the quadratic within-bucket pair term — stays bounded as the
+    corpus grows. At n_planes=8 this IS the catalog query (plans are
+    byte-identical); the catalog entry stays 8-bit because its DuckDB
+    oracle is written against that bucket definition.
+
+    More planes tighten the similarity bound each shared bucket
+    implies (every extra matching sign bit is one more agreeing
+    hyperplane), trading recall for candidate count exactly like every
+    hyperplane-LSH deployment; probe multiple plane subsets (bands) if
+    a use case needs recall at high n_planes."""
+    if n_planes is None:
+        n_planes = scaled_n_planes(
+            load_spread(spark, sf_dir, "embeddings").count(),
+            target_bucket_size)
+    return _embedding_cosine_pairs(spark, sf_dir, n_planes, limit)
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import register
 from ..tables import load_spread, load_table
-from .dedup import _SPARK_DOT, _SPARK_SIGN, _SQL_DOT, _SQL_SIGN
+from .dedup import _SPARK_DOT, _SQL_DOT, _SQL_SIGN
 
 N_QUERIES = 10
 TOP_K = 5
@@ -125,12 +125,19 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
         "bits -> bucket equi-join -> rank candidates only.",
 )
 def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+    from .dedup import _N_PLANES
+    return _lsh_topk(spark, sf_dir, _N_PLANES)
+
+
+def _lsh_topk(spark, sf_dir: str, n_planes: int) -> DataFrame:
+    from .dedup import bucket_col_for
+
     emb = load_spread(spark, sf_dir, "embeddings")
     sigs = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
         .alias("nrm"),
-        F.expr(_SPARK_SIGN).alias("bucket"))
+        bucket_col_for(emb, n_planes).alias("bucket"))
     queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
@@ -143,6 +150,25 @@ def ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")))
     return _topk_per_query(scored)
+
+
+def ann_lsh_topk_scaled(spark, sf_dir: str, n_planes: int | None = None,
+                        target_bucket_size: int = 64) -> DataFrame:
+    """The 100 TB form of ``ann_lsh_topk``: same algorithm, but the
+    hyperplane count tracks the corpus (dedup.scaled_n_planes) so the
+    per-bucket candidate count — the term that made the 8-bit form
+    trend ~corpus²/256 — stays ~target_bucket_size. At n_planes=8 the
+    plan is byte-identical to the catalog query (which stays 8-bit:
+    its oracle pins that bucket definition). Recall trades off exactly
+    as in every single-table hyperplane LSH; pair with multi-probe or
+    banding when a deployment needs high recall at high n_planes."""
+    from .dedup import scaled_n_planes
+
+    if n_planes is None:
+        n_planes = scaled_n_planes(
+            load_spread(spark, sf_dir, "embeddings").count(),
+            target_bucket_size)
+    return _lsh_topk(spark, sf_dir, n_planes)
 
 
 def _ivf_cells(spark, sf_dir: str) -> DataFrame:

@@ -82,3 +82,60 @@ def test_ivf_probed_assignment_stays_narrow(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "Cross" not in plan
+
+
+def test_scaled_lsh_entry_points(spark):
+    """VERDICT r9 item 3: the corpus-tracking n_planes forms. At
+    n_planes=8 both scaled entry points ARE the oracle-pinned catalog
+    queries (identical results); at higher plane counts every returned
+    pair must still carry its TRUE cosine (bucketing changes recall,
+    never correctness of a returned score), and the auto-sizing formula
+    follows log2(corpus/target)."""
+    from solana_event_stream_spark.operators.dedup import (
+        dedup_embedding_cosine, dedup_embedding_cosine_scaled,
+        scaled_n_planes)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_cosine_topk, ann_lsh_topk, ann_lsh_topk_scaled)
+    sf = "/root/testdata/sf0.001"
+
+    # formula: log2-tracking with an 8-plane floor
+    assert scaled_n_planes(10_000, 64) == 8          # floor binds
+    assert scaled_n_planes(1_000_000, 64) == 14
+    assert scaled_n_planes(10**9, 1024) == 20        # the VERDICT example
+    assert scaled_n_planes(0, 64) == 8
+
+    # n_planes=8 == the catalog plan, bit for bit
+    assert sorted(map(tuple, ann_lsh_topk_scaled(spark, sf, 8).collect())) \
+        == sorted(map(tuple, ann_lsh_topk(spark, sf).collect()))
+    assert sorted(map(tuple,
+                      dedup_embedding_cosine_scaled(spark, sf, 8)
+                      .collect())) \
+        == sorted(map(tuple, dedup_embedding_cosine(spark, sf).collect()))
+
+    # higher plane count: fewer candidate pairs (the whole point), and
+    # every returned pair still carries its TRUE cosine — bucketing
+    # changes recall, never the correctness of a returned score
+    import numpy as np
+    from solana_event_stream_spark.tables import load_spread
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in load_spread(spark, sf, "embeddings").collect()}
+    got9 = dedup_embedding_cosine_scaled(spark, sf, n_planes=9,
+                                         limit=200_000).collect()
+    got8 = dedup_embedding_cosine_scaled(spark, sf, n_planes=8,
+                                         limit=200_000).collect()
+    assert 0 < len(got9) < len(got8)     # 9 bits strictly shrink pairs
+    for r in got9:
+        a, b = vecs[r.doc_a], vecs[r.doc_b]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cosine - true_cos) < 1e-9, (r.doc_a, r.doc_b)
+    # ann form at 9 planes: runs, ranks stay dense per query
+    by_q = {}
+    for r in ann_lsh_topk_scaled(spark, sf, n_planes=9).collect():
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+
+    # auto-sized: runs end-to-end and respects the limit
+    auto = dedup_embedding_cosine_scaled(spark, sf,
+                                         target_bucket_size=16).collect()
+    assert len(auto) <= 20
