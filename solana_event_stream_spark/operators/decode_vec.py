@@ -736,12 +736,20 @@ _FAST_TYPES = tuple(SPECS)
 _FAST_TYPE_ARR = pa.array(_FAST_TYPES, pa.string())
 
 
-def _check_specs():
-    """Import-time drift guards against registry.py / decode.py."""
-    for etype, spec in SPECS.items():
+def _check_specs(specs: dict[str, InstSpec] | None = None,
+                 merge_specs: dict | None = None) -> None:
+    """Drift gate between a spec table and the merge-spec registry: a
+    spec that declares a CPI must agree with the merge spec's kind and
+    emit every merge-listed field. Runs at import time for the builtin
+    table and at registration time for plug-in vector specs
+    (plugins.register_protocol)."""
+    specs = SPECS if specs is None else specs
+    merge_specs = MERGE_SPECS if merge_specs is None else merge_specs
+    for etype, spec in specs.items():
+        assert spec.etype == etype, etype
         if spec.cpi is None:
             continue
-        kind, fields = MERGE_SPECS[etype]
+        kind, fields = merge_specs[etype]
         assert kind == spec.cpi.kind, etype
         emitted = ({f for f, _, _ in spec.cpi.nums}
                    | {f for f, _ in spec.cpi.pks}
@@ -749,13 +757,40 @@ def _check_specs():
                    | {f for f, _, _, _ in spec.cpi.enums})
         missing = set(fields) - emitted
         assert not missing, (etype, missing)
+
+
+def _check_builtin_specs():
+    _check_specs()
     for bt in BONK_BUY_TYPES:
         assert SPECS[bt].cpi.f8 == (136, 0), bt
     for st in BONK_SELL_TYPES:
         assert SPECS[st].cpi.f8 == (136, 1), st
 
 
-_check_specs()
+_check_builtin_specs()
+
+
+def register_specs(new: dict[str, InstSpec], merge_specs: dict) -> None:
+    """Add plug-in vector specs to the fast path (driver-side module
+    state; plan-build captures a snapshot into the decode closure so
+    executors see them — plans/pipeline._decode_tables). Callers gate
+    with :func:`_check_specs` BEFORE mutating; this refreshes the
+    dispatch arrays."""
+    global _FAST_TYPES, _FAST_TYPE_ARR
+    _check_specs(new, merge_specs)
+    SPECS.update(new)
+    _FAST_TYPES = tuple(SPECS)
+    _FAST_TYPE_ARR = pa.array(_FAST_TYPES, pa.string())
+
+
+def unregister_specs(etypes) -> None:
+    """Remove plug-in vector specs (plugins.register_protocol's
+    unregister callable)."""
+    global _FAST_TYPES, _FAST_TYPE_ARR
+    for etype in etypes:
+        SPECS.pop(etype, None)
+    _FAST_TYPES = tuple(SPECS)
+    _FAST_TYPE_ARR = pa.array(_FAST_TYPES, pa.string())
 
 
 # ---------------------------------------------------------------------------
@@ -1011,7 +1046,9 @@ def _filter_group(rows: np.ndarray, g: dict, keep: np.ndarray):
     return rows[sel], out
 
 
-def decode_batch_vectorized(batch: pa.RecordBatch):
+def decode_batch_vectorized(batch: pa.RecordBatch,
+                            specs: dict[str, InstSpec] | None = None,
+                            merge_specs: dict | None = None):
     """Vector-decode every spec-covered row of a decode_input batch.
 
     Returns (groups, slow_rows): `groups` is a list of Group (including
@@ -1019,7 +1056,19 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
     caller must run through the per-row decoder (unmatched event types
     and rows with >= 2 CPI candidates — J1 "first candidate that
     decodes" needs the sequential scan there).
+
+    ``specs``/``merge_specs`` default to the module tables; the decode
+    stage passes its driver-captured snapshots so plug-in vector specs
+    (plugins.register_protocol(vector_specs=...)) take the fast path on
+    executors, which import this module without the registrations.
     """
+    if specs is None:
+        specs = SPECS
+    if merge_specs is None:
+        merge_specs = MERGE_SPECS
+    fast_types = tuple(specs)
+    fast_type_arr = (_FAST_TYPE_ARR if fast_types == _FAST_TYPES
+                     else pa.array(fast_types, pa.string()))
     names = batch.schema.names
     col = {nm: batch.column(i) for i, nm in enumerate(names)}
     n = batch.num_rows
@@ -1033,7 +1082,7 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
                    ).astype(np.int64)
     has_ig = _np_col(col["has_inner_group"], fill=False).astype(bool)
     etype_idx = _np_col(pc.index_in(col["event_type"],
-                                    value_set=_FAST_TYPE_ARR),
+                                    value_set=fast_type_arr),
                         fill=-1).astype(np.int64)
     is_common = _np_col(pc.equal(col["protocol"], "Common"),
                         fill=False).astype(bool)
@@ -1072,8 +1121,8 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
                  "micro_lamports": ("masked", micro, is_limit)}))
 
     # --- fast fixed-layout event types ---------------------------------
-    for t, etype in enumerate(_FAST_TYPES):
-        spec = SPECS[etype]
+    for t, etype in enumerate(fast_types):
+        spec = specs[etype]
         trow = np.nonzero(etype_idx == t)[0]
         if trow.size == 0:
             continue
@@ -1191,7 +1240,7 @@ def decode_batch_vectorized(batch: pa.RecordBatch):
                     ok_mask, cpi_cols = _decode_cpi(
                         spec.cpi, body, sel_positions, rows.size)
                     _merge_cpi(g, ok_mask, cpi_cols,
-                               MERGE_SPECS[etype][1])
+                               merge_specs[etype][1])
                     cpi_ok = ok_mask
 
         if swap_cols is not None:

@@ -96,7 +96,9 @@ def _decode_batches(iterator: Iterator, bot_wallet: str | None,
 
     for batch in iterator:
         if use_vec:
-            groups, slow = decode_batch_vectorized(batch)
+            groups, slow = decode_batch_vectorized(
+                batch, specs=tables.get("vec_specs"),
+                merge_specs=tables["merge_specs"])
             if slow.size:
                 sub = batch.take(pa.array(slow, pa.int64()))
                 local_idx, etypes, payloads = _decode_rows_python(
@@ -282,13 +284,17 @@ def _decode_tables() -> dict:
     decoders pickle by reference; plug-in decoders by value
     (cloudpickle)."""
     from ..operators.decode import CPI_DECODERS, INSTRUCTION_DECODERS
+    from ..operators.decode_vec import SPECS
     from ..registry import MERGE_SPECS, REQUIRES_CPI
     from ..schemas import event_schema
     return {"schema": event_schema(),
             "instruction_decoders": dict(INSTRUCTION_DECODERS),
             "cpi_decoders": dict(CPI_DECODERS),
             "merge_specs": dict(MERGE_SPECS),
-            "requires_cpi": tuple(REQUIRES_CPI)}
+            "requires_cpi": tuple(REQUIRES_CPI),
+            # vector fast-path dispatch (incl. plug-in vector specs —
+            # pure data, pickles into the closure like the decoders)
+            "vec_specs": dict(SPECS)}
 
 
 def _apply_decode(decode_input: DataFrame) -> DataFrame:

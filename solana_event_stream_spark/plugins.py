@@ -16,10 +16,12 @@ and the lake with zero engine edits.
 
 Scope: instruction-side protocols with 8-byte Anchor-style
 discriminators and 16-byte inner (CPI) discriminators — the layout
-every reference protocol except Raydium AMM v4 uses. The vectorized
-fast path ignores plug-in types (they take the per-row path via the
-captured tables); promote hot plug-ins into decode_vec.SPECS
-separately if profiling warrants.
+every reference protocol except Raydium AMM v4 uses. Plug-ins decode
+on the per-row path by default; pass ``vector_specs`` (declarative
+decode_vec.InstSpec layouts) to put a HOT plug-in on the vectorized
+fast path — the specs register into decode_vec.SPECS behind the same
+drift gate the builtin table passes, ship to executors in the decode
+closure, and unregister with everything else.
 
 Returns an ``unregister`` callable that restores the registries
 exactly — primarily for tests; production registration is
@@ -44,7 +46,8 @@ def register_protocol(name: str,
                       cpi_decoders: dict[str, Callable] | None = None,
                       merge_specs: dict[str, tuple[str, list[str]]]
                       | None = None,
-                      requires_cpi: tuple[str, ...] = ()
+                      requires_cpi: tuple[str, ...] = (),
+                      vector_specs: dict | None = None
                       ) -> Callable[[], None]:
     """Register a protocol: pure data + decoders, no engine change.
 
@@ -59,6 +62,16 @@ def register_protocol(name: str,
       kind, and kind -> fn(body) -> dict | None (J1).
     - ``merge_specs``: event type -> (cpi kind, fields to overwrite).
     - ``requires_cpi``: event types dropped without a decoded CPI (F9).
+    - ``vector_specs``: event type -> ``decode_vec.InstSpec`` declaring
+      the FIXED Borsh layout, for hot plug-ins: spec-covered rows then
+      decode on the vectorized fast path (NumPy gathers, no per-row
+      Python) exactly like builtin types — without this a plug-in
+      always pays the per-row path (~3.4x at ingest). The spec must
+      agree with the per-row decoder bit for bit (same offsets, same
+      guards); the ``decode_vec._check_specs`` drift gate runs here
+      against the plug-in's merge specs, and requires_cpi flags must
+      match. Differential-test any vector spec the way
+      tests/test_plugin_protocol.py does.
     """
     inner_discriminators = inner_discriminators or {}
     cpi_decoders = cpi_decoders or {}
@@ -113,6 +126,31 @@ def register_protocol(name: str,
                              f"non-empty registered payload fields")
     if not set(requires_cpi) <= etypes:
         raise ValueError("requires_cpi entries must be registered types")
+    if vector_specs:
+        from .operators import decode_vec
+        if not set(vector_specs) <= etypes:
+            raise ValueError("vector_specs keys must be registered "
+                             "instruction event types: "
+                             f"{sorted(set(vector_specs) - etypes)}")
+        for etype, spec in vector_specs.items():
+            if not isinstance(spec, decode_vec.InstSpec):
+                raise ValueError(f"vector spec for {etype!r} must be a "
+                                 "decode_vec.InstSpec")
+            if spec.disc_len != 8:
+                raise ValueError(f"vector spec {etype!r}: pluggable "
+                                 "protocols use 8-byte discriminators")
+            if bool(spec.requires_cpi) != (etype in requires_cpi):
+                raise ValueError(
+                    f"vector spec {etype!r}: requires_cpi flag disagrees "
+                    "with the protocol registration — the two paths "
+                    "would drop different rows")
+            if spec.cpi is not None and spec.cpi.kind not in kinds:
+                raise ValueError(
+                    f"vector spec {etype!r}: CPI kind {spec.cpi.kind!r} "
+                    "is not one of this protocol's inner kinds")
+        # same gate the builtin table passes at import time, against
+        # the merge specs being registered — BEFORE any mutation
+        decode_vec._check_specs(vector_specs, merge_specs)
 
     # ---- executor-side serialization ----------------------------------
     # The decode tables ship to executors inside the mapInArrow closure
@@ -150,11 +188,17 @@ def register_protocol(name: str,
     decode.CPI_DECODERS.update(cpi_decoders)
     schemas.PAYLOAD_FIELDS.update(payload_fields)
     schemas.EVENT_SCHEMA = schemas.event_schema()
+    if vector_specs:
+        from .operators import decode_vec
+        decode_vec.register_specs(vector_specs, merge_specs)
 
     new_fields = [f for f in payload_fields
                   if f not in pre_existing_fields]
 
     def unregister() -> None:
+        if vector_specs:
+            from .operators import decode_vec
+            decode_vec.unregister_specs(vector_specs)
         registry.PROTOCOL_BY_PROGRAM_ID.pop(program_id, None)
         registry.PROGRAM_ID_BY_PROTOCOL.pop(name, None)
         registry.ALL_PROTOCOLS = tuple(registry.PROGRAM_ID_BY_PROTOCOL)
