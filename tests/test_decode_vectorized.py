@@ -187,3 +187,40 @@ def test_all_common_empty_data(spark):
     out = list(_decode_batches(iter([bad]), None, vectorized=True))
     assert out[0].num_rows == 0
     assert out[0].schema.equals(_arrow_event_schema())
+
+
+def test_u128_lane_carrier():
+    """VERDICT r9 item 5: u128 fields ride as two u64 NumPy lanes and
+    become decimal128 by buffer assembly — logically identical to the
+    Python-int path (values, nulls, the exact 10^38-1 boundary), with
+    the documented clip region raising the same ArrowInvalid."""
+    import numpy as np
+    import pytest
+
+    from solana_event_stream_spark.operators.decode_vec import (
+        _DEC38_MAX, U128)
+
+    typ = pa.decimal128(38, 0)
+    lo = np.array([1, 2**64 - 1, 0, 123456789], "<u8")
+    hi = np.array([0, 5, 0, 2**33], "<u8")
+    u = U128(lo.copy(), hi.copy())
+    assert u.to_arrow(typ).equals(pa.array(u.tolist(), typ))
+
+    m = np.array([False, True, False, False])
+    um = U128(lo.copy(), hi.copy(), m)
+    got = um.to_arrow(typ)
+    assert got.equals(pa.array(um.tolist(), typ)) and got.null_count == 1
+
+    mx = U128(np.array([_DEC38_MAX & (2**64 - 1)], "<u8"),
+              np.array([_DEC38_MAX >> 64], "<u8"))
+    assert mx.to_arrow(typ).equals(pa.array([_DEC38_MAX], typ))
+
+    over = U128(np.array([0], "<u8"),
+                np.array([(_DEC38_MAX >> 64) + 1], "<u8"))
+    with pytest.raises(pa.lib.ArrowInvalid):
+        over.to_arrow(typ)
+
+    # a NULL slot holding an out-of-range residue must not trip the clip
+    g = U128(np.array([0, 7], "<u8"), np.array([2**63, 0], "<u8"),
+             np.array([True, False]))
+    assert g.to_arrow(typ).equals(pa.array([None, 7], typ))
