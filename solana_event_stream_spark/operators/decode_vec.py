@@ -49,7 +49,19 @@ _NPVIEW = {"u8": "<u1", "u16": "<u2", "u32": "<u4", "u64": "<u8",
 
 
 def _bin_view(arr: pa.Array):
-    """(value_buffer, absolute int64 offsets) of a Binary/String array."""
+    """(value_buffer, absolute int64 offsets) of a Binary/String array.
+
+    The offsets view hard-assumes 32-bit offsets; a LargeBinary/
+    LargeString array (e.g. spark.sql.execution.arrow.useLargeVarTypes)
+    has int64 offsets and the int32 view would read interleaved garbage
+    — mis-decoding silently deep in NumPy. Fail loudly instead (ADVICE
+    r9)."""
+    if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
+        raise TypeError(
+            f"vectorized decode requires 32-bit-offset binary/string "
+            f"columns, got {arr.type} — disable "
+            f"spark.sql.execution.arrow.useLargeVarTypes or force the "
+            f"per-row path (SES_SPARK_DECODE_VECTOR=0)")
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], np.int32)[
         arr.offset:arr.offset + len(arr) + 1].astype(np.int64)

@@ -315,6 +315,12 @@ def build_decode_input(raw_tx: DataFrame,
     dispatched)."""
     if protocols is None:
         protocols = tuple(PROGRAM_ID_BY_PROTOCOL)
+    elif not protocols:
+        # An empty tuple used to coerce (falsily) to ALL protocols; that
+        # silent flip now fails loudly — a ComputeBudget-only stream is
+        # never what a caller meant (ADVICE r9).
+        raise ValueError("protocols=() selects no protocols; pass None "
+                         "for every registered protocol")
     program_ids = [PROGRAM_ID_BY_PROTOCOL[p] for p in protocols]
     relevant = program_ids + [COMPUTE_BUDGET_PROGRAM_ID]
 

@@ -160,7 +160,7 @@ def _start_lake_writer(events: DataFrame, archive_dir: str,
     spark = events.sparkSession
     restore = pin_state_width(
         spark, checkpoint_dir,
-        resolve_state_width(state_partitions, stateful))
+        resolve_state_width(spark, state_partitions, stateful))
     # Bracketed like the state width: StreamExecution clones the session
     # conf at start, so the long log retention binds to THIS query only.
     prev_delay = spark.conf.get(_SINK_LOG_DELAY_CONF, None)

@@ -194,7 +194,7 @@ def start_event_stream(raw_stream: DataFrame,
     from .state import pin_state_width, resolve_state_width
     restore = pin_state_width(
         raw_stream.sparkSession, checkpoint_dir,
-        resolve_state_width(state_partitions,
+        resolve_state_width(raw_stream.sparkSession, state_partitions,
                             stateful=dedup_redelivery is not None))
     try:
         return (events.writeStream

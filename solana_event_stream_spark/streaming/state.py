@@ -417,6 +417,22 @@ def tag_dev_trades_strict(events: DataFrame,
 DEFAULT_STATE_PARTITIONS = 8
 
 
+def _checkpoint_exists(spark, checkpoint_dir: str) -> bool:
+    """Does the checkpoint already hold committed offsets? Resolved
+    through the session's Hadoop FS so the no-op-on-existing-checkpoint
+    promise holds for S3/HDFS checkpoints too, not just local paths
+    (ADVICE r9); falls back to os.path for sessions without a JVM."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "offsets")
+        fs = path.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+    except Exception:
+        import os as _os
+        return _os.path.isdir(_os.path.join(checkpoint_dir, "offsets"))
+
+
 def pin_state_width(spark, checkpoint_dir: str,
                     state_partitions: int | None):
     """Set spark.sql.shuffle.partitions for a stateful stream about to
@@ -428,10 +444,8 @@ def pin_state_width(spark, checkpoint_dir: str,
     the checkpoint already exists (Spark then reuses the width frozen
     in the checkpoint and ignores the session conf).
     """
-    import os as _os
-
-    if state_partitions is None or _os.path.isdir(
-            _os.path.join(checkpoint_dir, "offsets")):
+    if state_partitions is None or _checkpoint_exists(spark,
+                                                      checkpoint_dir):
         return lambda: None
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -441,13 +455,32 @@ def pin_state_width(spark, checkpoint_dir: str,
     return restore
 
 
-def resolve_state_width(state_partitions: int | None,
+def resolve_state_width(spark, state_partitions: int | None,
                         stateful: bool) -> int | None:
-    """Entry-point policy: None -> the low-latency default when the
-    query is stateful (else no pin); 0 -> never pin (opt-out);
-    a positive int -> that width."""
+    """Entry-point policy: 0 -> never pin (opt-out); a positive int ->
+    that width; None -> the locally-measured low-latency default when
+    the query is stateful AND the master is local — on a cluster the
+    8-wide default would silently cap state parallelism for the
+    checkpoint's LIFETIME (the width freezes into the first commit), so
+    there the default is to leave the session conf alone and warn the
+    operator to size state_partitions explicitly (ADVICE r9)."""
     if state_partitions == 0 or (state_partitions is None
                                  and not stateful):
         return None
-    return (DEFAULT_STATE_PARTITIONS if state_partitions is None
-            else state_partitions)
+    if state_partitions is not None:
+        return state_partitions
+    master = ""
+    try:
+        master = spark.sparkContext.master or ""
+    except Exception:
+        pass
+    if master.startswith("local"):
+        return DEFAULT_STATE_PARTITIONS
+    import warnings
+    warnings.warn(
+        "stateful stream starting on a non-local master without "
+        "state_partitions: the state-store width will freeze into the "
+        "checkpoint at the session's spark.sql.shuffle.partitions — "
+        "pass state_partitions sized to the executor count",
+        stacklevel=3)
+    return None
