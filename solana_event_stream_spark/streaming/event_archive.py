@@ -200,6 +200,105 @@ def _start_lake_writer(events: DataFrame, archive_dir: str,
 _LAKE_MANIFEST = "_LAKE_MANIFEST.json"
 
 
+# --- filesystem facade (ADVICE r9) -----------------------------------------
+# The sink itself is FS-agnostic (Spark writes wherever the URI
+# points), but the compactor's manifest/log bookkeeping was local-only
+# (os.listdir/open/os.replace). These helpers keep the fast os path for
+# plain local paths and route any scheme-qualified URI (s3a://, hdfs://,
+# file://, ...) through the session's Hadoop FileSystem, so snapshot
+# compaction works on object stores. The manifest swap stays atomic on
+# local disk and HDFS (FileContext rename OVERWRITE); on S3-family
+# stores rename is copy+delete — the one-line manifest makes the
+# non-atomic window a stale-read, never a torn read.
+
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _hadoop_fs(path: str):
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"no active SparkSession to resolve remote path {path!r}")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jvm, jpath, jpath.getFileSystem(conf), conf, \
+        spark.sparkContext._gateway
+
+
+def _fs_listdir(path: str) -> list[str]:
+    if not _is_uri(path):
+        return os.listdir(path)
+    _, jpath, fs, _, _ = _hadoop_fs(path)
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _fs_isdir(path: str) -> bool:
+    if not _is_uri(path):
+        return os.path.isdir(path)
+    _, jpath, fs, _, _ = _hadoop_fs(path)
+    return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
+
+
+def _fs_read_text(path: str) -> str:
+    """Returns the file's text; raises OSError if unreadable/absent."""
+    if not _is_uri(path):
+        with open(path) as fh:
+            return fh.read()
+    jvm, jpath, fs, _, _ = _hadoop_fs(path)
+    try:
+        stream = fs.open(jpath)
+    except Exception as exc:                     # Hadoop IOException
+        raise OSError(str(exc)) from None
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_atomic(path: str, text: str) -> None:
+    """Write-then-rename publish of a small file (the manifest)."""
+    if not _is_uri(path):
+        import tempfile as _tempfile
+        d = os.path.dirname(path)
+        fd, tmp = _tempfile.mkstemp(dir=d, prefix=".manifest_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+        return
+    jvm, jpath, fs, conf, gateway = _hadoop_fs(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), f".manifest_tmp_{os.getpid()}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jpath.toUri(), conf)
+    # rename(Path, Path, Options.Rename...) is varargs -> Java array
+    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, jpath, opts)
+
+
+def _fs_rmtree(path: str) -> None:
+    if not _is_uri(path):
+        import shutil as _shutil
+        _shutil.rmtree(path)
+        return
+    _, jpath, fs, _, _ = _hadoop_fs(path)
+    fs.delete(jpath, True)
+
+
+def _join(base: str, *parts: str) -> str:
+    """URI-safe path join (os.path.join would not harm these inputs,
+    but keep the intent explicit)."""
+    return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+
+
 class LakeLogIntegrityError(RuntimeError):
     """The sink commit log can no longer be aligned with the lake
     manifest's absorption high-water mark (a batch log file in the
@@ -231,19 +330,19 @@ def _sink_log_entries(archive_dir: str) -> tuple[list[str], int]:
     import os as _os
     from urllib.parse import unquote, urlparse
 
-    log_dir = _os.path.join(archive_dir, "_spark_metadata")
-    if not _os.path.isdir(log_dir):
+    log_dir = _join(archive_dir, "_spark_metadata")
+    if not _fs_isdir(log_dir):
         return [], -1
     batches: dict[int, str] = {}
     compacts: dict[int, str] = {}
-    for name in _os.listdir(log_dir):
+    for name in _fs_listdir(log_dir):
         if name.startswith("."):
             continue
         stem = name.split(".")[0]
         if not stem.isdigit():
             continue
         (compacts if name.endswith(".compact") else batches)[
-            int(stem)] = _os.path.join(log_dir, name)
+            int(stem)] = _join(log_dir, name)
     base = max(compacts) if compacts else -1
     batch_ids = sorted(i for i in batches if i > base)
     for want, got in zip(range(base + 1, base + 1 + len(batch_ids)),
@@ -257,13 +356,14 @@ def _sink_log_entries(archive_dir: str) -> tuple[list[str], int]:
         batches[i] for i in batch_ids]
     max_id = max([base] + batch_ids)
 
-    root = _os.path.abspath(archive_dir)
+    # compare on the PATH component so s3a://bucket/... log entries
+    # still resolve relative to an s3a:// archive_dir
+    root = _os.path.abspath(unquote(urlparse(archive_dir).path))
     out: list[str] = []
     seen: set[str] = set()
     for path in ordered:
         try:
-            with open(path) as fh:
-                lines = fh.read().splitlines()
+            lines = _fs_read_text(path).splitlines()
         except OSError:
             continue
         for line in lines:
@@ -298,20 +398,16 @@ def _sink_committed_files(archive_dir: str) -> set[str]:
 def _read_lake_manifest(compacted_dir: str) -> dict | None:
     import json as _json
     try:
-        with open(os.path.join(compacted_dir, _LAKE_MANIFEST)) as fh:
-            return _json.load(fh)
-    except OSError:
+        return _json.loads(
+            _fs_read_text(_join(compacted_dir, _LAKE_MANIFEST)))
+    except (OSError, ValueError):
         return None
 
 
 def _write_lake_manifest(compacted_dir: str, manifest: dict) -> None:
     import json as _json
-    import tempfile as _tempfile
-
-    fd, tmp = _tempfile.mkstemp(dir=compacted_dir, prefix=".manifest_")
-    with os.fdopen(fd, "w") as fh:
-        _json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(compacted_dir, _LAKE_MANIFEST))
+    _fs_write_atomic(_join(compacted_dir, _LAKE_MANIFEST),
+                     _json.dumps(manifest))
 
 
 _PART_RE = None
@@ -369,9 +465,9 @@ def _manifest_partitions(compacted_dir: str, manifest: dict
     if "partitions" in manifest:
         return dict(manifest["partitions"])
     parts: dict[str, int] = {}
-    gen_dir = os.path.join(compacted_dir, f"gen={manifest['gen']}")
-    if os.path.isdir(gen_dir):
-        for name in os.listdir(gen_dir):
+    gen_dir = _join(compacted_dir, f"gen={manifest['gen']}")
+    if _fs_isdir(gen_dir):
+        for name in _fs_listdir(gen_dir):
             if name.startswith("slot_range="):
                 parts[name.split("=", 1)[1]] = manifest["gen"]
     return parts
@@ -524,7 +620,6 @@ def prune_event_archive_generations(compacted_dir: str,
     v2 manifests reap partition-scoped garbage from the manifest's
     ledger (and drop reaped entries from it, atomically); v1 manifests
     keep the old whole-generation semantics with no grace."""
-    import shutil as _shutil
     import time as _time
 
     manifest = _read_lake_manifest(compacted_dir)
@@ -538,17 +633,17 @@ def prune_event_archive_generations(compacted_dir: str,
             if now - entry["since"] < grace_seconds:
                 keep.append(entry)
                 continue
-            full = os.path.join(compacted_dir, entry["path"])
-            if os.path.isdir(full):
-                _shutil.rmtree(full)
+            full = _join(compacted_dir, entry["path"])
+            if _fs_isdir(full):
+                _fs_rmtree(full)
             removed.append(entry["path"])
-            parent = os.path.dirname(full)
+            parent = full.rsplit("/", 1)[0]
             try:                       # drop a fully-reaped generation
-                if os.path.basename(parent).startswith("gen=") and not any(
-                        n.startswith("slot_range=")
-                        for n in os.listdir(parent)):
-                    _shutil.rmtree(parent)
-                    removed.append(os.path.basename(parent))
+                if parent.rsplit("/", 1)[-1].startswith("gen=") \
+                        and not any(n.startswith("slot_range=")
+                                    for n in _fs_listdir(parent)):
+                    _fs_rmtree(parent)
+                    removed.append(parent.rsplit("/", 1)[-1])
             except OSError:
                 pass
         if removed:
@@ -556,9 +651,9 @@ def prune_event_archive_generations(compacted_dir: str,
             manifest["garbage"] = keep
             _write_lake_manifest(compacted_dir, manifest)
         return removed
-    for name in os.listdir(compacted_dir):                     # v1
+    for name in _fs_listdir(compacted_dir):                    # v1
         if name.startswith("gen=") and name != f"gen={manifest['gen']}":
-            _shutil.rmtree(os.path.join(compacted_dir, name))
+            _fs_rmtree(_join(compacted_dir, name))
             removed.append(name)
     return removed
 

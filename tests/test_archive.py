@@ -858,3 +858,60 @@ def test_lake_manifest_v1_upgrade(spark):
         got2 = _norm_rows(load_event_lake(spark, archive, compacted)
                           .drop("slot_range").toPandas())
         assert got2 == expect_all
+
+
+def test_lake_compaction_over_hadoop_fs(spark):
+    """ADVICE r9: the compactor's manifest/log bookkeeping must work on
+    non-local filesystems. Driving the whole cycle through file:// URIs
+    exercises the Hadoop FileSystem branch of every IO helper (listStatus,
+    open/IOUtils, create + FileContext atomic rename, recursive delete)
+    with local backing."""
+    from solana_event_stream_spark.plans.pipeline import build_events_core
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        _read_lake_manifest, compact_event_archive_snapshot,
+        load_event_lake, prune_event_archive_generations,
+        start_event_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    raw = _make_raw(spark)
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    first = raw.filter(F.col("slot") < slots[20])
+    second = raw.filter(F.col("slot") >= slots[20])
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = "file://" + os.path.join(tmp, "events")
+        compacted = "file://" + os.path.join(tmp, "compacted")
+        os.makedirs(os.path.join(tmp, "compacted"))
+
+        def _feed(part):
+            part.coalesce(1).write.mode("append").parquet(src)
+            q = start_event_archive_stream(
+                read_transaction_stream(spark, src), archive,
+                os.path.join(tmp, "ckpt"), slots_per_dir=10,
+                available_now=True)
+            q.awaitTermination(180)
+
+        _feed(first)
+        stats = compact_event_archive_snapshot(spark, archive, compacted)
+        assert stats["gen"] == 1 and stats["absorbed_new"] > 0
+        # manifest written through FileContext rename, readable back
+        man = _read_lake_manifest(compacted)
+        assert man["version"] == 2 and man["absorbed_count"] > 0
+
+        _feed(second)
+        stats2 = compact_event_archive_snapshot(spark, archive, compacted)
+        assert stats2["gen"] == 2 and stats2["absorbed_new"] > 0
+
+        got = _norm_rows(load_event_lake(spark, archive, compacted)
+                         .drop("slot_range").toPandas())
+        assert got == _norm_rows(build_events_core(raw).toPandas())
+
+        removed = prune_event_archive_generations(compacted,
+                                                  grace_seconds=0)
+        assert all(r.startswith("gen=1") for r in removed)
+        got2 = _norm_rows(load_event_lake(spark, archive, compacted)
+                          .drop("slot_range").toPandas())
+        assert got2 == got
