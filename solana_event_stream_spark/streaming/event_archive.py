@@ -748,3 +748,57 @@ def read_event_archive_slot_window(spark: SparkSession, archive_dir: str,
     from ..sources.replay import read_archive_slot_window
     return read_archive_slot_window(spark, archive_dir, min_slot,
                                     max_slot, slots_per_dir)
+
+
+def read_event_lake_slot_window(spark: SparkSession, archive_dir: str,
+                                compacted_dir: str | None = None,
+                                min_slot: int | None = None,
+                                max_slot: int | None = None,
+                                slots_per_dir: int =
+                                DEFAULT_SLOTS_PER_DIR) -> DataFrame:
+    """Slot-window read THROUGH the compaction manifest: the windowed
+    analog of :func:`load_event_lake`.
+
+    The manifest's partition map makes the window a DRIVER-SIDE prune —
+    out-of-window generation partitions and tail files never reach the
+    file listing, let alone a footer read. At 100 TB this is the
+    difference between a query planning over a day's slot dirs and one
+    planning over the whole lake. Row-level slot bounds are applied on
+    top (a slot_range dir brackets ``slots_per_dir`` slots)."""
+    manifest = (_read_lake_manifest(compacted_dir)
+                if compacted_dir is not None else None)
+    if manifest is None:
+        return read_event_archive_slot_window(spark, archive_dir,
+                                              min_slot, max_slot,
+                                              slots_per_dir)
+    lo = None if min_slot is None else min_slot // slots_per_dir
+    hi = None if max_slot is None else max_slot // slots_per_dir
+
+    def _in_window(part: str) -> bool:
+        v = int(part)
+        return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+    parts = {n: g for n, g in
+             _manifest_partitions(compacted_dir, manifest).items()
+             if _in_window(n)}
+    gen_df = _read_generation_partitions(spark, compacted_dir, parts)
+    tail, _, _ = _lake_tail(archive_dir, manifest)
+    tail = [f for f in tail if _in_window(_file_partition(f))]
+    if tail:
+        tail_df = (spark.read.option("mergeSchema", "true")
+                   .option("basePath", archive_dir).parquet(
+                       *[os.path.join(archive_dir, f) for f in tail])
+                   .withColumn("slot_range",
+                               F.col("slot_range").cast("long")))
+        df = (tail_df if gen_df is None else
+              gen_df.unionByName(tail_df, allowMissingColumns=True))
+    elif gen_df is not None:
+        df = gen_df
+    else:
+        return (load_event_archive(spark, archive_dir).limit(0)
+                .filter(F.lit(False)))
+    if min_slot is not None:
+        df = df.filter(F.col("slot") >= min_slot)
+    if max_slot is not None:
+        df = df.filter(F.col("slot") <= max_slot)
+    return df

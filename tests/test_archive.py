@@ -915,3 +915,59 @@ def test_lake_compaction_over_hadoop_fs(spark):
         got2 = _norm_rows(load_event_lake(spark, archive, compacted)
                           .drop("slot_range").toPandas())
         assert got2 == got
+
+
+def test_lake_slot_window_prunes_through_manifest(spark):
+    """read_event_lake_slot_window must (a) equal the full lake read
+    filtered by slot, and (b) actually prune: out-of-window partition
+    dirs never enter the plan's file list — through BOTH the compacted
+    generations and the live tail."""
+    from solana_event_stream_spark.sources.replay import (
+        read_transaction_stream)
+    from solana_event_stream_spark.streaming.event_archive import (
+        compact_event_archive_snapshot, load_event_lake,
+        read_event_lake_slot_window, start_event_archive_stream)
+    from solana_event_stream_spark.testing import _norm_rows
+
+    raw = _make_raw(spark)
+    slots = sorted(r.slot for r in raw.select("slot").distinct().collect())
+    first = raw.filter(F.col("slot") < slots[20])
+    second = raw.filter(F.col("slot") >= slots[20])
+    mid = slots[len(slots) // 2]
+
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        src = os.path.join(tmp, "src")
+        archive = os.path.join(tmp, "events")
+        compacted = os.path.join(tmp, "compacted")
+        os.makedirs(compacted)
+
+        def _feed(part):
+            part.coalesce(1).write.mode("append").parquet(src)
+            q = start_event_archive_stream(
+                read_transaction_stream(spark, src), archive,
+                os.path.join(tmp, "ckpt"), slots_per_dir=10,
+                available_now=True)
+            q.awaitTermination(180)
+
+        _feed(first)
+        compact_event_archive_snapshot(spark, archive, compacted)
+        _feed(second)          # second batch = live tail, not compacted
+
+        full = load_event_lake(spark, archive, compacted)
+        win = read_event_lake_slot_window(
+            spark, archive, compacted, min_slot=mid, slots_per_dir=10)
+        want = _norm_rows(full.filter(F.col("slot") >= mid)
+                          .drop("slot_range").toPandas())
+        got = _norm_rows(win.drop("slot_range").toPandas())
+        assert got == want and len(got) > 0
+
+        # pruning proof: the windowed plan reads strictly fewer files
+        n_all = (full.select(F.input_file_name()).distinct().count())
+        n_win = (win.select(F.input_file_name()).distinct().count())
+        assert 0 < n_win < n_all
+
+        # a window covering nothing returns an empty, schema-correct frame
+        empty = read_event_lake_slot_window(
+            spark, archive, compacted, min_slot=10**12, slots_per_dir=10)
+        assert empty.count() == 0
+        assert set(empty.columns) == set(full.columns)
