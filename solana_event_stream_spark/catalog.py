@@ -62,6 +62,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         from .plans import analytics  # noqa: F401
         from .plans import events_analytics  # noqa: F401
         from .plans import pipeline_queries  # noqa: F401
+        from .operators import curation  # noqa: F401
         from .operators import dedup  # noqa: F401
         from .operators import multimodal  # noqa: F401
         from .operators import similarity  # noqa: F401

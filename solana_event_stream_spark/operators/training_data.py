@@ -45,11 +45,14 @@ def _hash_unit(col) -> F.Column:
             .cast("long") % _HASH_MOD) / F.lit(float(_HASH_MOD))
 
 
-_SQL_HASH_UNIT = (
-    "((list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16), "
+_SQL_HASH_INT = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16), "
     "i -> CAST(strpos('0123456789abcdef', "
     "substr(md5(CAST({c} AS VARCHAR)), i, 1)) - 1 AS BIGINT))), "
-    f"(acc, d) -> acc * 16 + d) % {_HASH_MOD}) / {float(_HASH_MOD)})")
+    "(acc, d) -> acc * 16 + d)")
+
+_SQL_HASH_UNIT = (
+    f"(({_SQL_HASH_INT} % {_HASH_MOD}) / {float(_HASH_MOD)})")
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +224,52 @@ def quality_filter_chain(spark, sf_dir: str) -> DataFrame:
                  .alias("avg_words")))
 
 
+# ---------------------------------------------------------------------------
+# Deterministic shard assignment (training-shard writer stats)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+_SQL_SHARD_STATS = f"""
+    WITH sharded AS (
+      SELECT ({_SQL_HASH_INT.format(c='doc_id')}) % {_N_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS share
+    FROM sharded GROUP BY shard
+"""
+
+
+def shard_assignment_stats(spark, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: shard = md5(doc_id) %
+    N — the 'global shuffle' a training run needs, without a sort: the
+    hash IS the permutation, every row's shard is independent of every
+    other row (adding data never moves existing rows between shards),
+    and a shard writer is a plain partitionBy("shard") with no skew
+    (md5 is uniform). The query reports per-shard doc/token balance —
+    the property that matters at 100 TB (a skewed shard serializes one
+    training data-loader)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 15), 16, 10)
+             .cast("long") % _N_SHARDS)
+    sharded = docs.select(
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    per_shard = (sharded.groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tok").alias("sum_tok")))
+    total = per_shard.agg(
+        F.sum("n_docs").cast("double").alias("grand_total"))
+    return (per_shard.crossJoin(F.broadcast(total))
+            .select("shard", "n_docs", "sum_tok",
+                    (F.col("n_docs").cast("double")
+                     / F.col("grand_total")).alias("share")))
+
+
 @register(
     "training_sample_filter",
     oracle=f"""
@@ -231,12 +280,17 @@ def quality_filter_chain(spark, sf_dir: str) -> DataFrame:
     SELECT 'filter' AS part, reason AS k1, n_docs AS n1,
            CAST(NULL AS BIGINT) AS n2, avg_words AS v
     FROM ({_SQL_QUALITY_CHAIN}) q
+    UNION ALL
+    SELECT 'shard' AS part, CAST(shard AS VARCHAR) AS k1, n_docs AS n1,
+           sum_tok AS n2, share AS v
+    FROM ({_SQL_SHARD_STATS}) sh
     """,
-    tags=("training-data", "llm-data", "sampling", "quality"),
-    doc="Deterministic stratified sampling and the quality-filter chain "
-        "as one tagged union (driver 50-row-cap consolidation). Each "
-        "branch keeps its full narrow per-row plan; only the tiny "
-        "summary rollups shuffle.",
+    tags=("training-data", "llm-data", "sampling", "quality", "sharding"),
+    doc="Deterministic stratified sampling, the quality-filter chain, "
+        "and per-shard balance of the deterministic shard assignment "
+        "(hash-as-global-shuffle) as one tagged union (driver "
+        "50-row-cap consolidation). Each branch keeps its full narrow "
+        "per-row plan; only the tiny summary rollups shuffle.",
 )
 def training_sample_filter(spark, sf_dir: str) -> DataFrame:
     samp = sample_stratified_hash(spark, sf_dir).select(
@@ -247,7 +301,12 @@ def training_sample_filter(spark, sf_dir: str) -> DataFrame:
         F.lit("filter").alias("part"), F.col("reason").alias("k1"),
         F.col("n_docs").alias("n1"), F.lit(None).cast("long").alias("n2"),
         F.col("avg_words").alias("v"))
-    return samp.unionByName(filt)
+    shard = shard_assignment_stats(spark, sf_dir).select(
+        F.lit("shard").alias("part"),
+        F.col("shard").cast("string").alias("k1"),
+        F.col("n_docs").alias("n1"), F.col("sum_tok").alias("n2"),
+        F.col("share").alias("v"))
+    return samp.unionByName(filt).unionByName(shard)
 
 
 # ---------------------------------------------------------------------------

@@ -195,20 +195,25 @@ def events_user_running_sum(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_props_json",
-    oracle="""
+# events_props_json / events_value_percentiles / events_funnel_conversion
+# register as ONE catalog entry (events_profile_battery, defined after
+# all three) for the driver 50-row-cap reason: round 10 freed two
+# catalog slots for the corpus-curation operators (operators/curation.py)
+# by consolidating these three thin per-event_type/global aggregates —
+# each keeps its full plan; the battery only re-tags the outputs.
+
+_SQL_EVENTS_PROPS = """
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
-    """,
-    tags=("events", "json"),
-    doc="Semi-structured projection: JSON prop extraction + aggregation.",
-)
+"""
+
+
 def events_props_json(spark, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON prop extraction + aggregation."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
@@ -217,19 +222,18 @@ def events_props_json(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_value_percentiles",
-    oracle="""
+_SQL_EVENTS_PERCENTILES = """
     SELECT event_type,
            ROUND(quantile_cont(value, 0.5), 6)  AS p50,
            ROUND(quantile_cont(value, 0.9), 6)  AS p90,
            ROUND(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY event_type
-    """,
-    tags=("events", "agg", "percentile"),
-    doc="Exact linear-interpolation percentiles (A3/A5 threshold analysis).",
-)
+"""
+
+
 def events_value_percentiles(spark, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (A3/A5 threshold
+    analysis)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -287,9 +291,7 @@ def events_type_share_pivot(spark, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(*aggs)
 
 
-@register(
-    "events_funnel_conversion",
-    oracle="""
+_SQL_EVENTS_FUNNEL = """
     WITH firsts AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
@@ -300,11 +302,11 @@ def events_type_share_pivot(spark, sf_dir: str) -> DataFrame:
            COUNT(CASE WHEN first_purchase > first_view
                  THEN 1 END) AS n_converted
     FROM firsts
-    """,
-    tags=("events", "funnel"),
-    doc="View->purchase funnel via conditional min timestamps.",
-)
+"""
+
+
 def events_funnel_conversion(spark, sf_dir: str) -> DataFrame:
+    """View->purchase funnel via conditional min timestamps."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts")))
@@ -375,3 +377,48 @@ def events_counts_battery(spark, sf_dir: str) -> DataFrame:
         F.lit("salted").alias("part"), "event_type", "n_events",
         null_l.alias("n_users"), "n_high_value", "first_ts", "max_ts")
     return direct.unionByName(salted)
+
+
+@register(
+    "events_profile_battery",
+    oracle=f"""
+    SELECT 'props' AS part, event_type AS k, n_events AS n1, sum_k AS n2,
+           CAST(NULL AS BIGINT) AS n3, CAST(NULL AS DOUBLE) AS v1,
+           CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+    FROM ({_SQL_EVENTS_PROPS}) props
+    UNION ALL
+    SELECT 'pct' AS part, event_type AS k, CAST(NULL AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           p50 AS v1, p90 AS v2, p99 AS v3
+    FROM ({_SQL_EVENTS_PERCENTILES}) pct
+    UNION ALL
+    SELECT 'funnel' AS part, 'all' AS k, n_users AS n1, n_viewers AS n2,
+           n_converted AS n3, CAST(NULL AS DOUBLE) AS v1,
+           CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+    FROM ({_SQL_EVENTS_FUNNEL}) funnel
+    """,
+    tags=("events", "json", "percentile", "funnel"),
+    doc="JSON-prop aggregation, exact value percentiles, and the "
+        "view->purchase funnel as one tagged union (driver 50-row-cap "
+        "consolidation, round 10 — freed two slots for the curation "
+        "operators). Each branch keeps its original full plan.",
+)
+def events_profile_battery(spark, sf_dir: str) -> DataFrame:
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    props = events_props_json(spark, sf_dir).select(
+        F.lit("props").alias("part"), F.col("event_type").alias("k"),
+        F.col("n_events").alias("n1"), F.col("sum_k").alias("n2"),
+        null_l.alias("n3"), null_d.alias("v1"), null_d.alias("v2"),
+        null_d.alias("v3"))
+    pct = events_value_percentiles(spark, sf_dir).select(
+        F.lit("pct").alias("part"), F.col("event_type").alias("k"),
+        null_l.alias("n1"), null_l.alias("n2"), null_l.alias("n3"),
+        F.col("p50").alias("v1"), F.col("p90").alias("v2"),
+        F.col("p99").alias("v3"))
+    funnel = events_funnel_conversion(spark, sf_dir).select(
+        F.lit("funnel").alias("part"), F.lit("all").alias("k"),
+        F.col("n_users").alias("n1"), F.col("n_viewers").alias("n2"),
+        F.col("n_converted").alias("n3"), null_d.alias("v1"),
+        null_d.alias("v2"), null_d.alias("v3"))
+    return props.unionByName(pct).unionByName(funnel)

@@ -19,6 +19,7 @@ EXPECTED_NAMES = {
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "corpus_decontaminate",
     "customer_set_ops",
     "dedup_clusters",
     "dedup_embedding_cosine",
@@ -34,17 +35,16 @@ EXPECTED_NAMES = {
     "dex_system_transfers",
     "dex_trade_volume_by_mint",
     "domain_mix_resample",
+    "embedding_curation",
     "events_counts_battery",
     "events_daily_active_users",
-    "events_funnel_conversion",
     "events_high_value_outliers",
     "events_hourly_stats",
-    "events_props_json",
+    "events_profile_battery",
     "events_sessionization",
     "events_tumbling_5min",
     "events_type_share_pivot",
     "events_user_running_sum",
-    "events_value_percentiles",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "multimodal_metadata_extract",

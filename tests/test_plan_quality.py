@@ -157,6 +157,51 @@ def test_dedup_blocking_keys_are_bounded(spark):
     assert "label" not in plan  # corpus-attribute block gone (and pruned)
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination's 100 TB contract: the eval-side gram/digest sets
+    broadcast (benchmarks are MBs), the corpus side never sort-merges,
+    and the wide text payload never rides an exchange — only ids, grams,
+    digests, and the tiny per-lang rollup shuffle."""
+    import re
+
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["corpus_decontaminate"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for b in re.split(r"\n\(\d+\) ", plan):
+        if b.startswith(("Exchange", "BroadcastExchange")):
+            assert "text#" not in b, b[:300]
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    # Same contract as the IVF coarse quantizer: a literal-centroid
+    # argmin is a pure projection — no exchange beyond load_spread's
+    # round-robin crutch, no window, no cross join.
+    from solana_event_stream_spark.operators.curation import KM_DIMS, _assign
+    from solana_event_stream_spark.tables import load_spread
+    emb = load_spread(spark, SF, "embeddings")
+    cents = {0: [0.0] * KM_DIMS, 1: [1.0] * KM_DIMS}
+    plan = plan_of(_assign(emb, cents))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "Cross" not in plan
+
+
+def test_semdedup_pairs_are_cluster_blocked(spark):
+    # The pairwise cosine compare must be an equi-join on cluster
+    # (SemDeDup's whole point) — never a cartesian/nested-loop product.
+    from solana_event_stream_spark.operators.curation import (
+        _assign, KM_DIMS, semdedup_flags)
+    from solana_event_stream_spark.tables import load_spread
+    emb = load_spread(spark, SF, "embeddings")
+    cents = {0: [0.0] * KM_DIMS, 1: [1.0] * KM_DIMS}
+    plan = plan_of(semdedup_flags(_assign(emb, cents)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ann_broadcasts_queries(spark):
     from solana_event_stream_spark.catalog import load_catalog
     cat = load_catalog()
