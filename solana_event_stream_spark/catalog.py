@@ -66,6 +66,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         from .operators import dedup  # noqa: F401
         from .operators import multimodal  # noqa: F401
         from .operators import similarity  # noqa: F401
+        from .operators import temporal  # noqa: F401
         from .operators import text_analysis  # noqa: F401
         from .operators import training_data  # noqa: F401
         _LOADED = True

@@ -36,15 +36,15 @@ EXPECTED_NAMES = {
     "dex_trade_volume_by_mint",
     "domain_mix_resample",
     "embedding_curation",
+    "events_asof_join",
     "events_counts_battery",
-    "events_daily_active_users",
     "events_high_value_outliers",
-    "events_hourly_stats",
     "events_profile_battery",
     "events_sessionization",
-    "events_tumbling_5min",
+    "events_time_rollup",
     "events_type_share_pivot",
     "events_user_running_sum",
+    "events_value_band_join",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "multimodal_metadata_extract",

@@ -202,6 +202,40 @@ def test_semdedup_pairs_are_cluster_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_is_joinless_single_key_shuffle(spark):
+    """The as-of join must compile to union + keyed window fill: NO join
+    operator of any kind (no range explosion, no per-row probe), and the
+    only fact-sized exchange is the single hashpartitioning on the key."""
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["events_asof_join"].spark_fn(spark, SF))
+    assert "Join" not in plan, plan[:2000]      # joinless by construction
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan   # the one keyed shuffle
+    assert "Window" in plan
+
+
+def test_range_join_is_bucketed_equi_not_nested_loop(spark):
+    # The interval join must ride the bucket-grid decomposition: a
+    # broadcast HASH equi-join on bucket, never the nested-loop probe a
+    # naive lo <= x < hi condition compiles to.
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["events_value_band_join"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_time_rollup_hourly_reads_cached_partials(spark):
+    # The hypertable cascade: the hourly branch re-aggregates the cached
+    # 5-minute partials (InMemoryTableScan), never a second base scan.
+    from solana_event_stream_spark.catalog import load_catalog
+    cat = load_catalog()
+    plan = plan_of(cat["events_time_rollup"].spark_fn(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
 def test_ann_broadcasts_queries(spark):
     from solana_event_stream_spark.catalog import load_catalog
     cat = load_catalog()
