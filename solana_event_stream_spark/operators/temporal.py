@@ -66,6 +66,20 @@ BANDS = [
 BUCKET_W = 25.0  # bucket-grid width for the equi-join decomposition
 
 
+def _dedupe_right(right: DataFrame, on: list[str], right_ts: str,
+                  rc: list[str], tiebreaker: str | None) -> DataFrame:
+    """ONE right row per (key, ts), picked deterministically (max
+    tiebreaker, payload carried row-consistently via max-of-struct);
+    renames the timestamp to ``_r_ts``."""
+    if tiebreaker is None:
+        return right.select(*on, F.col(right_ts).alias("_r_ts"), *rc)
+    packed = right.groupBy(*on, right_ts).agg(
+        F.max(F.struct(F.col(tiebreaker).alias("_tb"),
+                       *[F.col(c).alias(c) for c in rc])).alias("_r"))
+    return packed.select(*on, F.col(right_ts).alias("_r_ts"),
+                         *[F.col(f"_r.{c}").alias(c) for c in rc])
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: tuple[str, ...] = (),
@@ -89,16 +103,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     bad = set(rc) & set(left.columns)
     if bad:
         raise ValueError(f"right_cols collide with left columns: {bad}")
-
-    if tiebreaker is not None:
-        packed = right.groupBy(*on, right_ts).agg(
-            F.max(F.struct(F.col(tiebreaker).alias("_tb"),
-                           *[F.col(c).alias(c) for c in rc])).alias("_r"))
-        right_one = packed.select(
-            *on, F.col(right_ts).alias("_r_ts"),
-            *[F.col(f"_r.{c}").alias(c) for c in rc])
-    else:
-        right_one = right.select(*on, F.col(right_ts).alias("_r_ts"), *rc)
+    right_one = _dedupe_right(right, on, right_ts, rc, tiebreaker)
 
     # Sort order at equal timestamps decides the boundary semantics:
     # strict  -> left first (a left row never sees a same-ts right)
@@ -241,3 +246,93 @@ def events_value_band_join(spark, sf_dir: str) -> DataFrame:
             .groupBy("band", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum(F.col("value"), "sum_value")))
+
+
+def asof_join_skewed(left: DataFrame, right: DataFrame, on: list[str],
+                     left_ts: str = "ts", right_ts: str = "ts",
+                     right_cols: tuple[str, ...] = (),
+                     tiebreaker: str | None = None,
+                     strict: bool = True,
+                     slice_duration_us: int = 86_400_000_000) -> DataFrame:
+    """Hot-key form of :func:`asof_join` — identical semantics
+    (differential-tested), different partitioning: the window fill runs
+    per (key, time-slice) instead of per key, so one hot key splits
+    across ``corpus_span / slice_duration_us`` tasks instead of
+    serializing into one.
+
+    The trick is the boundary carry: a left row early in a slice may
+    need a right row from an arbitrarily earlier slice. Rights first
+    reduce to one row per (key, slice) — a skew-free hash aggregate —
+    and that SMALL frame (keys x active slices) goes through the plain
+    per-key :func:`asof_join` against the distinct left (key, slice)
+    starts to produce each slice's carried-in right row. The carried
+    row joins the in-slice union with its true timestamp (< slice
+    start, so it sorts first). Per-key state the plain form holds in
+    one task is therefore bounded by one slice's rows + 1.
+    """
+    on = list(on)
+    rc = list(right_cols)
+    bad = set(rc) & set(left.columns)
+    if bad:
+        raise ValueError(f"right_cols collide with left columns: {bad}")
+    right_one = _dedupe_right(right, on, right_ts, rc, tiebreaker)
+
+    def _slice(ts_col):
+        return F.floor(F.unix_micros(ts_col) / slice_duration_us)
+
+    # --- boundary carry: latest right strictly before each slice start.
+    # per-(key, slice) last right — skew-free: the groupBy key includes
+    # the slice, and hash aggregation combines map-side.
+    r_slice_last = (right_one
+                    .groupBy(*on, _slice(F.col("_r_ts")).alias("_slice"))
+                    .agg(F.max(F.struct(
+                        F.col("_r_ts").alias("_r_ts"),
+                        *[F.col(c).alias(c) for c in rc])).alias("_r"))
+                    .select(*on, F.col("_r._r_ts").alias("_r_ts"),
+                            *[F.col(f"_r.{c}").alias(c) for c in rc]))
+    l_slices = (left
+                .select(*on, _slice(F.col(left_ts)).alias("_slice"))
+                .distinct()
+                .withColumn(
+                    "_slice_start",
+                    F.timestamp_micros(
+                        (F.col("_slice") * slice_duration_us)
+                        .cast("long"))))
+    boundary = asof_join(
+        l_slices, r_slice_last, on=on,
+        left_ts="_slice_start", right_ts="_r_ts",
+        right_cols=tuple(rc), strict=True,  # at-start right is in-slice
+    ).filter(F.col("matched_ts").isNotNull())
+
+    # --- sliced union + window fill (same fill as asof_join, but the
+    # partition key is (key, slice)).
+    left_side, right_side = (0, 1) if strict else (1, 0)
+    lcols = left.columns
+    rtypes = {c: right_one.schema[c].dataType for c in rc}
+
+    def _null_lcols():
+        return [F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c not in on else F.col(c) for c in lcols]
+
+    u_l = left.select(
+        *lcols, _slice(F.col(left_ts)).alias("_slice"),
+        F.col(left_ts).alias("_ts"), F.lit(left_side).alias("_side"),
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rc])
+    u_r = right_one.select(
+        *_null_lcols(), _slice(F.col("_r_ts")).alias("_slice"),
+        F.col("_r_ts").alias("_ts"), F.lit(right_side).alias("_side"),
+        "_r_ts", *rc)
+    u_b = boundary.select(
+        *_null_lcols(), F.col("_slice"),
+        F.col("matched_ts").alias("_ts"), F.lit(right_side).alias("_side"),
+        F.col("matched_ts").alias("_r_ts"), *rc)
+
+    w = (Window.partitionBy(*on, "_slice").orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u_l.unionByName(u_r).unionByName(u_b).select(
+        *lcols, "_ts", "_side",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("matched_ts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rc])
+    return filled.filter(F.col("_side") == left_side) \
+                 .select(*lcols, "matched_ts", *rc)

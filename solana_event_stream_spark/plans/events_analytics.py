@@ -515,3 +515,30 @@ def events_time_rollup(spark, sf_dir: str) -> DataFrame:
                 "dau"))
 
     return five.unionByName(hourly).unionByName(daily)
+
+
+def events_dau_hll_cascade(spark, sf_dir: str, lg_k: int = 14) -> DataFrame:
+    """The 100 TB form of the rollup's DAU branch: HLL sketches DO
+    cascade. Hourly sketches (``hll_sketch_agg``) union up to daily
+    (``hll_union_agg``) without rescanning the base table — register-max
+    merge is associative, commutative, and order-independent, so the
+    cascaded estimate is IDENTICAL (not just close) to a direct daily
+    sketch over the raw rows; tests/test_temporal.py asserts both that
+    identity and <5% error vs exact distinct. Not a catalog entry: DuckDB
+    has no register-compatible HLL, so there is no cross-engine oracle —
+    the identity property is the correctness check instead.
+
+    Returns (bucket_ts, dau_cascaded, dau_direct) per day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")))
+    cascaded = (hourly.groupBy(F.date_trunc("day", F.col("hour"))
+                       .alias("bucket_ts"))
+                .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                     .alias("dau_cascaded")))
+    direct = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_ts"))
+              .agg(F.hll_sketch_estimate(
+                       F.hll_sketch_agg("user_id", F.lit(lg_k)))
+                   .alias("dau_direct")))
+    return cascaded.join(direct, "bucket_ts")
