@@ -255,7 +255,11 @@ def asof_join_skewed(left: DataFrame, right: DataFrame, on: list[str],
                      strict: bool = True,
                      slice_duration_us: int = 86_400_000_000) -> DataFrame:
     """Hot-key form of :func:`asof_join` — identical semantics
-    (differential-tested), different partitioning: the window fill runs
+    (differential-tested: tests/test_temporal.py
+    test_asof_skewed_differential_* run seeds x strictness x slice
+    widths plus an 80%-one-key corpus against the plain form, and a
+    plan gate proves the window fill partitions on (key, slice)),
+    different partitioning: the window fill runs
     per (key, time-slice) instead of per key, so one hot key splits
     across ``corpus_span / slice_duration_us`` tasks instead of
     serializing into one.

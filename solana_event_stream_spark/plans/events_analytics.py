@@ -523,7 +523,8 @@ def events_dau_hll_cascade(spark, sf_dir: str, lg_k: int = 14) -> DataFrame:
     (``hll_union_agg``) without rescanning the base table — register-max
     merge is associative, commutative, and order-independent, so the
     cascaded estimate is IDENTICAL (not just close) to a direct daily
-    sketch over the raw rows; tests/test_temporal.py asserts both that
+    sketch over the raw rows; tests/test_temporal.py
+    test_dau_hll_cascade_identity_and_error asserts both that
     identity and <5% error vs exact distinct. Not a catalog entry: DuckDB
     has no register-compatible HLL, so there is no cross-engine oracle —
     the identity property is the correctness check instead.

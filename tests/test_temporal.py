@@ -126,3 +126,171 @@ def test_time_rollup_hourly_equals_direct_scan(spark, sf_dir):
                r.max_value)
               for r in events_hourly_stats(spark, sf_dir).collect()}
     assert cascaded == direct
+
+
+# ---------------------------------------------------------------------------
+# asof_join_skewed differential — the hot-key form must be semantically
+# IDENTICAL to the plain per-key form on any corpus, and its window
+# fill must actually partition on (key, slice), not just key.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+def _random_asof_corpus(spark, seed, n_keys=5, n_left=120, n_right=90,
+                        hot_key=None, hot_share=0.0):
+    """Seeded corpus spanning ~4 days with microsecond timestamps.
+
+    Deliberately includes every boundary shape the slice carry has to
+    get right: rows exactly AT slice starts (ts pinned to whole hours /
+    whole days), duplicate right timestamps per key (tiebreaker path),
+    rights many empty slices before their left, and keys with rights
+    but no lefts / lefts but no rights."""
+    import random
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    span_us = 4 * _DAY_US
+
+    def _key(i):
+        if hot_key is not None and rng.random() < hot_share:
+            return hot_key
+        return rng.randrange(n_keys)
+
+    def _ts():
+        r = rng.random()
+        if r < 0.15:    # exactly at an hour boundary (slice start @1h)
+            return t0 + dt.timedelta(hours=rng.randrange(4 * 24))
+        if r < 0.25:    # exactly at a day boundary (slice start @1d)
+            return t0 + dt.timedelta(days=rng.randrange(4))
+        return t0 + dt.timedelta(microseconds=rng.randrange(span_us))
+
+    lefts = [(_key(i), _ts(), float(i)) for i in range(n_left)]
+    rights = [(_key(i), _ts(), i, rng.random() * 100) for i in range(n_right)]
+    # duplicate-right-ts twins exercising the tiebreaker
+    for j in range(8):
+        k, ts, eid, v = rights[rng.randrange(len(rights))]
+        rights.append((k, ts, n_right + j, v + 1.0))
+    # a key whose only right sits days before its lefts (multi-slice carry)
+    lefts.append((n_keys + 1, t0 + dt.timedelta(days=3, seconds=5), -1.0))
+    rights.append((n_keys + 1, t0 + dt.timedelta(seconds=1),
+                   n_right + 100, 777.0))
+    # a key with rights only (must not appear in output at all)
+    rights.append((n_keys + 2, t0 + dt.timedelta(days=1),
+                   n_right + 101, 888.0))
+    left = spark.createDataFrame(
+        lefts, "user_id long, ts timestamp, amt double")
+    right = spark.createDataFrame(
+        rights, "user_id long, ts timestamp, event_id long, val double")
+    return left, right
+
+
+def _asof_rows(df):
+    return sorted((r.user_id, r.ts, r.amt, r.matched_ts, r.val)
+                  for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("slice_us", [_HOUR_US, _DAY_US])
+def test_asof_skewed_differential_random(spark, seed, strict, slice_us):
+    """asof_join_skewed(corpus) == asof_join(corpus) row-for-row across
+    seeds x strictness x slice widths (including a slice width small
+    enough that the 4-day corpus spans ~96 slices, so the boundary
+    carry fires constantly)."""
+    from solana_event_stream_spark.operators.temporal import asof_join_skewed
+
+    left, right = _random_asof_corpus(spark, seed)
+    plain = asof_join(left, right, on=["user_id"], right_cols=("val",),
+                      tiebreaker="event_id", strict=strict)
+    skewed = asof_join_skewed(left, right, on=["user_id"],
+                              right_cols=("val",), tiebreaker="event_id",
+                              strict=strict, slice_duration_us=slice_us)
+    assert _asof_rows(skewed) == _asof_rows(plain)
+
+
+def test_asof_skewed_differential_hot_key(spark):
+    """The corpus the skewed form exists for: ~80% of both sides on one
+    key. Semantics must still match the plain form exactly."""
+    from solana_event_stream_spark.operators.temporal import asof_join_skewed
+
+    left, right = _random_asof_corpus(spark, seed=7, hot_key=0,
+                                      hot_share=0.8, n_left=300, n_right=200)
+    plain = asof_join(left, right, on=["user_id"], right_cols=("val",),
+                      tiebreaker="event_id", strict=True)
+    skewed = asof_join_skewed(left, right, on=["user_id"],
+                              right_cols=("val",), tiebreaker="event_id",
+                              strict=True, slice_duration_us=_HOUR_US)
+    assert _asof_rows(skewed) == _asof_rows(plain)
+
+
+def test_asof_skewed_window_partitions_on_slice(spark):
+    """The scale claim itself: the skewed form's window fill must
+    partition on (key, slice) — if the slice ever falls out of the
+    partition spec the operator silently degrades to the plain form's
+    one-task-per-hot-key behavior."""
+    from solana_event_stream_spark.operators.temporal import asof_join_skewed
+
+    left, right = _random_asof_corpus(spark, seed=3)
+    out = asof_join_skewed(left, right, on=["user_id"],
+                           right_cols=("val",), tiebreaker="event_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = [ln for ln in plan.splitlines()
+             if "windowspecdefinition" in ln and "user_id" in ln]
+    assert specs, "skewed as-of lost its window operator"
+    assert any("_slice" in ln for ln in specs), (
+        "window fill no longer partitions on (key, _slice):\n" + plan)
+    # and the plain form, by contrast, partitions on the key alone
+    plain = asof_join(left, right, on=["user_id"], right_cols=("val",),
+                      tiebreaker="event_id")
+    pplan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert all("_slice" not in ln for ln in pplan.splitlines()
+               if "windowspecdefinition" in ln)
+
+
+def test_asof_skewed_no_rights_and_empty_left(spark):
+    from solana_event_stream_spark.operators.temporal import asof_join_skewed
+
+    left, right = _random_asof_corpus(spark, seed=4)
+    no_rights = right.filter(F.lit(False))
+    out = asof_join_skewed(left, no_rights, on=["user_id"],
+                           right_cols=("val",), tiebreaker="event_id")
+    rows = out.collect()
+    assert len(rows) == left.count()
+    assert all(r.matched_ts is None and r.val is None for r in rows)
+    empty_left = asof_join_skewed(left.filter(F.lit(False)), right,
+                                  on=["user_id"], right_cols=("val",),
+                                  tiebreaker="event_id")
+    assert empty_left.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# events_dau_hll_cascade — the documented DAU scale form.
+# ---------------------------------------------------------------------------
+
+def test_dau_hll_cascade_identity_and_error(spark, sf_dir):
+    """Two properties: (a) the hourly->daily sketch cascade is IDENTICAL
+    (not just close) to a direct daily sketch — register-max merge is
+    associative/commutative, so unioning hourly sketches reconstructs
+    the very registers a daily scan would build; (b) both estimates sit
+    within the lg_k=14 sketch's error envelope of the exact DAU."""
+    from solana_event_stream_spark.plans.events_analytics import (
+        events_dau_hll_cascade,
+    )
+    from solana_event_stream_spark.tables import load_table
+
+    out = {r.bucket_ts: (r.dau_cascaded, r.dau_direct)
+           for r in events_dau_hll_cascade(spark, sf_dir).collect()}
+    assert out, "no days in corpus?"
+    exact = {r.bucket_ts: r.dau for r in
+             load_table(spark, sf_dir, "events")
+             .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_ts"))
+             .agg(F.countDistinct("user_id").alias("dau")).collect()}
+    assert set(out) == set(exact)
+    for day, (casc, direct) in out.items():
+        assert casc == direct, f"{day}: cascade {casc} != direct {direct}"
+        # lg_k=14 -> relative standard error ~1.04/sqrt(2^14) ~ 0.8%;
+        # 5% is > 6 sigma
+        assert abs(casc - exact[day]) <= max(0.05 * exact[day], 2.0), (
+            day, casc, exact[day])
