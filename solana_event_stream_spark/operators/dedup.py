@@ -546,11 +546,24 @@ def embedding_dim(emb: DataFrame) -> int | None:
 
 def bucket_col_for(emb: DataFrame, n_planes: int):
     """Best signature form for this corpus: literal weights when the
-    probe finds a dimension, the md5 expression otherwise."""
+    probe finds a dimension, the md5 expression otherwise.
+
+    The probe reads ONE row, so a corpus with ragged embedding widths
+    would — with an unconditional literal form — zip_with-pad NULLs on
+    every other-width row, fold the dot to NULL, and silently emit an
+    all-zero signature (diverging from the expression form and the
+    DuckDB oracle). Guard per row instead: rows matching the probed
+    width take the literal fast path, any other width falls back to the
+    width-independent md5 expression — bit-identical to the pure
+    expression form for EVERY row, uniform corpora pay nothing beyond
+    a size() compare (tests/test_similarity_topk.py
+    test_ragged_embedding_bucket_parity)."""
     dim = embedding_dim(emb)
+    expr_form = F.expr(spark_sign_expr(n_planes))
     if dim is None:
-        return F.expr(spark_sign_expr(n_planes))
-    return sign_bucket_col(n_planes, dim)
+        return expr_form
+    return F.when(F.size("embedding") == dim,
+                  sign_bucket_col(n_planes, dim)).otherwise(expr_form)
 
 
 @register(

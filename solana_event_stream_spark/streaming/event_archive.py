@@ -227,18 +227,39 @@ def _hadoop_fs(path: str):
         spark.sparkContext._gateway
 
 
+class _java_io_as_oserror:
+    """Translate Py4J-surfaced Hadoop IOExceptions into OSError so the
+    error-handling semantics of every ``_fs_*`` helper match the local
+    branch (callers guard with ``except OSError``; without this, a
+    missing-path race on s3a/hdfs crashes code that tolerates the same
+    race on local disk). RuntimeError (no active session) passes
+    through untranslated."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc is not None and not isinstance(
+                exc, (OSError, RuntimeError, KeyboardInterrupt)):
+            raise OSError(str(exc)) from None
+        return False
+
+
 def _fs_listdir(path: str) -> list[str]:
     if not _is_uri(path):
         return os.listdir(path)
-    _, jpath, fs, _, _ = _hadoop_fs(path)
-    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    with _java_io_as_oserror():
+        _, jpath, fs, _, _ = _hadoop_fs(path)
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
 
 
 def _fs_isdir(path: str) -> bool:
     if not _is_uri(path):
         return os.path.isdir(path)
-    _, jpath, fs, _, _ = _hadoop_fs(path)
-    return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
+    with _java_io_as_oserror():
+        _, jpath, fs, _, _ = _hadoop_fs(path)
+        return bool(fs.exists(jpath)
+                    and fs.getFileStatus(jpath).isDirectory())
 
 
 def _fs_read_text(path: str) -> str:
@@ -268,20 +289,21 @@ def _fs_write_atomic(path: str, text: str) -> None:
             fh.write(text)
         os.replace(tmp, path)
         return
-    jvm, jpath, fs, conf, gateway = _hadoop_fs(path)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        jpath.getParent(), f".manifest_tmp_{os.getpid()}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        jpath.toUri(), conf)
-    # rename(Path, Path, Options.Rename...) is varargs -> Java array
-    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fc.rename(tmp, jpath, opts)
+    with _java_io_as_oserror():
+        jvm, jpath, fs, conf, gateway = _hadoop_fs(path)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            jpath.getParent(), f".manifest_tmp_{os.getpid()}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), conf)
+        # rename(Path, Path, Options.Rename...) is varargs -> Java array
+        opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, jpath, opts)
 
 
 def _fs_rmtree(path: str) -> None:
@@ -289,8 +311,9 @@ def _fs_rmtree(path: str) -> None:
         import shutil as _shutil
         _shutil.rmtree(path)
         return
-    _, jpath, fs, _, _ = _hadoop_fs(path)
-    fs.delete(jpath, True)
+    with _java_io_as_oserror():
+        _, jpath, fs, _, _ = _hadoop_fs(path)
+        fs.delete(jpath, True)
 
 
 def _join(base: str, *parts: str) -> str:
@@ -309,9 +332,21 @@ class LakeLogIntegrityError(RuntimeError):
     cadences can never hit this."""
 
 
-def _sink_log_entries(archive_dir: str) -> tuple[list[str], int]:
+def _sink_log_entries(archive_dir: str,
+                      strict: bool = True) -> tuple[list[str], int]:
     """The sink commit log as an ORDERED list of sink-relative data-file
     paths, plus the max log id seen.
+
+    ``strict`` governs a transiently unreadable log file: the ordered
+    form (v2 manifests, and the FIRST snapshot, which records
+    ``absorbed_count`` over this very sequence) must NOT skip one —
+    later batches would silently shift into the absorbed prefix and
+    every subsequent ``_lake_tail`` would raise
+    :class:`LakeLogIntegrityError` over the shifted order. A read
+    failure is retried briefly (rename races on object stores are
+    sub-second) and then raised. Only the legacy v1 set-based manifest
+    path passes ``strict=False``, where a skipped batch merely stays
+    un-absorbed until the next cycle.
 
     Order is the absorption contract the v2 manifest relies on: Spark's
     CompactibleFileStreamLog concatenates old entries before new ones on
@@ -363,8 +398,13 @@ def _sink_log_entries(archive_dir: str) -> tuple[list[str], int]:
     seen: set[str] = set()
     for path in ordered:
         try:
-            lines = _fs_read_text(path).splitlines()
-        except OSError:
+            lines = _read_text_retry(path).splitlines()
+        except OSError as exc:
+            if strict:
+                raise LakeLogIntegrityError(
+                    f"sink log file {path!r} unreadable after retries "
+                    f"({exc}); refusing to skip it — a skip would shift "
+                    "later batches into the absorbed prefix") from exc
             continue
         for line in lines:
             if not line.startswith("{"):
@@ -389,9 +429,27 @@ def _sink_log_entries(archive_dir: str) -> tuple[list[str], int]:
     return out, max_id
 
 
+def _read_text_retry(path: str, attempts: int = 3,
+                     delay: float = 0.2) -> str:
+    """:func:`_fs_read_text` with a short retry for transient read
+    failures (an object-store rename race, an NFS hiccup)."""
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return _fs_read_text(path)
+        except OSError:
+            if i == attempts - 1:
+                raise
+            _time.sleep(delay)
+    raise AssertionError("unreachable")
+
+
 def _sink_committed_files(archive_dir: str) -> set[str]:
-    """Set form of :func:`_sink_log_entries` (legacy v1 manifests)."""
-    entries, _ = _sink_log_entries(archive_dir)
+    """Set form of :func:`_sink_log_entries` (legacy v1 manifests) —
+    the one consumer for which skipping an unreadable batch is safe
+    (its files just stay un-absorbed until the next cycle)."""
+    entries, _ = _sink_log_entries(archive_dir, strict=False)
     return set(entries)
 
 
@@ -438,7 +496,11 @@ def _lake_tail(archive_dir: str, manifest: dict | None
     form grew by every path ever committed and was rescanned in full
     each cycle). The recorded last path is re-verified against the
     current scan, so the ordered-prefix assumption is self-checking."""
-    entries, max_id = _sink_log_entries(archive_dir)
+    # strict unless the manifest is legacy v1 set-based: the ordered
+    # prefix only matters where absorbed_count is (or is about to be)
+    # recorded over it
+    legacy_v1 = manifest is not None and "absorbed_count" not in manifest
+    entries, max_id = _sink_log_entries(archive_dir, strict=not legacy_v1)
     if manifest is None:
         return entries, max_id, entries
     if "absorbed_count" in manifest:                      # v2

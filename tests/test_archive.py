@@ -971,3 +971,95 @@ def test_lake_slot_window_prunes_through_manifest(spark):
             spark, archive, compacted, min_slot=10**12, slots_per_dir=10)
         assert empty.count() == 0
         assert set(empty.columns) == set(full.columns)
+
+
+# ---------------------------------------------------------------------------
+# r11 (ADVICE medium): an unreadable sink-log file must never be
+# silently skipped where the ordered absorption prefix matters.
+# ---------------------------------------------------------------------------
+
+def _fake_sink_log(tmp, n_batches=3, files_per_batch=2):
+    """Fabricate a minimal file-sink commit log + matching layout."""
+    import json as _json
+
+    log_dir = os.path.join(tmp, "_spark_metadata")
+    os.makedirs(log_dir)
+    rel_paths = []
+    for b in range(n_batches):
+        lines = ["v1"]
+        for f in range(files_per_batch):
+            rel = f"slot_range=0/b{b}_f{f}.parquet"
+            rel_paths.append(rel)
+            lines.append(_json.dumps(
+                {"path": os.path.join(tmp, rel), "action": "add"}))
+        with open(os.path.join(log_dir, str(b)), "w") as fh:
+            fh.write("\n".join(lines))
+    return rel_paths
+
+
+def test_sink_log_strict_raises_on_unreadable_batch(monkeypatch):
+    """A permanently unreadable log file in the ordered range raises
+    LakeLogIntegrityError instead of shifting later batches into the
+    absorbed prefix (the pre-r11 'except OSError: continue' bug)."""
+    import pytest as _pytest
+
+    from solana_event_stream_spark.streaming import event_archive as ea
+
+    with tempfile.TemporaryDirectory() as tmp:
+        expect = _fake_sink_log(tmp)
+        real = ea._fs_read_text
+
+        def flaky(path):
+            if path.endswith(os.path.join("_spark_metadata", "1")):
+                raise OSError("transient unreadable")
+            return real(path)
+
+        monkeypatch.setattr(ea, "_fs_read_text", flaky)
+        with _pytest.raises(ea.LakeLogIntegrityError, match="refusing"):
+            ea._sink_log_entries(tmp)
+        # legacy v1 set form tolerates the skip: other batches only
+        got = ea._sink_committed_files(tmp)
+        assert got == {p for p in expect if "/b1_" not in p.replace(
+            os.sep, "/")}
+
+
+def test_sink_log_retries_transient_read_failure(monkeypatch):
+    from solana_event_stream_spark.streaming import event_archive as ea
+
+    with tempfile.TemporaryDirectory() as tmp:
+        expect = _fake_sink_log(tmp)
+        real = ea._fs_read_text
+        fails = {"n": 0}
+
+        def once_flaky(path):
+            if path.endswith(os.path.join("_spark_metadata", "1")) \
+                    and fails["n"] == 0:
+                fails["n"] += 1
+                raise OSError("one-shot hiccup")
+            return real(path)
+
+        monkeypatch.setattr(ea, "_fs_read_text", once_flaky)
+        entries, max_id = ea._sink_log_entries(tmp)
+        assert entries == expect and max_id == 2 and fails["n"] == 1
+
+
+def test_java_io_context_translates_to_oserror():
+    import pytest as _pytest
+
+    from solana_event_stream_spark.streaming.event_archive import (
+        _java_io_as_oserror)
+
+    class FakePy4JError(Exception):
+        pass
+
+    with _pytest.raises(OSError):
+        with _java_io_as_oserror():
+            raise FakePy4JError("java.io.FileNotFoundException: gone")
+    # RuntimeError (no active session) passes through untranslated
+    with _pytest.raises(RuntimeError):
+        with _java_io_as_oserror():
+            raise RuntimeError("no active SparkSession")
+    # OSError stays OSError
+    with _pytest.raises(OSError, match="keep"):
+        with _java_io_as_oserror():
+            raise OSError("keep me")

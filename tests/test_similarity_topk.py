@@ -139,3 +139,33 @@ def test_scaled_lsh_entry_points(spark):
     auto = dedup_embedding_cosine_scaled(spark, sf,
                                          target_bucket_size=16).collect()
     assert len(auto) <= 20
+
+
+def test_ragged_embedding_bucket_parity(spark):
+    """ADVICE r10: a corpus with ragged embedding widths must produce
+    the same hyperplane signature from bucket_col_for (single-row width
+    probe + literal weights) as from the width-independent md5
+    expression form — pre-r11 the off-width rows zip_with-padded NULLs
+    and silently folded to an all-zero bucket."""
+    from solana_event_stream_spark.operators.dedup import (
+        _N_PLANES, bucket_col_for, spark_sign_expr)
+
+    rows = []
+    vid = 0
+    for width in (64, 32, 64, 7, 64, 1):   # probe row is width 64
+        for _ in range(3):
+            rows.append((vid, [((vid * 31 + d * 17) % 19 - 9) / 3.0
+                               for d in range(width)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id: r.b for r in emb.select(
+        "vec_id", bucket_col_for(emb, _N_PLANES).alias("b")).collect()}
+    want = {r.vec_id: r.b for r in emb.select(
+        "vec_id",
+        F.expr(spark_sign_expr(_N_PLANES)).alias("b")).collect()}
+    assert got == want
+    # sanity: the ragged rows produce non-degenerate (not all-equal)
+    # buckets, i.e. the fallback really computed signatures
+    ragged = [got[v] for v, (_, e) in enumerate(rows) if len(e) != 64]
+    assert len(set(ragged)) > 1
