@@ -40,12 +40,63 @@ class QuerySpec:
 
 CATALOG: dict[str, QuerySpec] = {}
 
+# --- tracked persists (ADVICE r10) -----------------------------------------
+# Operators that persist() an intermediate (embedding_curation's
+# assignment frame, events_time_rollup's 5-min partials) register it
+# here; the NEXT top-level catalog invocation releases the previous
+# query's caches, so repeated catalog/bench runs in one session no
+# longer accumulate partitions in executor storage memory. Release is
+# deferred to the next query (not this one's return) because the cache
+# must outlive the caller's collect(); unpersisting a frame is always
+# correctness-safe — a still-referenced plan just recomputes.
+
+_TRACKED_PERSISTS: list[DataFrame] = []
+_INVOKE_DEPTH = 0
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + enrollment for :func:`release_persisted`."""
+    df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+        n += 1
+    return n
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
              doc: str = "", bench: bool = True):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` in the catalog."""
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` in the catalog.
+
+    The registered callable releases the PREVIOUS query's tracked
+    persists on entry (top-level invocations only — a battery that
+    composes other registered queries must not drop its own caches
+    mid-build)."""
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        CATALOG[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle,
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _INVOKE_DEPTH
+            if _INVOKE_DEPTH == 0:
+                release_persisted()
+            _INVOKE_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _INVOKE_DEPTH -= 1
+
+        CATALOG[name] = QuerySpec(name=name, spark_fn=wrapped, oracle=oracle,
                                   tags=tags, doc=doc or (fn.__doc__ or ""),
                                   bench=bench)
         return fn

@@ -23,14 +23,21 @@ Scale design (100 TB):
   grams inside one document never reach the join.
 - k-means centroids live on the driver (k x dims doubles — the same
   pattern as Spark MLlib and this repo's IVF coarse quantizer,
-  operators/similarity.py:174): every assignment pass is a NARROW
-  literal-centroid argmin fold, zero exchanges; each update collects
-  exactly k aggregate rows. Iterations scan the corpus, never hold it.
+  operators/similarity.py:174): every assignment pass is a narrow
+  zero-exchange projection; each update collects exactly k aggregate
+  rows. Iterations scan the corpus, never hold it.
+- TWO assignment backends: the literal-centroid Catalyst fold
+  (:func:`_assign` — bitwise oracle-deterministic, but the plan grows
+  as k x dims, capping k around the hundreds) and the broadcast-ndarray
+  ``mapInArrow`` matmul (:func:`assign_arrow` — one (batch x k) matmul
+  per Arrow batch, plan size CONSTANT in k; the decode_vec pattern).
 - SemDeDup's pairwise compare is confined within clusters (the whole
   point of the algorithm): cost is sum(cluster_size^2), bounded by
-  scaling k with the corpus so cluster_size stays ~constant — the
-  catalog entry pins k=8 for the oracle; ``kmeans_assign`` takes k as
-  a parameter for the scaled deployment.
+  scaling k with the corpus so cluster_size stays ~constant. The
+  catalog entry pins k=8 on the literal backend for the oracle;
+  :func:`kmeans_assign_scaled` / :func:`embedding_curation_scaled` are
+  the corpus-tracking-k deployment forms on the Arrow backend — that
+  is the knob that actually turns at 100 TB.
 
 Determinism (hash-match with the DuckDB oracle): distances/cosines are
 ordered 64-dim folds (bitwise identical across engines — see
@@ -106,8 +113,11 @@ def decontaminate(docs: DataFrame, ngram: int = NGRAM,
 
     rate = (F.count(F.col("_hit")).cast("double")
             / F.count(F.lit(1))).alias("rate")
+    # ngram_hit is CORPUS-derived (scales with contaminated-doc count,
+    # not the eval set) — unlike eval_grams/eval_hashes above, do not
+    # force it through a broadcast; AQE picks (ADVICE r10)
     ngram_part = (train
-                  .join(F.broadcast(ngram_hit.withColumn("_hit", F.lit(1))),
+                  .join(ngram_hit.withColumn("_hit", F.lit(1)),
                         "doc_id", "left")
                   .groupBy("lang")
                   .agg(F.count(F.lit(1)).alias("n_train"),
@@ -202,6 +212,96 @@ def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
                       best["dist"].alias("dist"))
 
 
+def _centroid_matrix(centroids: dict[int, list[float]]):
+    """(cid vector, k x dims float64 matrix) ordered by cid ascending —
+    np.argmin/argmax's first-occurrence rule then matches the fold
+    forms' ties-to-smallest-cid convention."""
+    import numpy as np
+
+    cids = sorted(centroids)
+    return (np.asarray(cids, dtype=np.int32),
+            np.asarray([centroids[c] for c in cids], dtype=np.float64))
+
+
+def assign_arrow(emb: DataFrame,
+                 centroids: dict[int, list[float]]) -> DataFrame:
+    """The 100 TB form of :func:`_assign` — same (vec_id, embedding,
+    cluster, dist) output, executor-side NumPy instead of a compiled
+    Catalyst expression.
+
+    :func:`_assign` folds k literal centroids x dims into ONE expression
+    (an array of k structs each wrapping a 64-element zip_with fold);
+    at corpus-tracking k (tens of thousands+) plan construction and
+    codegen explode long before the data does. Here the centroid matrix
+    ships ONCE per executor as a broadcast ndarray and each Arrow batch
+    takes a single (batch x k) matmul — the decode_vec pattern. Still
+    zero exchanges: mapInArrow is a narrow projection.
+
+    Numerics: squared distance via the expanded form ||x||^2 - 2x.c +
+    ||c||^2 in float64 (clamped at 0), so dist can differ from the
+    literal fold in low-order bits and exact argmin TIES may resolve
+    differently — measure-zero on real embeddings; the oracle-pinned
+    catalog entries keep the literal form
+    (tests/test_curation.py test_assign_arrow_matches_literal).
+    Raises on embeddings whose width differs from the centroids'.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cids, cmat = _centroid_matrix(centroids)
+    dims = cmat.shape[1]
+    bc = emb.sparkSession.sparkContext.broadcast((cids, cmat))
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("cluster", pa.int32()),
+        ("dist", pa.float64()),
+    ])
+
+    def _batches(it):
+        cids_, cmat_ = bc.value
+        c_sq = (cmat_ * cmat_).sum(axis=1)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_id = batch.column(batch.schema.get_field_index("vec_id"))
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            if col.null_count:
+                raise ValueError("NULL embedding in assign_arrow batch")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dims:
+                widths = {len(col[i]) for i in range(n)}
+                raise ValueError(
+                    f"assign_arrow needs uniform {dims}-wide embeddings; "
+                    f"batch has widths {sorted(widths)}")
+            x = flat.astype(np.float64, copy=False).reshape(n, dims)
+            d2 = ((x * x).sum(axis=1)[:, None]
+                  - 2.0 * (x @ cmat_.T) + c_sq[None, :])
+            np.maximum(d2, 0.0, out=d2)
+            idx = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id,
+                 col.cast(pa.list_(pa.float32())),
+                 pa.array(cids_[idx], pa.int32()),
+                 pa.array(d2[np.arange(n), idx], pa.float64())],
+                schema=out_schema)
+
+    return (emb.select("vec_id", "embedding")
+            .mapInArrow(_batches,
+                        "vec_id long, embedding array<float>, "
+                        "cluster int, dist double"))
+
+
+def _mean_aggs(dims: int) -> list[F.Column]:
+    """Per-dimension DECIMAL(24,6)-exact centroid means (partitioning-
+    order-independent, engine-identical — the oracle recipe)."""
+    return [
+        (F.sum(F.col("embedding")[d].cast("double").cast("decimal(24,6)"))
+         .cast("double") / F.count(F.lit(1))).alias(f"c{d}")
+        for d in range(dims)]
+
+
 def kmeans_assign(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
                   dims: int = KM_DIMS) -> DataFrame:
     """Lloyd's k-means with deterministic init (the embeddings of the k
@@ -223,18 +323,51 @@ def kmeans_assign(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     if any(len(r.embedding) != dims for r in init):
         raise ValueError(f"embedding width != {dims}")
     cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(init)}
-    mean_aggs = [
-        (F.sum(F.col("embedding")[d].cast("double").cast("decimal(24,6)"))
-         .cast("double") / F.count(F.lit(1))).alias(f"c{d}")
-        for d in range(dims)]
     for _ in range(iters):
         sums = (_assign(emb, cents).groupBy("cluster")
-                .agg(*mean_aggs).collect())
+                .agg(*_mean_aggs(dims)).collect())
         new = dict(cents)  # empty cluster -> keep previous centroid
         for r in sums:
             new[int(r.cluster)] = [float(r[f"c{d}"]) for d in range(dims)]
         cents = new
     return _assign(emb, cents)
+
+
+def kmeans_assign_scaled(emb: DataFrame, k: int = KM_K,
+                         iters: int = KM_ITERS,
+                         dims: int = KM_DIMS) -> DataFrame:
+    """Corpus-tracking-k form of :func:`kmeans_assign`: same Lloyd loop,
+    same deterministic init (the k smallest vec_ids), same DECIMAL-exact
+    centroid update (so centroids are bitwise identical to the literal
+    form's when assignments agree) — but every assignment pass is
+    :func:`assign_arrow`, whose cost is a broadcast ndarray + one matmul
+    per Arrow batch instead of a k x dims Catalyst literal expression.
+    This is the knob the 100 TB SemDeDup story turns: k scales with the
+    corpus so cluster_size stays ~constant, and the plan no longer grows
+    with k (tests/test_curation.py proves k=8 parity with kmeans_assign
+    and exercises k=256, where the literal form's plan would carry
+    256 x 64 literals x 3 recomputations).
+
+    Update-step scale: the groupBy ships dims aggregate columns over k
+    groups — k x dims doubles to the driver per iteration (an 80 MB
+    collect at k=100k, dims=128; beyond that, keep centroids in a frame
+    and broadcast-join instead of collecting)."""
+    init = (emb.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(k).collect())
+    if len(init) != k:
+        raise ValueError(f"k-means init needs {k} vectors; corpus has "
+                         f"{len(init)}")
+    if any(len(r.embedding) != dims for r in init):
+        raise ValueError(f"embedding width != {dims}")
+    cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(init)}
+    for _ in range(iters):
+        sums = (assign_arrow(emb, cents).groupBy("cluster")
+                .agg(*_mean_aggs(dims)).collect())
+        new = dict(cents)  # empty cluster -> keep previous centroid
+        for r in sums:
+            new[int(r.cluster)] = [float(r[f"c{d}"]) for d in range(dims)]
+        cents = new
+    return assign_arrow(emb, cents)
 
 
 def semdedup_flags(assigned: DataFrame, tau: float = SEM_TAU) -> DataFrame:
@@ -257,7 +390,11 @@ def semdedup_flags(assigned: DataFrame, tau: float = SEM_TAU) -> DataFrame:
                       & (F.col("a_id") < F.col("vec_id")))
                .filter(dot / (F.col("a_nrm") * F.col("nrm")) > tau)
                .select("vec_id").distinct())
-    return (norms.join(F.broadcast(dropped.withColumn("_d", F.lit(1))),
+    # no forced broadcast: the dropped set scales with the FLAGGED-row
+    # count (corpus-derived, unbounded on a heavily duplicated corpus),
+    # unlike decontamination's eval-side sets — let AQE pick the
+    # strategy (ADVICE r10)
+    return (norms.join(dropped.withColumn("_d", F.lit(1)),
                        "vec_id", "left")
             .select("vec_id", "cluster",
                     F.col("_d").isNotNull().alias("dropped")))
@@ -335,7 +472,9 @@ def _km_sql() -> str:
         "a zero-exchange literal-centroid argmin fold, every update a "
         "k-row collect of DECIMAL-exact means) reporting per-cluster "
         "size + inertia, then SemDeDup-style within-cluster cosine "
-        "pruning reporting per-cluster kept/dropped.",
+        "pruning reporting per-cluster kept/dropped. Corpus-tracking k "
+        "runs through embedding_curation_scaled (broadcast-ndarray "
+        "mapInArrow assignment — plan size constant in k).",
 )
 def embedding_curation(spark, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings")
@@ -344,8 +483,10 @@ def embedding_curation(spark, sf_dir: str) -> DataFrame:
     # side of the SemDeDup self-join. Persist it (MLlib's iterative
     # pattern; MEMORY_AND_DISK default spills rather than OOMs at scale
     # — the frame is corpus-sized, so a 100 TB deployment would
-    # checkpoint it to the lake instead).
-    assigned = kmeans_assign(emb).persist()
+    # checkpoint it to the lake instead). track_persist enrolls the
+    # cache for release when the next catalog query starts.
+    from ..catalog import track_persist
+    assigned = track_persist(kmeans_assign(emb))
     km = (assigned.groupBy("cluster")
           .agg(F.count(F.lit(1)).alias("n1"),
                F.sum(F.col("dist").cast("decimal(24,6)")).cast("double")
@@ -353,6 +494,36 @@ def embedding_curation(spark, sf_dir: str) -> DataFrame:
           .select(F.lit("kmeans").alias("part"), "cluster", "n1",
                   F.lit(None).cast("long").alias("n2"), "v"))
     sem = (semdedup_flags(assigned).groupBy("cluster")
+           .agg(F.count(F.when(~F.col("dropped"), 1)).alias("n1"),
+                F.count(F.when(F.col("dropped"), 1)).alias("n2"))
+           .select(F.lit("semdedup").alias("part"), "cluster", "n1",
+                   F.col("n2").cast("long").alias("n2"),
+                   F.lit(None).cast("double").alias("v")))
+    return km.unionByName(sem)
+
+
+def embedding_curation_scaled(spark, sf_dir: str, k: int,
+                              iters: int = KM_ITERS, dims: int = KM_DIMS,
+                              tau: float = SEM_TAU) -> DataFrame:
+    """The corpus-tracking-k deployment form of ``embedding_curation``:
+    identical battery shape (kmeans part + semdedup part), but the
+    clustering runs through :func:`kmeans_assign_scaled` /
+    :func:`assign_arrow`, so k can track the corpus (the SemDeDup
+    sum(cluster_size^2) bound) without the literal-centroid plan
+    ceiling. Not a catalog entry — the oracle-pinned k=8 entry keeps
+    the bitwise-deterministic literal form."""
+    from ..catalog import track_persist
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    assigned = track_persist(kmeans_assign_scaled(emb, k=k, iters=iters,
+                                                  dims=dims))
+    km = (assigned.groupBy("cluster")
+          .agg(F.count(F.lit(1)).alias("n1"),
+               F.sum(F.col("dist").cast("decimal(24,6)")).cast("double")
+               .alias("v"))
+          .select(F.lit("kmeans").alias("part"), "cluster", "n1",
+                  F.lit(None).cast("long").alias("n2"), "v"))
+    sem = (semdedup_flags(assigned, tau=tau).groupBy("cluster")
            .agg(F.count(F.when(~F.col("dropped"), 1)).alias("n1"),
                 F.count(F.when(F.col("dropped"), 1)).alias("n2"))
            .select(F.lit("semdedup").alias("part"), "cluster", "n1",

@@ -228,6 +228,101 @@ def _norms_and_centroid_choices(spark, sf_dir: str):
     return norms, choices
 
 
+def ivf_cells_arrow(emb: DataFrame,
+                    centroids: dict[int, list[float]]) -> DataFrame:
+    """The corpus-tracking-cells form of :func:`_ivf_cells`: same
+    (vec_id, embedding, nrm, cell) output and the same
+    max-cosine/ties-to-smallest-cid rule, but the centroids ship as ONE
+    broadcast ndarray and each Arrow batch takes a single matmul —
+    plan size constant in the cell count, so the coarse quantizer can
+    grow past the literal form's k x dims expression ceiling (same
+    backend as curation.assign_arrow; differential-tested against the
+    literal form in tests/test_curation.py). Norms are float64 NumPy
+    sums — they can differ from the Spark fold in low-order bits, so
+    the oracle-pinned catalog entry keeps the literal form."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .curation import _centroid_matrix
+
+    cids, cmat = _centroid_matrix(centroids)
+    dims = cmat.shape[1]
+    bc = emb.sparkSession.sparkContext.broadcast((cids, cmat))
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("nrm", pa.float64()),
+        ("cell", pa.int32()),
+    ])
+
+    def _batches(it):
+        cids_, cmat_ = bc.value
+        c_nrm = np.sqrt((cmat_ * cmat_).sum(axis=1))
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_id = batch.column(batch.schema.get_field_index("vec_id"))
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            if col.null_count:
+                raise ValueError("NULL embedding in ivf_cells_arrow batch")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dims:
+                widths = {len(col[i]) for i in range(n)}
+                raise ValueError(
+                    f"ivf_cells_arrow needs uniform {dims}-wide "
+                    f"embeddings; batch has widths {sorted(widths)}")
+            x = flat.astype(np.float64, copy=False).reshape(n, dims)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ cmat_.T) / (nrm[:, None] * c_nrm[None, :])
+            idx = cos.argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, col.cast(pa.list_(pa.float32())),
+                 pa.array(nrm, pa.float64()),
+                 pa.array(cids_[idx], pa.int32())],
+                schema=out_schema)
+
+    return (emb.select("vec_id", "embedding")
+            .mapInArrow(_batches,
+                        "vec_id long, embedding array<float>, "
+                        "nrm double, cell int"))
+
+
+def _ivf_corpus_centroids(spark, sf_dir: str) -> dict[int, list[float]]:
+    """The deterministic corpus centroids (vec_id IVF_CENTROID_BASE..
+    +IVF_K) as a plain dict for the Arrow backend."""
+    emb = load_spread(spark, sf_dir, "embeddings")
+    rows = sorted(emb.filter(
+        (F.col("vec_id") >= IVF_CENTROID_BASE)
+        & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_K)).collect(),
+        key=lambda r: r.vec_id)
+    if len(rows) != IVF_K:
+        raise ValueError(f"expected {IVF_K} centroid vectors, "
+                         f"found {len(rows)}")
+    return {int(r.vec_id) - IVF_CENTROID_BASE:
+            [float(x) for x in r.embedding] for r in rows}
+
+
+def ann_ivf_topk_scaled(spark, sf_dir: str) -> DataFrame:
+    """``ann_ivf_topk`` on the Arrow coarse quantizer — the entry point
+    a deployment scales the cell count through (pair with centroids
+    from curation.kmeans_assign_scaled for data-fitted cells)."""
+    cells = ivf_cells_arrow(load_spread(spark, sf_dir, "embeddings"),
+                            _ivf_corpus_centroids(spark, sf_dir))
+    queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(cells, (F.col("q_cell") == F.col("cell"))
+                    & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    return _topk_per_query(scored)
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""

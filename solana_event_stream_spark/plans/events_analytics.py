@@ -479,8 +479,10 @@ def events_time_rollup(spark, sf_dir: str) -> DataFrame:
              F.min("value").alias("min_value"),
              F.max("value").alias("max_value"))
         .select(F.col("w.start").alias("bucket_ts"), "event_type",
-                "n_events", "sum_dec", "min_value", "max_value")
-        .persist())
+                "n_events", "sum_dec", "min_value", "max_value"))
+    # enrolled for release when the next catalog query starts
+    from ..catalog import track_persist
+    fine = track_persist(fine)
 
     null_d = F.lit(None).cast("double")
     null_l = F.lit(None).cast("long")

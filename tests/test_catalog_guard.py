@@ -91,3 +91,22 @@ def test_every_entry_has_oracle_or_explicit_rows_only_tag():
                if s.oracle is None and n not in ROWS_ONLY_OK}
     assert not missing, (
         f"{sorted(missing)} have no oracle and no rows-only exemption")
+
+
+def test_tracked_persist_released_on_next_query(spark, sf_dir):
+    """ADVICE r10: caches persisted inside a catalog query (the rollup's
+    5-min partials, curation's assignment frame) must not accumulate
+    across invocations — the next top-level catalog call releases them."""
+    from solana_event_stream_spark import catalog as cat_mod
+
+    cat = cat_mod.load_catalog()
+    cat_mod.release_persisted()
+    df = cat["events_time_rollup"].spark_fn(spark, sf_dir)
+    df.collect()
+    assert len(cat_mod._TRACKED_PERSISTS) == 1
+    cached = cat_mod._TRACKED_PERSISTS[0]
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    cat["events_counts_battery"].spark_fn(spark, sf_dir)  # build only
+    assert cat_mod._TRACKED_PERSISTS == []
+    assert not (cached.storageLevel.useMemory
+                or cached.storageLevel.useDisk)

@@ -114,3 +114,136 @@ def test_shard_assignment_balanced_and_deterministic(spark, sf_dir):
     # pathologically empty or dominant
     assert len(shares) == 16
     assert max(shares.values()) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# r11: the Arrow assignment backend (the knob that actually turns at
+# corpus-tracking k) vs the literal-centroid Catalyst fold.
+# ---------------------------------------------------------------------------
+
+def _init_centroids(spark, sf_dir, k):
+    from solana_event_stream_spark.operators.curation import KM_DIMS
+    emb = load_spread(spark, sf_dir, "embeddings")
+    rows = (emb.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(k).collect())
+    assert len(rows) == k and all(len(r.embedding) == KM_DIMS for r in rows)
+    return emb, {i: [float(x) for x in r.embedding]
+                 for i, r in enumerate(rows)}
+
+
+def test_assign_arrow_matches_literal(spark, sf_dir):
+    """assign_arrow (broadcast ndarray + matmul) == _assign (literal
+    fold) on the full corpus: identical cluster ids, distances equal to
+    float64 round-off (the matmul expansion vs the sequential fold)."""
+    from solana_event_stream_spark.operators.curation import assign_arrow
+
+    emb, cents = _init_centroids(spark, sf_dir, 8)
+    lit = {r.vec_id: (r.cluster, r.dist)
+           for r in _assign(emb, cents).collect()}
+    arw = {r.vec_id: (r.cluster, r.dist)
+           for r in assign_arrow(emb, cents).collect()}
+    assert set(lit) == set(arw)
+    mismatch = {v for v in lit if lit[v][0] != arw[v][0]}
+    assert not mismatch, f"cluster mismatch on {sorted(mismatch)[:5]}"
+    for v in lit:
+        assert arw[v][1] == pytest.approx(lit[v][1], rel=1e-9, abs=1e-9)
+
+
+def test_kmeans_scaled_matches_literal_at_k8(spark, sf_dir):
+    """Full-loop differential: kmeans_assign_scaled (Arrow assignments,
+    same DECIMAL-exact centroid updates) lands on the same final
+    clustering as the literal-backend kmeans_assign."""
+    from solana_event_stream_spark.operators.curation import (
+        kmeans_assign_scaled)
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    lit = {r.vec_id: r.cluster for r in kmeans_assign(emb).collect()}
+    arw = {r.vec_id: r.cluster
+           for r in kmeans_assign_scaled(emb).collect()}
+    assert lit == arw
+
+
+def test_assign_arrow_plan_constant_in_k(spark, sf_dir):
+    """The r10 weakness this backend removes: the literal form compiles
+    k x dims into the plan; the Arrow form's plan must not grow with k
+    (k=256 here — already far past where the literal fold gets painful
+    to build) and it must stay a zero-shuffle narrow projection."""
+    import random
+
+    from solana_event_stream_spark.operators.curation import (
+        KM_DIMS, assign_arrow)
+
+    emb, cents8 = _init_centroids(spark, sf_dir, 8)
+    rng = random.Random(11)
+    cents256 = {c: [rng.uniform(-1, 1) for _ in range(KM_DIMS)]
+                for c in range(256)}
+
+    plan8 = assign_arrow(emb, cents8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    df256 = assign_arrow(emb, cents256)
+    plan256 = df256._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" not in plan256 and "hashpartitioning" not in plan256
+    assert abs(len(plan256) - len(plan8)) < 200, (len(plan8), len(plan256))
+    # and it actually executes: full coverage, sane cluster range
+    rows = df256.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r.cluster < 256 for r in rows)
+    assert len({r.cluster for r in rows}) > 8   # really used the k range
+
+
+def test_assign_arrow_raises_on_ragged_width(spark):
+    from solana_event_stream_spark.operators.curation import assign_arrow
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="uniform"):
+        assign_arrow(emb, {0: [0.0, 0.0, 0.0]}).collect()
+
+
+def test_ivf_cells_arrow_matches_literal(spark, sf_dir):
+    from solana_event_stream_spark.operators.similarity import (
+        _ivf_cells, _ivf_corpus_centroids, ivf_cells_arrow)
+
+    lit = {r.vec_id: (r.cell, r.nrm) for r in
+           _ivf_cells(spark, sf_dir).collect()}
+    emb = load_spread(spark, sf_dir, "embeddings")
+    arw = {r.vec_id: (r.cell, r.nrm) for r in
+           ivf_cells_arrow(emb, _ivf_corpus_centroids(spark, sf_dir))
+           .collect()}
+    assert set(lit) == set(arw)
+    assert {v: c for v, (c, _) in lit.items()} == \
+           {v: c for v, (c, _) in arw.items()}
+    for v, (_, nrm) in lit.items():
+        assert arw[v][1] == pytest.approx(nrm, rel=1e-12)
+
+
+def test_ann_ivf_topk_scaled_matches_catalog(spark, sf_dir):
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.similarity import (
+        ann_ivf_topk_scaled)
+
+    cat = load_catalog()
+    lit = sorted((r.query_id, r.neighbor_id, r.rk)
+                 for r in cat["ann_ivf_topk"].spark_fn(spark, sf_dir)
+                 .collect())
+    arw = sorted((r.query_id, r.neighbor_id, r.rk)
+                 for r in ann_ivf_topk_scaled(spark, sf_dir).collect())
+    assert lit == arw
+
+
+def test_embedding_curation_scaled_matches_catalog_at_k8(spark, sf_dir):
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.curation import (
+        embedding_curation_scaled)
+
+    cat = load_catalog()
+    lit = sorted((r.part, r.cluster, r.n1, r.n2,
+                  None if r.v is None else round(r.v, 4))
+                 for r in cat["embedding_curation"]
+                 .spark_fn(spark, sf_dir).collect())
+    arw = sorted((r.part, r.cluster, r.n1, r.n2,
+                  None if r.v is None else round(r.v, 4))
+                 for r in embedding_curation_scaled(spark, sf_dir, k=8)
+                 .collect())
+    assert lit == arw
