@@ -444,6 +444,13 @@ def _decode_clmm_tick_array(data: bytes):
     return _finish(out, r, CLMM_TICK_ARRAY_STATE_SIZE)
 
 
+# Plug-in account payload fields (name -> schemas._KIND_TO_SPARK kind):
+# plans/account_pipeline.account_event_schema() appends these to the
+# static base schema, exactly as schemas.event_schema() appends
+# PAYLOAD_FIELDS for the instruction side. Mutated only by
+# plugins.register_protocol.
+ACCOUNT_PLUGIN_FIELDS: dict[str, str] = {}
+
 PROTOCOL_ACCOUNT_DECODERS = {
     "AccountPumpFunBondingCurve": _decode_pumpfun_bonding_curve,
     "AccountPumpFunGlobal": _decode_pumpfun_global,

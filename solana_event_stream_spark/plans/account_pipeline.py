@@ -221,6 +221,23 @@ ACCOUNT_EVENT_SCHEMA = StructType([
 ])
 
 
+def account_event_schema() -> StructType:
+    """The static base schema plus any plug-in account payload fields
+    (operators/account_decode.ACCOUNT_PLUGIN_FIELDS) — the account-side
+    mirror of schemas.event_schema(). Plan-build-time resolution: a
+    plan built after a plug-in registers carries its columns; existing
+    plans are unaffected."""
+    from ..operators.account_decode import ACCOUNT_PLUGIN_FIELDS
+    from ..schemas import _KIND_TO_SPARK
+
+    if not ACCOUNT_PLUGIN_FIELDS:
+        return ACCOUNT_EVENT_SCHEMA
+    return StructType(
+        list(ACCOUNT_EVENT_SCHEMA.fields)
+        + [StructField(name, _KIND_TO_SPARK[kind], True)
+           for name, kind in sorted(ACCOUNT_PLUGIN_FIELDS.items())])
+
+
 # Output columns copied verbatim from an input column (every input row
 # produces exactly one output row, so the input arrays pass through the
 # Arrow boundary unchanged — zero per-row Python for these).
@@ -231,7 +248,22 @@ _ACCT_PASSTHROUGH = {
 }
 
 
-def _decode_account_batches(iterator: Iterator):
+def _make_account_decode(protocol_decoders: dict, spark_schema: StructType):
+    """Build the mapInArrow body with the protocol decoder table and
+    output schema captured in the CLOSURE at plan-build time — a fresh
+    executor import would miss plug-in account decoders (they only
+    mutate the driver's module; same reason plans/pipeline.py captures
+    its decode tables). Builtin fallbacks (nonce/mint/token) still
+    import by reference — they are installed on the workers."""
+
+    def _decode_account_batches(iterator: Iterator):
+        return _account_batches(iterator, protocol_decoders, spark_schema)
+
+    return _decode_account_batches
+
+
+def _account_batches(iterator: Iterator, protocol_decoders: dict,
+                     spark_schema: StructType):
     """mapInArrow body (same columnar-boundary design as
     plans/pipeline.py:_decode_batches): base columns ride through as the
     original Arrow arrays, untouched payload columns are constant
@@ -240,12 +272,14 @@ def _decode_account_batches(iterator: Iterator):
     exactly, full u64/u128-within-38-digits range)."""
     import pyarrow as pa
 
-    from ..operators.account_decode import (PROTOCOL_ACCOUNT_DECODERS,
-                                            decode_nonce, decode_spl_mint,
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..operators.account_decode import (decode_nonce, decode_spl_mint,
                                             decode_token2022_mint,
                                             decode_token_amount)
 
-    out_schema = _arrow_account_schema()
+    PROTOCOL_ACCOUNT_DECODERS = protocol_decoders
+    out_schema = to_arrow_schema(spark_schema)
 
     for batch in iterator:
         names = batch.schema.names
@@ -320,14 +354,11 @@ def _decode_account_batches(iterator: Iterator):
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
 
-def _arrow_account_schema():
-    from pyspark.sql.pandas.types import to_arrow_schema
-    return to_arrow_schema(ACCOUNT_EVENT_SCHEMA)
-
-
 def build_account_events(raw_accounts: DataFrame,
                          protocols: tuple[str, ...] | None = None
                          ) -> DataFrame:
+    from ..operators.account_decode import PROTOCOL_ACCOUNT_DECODERS
+
     if protocols is None:
         protocols = tuple(PROGRAM_ID_BY_PROTOCOL)
     program_ids = {PROGRAM_ID_BY_PROTOCOL[p]: p for p in protocols}
@@ -358,8 +389,10 @@ def build_account_events(raw_accounts: DataFrame,
     decode_input = routed.select(
         "slot", "signature", "pubkey", "executable", "lamports", "owner",
         "rent_epoch", "data", "recv_us", "acct_protocol", "acct_event_type")
-    return decode_input.mapInArrow(_decode_account_batches,
-                                   schema=ACCOUNT_EVENT_SCHEMA)
+    schema = account_event_schema()
+    return decode_input.mapInArrow(
+        _make_account_decode(dict(PROTOCOL_ACCOUNT_DECODERS), schema),
+        schema=schema)
 
 
 def load_raw_accounts(spark, path: str) -> DataFrame:

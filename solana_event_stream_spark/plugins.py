@@ -14,9 +14,14 @@ closure for executors, and derives the event schema via
 through F1/D1 dispatch, P5 decode, J1 CPI merge, F9, the event schema
 and the lake with zero engine edits.
 
-Scope: instruction-side protocols with 8-byte Anchor-style
-discriminators and 16-byte inner (CPI) discriminators — the layout
-every reference protocol except Raydium AMM v4 uses. Plug-ins decode
+Scope: protocols with 8-byte Anchor-style discriminators, 16-byte
+inner (CPI) discriminators, and 8-byte account-state discriminators —
+the layout every reference protocol except Raydium AMM v4 uses. A
+plug-in can register BOTH halves of a reference protocol module: the
+instruction/CPI side (F1/D1/P5/J1/F9) and the account-state side (D3 —
+``account_discriminators``/``account_decoders``, routed by
+plans/account_pipeline.build_account_events exactly like the builtin
+twelve). Plug-ins decode
 on the per-row path by default; pass ``vector_specs`` (declarative
 decode_vec.InstSpec layouts) to put a HOT plug-in on the vectorized
 fast path — the specs register into decode_vec.SPECS behind the same
@@ -47,7 +52,10 @@ def register_protocol(name: str,
                       merge_specs: dict[str, tuple[str, list[str]]]
                       | None = None,
                       requires_cpi: tuple[str, ...] = (),
-                      vector_specs: dict | None = None
+                      vector_specs: dict | None = None,
+                      account_discriminators: dict[str, str] | None = None,
+                      account_decoders: dict[str, Callable] | None = None,
+                      account_payload_fields: dict[str, str] | None = None
                       ) -> Callable[[], None]:
     """Register a protocol: pure data + decoders, no engine change.
 
@@ -62,6 +70,17 @@ def register_protocol(name: str,
       kind, and kind -> fn(body) -> dict | None (J1).
     - ``merge_specs``: event type -> (cpi kind, fields to overwrite).
     - ``requires_cpi``: event types dropped without a decoded CPI (F9).
+    - ``account_discriminators`` / ``account_decoders`` /
+      ``account_payload_fields``: the ACCOUNT-STATE half of a reference
+      protocol module (e.g. pumpfun/types.rs:35-57's bonding-curve
+      parser dispatched at core/dispatcher.rs:248-288) — 8-byte account
+      discriminator hex -> account event type, type -> fn(data) ->
+      dict | None (same F7 semantics), and any NEW output columns as
+      field -> kind. A registered protocol's account updates then route
+      through D3 (plans/account_pipeline.build_account_events) with no
+      engine edit: the dispatch map, decoder table, and account schema
+      all resolve at plan-build time. Reusing a base account-schema
+      column requires the matching kind.
     - ``vector_specs``: event type -> ``decode_vec.InstSpec`` declaring
       the FIXED Borsh layout, for hot plug-ins: spec-covered rows then
       decode on the vectorized fast path (NumPy gathers, no per-row
@@ -76,6 +95,9 @@ def register_protocol(name: str,
     inner_discriminators = inner_discriminators or {}
     cpi_decoders = cpi_decoders or {}
     merge_specs = merge_specs or {}
+    account_discriminators = account_discriminators or {}
+    account_decoders = account_decoders or {}
+    account_payload_fields = account_payload_fields or {}
 
     # ---- validation: loud failure BEFORE any mutation ------------------
     if name in registry.PROGRAM_ID_BY_PROTOCOL:
@@ -126,6 +148,43 @@ def register_protocol(name: str,
                              f"non-empty registered payload fields")
     if not set(requires_cpi) <= etypes:
         raise ValueError("requires_cpi entries must be registered types")
+    from .operators import account_decode as _acct
+    from .plans.account_pipeline import ACCOUNT_EVENT_SCHEMA
+    for disc in account_discriminators:
+        if len(disc) != 16 or disc != disc.lower():
+            raise ValueError(f"account discriminator {disc!r} must be "
+                             "8 bytes of lowercase hex (the no-disc "
+                             "AMM-v4-style dispatch is not pluggable)")
+    acct_types = set(account_discriminators.values())
+    if acct_types != set(account_decoders):
+        raise ValueError("account_decoders keys must equal the account-"
+                         "discriminator event types")
+    if acct_types & set(_acct.PROTOCOL_ACCOUNT_DECODERS):
+        raise ValueError(
+            "account event type collides with a registered decoder: "
+            f"{sorted(acct_types & set(_acct.PROTOCOL_ACCOUNT_DECODERS))}")
+    if account_payload_fields and not acct_types:
+        raise ValueError("account_payload_fields without account_decoders")
+    acct_base_types = {f.name: f.dataType for f in ACCOUNT_EVENT_SCHEMA}
+    new_acct_fields: list[str] = []
+    for field, kind in account_payload_fields.items():
+        spark_t = schemas._KIND_TO_SPARK.get(kind)
+        if spark_t is None:
+            raise ValueError(
+                f"unknown account field kind {kind!r} for {field!r}")
+        if field in acct_base_types:
+            if acct_base_types[field] != spark_t:
+                raise ValueError(
+                    f"account field {field!r} exists in the base schema "
+                    f"as {acct_base_types[field]}; kind {kind!r} maps to "
+                    f"{spark_t}")
+            continue  # reuse of a base column: nothing to register
+        have = _acct.ACCOUNT_PLUGIN_FIELDS.get(field)
+        if have is not None and have != kind:
+            raise ValueError(f"account field {field!r} already "
+                             f"registered with kind {have!r}")
+        if have is None:
+            new_acct_fields.append(field)
     if vector_specs:
         from .operators import decode_vec
         if not set(vector_specs) <= etypes:
@@ -167,7 +226,8 @@ def register_protocol(name: str,
     plugin_modules = sorted(
         m for m in {fn.__module__
                     for fn in list(instruction_decoders.values())
-                    + list(cpi_decoders.values())}
+                    + list(cpi_decoders.values())
+                    + list(account_decoders.values())}
         if not m.startswith(engine_pkg) and m in sys.modules)
     for m in plugin_modules:
         _cp.register_pickle_by_value(sys.modules[m])
@@ -191,6 +251,11 @@ def register_protocol(name: str,
     if vector_specs:
         from .operators import decode_vec
         decode_vec.register_specs(vector_specs, merge_specs)
+    for disc, aet in account_discriminators.items():
+        _acct.ACCOUNT_DISCRIMINATORS[(name, disc)] = aet
+    _acct.PROTOCOL_ACCOUNT_DECODERS.update(account_decoders)
+    for field in new_acct_fields:
+        _acct.ACCOUNT_PLUGIN_FIELDS[field] = account_payload_fields[field]
 
     new_fields = [f for f in payload_fields
                   if f not in pre_existing_fields]
@@ -217,6 +282,12 @@ def register_protocol(name: str,
         for field in new_fields:
             schemas.PAYLOAD_FIELDS.pop(field, None)
         schemas.EVENT_SCHEMA = schemas.event_schema()
+        for disc in account_discriminators:
+            _acct.ACCOUNT_DISCRIMINATORS.pop((name, disc), None)
+        for aet in account_decoders:
+            _acct.PROTOCOL_ACCOUNT_DECODERS.pop(aet, None)
+        for field in new_acct_fields:
+            _acct.ACCOUNT_PLUGIN_FIELDS.pop(field, None)
         for m in plugin_modules:
             if m in sys.modules:
                 _cp.unregister_pickle_by_value(sys.modules[m])

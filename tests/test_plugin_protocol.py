@@ -449,3 +449,159 @@ def test_plugin_vector_spec_validation():
                 "TestSwapBuy", 8, 2,
                 cpi=CpiSpec("testswap_trade", 16, nums=()))})
     assert (dict(decode_vec.SPECS), registry.ALL_PROTOCOLS) == before
+
+
+# ---------------------------------------------------------------------------
+# r11: the ACCOUNT-STATE half of the plug-in contract (VERDICT r10
+# parity nuance) — a reference protocol module ships an account parser
+# too (pumpfun/types.rs:35-57, dispatched at core/dispatcher.rs:248-288);
+# an 8th-protocol plug-in must route its account updates through D3
+# with zero engine edits.
+# ---------------------------------------------------------------------------
+
+TS_ACCT_DISC = "f0e1d2c3b4a59687"
+
+
+def _ts_pool_account(data):
+    # layout: 8B disc + u64 reserve + owner pk; None on short input (F7)
+    if len(data) < 8 + 8 + 32:
+        return None
+    from solana_event_stream_spark.operators.decode import b58encode
+    return {"ts_reserve": int.from_bytes(data[8:16], "little"),
+            "ts_pool_owner": b58encode(data[16:48])}
+
+
+@pytest.fixture()
+def account_plugin():
+    from solana_event_stream_spark.plugins import register_protocol
+    unregister = register_protocol(
+        name="TestSwap",
+        program_id=TS_PID,
+        instruction_discriminators={TS_BUY_DISC: "TestSwapBuy"},
+        instruction_decoders={"TestSwapBuy": _ts_buy},
+        payload_fields={"amount": "u64", "mint": "pk", "user": "pk",
+                        "ts_flag": "bool"},
+        account_discriminators={TS_ACCT_DISC: "AccountTestSwapPool"},
+        account_decoders={"AccountTestSwapPool": _ts_pool_account},
+        account_payload_fields={"ts_reserve": "u64",
+                                "ts_pool_owner": "pk",
+                                # reuse of a base column with its kind
+                                "lp_supply": "u64"},
+    )
+    yield
+    unregister()
+
+
+def _acct_rows(spark, extra_rows=()):
+    from solana_event_stream_spark.schemas import RAW_ACCOUNT_SCHEMA
+    base = {"slot": 1, "signature": "s", "pubkey": "PK", "executable":
+            False, "lamports": 10, "owner": TS_PID, "rent_epoch": 0,
+            "recv_us": 5}
+    good = dict(base, pubkey="PoolPk", data=(
+        bytes.fromhex(TS_ACCT_DISC) + (4242).to_bytes(8, "little")
+        + bytes(range(32))))
+    short = dict(base, pubkey="ShortPk", data=b"\x01\x02")   # no disc
+    torn = dict(base, pubkey="TornPk", data=(
+        bytes.fromhex(TS_ACCT_DISC) + b"\x01\x02"))  # disc, short body
+    return spark.createDataFrame(
+        [good, short, torn, *extra_rows], RAW_ACCOUNT_SCHEMA)
+
+
+def test_plugin_account_decoder_flows_through_d3(spark, account_plugin):
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events, load_raw_accounts)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    builtin_raw = load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet"))
+    out = build_account_events(
+        _acct_rows(spark).unionByName(builtin_raw))
+    assert "ts_reserve" in out.columns and "ts_pool_owner" in out.columns
+    rows = {r.pubkey: r for r in out.collect()}
+
+    good = rows["PoolPk"]
+    assert good.protocol == "TestSwap"
+    assert good.event_type == "AccountTestSwapPool"
+    assert int(good.ts_reserve) == 4242
+    assert good.ts_pool_owner and good.lamports == 10
+    # short/torn data falls through the common path, exactly like a
+    # builtin protocol account that fails its decoder (F7)
+    for pk in ("ShortPk", "TornPk"):
+        assert rows[pk].protocol == "Common"
+        assert rows[pk].event_type == "TokenAccount"
+        assert rows[pk].ts_reserve is None
+    # builtin protocol accounts still decode alongside the plug-in
+    assert any(r.protocol not in ("TestSwap", "Common")
+               for r in rows.values())
+
+
+def test_plugin_account_unregister_restores(spark):
+    from solana_event_stream_spark.operators.account_decode import (
+        ACCOUNT_DISCRIMINATORS, ACCOUNT_PLUGIN_FIELDS,
+        PROTOCOL_ACCOUNT_DECODERS)
+    from solana_event_stream_spark.plans.account_pipeline import (
+        build_account_events)
+    from solana_event_stream_spark.plugins import register_protocol
+
+    before = (dict(ACCOUNT_DISCRIMINATORS), dict(PROTOCOL_ACCOUNT_DECODERS),
+              dict(ACCOUNT_PLUGIN_FIELDS))
+    unregister = register_protocol(
+        name="TestSwap", program_id=TS_PID,
+        instruction_discriminators={TS_BUY_DISC: "TestSwapBuy"},
+        instruction_decoders={"TestSwapBuy": _ts_buy},
+        payload_fields={"amount": "u64", "mint": "pk", "user": "pk",
+                        "ts_flag": "bool"},
+        account_discriminators={TS_ACCT_DISC: "AccountTestSwapPool"},
+        account_decoders={"AccountTestSwapPool": _ts_pool_account},
+        account_payload_fields={"ts_reserve": "u64"},
+    )
+    assert ("TestSwap", TS_ACCT_DISC) in ACCOUNT_DISCRIMINATORS
+    unregister()
+    assert (dict(ACCOUNT_DISCRIMINATORS), dict(PROTOCOL_ACCOUNT_DECODERS),
+            dict(ACCOUNT_PLUGIN_FIELDS)) == before
+    out = build_account_events(_acct_rows(spark))
+    assert "ts_reserve" not in out.columns
+    rows = {r.pubkey: r for r in out.collect()}
+    assert rows["PoolPk"].protocol == "Common"   # plug-in gone: common path
+
+
+def test_plugin_account_validation():
+    from solana_event_stream_spark.plugins import register_protocol
+
+    def _reg(**kw):
+        base = dict(
+            name="TestSwapV", program_id=TS_PID + "V",
+            instruction_discriminators={TS_BUY_DISC: "TestSwapVBuy"},
+            instruction_decoders={"TestSwapVBuy": _ts_buy},
+            payload_fields={"amount": "u64", "mint": "pk", "user": "pk",
+                            "ts_flag": "bool"})
+        base.update(kw)
+        return register_protocol(**base)
+
+    with pytest.raises(ValueError, match="8 bytes of lowercase hex"):
+        _reg(account_discriminators={"zz": "A"},
+             account_decoders={"A": _ts_pool_account})
+    with pytest.raises(ValueError, match="keys must equal"):
+        _reg(account_discriminators={TS_ACCT_DISC: "A"},
+             account_decoders={})
+    with pytest.raises(ValueError, match="collides"):
+        _reg(account_discriminators={
+                TS_ACCT_DISC: "AccountPumpFunBondingCurve"},
+             account_decoders={
+                "AccountPumpFunBondingCurve": _ts_pool_account})
+    with pytest.raises(ValueError, match="unknown account field kind"):
+        _reg(account_discriminators={TS_ACCT_DISC: "A"},
+             account_decoders={"A": _ts_pool_account},
+             account_payload_fields={"x": "nope"})
+    with pytest.raises(ValueError, match="exists in the base schema"):
+        _reg(account_discriminators={TS_ACCT_DISC: "A"},
+             account_decoders={"A": _ts_pool_account},
+             account_payload_fields={"lp_supply": "bool"})
+    with pytest.raises(ValueError, match="without account_decoders"):
+        _reg(account_payload_fields={"ts_x": "u64"})
+    # a failed registration must leave no account-side residue
+    from solana_event_stream_spark.operators.account_decode import (
+        ACCOUNT_DISCRIMINATORS, ACCOUNT_PLUGIN_FIELDS)
+    assert not [k for k in ACCOUNT_DISCRIMINATORS if k[0] == "TestSwapV"]
+    assert "ts_x" not in ACCOUNT_PLUGIN_FIELDS
