@@ -89,18 +89,33 @@ def _gram_col(words: str = "w", n: int = NGRAM) -> F.Column:
 
 
 def decontaminate(docs: DataFrame, ngram: int = NGRAM,
-                  eval_mod: int = EVAL_MOD) -> DataFrame:
+                  eval_mod: int = EVAL_MOD,
+                  hash_grams: bool = False) -> DataFrame:
     """Per-language contamination report of the training split against
     the eval split: ``part`` 'ngram' (shares >= 1 word n-gram with any
     eval doc) and 'exact' (md5(text) appears verbatim in the eval set).
+
+    ``hash_grams=True`` is the 100 TB knob: each ~4-word gram string is
+    folded to a u64 (xxhash64) per document BEFORE the explode, so the
+    corpus-side exploded column and the broadcast probe set carry 8-byte
+    longs instead of wide strings (~5-10x smaller both). Semantics are
+    identical up to xxhash64 collisions — at eval-set gram cardinalities
+    (MBs of benchmark text, ~1e6-1e7 grams) the false-flag probability
+    is ~n_eval x n_train / 2^64, negligible; the oracle-pinned catalog
+    entry keeps the string form (DuckDB has no xxhash64).
+    Differential-tested against the string form in
+    tests/test_curation.py.
 
     Columns: part, lang, n_train, n_flagged, rate.
     """
     base = docs.select("doc_id", "lang", "text",
                        F.split("text", " ").alias("w"))
     is_eval = (F.col("doc_id") % eval_mod) == 0
+    gram_arr = _gram_col("w", ngram)
+    if hash_grams:
+        gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
     grams = base.select("doc_id", "lang", is_eval.alias("ev"),
-                        F.explode(_gram_col("w", ngram)).alias("gram"))
+                        F.explode(gram_arr).alias("gram"))
     eval_grams = grams.filter("ev").select("gram").distinct()
     ngram_hit = (grams.filter(~F.col("ev"))
                  .join(F.broadcast(eval_grams), "gram", "leftsemi")

@@ -247,3 +247,25 @@ def test_embedding_curation_scaled_matches_catalog_at_k8(spark, sf_dir):
                  for r in embedding_curation_scaled(spark, sf_dir, k=8)
                  .collect())
     assert lit == arw
+
+
+def test_decontaminate_hashed_grams_differential(spark, sf_dir):
+    """The hash_grams scale knob (grams fold to u64 before the explode)
+    must report exactly the string form's output on a real corpus, and
+    on the planted-overlap case."""
+    from solana_event_stream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = sorted(map(tuple, decontaminate(docs).collect()))
+    hashed = sorted(map(tuple,
+                        decontaminate(docs, hash_grams=True).collect()))
+    assert plain == hashed
+
+    planted = _docs(spark, [
+        (0, "en", "alpha beta gamma delta epsilon zeta"),
+        (1, "en", "xx yy beta gamma delta epsilon zz"),
+        (2, "en", "one two three four five six seven"),
+    ])
+    out = {(r.part, r.lang): r.n_flagged
+           for r in decontaminate(planted, hash_grams=True).collect()}
+    assert out[("ngram", "en")] == 1
