@@ -253,6 +253,7 @@ def asof_join_skewed(left: DataFrame, right: DataFrame, on: list[str],
                      right_cols: tuple[str, ...] = (),
                      tiebreaker: str | None = None,
                      strict: bool = True,
+                     tolerance_us: int | None = None,
                      slice_duration_us: int = 86_400_000_000) -> DataFrame:
     """Hot-key form of :func:`asof_join` — identical semantics
     (differential-tested: tests/test_temporal.py
@@ -338,5 +339,15 @@ def asof_join_skewed(left: DataFrame, right: DataFrame, on: list[str],
         *lcols, "_ts", "_side",
         F.last("_r_ts", ignorenulls=True).over(w).alias("matched_ts"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rc])
-    return filled.filter(F.col("_side") == left_side) \
-                 .select(*lcols, "matched_ts", *rc)
+    out = filled.filter(F.col("_side") == left_side)
+
+    if tolerance_us is not None:      # same expiry as the plain form
+        expired = (F.unix_micros(F.col("_ts"))
+                   - F.unix_micros(F.col("matched_ts"))) > tolerance_us
+        return out.select(
+            *lcols,
+            F.when(expired, F.lit(None).cast("timestamp"))
+             .otherwise(F.col("matched_ts")).alias("matched_ts"),
+            *[F.when(expired, F.lit(None).cast(rtypes[c]))
+               .otherwise(F.col(c)).alias(c) for c in rc])
+    return out.select(*lcols, "matched_ts", *rc)

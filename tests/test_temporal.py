@@ -294,3 +294,27 @@ def test_dau_hll_cascade_identity_and_error(spark, sf_dir):
         # 5% is > 6 sigma
         assert abs(casc - exact[day]) <= max(0.05 * exact[day], 2.0), (
             day, casc, exact[day])
+
+
+@pytest.mark.parametrize("tol_hours", [1, 26])
+def test_asof_skewed_tolerance_differential(spark, tol_hours):
+    """tolerance_us (r11 parity knob) must expire the same matches as
+    the plain form — including matches carried across slice boundaries,
+    where the lag can exceed any tolerance."""
+    from solana_event_stream_spark.operators.temporal import asof_join_skewed
+
+    left, right = _random_asof_corpus(spark, seed=5)
+    tol = tol_hours * _HOUR_US
+    plain = asof_join(left, right, on=["user_id"], right_cols=("val",),
+                      tiebreaker="event_id", strict=True, tolerance_us=tol)
+    skewed = asof_join_skewed(left, right, on=["user_id"],
+                              right_cols=("val",), tiebreaker="event_id",
+                              strict=True, tolerance_us=tol,
+                              slice_duration_us=_HOUR_US)
+    p, s = _asof_rows(plain), _asof_rows(skewed)
+    assert s == p
+    # the tolerance actually bit: some matches expired vs the no-tol run
+    no_tol = _asof_rows(asof_join(left, right, on=["user_id"],
+                                  right_cols=("val",),
+                                  tiebreaker="event_id", strict=True))
+    assert sum(r[3] is None for r in p) > sum(r[3] is None for r in no_tol)
