@@ -132,11 +132,58 @@ def probe_dedup(spark) -> list[dict]:
     return out
 
 
+def probe_curation_k(spark) -> list[dict]:
+    """r11: the two centroid-assignment backends across k — evidence
+    that the Arrow backend (broadcast ndarray + per-batch matmul) has
+    plan-build cost ~constant in k while the literal-centroid fold's
+    plan grows with k x dims (the r10 'the documented scale knob does
+    not turn' fix). Reports per (backend, k): plan-build seconds
+    (DataFrame construction + executedPlan materialization — the cost
+    that explodes for the literal form) and execution seconds."""
+    import random
+
+    from solana_event_stream_spark.operators.curation import (
+        KM_DIMS, _assign, assign_arrow)
+    from solana_event_stream_spark.tables import load_spread
+
+    emb = load_spread(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    rng = random.Random(7)
+
+    def _cents(k):
+        return {c: [rng.uniform(-1, 1) for _ in range(KM_DIMS)]
+                for c in range(k)}
+
+    out = []
+    for backend, build, ks in (
+            ("literal", _assign, (8, 64, 256)),
+            ("arrow", assign_arrow, (8, 256, 4096))):
+        for k in ks:
+            cents = _cents(k)
+            t0 = time.perf_counter()
+            df = build(emb, cents)
+            df._jdf.queryExecution().executedPlan()
+            t_plan = round(time.perf_counter() - t0, 3)
+            t_exec = _timed(lambda: df.select(
+                F.count(F.lit(1)), F.sum("cluster"), F.sum("dist")
+            ).collect())
+            out.append({"probe": "curation_k", "backend": backend,
+                        "k": k, "n_vec": n, "plan_sec": t_plan,
+                        "exec_sec": t_exec})
+            print(json.dumps(out[-1]), flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    results = (probe_pipeline(spark) + probe_accounts(spark)
-               + probe_dedup(spark))
+    which = set(sys.argv[1:])
+    probes = {"pipeline": probe_pipeline, "accounts": probe_accounts,
+              "dedup": probe_dedup, "curation": probe_curation_k}
+    results = []
+    for name, fn in probes.items():
+        if not which or name in which:
+            results += fn(spark)
     print(json.dumps({"probe": "all", "results": results}))
 
 
