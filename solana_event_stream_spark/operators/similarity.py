@@ -171,6 +171,68 @@ def ann_lsh_topk_scaled(spark, sf_dir: str, n_planes: int | None = None,
     return _lsh_topk(spark, sf_dir, n_planes)
 
 
+def _probe_masks(n_planes: int, nprobe_bits: int) -> list[int]:
+    """All signature XOR masks with popcount <= nprobe_bits, ascending —
+    the standard multi-probe LSH perturbation set (probe the home
+    bucket, then every bucket within Hamming distance nprobe_bits)."""
+    from itertools import combinations
+
+    if not 0 <= nprobe_bits <= n_planes:
+        raise ValueError(
+            f"nprobe_bits must be in [0, {n_planes}], got {nprobe_bits}")
+    masks = [0]
+    for r in range(1, nprobe_bits + 1):
+        masks += [sum(1 << b for b in bits)
+                  for bits in combinations(range(n_planes), r)]
+    return sorted(masks)
+
+
+def ann_lsh_topk_multiprobe(spark, sf_dir: str,
+                            n_planes: int | None = None,
+                            nprobe_bits: int = 1) -> DataFrame:
+    """Multi-probe variant of ``ann_lsh_topk`` — the recall dial that
+    makes HIGH n_planes (the corpus-tracking setting from
+    dedup.scaled_n_planes) usable: the corpus keeps ONE bucket per
+    vector, but each query also probes every bucket within Hamming
+    distance ``nprobe_bits`` of its own signature (Lv et al. 2007's
+    perturbation idea on sign-LSH). Candidates scanned grow by
+    ~C(n_planes, <=nprobe_bits) x bucket_size — still a vanishing
+    corpus fraction at scaled n_planes — instead of recall collapsing
+    as each extra plane halves the home bucket's hit rate.
+
+    Zero new exchange shape: the probe list is a narrow literal-mask
+    explode on the tiny query side; the join stays the same broadcast
+    bucket equi-join. nprobe_bits=0 is plan-equivalent to the
+    single-probe form; nprobe_bits=n_planes probes every bucket and
+    returns exactly the brute-force answer (both pinned in
+    tests/test_similarity_topk.py)."""
+    from .dedup import _N_PLANES, bucket_col_for
+
+    if n_planes is None:
+        n_planes = _N_PLANES
+    masks = _probe_masks(n_planes, nprobe_bits)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"),
+        bucket_col_for(emb, n_planes).alias("bucket"))
+    probe = F.explode(F.array(*[
+        F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]))
+    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+        probe.alias("q_bucket"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(sigs, (F.col("q_bucket") == F.col("bucket"))
+                    & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    return _topk_per_query(scored)
+
+
 def _ivf_cells(spark, sf_dir: str) -> DataFrame:
     """Assign every vector to its nearest coarse centroid — zero-exchange.
 

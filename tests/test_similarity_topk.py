@@ -169,3 +169,43 @@ def test_ragged_embedding_bucket_parity(spark):
     # buckets, i.e. the fallback really computed signatures
     ragged = [got[v] for v, (_, e) in enumerate(rows) if len(e) != 64]
     assert len(set(ragged)) > 1
+
+
+def test_lsh_multiprobe_recall_ladder(spark, sf_dir):
+    """Multi-probe LSH invariants: (a) nprobe_bits=0 returns exactly
+    the single-probe catalog answer; (b) recall vs brute force is
+    monotone in nprobe_bits and strictly improves somewhere on the
+    ladder; (c) nprobe_bits=n_planes probes every bucket and IS the
+    brute-force answer."""
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.dedup import _N_PLANES
+    from solana_event_stream_spark.operators.similarity import (
+        _probe_masks, ann_lsh_topk_multiprobe)
+
+    cat = load_catalog()
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id, r.rk) for r in df.collect()}
+
+    single = pairs(cat["ann_lsh_topk"].spark_fn(spark, sf_dir))
+    brute = pairs(cat["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    assert pairs(ann_lsh_topk_multiprobe(spark, sf_dir,
+                                         nprobe_bits=0)) == single
+    assert pairs(ann_lsh_topk_multiprobe(
+        spark, sf_dir, nprobe_bits=_N_PLANES)) == brute
+
+    recalls = []
+    for b in (0, 1, 2):
+        got = pairs(ann_lsh_topk_multiprobe(spark, sf_dir, nprobe_bits=b))
+        recalls.append(len({p[:2] for p in got}
+                           & {p[:2] for p in brute}) / len(brute))
+    assert recalls == sorted(recalls)
+    assert recalls[2] > recalls[0]
+
+    # mask generator: counts and popcount bound
+    masks = _probe_masks(8, 2)
+    assert len(masks) == 1 + 8 + 28
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _probe_masks(8, 9)
