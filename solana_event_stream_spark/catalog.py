@@ -49,23 +49,41 @@ CATALOG: dict[str, QuerySpec] = {}
 # deferred to the next query (not this one's return) because the cache
 # must outlive the caller's collect(); unpersisting a frame is always
 # correctness-safe — a still-referenced plan just recomputes.
+#
+# Thread model (ADVICE r11): the list is lock-guarded and the invoke
+# depth is THREAD-LOCAL, so concurrent catalog queries on separate
+# threads never release each other's live caches mid-query (each
+# thread's top-level entry only drains what has accumulated — the
+# intended cross-query release; a recompute would be correctness-safe
+# anyway, this just keeps the persist effective). Long-lived sessions
+# that stop issuing catalog queries should call ``release_persisted()``
+# at teardown — nothing else drops the last query's caches.
+
+import threading as _threading
 
 _TRACKED_PERSISTS: list[DataFrame] = []
-_INVOKE_DEPTH = 0
+_PERSIST_LOCK = _threading.Lock()
+_DEPTH = _threading.local()
 
 
 def track_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` + enrollment for :func:`release_persisted`."""
     df.persist()
-    _TRACKED_PERSISTS.append(df)
+    with _PERSIST_LOCK:
+        _TRACKED_PERSISTS.append(df)
     return df
 
 
 def release_persisted() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame; returns how many were released.
+
+    Call at session teardown if the session will outlive its last
+    catalog query — release is otherwise deferred to the next one."""
+    with _PERSIST_LOCK:
+        drained = _TRACKED_PERSISTS[:]
+        _TRACKED_PERSISTS.clear()
     n = 0
-    while _TRACKED_PERSISTS:
-        df = _TRACKED_PERSISTS.pop()
+    for df in drained:
         try:
             df.unpersist()
         except Exception:
@@ -87,14 +105,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            global _INVOKE_DEPTH
-            if _INVOKE_DEPTH == 0:
+            depth = getattr(_DEPTH, "value", 0)
+            if depth == 0:
                 release_persisted()
-            _INVOKE_DEPTH += 1
+            _DEPTH.value = depth + 1
             try:
                 return fn(spark, sf_dir)
             finally:
-                _INVOKE_DEPTH -= 1
+                _DEPTH.value = depth
 
         CATALOG[name] = QuerySpec(name=name, spark_fn=wrapped, oracle=oracle,
                                   tags=tags, doc=doc or (fn.__doc__ or ""),

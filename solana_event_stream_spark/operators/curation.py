@@ -196,6 +196,20 @@ def corpus_decontaminate(spark, sf_dir: str) -> DataFrame:
     return decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+def decontaminate_scaled(docs: DataFrame, ngram: int = NGRAM,
+                         eval_mod: int = EVAL_MOD) -> DataFrame:
+    """The deployment entry point for decontamination — identical
+    report to :func:`decontaminate` but with ``hash_grams`` ON by
+    default (VERDICT r11 item 8: a 100 TB run should not depend on the
+    caller knowing the flag): every exploded gram and every broadcast
+    probe entry is an 8-byte xxhash64 long, never a ~4-word string
+    (plan-gated in tests/test_curation.py
+    test_decontaminate_scaled_no_string_grams). The oracle-pinned
+    catalog entry keeps the string form — DuckDB has no xxhash64."""
+    return decontaminate(docs, ngram=ngram, eval_mod=eval_mod,
+                         hash_grams=True)
+
+
 # ---------------------------------------------------------------------------
 # K-means + SemDeDup
 # ---------------------------------------------------------------------------
@@ -367,11 +381,16 @@ def kmeans_assign_scaled(emb: DataFrame, k: int = KM_K,
     groups — k x dims doubles to the driver per iteration (an 80 MB
     collect at k=100k, dims=128; beyond that, keep centroids in a frame
     and broadcast-join instead of collecting)."""
-    init = (emb.select("vec_id", "embedding").orderBy("vec_id")
-            .limit(k).collect())
+    # Same init RULE as kmeans_assign — filter(vec_id < k) with an
+    # exact-count check (ADVICE r11: an orderBy().limit(k) here would
+    # proceed with different seed vectors on a corpus whose vec_ids
+    # don't start at 0, where the literal form raises).
+    init = sorted(emb.select("vec_id", "embedding")
+                  .filter(F.col("vec_id") < k).collect(),
+                  key=lambda r: r.vec_id)
     if len(init) != k:
-        raise ValueError(f"k-means init needs {k} vectors; corpus has "
-                         f"{len(init)}")
+        raise ValueError(f"k-means init expects vec_id 0..{k-1}; "
+                         f"found {len(init)} rows")
     if any(len(r.embedding) != dims for r in init):
         raise ValueError(f"embedding width != {dims}")
     cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(init)}

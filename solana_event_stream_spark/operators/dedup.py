@@ -544,26 +544,67 @@ def embedding_dim(emb: DataFrame) -> int | None:
     return int(row.d) if row is not None else None
 
 
-def bucket_col_for(emb: DataFrame, n_planes: int):
-    """Best signature form for this corpus: literal weights when the
-    probe finds a dimension, the md5 expression otherwise.
+# width-census memo, keyed by the corpus frame's analyzed-plan semantic
+# hash: the census is corpus METADATA (stable for immutable lake/parquet
+# inputs), and every signature-building query in a bench/battery session
+# re-derives the same frame — one narrow aggregate scan per distinct
+# corpus per session instead of one per invocation. Mutable inputs can
+# clear it via ``_WIDTH_CENSUS.clear()``.
+_WIDTH_CENSUS: dict[int, dict[int, int]] = {}
 
-    The probe reads ONE row, so a corpus with ragged embedding widths
-    would — with an unconditional literal form — zip_with-pad NULLs on
-    every other-width row, fold the dot to NULL, and silently emit an
-    all-zero signature (diverging from the expression form and the
-    DuckDB oracle). Guard per row instead: rows matching the probed
-    width take the literal fast path, any other width falls back to the
-    width-independent md5 expression — bit-identical to the pure
-    expression form for EVERY row, uniform corpora pay nothing beyond
-    a size() compare (tests/test_similarity_topk.py
-    test_ragged_embedding_bucket_parity)."""
-    dim = embedding_dim(emb)
+
+def embedding_width_census(emb: DataFrame) -> dict[int, int]:
+    """width -> row count for the embedding column (NULL embeddings
+    count under -1) — one narrow aggregate scan, memoized per corpus
+    (see ``_WIDTH_CENSUS``)."""
+    key = emb._jdf.queryExecution().analyzed().semanticHash()
+    got = _WIDTH_CENSUS.get(key)
+    if got is None:
+        got = {int(r.w): int(r.n) for r in
+               emb.groupBy(F.coalesce(F.size("embedding"), F.lit(-1))
+                           .alias("w"))
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        _WIDTH_CENSUS[key] = got
+    return got
+
+
+def bucket_col_for(emb: DataFrame, n_planes: int,
+                   width: int | None = None):
+    """Best signature form for this corpus, decided at CORPUS level
+    (VERDICT r11 item 1 — the width decision used to be a per-row
+    ``when(size==probed_dim, literal).otherwise(md5-expr)`` guard,
+    which put the ~n_planes x dims md5 expression tree in every plan
+    and cost the whole LSH-bucket family ~1.2-1.35x even on uniform
+    corpora where the fallback branch never fired):
+
+    - ``width`` given (a deployment that KNOWS its model's embedding
+      width — the 100 TB path, zero probe scans): bare literal column.
+    - uniform corpus (width census finds one width, no NULLs): bare
+      literal column — no branch, no md5 expr anywhere in the plan.
+    - genuinely ragged / NULL-bearing corpus: the per-row guard, with
+      the literal fast path on the DOMINANT width and the
+      width-independent md5 expression on the rest — bit-identical to
+      the pure expression form for every row
+      (tests/test_similarity_topk.py
+      test_ragged_embedding_bucket_parity). An unconditional literal
+      form here would zip_with-pad NULLs on every other-width row,
+      fold the dot to NULL, and silently emit an all-zero signature.
+    - empty corpus: the expression form.
+
+    The census is one narrow aggregate scan, memoized per corpus per
+    session (``embedding_width_census``)."""
+    if width is not None:
+        return sign_bucket_col(n_planes, width)
+    census = embedding_width_census(emb)
+    widths = [w for w in census if w >= 0]
     expr_form = F.expr(spark_sign_expr(n_planes))
-    if dim is None:
+    if not widths:
         return expr_form
-    return F.when(F.size("embedding") == dim,
-                  sign_bucket_col(n_planes, dim)).otherwise(expr_form)
+    if len(census) == 1:  # one width, zero NULLs: the uniform fast path
+        return sign_bucket_col(n_planes, widths[0])
+    dom = max(widths, key=lambda w: (census[w], w))
+    return F.when(F.size("embedding") == dom,
+                  sign_bucket_col(n_planes, dom)).otherwise(expr_form)
 
 
 @register(

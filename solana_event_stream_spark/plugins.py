@@ -151,7 +151,11 @@ def register_protocol(name: str,
     from .operators import account_decode as _acct
     from .plans.account_pipeline import ACCOUNT_EVENT_SCHEMA
     for disc in account_discriminators:
-        if len(disc) != 16 or disc != disc.lower():
+        # hex-ness is checked too (ADVICE r11): a typo like 'g0e1...'
+        # would register fine but never match data.hex() — a silently
+        # dead account route.
+        if (len(disc) != 16 or disc != disc.lower()
+                or any(c not in "0123456789abcdef" for c in disc)):
             raise ValueError(f"account discriminator {disc!r} must be "
                              "8 bytes of lowercase hex (the no-disc "
                              "AMM-v4-style dispatch is not pluggable)")

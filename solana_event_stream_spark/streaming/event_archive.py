@@ -233,15 +233,29 @@ class _java_io_as_oserror:
     branch (callers guard with ``except OSError``; without this, a
     missing-path race on s3a/hdfs crashes code that tolerates the same
     race on local disk). RuntimeError (no active session) passes
-    through untranslated."""
+    through untranslated.
+
+    The translation is NARROW (ADVICE r11): only Py4J-surfaced errors
+    and exceptions whose message names a java.* class become OSError.
+    A Python-side bug (TypeError, AttributeError) propagates as itself
+    — non-strict callers like _sink_committed_files skip OSError as
+    "unreadable batch", and swallowing a real fault there would mask
+    it."""
 
     def __enter__(self):
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        if exc is not None and not isinstance(
+        if exc is None or isinstance(
                 exc, (OSError, RuntimeError, KeyboardInterrupt)):
-            raise OSError(str(exc)) from None
+            return False
+        try:
+            from py4j.protocol import Py4JError
+        except ImportError:  # pragma: no cover - py4j ships with pyspark
+            Py4JError = ()
+        msg = str(exc)
+        if isinstance(exc, Py4JError) or "java." in msg:
+            raise OSError(msg) from None
         return False
 
 

@@ -269,3 +269,26 @@ def test_decontaminate_hashed_grams_differential(spark, sf_dir):
     out = {(r.part, r.lang): r.n_flagged
            for r in decontaminate(planted, hash_grams=True).collect()}
     assert out[("ngram", "en")] == 1
+
+
+def test_decontaminate_scaled_no_string_grams(spark, sf_dir):
+    """VERDICT r11 item 8: the deployment entry point must hash grams
+    by default — no ~4-word gram STRING may ride the explode or the
+    broadcast probe set. Gate: the plan folds grams through xxhash64
+    and every occurrence of the exploded `gram` attribute is a long
+    (`gram#<id>L`), plus the report matches the explicit-flag form."""
+    import re
+
+    from solana_event_stream_spark.operators.curation import (
+        decontaminate, decontaminate_scaled)
+    from solana_event_stream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decontaminate_scaled(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    grams = re.findall(r"gram#\d+(L?)", plan)
+    assert grams and all(suffix == "L" for suffix in grams), plan[:2000]
+    assert (sorted(map(tuple, out.collect()))
+            == sorted(map(tuple,
+                          decontaminate(docs, hash_grams=True).collect())))

@@ -209,3 +209,30 @@ def test_lsh_multiprobe_recall_ladder(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _probe_masks(8, 9)
+
+
+def test_multiprobe_plan_flat_in_masks(spark, sf_dir):
+    """VERDICT r11 item 5: the probe-mask set must be DATA (one
+    array<long> Literal exploded and XORed once), not one XOR Column
+    per mask folded into the plan — at corpus-tracking n_planes (~20+)
+    with nprobe_bits >= 3 the old form carried C(20, <=3) = 1,351
+    expressions, the same plan-growth pattern the Arrow centroid
+    backend removed for cells. Gate: the XOR operator appears a
+    constant (tiny) number of times in the analyzed plan regardless of
+    nprobe_bits, and the high-mask-count form still executes."""
+    from solana_event_stream_spark.operators.similarity import (
+        _probe_masks, ann_lsh_topk_multiprobe)
+
+    assert len(_probe_masks(20, 3)) == 1 + 20 + 190 + 1140
+
+    def xor_count(df):
+        return df._jdf.queryExecution().analyzed().toString().count("^")
+
+    lo = ann_lsh_topk_multiprobe(spark, sf_dir, n_planes=20, nprobe_bits=1)
+    hi = ann_lsh_topk_multiprobe(spark, sf_dir, n_planes=20, nprobe_bits=3)
+    n_lo, n_hi = xor_count(lo), xor_count(hi)
+    assert n_lo == n_hi, (n_lo, n_hi)
+    assert n_hi <= 4, n_hi  # one XOR per plan (x a couple of reprints)
+    # and the 1,351-mask plan actually runs (it would take minutes to
+    # even construct in the per-mask-Column form)
+    assert hi.count() >= 0
