@@ -152,6 +152,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     n_timed = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if os.environ.get("SPARK_GRAFT_BENCH_AB_ONLY"):
+        names = []  # adjudication-only run: skip the headline loop
     for name in names:
         try:
             # Untimed warm run (JIT/codegen compilation and parquet footer
