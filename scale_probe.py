@@ -174,12 +174,86 @@ def probe_curation_k(spark) -> list[dict]:
     return out
 
 
+def probe_multiprobe(spark) -> list[dict]:
+    """r12 (VERDICT r11 item 6): multi-probe LSH at corpus-tracking
+    n_planes — recall vs brute-force ground truth and cost for
+    nprobe_bits 0..3, at the scaled_n_planes(corpus) point and a
+    high-plane (16) point. The operator's stated purpose is exactly
+    this regime: high n_planes keeps buckets small (candidate work
+    ~corpus x bucket), multi-probe buys the recall back."""
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.dedup import scaled_n_planes
+    from solana_event_stream_spark.operators.similarity import (
+        _probe_masks, ann_lsh_topk_multiprobe)
+    from solana_event_stream_spark.tables import load_spread
+
+    cat = load_catalog()
+    n_vec = load_spread(spark, SF_DIR, "embeddings").count()
+    brute = {(r.query_id, r.neighbor_id)
+             for r in cat["ann_cosine_topk"].spark_fn(
+                 spark, SF_DIR).collect()}
+
+    out = []
+    for n_planes in sorted({scaled_n_planes(n_vec), 16}):
+        for bits in (0, 1, 2, 3):
+            df = ann_lsh_topk_multiprobe(spark, SF_DIR,
+                                         n_planes=n_planes,
+                                         nprobe_bits=bits)
+            got = [None]
+
+            def _run():
+                got[0] = {(r.query_id, r.neighbor_id)
+                          for r in df.collect()}
+
+            sec = _timed(_run)
+            out.append({
+                "probe": "multiprobe", "n_vec": n_vec,
+                "n_planes": n_planes, "nprobe_bits": bits,
+                "n_masks": len(_probe_masks(n_planes, bits)),
+                "recall": round(len(got[0] & brute) / len(brute), 3),
+                "exec_sec": sec})
+            print(json.dumps(out[-1]), flush=True)
+    return out
+
+
+def probe_curation_scaled(spark) -> list[dict]:
+    """r12 (VERDICT r11 item 7): the FULL scaled battery (Lloyd loop on
+    the Arrow backend + SemDeDup) at a corpus-tracking k ~ sqrt(corpus)
+    — the point of scaling k is the SemDeDup sum(cluster_size^2) pair
+    bound, so that sum is logged alongside the wall time."""
+    import math
+
+    from solana_event_stream_spark.catalog import release_persisted
+    from solana_event_stream_spark.operators.curation import (
+        embedding_curation_scaled)
+    from solana_event_stream_spark.tables import load_spread
+
+    n_vec = load_spread(spark, SF_DIR, "embeddings").count()
+    k = max(8, int(math.isqrt(n_vec)))
+    t0 = time.perf_counter()
+    rows = embedding_curation_scaled(spark, SF_DIR, k=k).collect()
+    wall = round(time.perf_counter() - t0, 3)
+    sizes = {r.cluster: (r.n1 if r.n2 is None else r.n1 + r.n2)
+             for r in rows if r.part == "semdedup"}
+    dropped = sum(r.n2 for r in rows if r.part == "semdedup")
+    release_persisted()
+    out = [{"probe": "curation_scaled", "n_vec": n_vec, "k": k,
+            "wall_sec": wall, "n_clusters_nonempty": len(sizes),
+            "sum_cluster_sq": sum(s * s for s in sizes.values()),
+            "all_pairs_sq": n_vec * n_vec,
+            "max_cluster": max(sizes.values()), "n_dropped": dropped}]
+    print(json.dumps(out[-1]), flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     which = set(sys.argv[1:])
     probes = {"pipeline": probe_pipeline, "accounts": probe_accounts,
-              "dedup": probe_dedup, "curation": probe_curation_k}
+              "dedup": probe_dedup, "curation": probe_curation_k,
+              "multiprobe": probe_multiprobe,
+              "curation_scaled": probe_curation_scaled}
     results = []
     for name, fn in probes.items():
         if not which or name in which:
