@@ -502,18 +502,21 @@ _SPARK_SIGN = spark_sign_expr(_N_PLANES)
 _SQL_SIGN = sql_sign_expr(_N_PLANES)
 
 
-def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def plane_weights(n_planes: int, dim: int,
+                  plane_offset: int = 0) -> list[list[float]]:
     """The ±1 hyperplane weight matrix, materialized ONCE driver-side.
     Same rule as the SQL forms: weight(p, d) = +1 iff the first hex
     nibble of md5("{p}_{d}") is even — hashlib.md5 and Spark/DuckDB md5
-    agree by definition."""
+    agree by definition. ``plane_offset`` selects planes
+    [offset, offset+n) from the same infinite deterministic family —
+    how the banded form gives every band its own independent planes."""
     import hashlib
     return [[1.0 if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0]
              in "02468ace" else -1.0 for d in range(dim)]
-            for p in range(n_planes)]
+            for p in range(plane_offset, plane_offset + n_planes)]
 
 
-def sign_bucket_col(n_planes: int, dim: int):
+def sign_bucket_col(n_planes: int, dim: int, plane_offset: int = 0):
     """The n-bit hyperplane signature as a literal-weight Column.
 
     Numerically IDENTICAL to ``spark_sign_expr`` (same left-fold of
@@ -525,7 +528,7 @@ def sign_bucket_col(n_planes: int, dim: int):
     a handful of fused double multiply-adds. Requires a uniform
     embedding dimension (the expression form handles ragged rows)."""
     bucket = F.lit(0).cast("long")
-    for w in plane_weights(n_planes, dim):
+    for w in plane_weights(n_planes, dim, plane_offset):
         wlit = F.array(*[F.lit(x) for x in w])
         dot = F.aggregate(
             F.zip_with(F.col("embedding"), wlit,
@@ -676,6 +679,90 @@ def dedup_embedding_cosine_scaled(spark, sf_dir: str,
             load_spread(spark, sf_dir, "embeddings").count(),
             target_bucket_size)
     return _embedding_cosine_pairs(spark, sf_dir, n_planes, limit)
+
+
+def dedup_embedding_cosine_banded(spark, sf_dir: str, n_bands: int = 2,
+                                  band_bits: int | None = None,
+                                  target_bucket_size: int = 64,
+                                  limit: int = 20) -> DataFrame:
+    """The recall-restoring form of ``dedup_embedding_cosine_scaled``
+    at high plane counts — the banding its docstring promises, built
+    exactly like :func:`dedup_minhash_lsh`'s band structure but over
+    hyperplane sign bits: ONE (n_bands x band_bits)-bit signature per
+    vector, split into ``n_bands`` disjoint ``band_bits``-bit bands; a
+    pair is a candidate when ANY band matches (ids-only band join ->
+    distinct -> re-attach embeddings -> exact cosine).
+
+    Recall/cost algebra (the same S-curve as MinHash banding): with
+    per-plane agreement p = 1 - theta/pi, a single w-bit bucket keeps a
+    near-dup pair with p^w — vanishing as w tracks the corpus — while
+    n bands of w bits keep it with 1-(1-p^w)^n. ``band_bits`` defaults
+    to scaled_n_planes(corpus, target_bucket_size) so each band's
+    expected bucket population stays ~target_bucket_size: candidate
+    work is ~n_bands x corpus x target, never quadratic. Each band's
+    signature is its OWN band_bits-bit column over its own plane range
+    (plane_offset = band x band_bits from the same deterministic md5
+    family) — no shared 64-bit word, so n_bands x band_bits has no
+    ceiling. At ``n_bands=1`` band 0's planes are exactly planes
+    0..band_bits-1, so the pair set (and top-k) is IDENTICAL to the
+    single-bucket form — pinned in tests/test_similarity_topk.py.
+
+    Requires a uniform-width, non-NULL embedding corpus (checked via
+    the width census) — the deployment norm; the ragged fallback only
+    exists on the un-banded oracle-pinned forms."""
+    emb = load_spread(spark, sf_dir, "embeddings")
+    return banded_cosine_pairs(emb, n_bands, band_bits,
+                               target_bucket_size, limit)
+
+
+def banded_cosine_pairs(emb: DataFrame, n_bands: int = 2,
+                        band_bits: int | None = None,
+                        target_bucket_size: int = 64,
+                        limit: int = 20) -> DataFrame:
+    """Frame-in core of :func:`dedup_embedding_cosine_banded` (columns
+    ``vec_id``, ``embedding``)."""
+    if band_bits is None:
+        band_bits = scaled_n_planes(emb.count(), target_bucket_size)
+    census = embedding_width_census(emb)
+    widths = [w for w in census if w >= 0]
+    if len(census) != 1 or len(widths) != 1:
+        raise ValueError(
+            "dedup_embedding_cosine_banded needs a uniform-width, "
+            f"non-NULL embedding corpus; width census: {census}")
+    dim = widths[0]
+    norms = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"),
+        *[sign_bucket_col(band_bits, dim, plane_offset=b * band_bits)
+          .alias(f"_band{b}") for b in range(n_bands)])
+    # ids-only through the band join (the minhash pattern): the heavy
+    # embedding arrays never enter the exploded frame or the exchange.
+    bands = norms.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.col(f"_band{b}").alias("band_val"))
+        for b in range(n_bands)])).alias("bd")).select(
+        "vec_id", "bd.band_idx", "bd.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_val") == F.col("b.band_val"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("doc_a"),
+                     F.col("b.vec_id").alias("doc_b"))
+             .distinct())
+    na = norms.select(F.col("vec_id").alias("doc_a"),
+                      F.col("embedding").alias("emb_a"),
+                      F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("vec_id").alias("doc_b"),
+                      F.col("embedding").alias("emb_b"),
+                      F.col("nrm").alias("nrm_b"))
+    dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (dot / (F.col("nrm_a") * F.col("nrm_b")))
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(limit))
 
 
 # ---------------------------------------------------------------------------

@@ -153,21 +153,29 @@ def _lsh_topk(spark, sf_dir: str, n_planes: int) -> DataFrame:
 
 
 def ann_lsh_topk_scaled(spark, sf_dir: str, n_planes: int | None = None,
-                        target_bucket_size: int = 64) -> DataFrame:
+                        target_bucket_size: int = 64,
+                        nprobe_bits: int = 0) -> DataFrame:
     """The 100 TB form of ``ann_lsh_topk``: same algorithm, but the
     hyperplane count tracks the corpus (dedup.scaled_n_planes) so the
     per-bucket candidate count — the term that made the 8-bit form
     trend ~corpus²/256 — stays ~target_bucket_size. At n_planes=8 the
     plan is byte-identical to the catalog query (which stays 8-bit:
-    its oracle pins that bucket definition). Recall trades off exactly
-    as in every single-table hyperplane LSH; pair with multi-probe or
-    banding when a deployment needs high recall at high n_planes."""
+    its oracle pins that bucket definition).
+
+    ``nprobe_bits`` is the recall dial that belongs WITH the scale
+    knob (r12 — BENCH_NOTES' sf1.0 ladder: at scaled n_planes the
+    single-probe top-k recall collapses, and 3 probe bits buy it back
+    at flat wall): >0 routes through
+    :func:`ann_lsh_topk_multiprobe` at the same plane count."""
     from .dedup import scaled_n_planes
 
     if n_planes is None:
         n_planes = scaled_n_planes(
             load_spread(spark, sf_dir, "embeddings").count(),
             target_bucket_size)
+    if nprobe_bits:
+        return ann_lsh_topk_multiprobe(spark, sf_dir, n_planes=n_planes,
+                                       nprobe_bits=nprobe_bits)
     return _lsh_topk(spark, sf_dir, n_planes)
 
 

@@ -236,3 +236,87 @@ def test_multiprobe_plan_flat_in_masks(spark, sf_dir):
     # and the 1,351-mask plan actually runs (it would take minutes to
     # even construct in the per-mask-Column form)
     assert hi.count() >= 0
+
+
+def test_lsh_scaled_nprobe_passthrough(spark, sf_dir):
+    """nprobe_bits on the scaled entry point routes through the
+    multi-probe form at the same plane count (r12: the recall dial
+    belongs WITH the scale knob)."""
+    from solana_event_stream_spark.operators.similarity import (
+        ann_lsh_topk_multiprobe, ann_lsh_topk_scaled)
+
+    got = sorted(map(tuple, ann_lsh_topk_scaled(
+        spark, sf_dir, n_planes=9, nprobe_bits=2).collect()))
+    want = sorted(map(tuple, ann_lsh_topk_multiprobe(
+        spark, sf_dir, n_planes=9, nprobe_bits=2).collect()))
+    assert got == want and got
+
+
+def test_banded_dedup_identity(spark, sf_dir):
+    """n_bands=1, band_bits=8: band 0's planes are exactly the catalog
+    bucket's planes, so the banded top-20 IS dedup_embedding_cosine."""
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.dedup import (
+        dedup_embedding_cosine_banded)
+
+    cat = load_catalog()
+    single = sorted(map(tuple,
+                        cat["dedup_embedding_cosine"].spark_fn(
+                            spark, sf_dir).collect()))
+    banded = sorted(map(tuple, dedup_embedding_cosine_banded(
+        spark, sf_dir, n_bands=1, band_bits=8).collect()))
+    assert banded == single and banded
+
+
+def _planted_corpus(spark, noise: float):
+    """300 deterministic pseudo-random 16-dim vectors + 30 planted
+    near-dup partners (vec_id 1000+i ~ vec_id i)."""
+    def vec(i):
+        return [((i * 37 + d * 101) % 997) / 498.5 - 1.0
+                for d in range(16)]
+
+    rows = [(i, vec(i)) for i in range(300)]
+    for i in range(30):
+        rows.append((1000 + i,
+                     [x + noise * (((i + d) % 5) - 2)
+                      for d, x in enumerate(vec(i))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_banded_dedup_recall_on_planted_pairs(spark):
+    """The reason the banded form exists: at a band width that keeps
+    buckets small, a single w-bit bucket splits some true near-dup
+    pairs (one flipped sign among w planes kills the match); a second
+    independent-plane band recovers pairs the first splits. Band 0 ==
+    the single bucket, so the banded pair set is a strict SUPERSET."""
+    from solana_event_stream_spark.operators.dedup import (
+        banded_cosine_pairs)
+
+    emb = _planted_corpus(spark, noise=0.05)
+    planted = {(i, 1000 + i) for i in range(30)}
+
+    def pairs(n_bands):
+        got = banded_cosine_pairs(emb, n_bands=n_bands, band_bits=16,
+                                  limit=1_000_000).collect()
+        return {(r.doc_a, r.doc_b) for r in got}
+
+    p1, p2, p3 = pairs(1), pairs(2), pairs(3)
+    assert p1 <= p2 <= p3
+    h1, h2, h3 = (len(planted & p) for p in (p1, p2, p3))
+    # deterministic corpus + deterministic md5 planes: measured ladder
+    # is 17 -> 28 -> 29 of 30 (each extra independent band recovers
+    # pairs a single 16-bit bucket splits)
+    assert h1 < h2 <= h3, (h1, h2, h3)
+    assert h2 >= 25 and h3 >= 25
+
+
+def test_banded_dedup_rejects_ragged(spark):
+    from solana_event_stream_spark.operators.dedup import (
+        banded_cosine_pairs)
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, [1.0] * 8)],
+        "vec_id long, embedding array<float>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="uniform-width"):
+        banded_cosine_pairs(emb, n_bands=2, band_bits=8)
