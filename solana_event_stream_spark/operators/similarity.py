@@ -312,7 +312,8 @@ def _norms_and_centroid_choices(spark, sf_dir: str):
 
 
 def ivf_cells_arrow(emb: DataFrame,
-                    centroids: dict[int, list[float]]) -> DataFrame:
+                    centroids: dict[int, list[float]],
+                    nprobe: int = 1) -> DataFrame:
     """The corpus-tracking-cells form of :func:`_ivf_cells`: same
     (vec_id, embedding, nrm, cell) output and the same
     max-cosine/ties-to-smallest-cid rule, but the centroids ship as ONE
@@ -322,21 +323,34 @@ def ivf_cells_arrow(emb: DataFrame,
     backend as curation.assign_arrow; differential-tested against the
     literal form in tests/test_curation.py). Norms are float64 NumPy
     sums — they can differ from the Spark fold in low-order bits, so
-    the oracle-pinned catalog entry keeps the literal form."""
+    the oracle-pinned catalog entry keeps the literal form.
+
+    ``nprobe > 1`` (r12) adds a ``probe_cells`` array column: the
+    nprobe nearest cells by cosine DESC with ties to the smallest cid
+    (same total order as ann_ivf_topk_probed's array_sort) — the
+    standard IVF recall dial, on the backend whose cell count actually
+    scales. Corpus rows still keep their single ``cell``; only the
+    query side explodes ``probe_cells``."""
     import numpy as np
     import pyarrow as pa
 
     from .curation import _centroid_matrix
 
     cids, cmat = _centroid_matrix(centroids)
+    if not 1 <= nprobe <= len(cids):
+        raise ValueError(f"nprobe must be in [1, {len(cids)}], "
+                         f"got {nprobe}")
     dims = cmat.shape[1]
     bc = emb.sparkSession.sparkContext.broadcast((cids, cmat))
-    out_schema = pa.schema([
+    fields = [
         ("vec_id", pa.int64()),
         ("embedding", pa.list_(pa.float32())),
         ("nrm", pa.float64()),
         ("cell", pa.int32()),
-    ])
+    ]
+    if nprobe > 1:
+        fields.append(("probe_cells", pa.list_(pa.int32())))
+    out_schema = pa.schema(fields)
 
     def _batches(it):
         cids_, cmat_ = bc.value
@@ -365,16 +379,25 @@ def ivf_cells_arrow(emb: DataFrame,
                     f"(vec_ids {[int(vec_id[i].as_py()) for i in range(n) if nrm[i] == 0.0][:5]})")
             cos = (x @ cmat_.T) / (nrm[:, None] * c_nrm[None, :])
             idx = cos.argmax(axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [vec_id, col.cast(pa.list_(pa.float32())),
-                 pa.array(nrm, pa.float64()),
-                 pa.array(cids_[idx], pa.int32())],
-                schema=out_schema)
+            arrays = [vec_id, col.cast(pa.list_(pa.float32())),
+                      pa.array(nrm, pa.float64()),
+                      pa.array(cids_[idx], pa.int32())]
+            if nprobe > 1:
+                # stable sort of -cos: equal cosines keep cid order
+                # (cids ascend in cmat) — the probed literal form's
+                # (cos DESC, cid ASC) total order
+                order = np.argsort(-cos, axis=1, kind="stable")
+                arrays.append(pa.array(
+                    cids_[order[:, :nprobe]].tolist(),
+                    pa.list_(pa.int32())))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    return (emb.select("vec_id", "embedding")
-            .mapInArrow(_batches,
-                        "vec_id long, embedding array<float>, "
-                        "nrm double, cell int"))
+    ret_schema = ("vec_id long, embedding array<float>, "
+                  "nrm double, cell int")
+    if nprobe > 1:
+        ret_schema += ", probe_cells array<int>"
+    return emb.select("vec_id", "embedding").mapInArrow(_batches,
+                                                        ret_schema)
 
 
 def _ivf_corpus_centroids(spark, sf_dir: str) -> dict[int, list[float]]:
@@ -392,16 +415,25 @@ def _ivf_corpus_centroids(spark, sf_dir: str) -> dict[int, list[float]]:
             [float(x) for x in r.embedding] for r in rows}
 
 
-def ann_ivf_topk_scaled(spark, sf_dir: str) -> DataFrame:
+def ann_ivf_topk_scaled(spark, sf_dir: str, nprobe: int = 1) -> DataFrame:
     """``ann_ivf_topk`` on the Arrow coarse quantizer — the entry point
     a deployment scales the cell count through (pair with centroids
-    from curation.kmeans_assign_scaled for data-fitted cells)."""
+    from curation.kmeans_assign_scaled for data-fitted cells).
+    ``nprobe`` is the recall dial on THIS backend (r12): each query
+    probes its nprobe nearest cells (ivf_cells_arrow's probe_cells),
+    corpus rows keep one cell — same semantics as the literal
+    ann_ivf_topk_probed, pinned equal in tests."""
     cells = ivf_cells_arrow(load_spread(spark, sf_dir, "embeddings"),
-                            _ivf_corpus_centroids(spark, sf_dir))
+                            _ivf_corpus_centroids(spark, sf_dir),
+                            nprobe=nprobe)
+    q_cell = (F.explode("probe_cells") if nprobe > 1
+              else F.col("cell"))
     queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
-        F.col("cell").alias("q_cell"))
+        q_cell.alias("q_cell"))
+    if nprobe > 1:
+        cells = cells.drop("probe_cells")
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     scored = (F.broadcast(queries)
               .join(cells, (F.col("q_cell") == F.col("cell"))

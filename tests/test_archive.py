@@ -1063,3 +1063,28 @@ def test_java_io_context_translates_to_oserror():
     with _pytest.raises(OSError, match="keep"):
         with _java_io_as_oserror():
             raise OSError("keep me")
+
+
+def test_java_io_translation_is_narrow():
+    """ADVICE r11: only Py4J-surfaced / java.*-named failures become
+    OSError; a Python-side bug propagates as itself (non-strict lake
+    readers skip OSError as 'unreadable batch' — swallowing a real
+    TypeError there would mask it)."""
+    import pytest
+    from py4j.protocol import Py4JError
+
+    from solana_event_stream_spark.streaming.event_archive import (
+        _java_io_as_oserror)
+
+    with pytest.raises(OSError):
+        with _java_io_as_oserror():
+            raise Exception("java.io.FileNotFoundException: gone")
+    with pytest.raises(OSError):
+        with _java_io_as_oserror():
+            raise Py4JError("gateway dropped")
+    with pytest.raises(TypeError):
+        with _java_io_as_oserror():
+            raise TypeError("a Python bug, not an IO race")
+    with pytest.raises(RuntimeError):
+        with _java_io_as_oserror():
+            raise RuntimeError("no active session")

@@ -292,3 +292,40 @@ def test_decontaminate_scaled_no_string_grams(spark, sf_dir):
     assert (sorted(map(tuple, out.collect()))
             == sorted(map(tuple,
                           decontaminate(docs, hash_grams=True).collect())))
+
+
+def test_ivf_cells_arrow_rejects_zero_norm(spark):
+    """ADVICE r11: a zero embedding used to yield NaN cosines and a
+    silent argmax-to-cell-0 assignment, diverging from the literal
+    fold's NULL behavior — now it raises loudly."""
+    import pytest
+
+    from solana_event_stream_spark.operators.similarity import (
+        ivf_cells_arrow)
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    cents = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0]}
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_cells_arrow(emb, cents).collect()
+
+
+def test_kmeans_scaled_init_rule_matches_literal(spark):
+    """ADVICE r11: both backends now share the SAME init rule
+    (filter(vec_id < k) + exact count) — on a corpus whose vec_ids
+    don't start at 0, BOTH raise instead of the scaled form silently
+    proceeding with different seed vectors."""
+    import pytest
+
+    from solana_event_stream_spark.operators.curation import (
+        KM_DIMS, kmeans_assign, kmeans_assign_scaled)
+
+    emb = spark.createDataFrame(
+        [(100 + i, [float((i + d) % 7) for d in range(KM_DIMS)])
+         for i in range(16)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="expects vec_id 0"):
+        kmeans_assign(emb, k=8, iters=1)
+    with pytest.raises(ValueError, match="expects vec_id 0"):
+        kmeans_assign_scaled(emb, k=8, iters=1)

@@ -582,6 +582,11 @@ def test_plugin_account_validation():
     with pytest.raises(ValueError, match="8 bytes of lowercase hex"):
         _reg(account_discriminators={"zz": "A"},
              account_decoders={"A": _ts_pool_account})
+    # ADVICE r11: right length + lowercase but NOT hex — previously
+    # registered fine and could never match data.hex() (dead route)
+    with pytest.raises(ValueError, match="8 bytes of lowercase hex"):
+        _reg(account_discriminators={"g0e1f2a3b4c5d6e7": "A"},
+             account_decoders={"A": _ts_pool_account})
     with pytest.raises(ValueError, match="keys must equal"):
         _reg(account_discriminators={TS_ACCT_DISC: "A"},
              account_decoders={})

@@ -320,3 +320,27 @@ def test_banded_dedup_rejects_ragged(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="uniform-width"):
         banded_cosine_pairs(emb, n_bands=2, band_bits=8)
+
+
+def test_ivf_scaled_nprobe_matches_literal_and_brute(spark, sf_dir):
+    """The Arrow-scaled IVF's nprobe dial (r12): probe-cell ORDER
+    matches the literal form's (cos DESC, cid ASC) total order —
+    nprobe=2 results equal ann_ivf_topk_probed(2), and nprobe=IVF_K
+    probes every cell, i.e. exact brute force."""
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.similarity import (
+        IVF_K, ann_ivf_topk_probed, ann_ivf_topk_scaled)
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rk)
+                      for r in df.collect())
+
+    assert rows(ann_ivf_topk_scaled(spark, sf_dir, nprobe=2)) \
+        == rows(ann_ivf_topk_probed(spark, sf_dir, nprobe=2))
+    brute = rows(load_catalog()["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    assert rows(ann_ivf_topk_scaled(spark, sf_dir, nprobe=IVF_K)) == brute
+    import pytest as _pytest
+    from solana_event_stream_spark.operators.similarity import (
+        ivf_cells_arrow)
+    with _pytest.raises(ValueError, match="nprobe"):
+        ivf_cells_arrow(None, {0: [1.0], 1: [0.5]}, nprobe=3)
