@@ -46,10 +46,18 @@ DEFAULT_STATE_COLS = (
 #: time default.
 DEFAULT_SLICE_SLOTS = 216_000
 
-#: the decoded trade/swap event types (registry.DISPATCH targets) the
-#: lake wiring enriches by default.
-TRADE_EVENT_TYPES = ("pumpfun_trade", "bonk_trade", "pumpswap_buy",
-                     "pumpswap_sell", "meteora_swap")
+#: the decoded trade/swap event types (registry D1 dispatch names) the
+#: lake wiring enriches by default — every buy/sell/swap across the 7
+#: builtin protocols.
+TRADE_EVENT_TYPES = (
+    "PumpFunBuy", "PumpFunSell",
+    "PumpSwapBuy", "PumpSwapSell",
+    "BonkBuyExactIn", "BonkSellExactIn", "BonkSellExactOut",
+    "RaydiumAmmV4SwapBaseIn", "RaydiumAmmV4SwapBaseOut",
+    "RaydiumCpmmSwapBaseInput", "RaydiumCpmmSwapBaseOutput",
+    "RaydiumClmmSwap", "RaydiumClmmSwapV2",
+    "MeteoraDammV2Swap", "MeteoraDammV2Swap2",
+)
 
 
 def enrich_trades_asof(trades: DataFrame, account_states: DataFrame,
@@ -121,17 +129,19 @@ def enrich_trades_asof_from_lakes(spark: SparkSession,
                                   account_archive_dir: str,
                                   trade_compacted_dir: str | None = None,
                                   account_compacted_dir: str | None = None,
+                                  event_types: tuple[str, ...] =
+                                  TRADE_EVENT_TYPES,
                                   **kwargs) -> DataFrame:
     """Convenience wiring: both sides read through the lake manifests
     (:func:`~..streaming.event_archive.load_event_lake` — compacted
-    generations + committed sink tail), trades filtered to the decoded
-    trade event types. ``kwargs`` pass through to
-    :func:`enrich_trades_asof`."""
+    generations + committed sink tail), trades filtered to
+    ``event_types`` (default: every builtin buy/sell/swap). ``kwargs``
+    pass through to :func:`enrich_trades_asof`."""
     from ..streaming.event_archive import load_event_lake
 
     trades = (load_event_lake(spark, trade_archive_dir,
                               trade_compacted_dir)
-              .filter(F.col("event_type").isin(*TRADE_EVENT_TYPES)))
+              .filter(F.col("event_type").isin(*event_types)))
     accounts = load_event_lake(spark, account_archive_dir,
                                account_compacted_dir)
     return enrich_trades_asof(trades, accounts, **kwargs)

@@ -97,8 +97,8 @@ def test_enrich_from_lakes(spark, tmp_path):
     tdir, adir = str(tmp_path / "trades"), str(tmp_path / "accounts")
     (_trades(spark)
      .withColumn("event_type",
-                 F.when(F.col("sig") == "t6", F.lit("pumpfun_create"))
-                 .otherwise(F.lit("pumpfun_trade")))
+                 F.when(F.col("sig") == "t6", F.lit("PumpFunCreateToken"))
+                 .otherwise(F.lit("PumpFunBuy")))
      .write.parquet(tdir))
     _states(spark).write.parquet(adir)
     out = enrich_trades_asof_from_lakes(
@@ -116,3 +116,87 @@ def test_enrich_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_enrich_end_to_end_through_streamed_lakes(spark, tmp_path):
+    """The full path the API exists for: BOTH lakes materialized by
+    their production streaming sinks (tx raws -> decoded trade lake;
+    account raws -> decoded account lake), then
+    enrich_trades_asof_from_lakes attaches bonding-curve state to a
+    real PumpFunBuy as-of its slot. The account fixture's bonding-curve
+    row is replayed at the trade's pubkey at two slots bracketing the
+    trade — the as-of must pick the earlier one and carry its decoded
+    reserves."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.plans.account_pipeline import (
+        load_raw_accounts)
+    from solana_event_stream_spark.plans.pipeline import (
+        build_events_core, load_raw_transactions)
+    from solana_event_stream_spark.sources.replay import (
+        read_account_stream, read_transaction_stream,
+        write_account_archive, write_slot_bucketed_archive)
+    from solana_event_stream_spark.streaming.event_archive import (
+        start_account_archive_stream, start_event_archive_stream)
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    raw_tx = load_raw_transactions(
+        spark, os.path.join(fixtures, "raw_transactions.parquet"))
+
+    # the target: one decoded PumpFunBuy and its bonding curve
+    buy = (build_events_core(raw_tx)
+           .filter((F.col("event_type") == "PumpFunBuy")
+                   & F.col("bonding_curve").isNotNull())
+           .select("signature", "slot", "bonding_curve").first())
+    assert buy is not None
+
+    # account raws: the fixture's PumpFunBondingCurve row replayed at
+    # the trade's bonding curve, at slots trade-10 and trade+10
+    raw_acct = load_raw_accounts(
+        spark, os.path.join(fixtures, "raw_accounts.parquet"))
+    curve_raw = raw_acct.filter(
+        F.col("pubkey") == "SKAQfKByHwWn3XZ6zZtx5ZMg48zpuG1ZsK7UhtSjzBZ")
+    assert curve_raw.count() == 1
+    replayed = curve_raw.select(
+        F.explode(F.array(F.lit(buy.slot - 10), F.lit(buy.slot + 10)))
+        .alias("slot"),
+        F.concat_ws("_", "signature", F.lit("replay")).alias("signature"),
+        F.lit(buy.bonding_curve).alias("pubkey"),
+        "executable", "lamports", "owner", "rent_epoch", "data",
+        "recv_us")
+
+    tdir = str(tmp_path / "trade_lake")
+    adir = str(tmp_path / "acct_lake")
+    tsrc, asrc = str(tmp_path / "tsrc"), str(tmp_path / "asrc")
+    write_slot_bucketed_archive(raw_tx, tsrc, n_buckets=3)
+    write_account_archive(replayed, asrc, slots_per_bucket=100)
+    q1 = start_event_archive_stream(
+        read_transaction_stream(spark, tsrc, max_files_per_trigger=4),
+        tdir, str(tmp_path / "tckpt"), slots_per_dir=100,
+        available_now=True)
+    q1.awaitTermination(180)
+    q2 = start_account_archive_stream(
+        read_account_stream(spark, asrc, max_files_per_trigger=4),
+        adir, str(tmp_path / "ackpt"), slots_per_dir=100,
+        available_now=True)
+    q2.awaitTermination(180)
+
+    out = enrich_trades_asof_from_lakes(
+        spark, tdir, adir,
+        state_cols=("virtual_sol_reserves", "virtual_token_reserves",
+                    "complete"))
+    got = {r.signature: r for r in out.collect()}
+    target = got[buy.signature]
+    # as-of picks the strictly-earlier replay (trade slot - 10), and
+    # carries that row's DECODED reserves (fixture goldens: 222/111)
+    assert target.state_slot == buy.slot - 10
+    assert int(target.state_virtual_sol_reserves) == 222
+    assert int(target.state_virtual_token_reserves) == 111
+    assert target.state_complete is True
+    # trades whose bonding curve never saw an account write: NULL state
+    others = [r for s, r in got.items() if s != buy.signature
+              and (r.bonding_curve or "") != buy.bonding_curve]
+    assert others and all(r.state_slot is None for r in others)
