@@ -246,6 +246,58 @@ def probe_curation_scaled(spark) -> list[dict]:
     return out
 
 
+def probe_enrichment(spark) -> list[dict]:
+    """r12: the lake as-of enrichment under hot-account skew — plain
+    per-key window fill vs the (key, slot-slice) skewed form, on a
+    synthetic 1M-trade corpus where ONE bonding curve carries 20% of
+    trades and 50% of account writes (the viral-mint shape). The
+    skewed form's win is the point of `skewed=True`; both arms must
+    agree on the checksum (they are differential-tested at unit
+    scale; the checksum here is the at-scale guard)."""
+    from solana_event_stream_spark.plans.enrichment import (
+        enrich_trades_asof)
+
+    n_trades, n_states, n_keys = 1_000_000, 200_000, 10_000
+    hot = "HOTCURVE"
+    key = (F.when(F.col("id") % 5 == 0, F.lit(hot))
+           .otherwise(F.concat(F.lit("c"), F.pmod("id", n_keys))))
+    trades = spark.range(n_trades).select(
+        F.concat(F.lit("s"), "id").alias("sig"),
+        F.pmod(F.col("id") * 7919, 500_000).alias("slot"),
+        key.alias("bonding_curve"))
+    skey = (F.when(F.col("id") % 2 == 0, F.lit(hot))
+            .otherwise(F.concat(F.lit("c"), F.pmod("id", n_keys))))
+    states = spark.range(n_states).select(
+        skey.alias("pubkey"),
+        F.pmod(F.col("id") * 104729, 500_000).alias("slot"),
+        F.col("id").alias("recv_us"),
+        (F.col("id") % 1_000_000).alias("reserves"))
+
+    out = []
+    checks = {}
+    for arm, kw in (("plain", {}),
+                    ("skewed", {"skewed": True, "slice_slots": 10_000})):
+        df = enrich_trades_asof(trades, states,
+                                state_cols=("reserves",), **kw)
+        agg = [None]
+
+        def _run():
+            agg[0] = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("state_slot").alias("n_matched"),
+                F.sum("state_reserves").alias("chk")).collect()[0]
+
+        sec = _timed(_run)
+        checks[arm] = (agg[0].n, agg[0].n_matched, int(agg[0].chk))
+        out.append({"probe": "enrichment_skew", "arm": arm,
+                    "n_trades": n_trades, "n_states": n_states,
+                    "hot_share_trades": 0.2, "hot_share_states": 0.5,
+                    "wall_sec": sec, "n_matched": int(agg[0].n_matched)})
+        print(json.dumps(out[-1]), flush=True)
+    assert checks["plain"] == checks["skewed"], checks
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -253,7 +305,8 @@ def main() -> None:
     probes = {"pipeline": probe_pipeline, "accounts": probe_accounts,
               "dedup": probe_dedup, "curation": probe_curation_k,
               "multiprobe": probe_multiprobe,
-              "curation_scaled": probe_curation_scaled}
+              "curation_scaled": probe_curation_scaled,
+              "enrichment": probe_enrichment}
     results = []
     for name, fn in probes.items():
         if not which or name in which:
