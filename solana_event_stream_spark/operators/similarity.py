@@ -28,7 +28,7 @@ IVF_CENTROID_BASE = 100  # vec_ids used as deterministic centroids
 TOPK_SALTS = 32     # phase-1 reduce fan-out of the two-phase top-k
 
 
-def _topk_per_query(scored: DataFrame) -> DataFrame:
+def _topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     """Bounded two-phase per-query top-k.
 
     A single ``Window.partitionBy("query_id")`` funnels every scored
@@ -46,11 +46,11 @@ def _topk_per_query(scored: DataFrame) -> DataFrame:
     w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
     partial = (scored.withColumn("_salt", salt)
                .withColumn("_prk", F.row_number().over(w1))
-               .filter(F.col("_prk") <= TOP_K)
+               .filter(F.col("_prk") <= k)
                .drop("_salt", "_prk"))
     w2 = Window.partitionBy("query_id").orderBy(*order)
     return (partial.withColumn("rk", F.row_number().over(w2))
-            .filter(F.col("rk") <= TOP_K))
+            .filter(F.col("rk") <= k))
 
 
 @register(
@@ -545,3 +545,74 @@ def ann_ivf_topk_probed(spark, sf_dir: str, nprobe: int = 2) -> DataFrame:
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")))
     return _topk_per_query(scored)
+
+
+def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
+                    method: str = "lsh", k: int = TOP_K,
+                    n_planes: int | None = None, nprobe_bits: int = 0,
+                    target_bucket_size: int = 64,
+                    query_id_col: str = "query_id",
+                    corpus_id_col: str = "vec_id",
+                    exclude_matching_ids: bool = True) -> DataFrame:
+    """The deployment ANN entry point (r12): ARBITRARY query and corpus
+    frames, instead of the catalog forms' fixed vec_id < N_QUERIES
+    query slice — what an actual user calls with an external query
+    batch against the embedding lake.
+
+    ``queries``: (query_id_col, embedding); ``corpus``: (corpus_id_col,
+    embedding). Returns (query_id, neighbor_id, cosine, rk <= k) with
+    the catalog operators' exact scoring (ordered-fold dots, bounded
+    two-phase top-k, cosine DESC / neighbor_id ASC total order).
+
+    - ``method="brute"``: broadcast the query batch, rank every corpus
+      row — the correctness baseline, one narrow corpus scan.
+    - ``method="lsh"``: hyperplane signatures on both sides (same
+      deterministic md5 plane family, corpus-level width decision via
+      the census on EACH side) -> bucket equi-join; ``n_planes``
+      defaults to the corpus-tracking scaled_n_planes; ``nprobe_bits``
+      > 0 multi-probes the query side (data-side mask explode), the
+      recall dial at high plane counts.
+    - ``exclude_matching_ids``: drop candidates whose corpus id equals
+      the query id (the catalog semantics, for query batches drawn
+      from the corpus itself); pass False for external query ids.
+    """
+    from .dedup import bucket_col_for, scaled_n_planes
+
+    if method not in ("brute", "lsh"):
+        raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
+    nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    c_cols = [F.col(corpus_id_col).alias("vec_id"), F.col("embedding"),
+              nrm.alias("nrm")]
+    q_cols = [F.col(query_id_col).alias("query_id"),
+              F.col("embedding").alias("q_emb"), nrm.alias("q_nrm")]
+    match = (F.col("query_id") != F.col("vec_id")) if exclude_matching_ids \
+        else F.lit(True)
+    if method == "brute":
+        scored = (F.broadcast(queries.select(*q_cols))
+                  .join(corpus.select(*c_cols), match))
+    else:
+        if n_planes is None:
+            n_planes = scaled_n_planes(corpus.count(), target_bucket_size)
+        c_norm = corpus.select(*c_cols,
+                               bucket_col_for(corpus, n_planes)
+                               .alias("bucket"))
+        q_bucket = bucket_col_for(queries, n_planes)
+        if nprobe_bits:
+            masks = _probe_masks(n_planes, nprobe_bits)
+            q_norm = (queries.select(*q_cols, q_bucket.alias("_qb"),
+                                     F.explode(F.lit(masks)
+                                               .cast("array<long>"))
+                                     .alias("_mask"))
+                      .select("query_id", "q_emb", "q_nrm",
+                              F.col("_qb").bitwiseXOR(F.col("_mask"))
+                              .alias("q_bucket")))
+        else:
+            q_norm = queries.select(*q_cols, q_bucket.alias("q_bucket"))
+        scored = (F.broadcast(q_norm)
+                  .join(c_norm,
+                        (F.col("q_bucket") == F.col("bucket")) & match))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    return _topk_per_query(
+        scored.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")), k)

@@ -344,3 +344,54 @@ def test_ivf_scaled_nprobe_matches_literal_and_brute(spark, sf_dir):
         ivf_cells_arrow)
     with _pytest.raises(ValueError, match="nprobe"):
         ivf_cells_arrow(None, {0: [1.0], 1: [0.5]}, nprobe=3)
+
+
+def test_ann_topk_frames_matches_catalog_and_handles_external_queries(
+        spark, sf_dir):
+    """The frame-in ANN entry point (r12): with the catalog's own query
+    slice it reproduces the catalog operators exactly (brute, 8-plane
+    LSH, multi-probe); with EXTERNAL queries (perturbed corpus vectors
+    under fresh ids, exclude_matching_ids=False) each query's top-1 is
+    its source vector."""
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.similarity import (
+        N_QUERIES, ann_lsh_topk_multiprobe, ann_topk_frames)
+    from solana_event_stream_spark.tables import load_spread
+
+    cat = load_catalog()
+    emb = load_spread(spark, sf_dir, "embeddings")
+    q_slice = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rk)
+                      for r in df.collect())
+
+    assert rows(ann_topk_frames(q_slice, emb, method="brute")) \
+        == rows(cat["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    assert rows(ann_topk_frames(q_slice, emb, method="lsh", n_planes=8)) \
+        == rows(cat["ann_lsh_topk"].spark_fn(spark, sf_dir))
+    assert rows(ann_topk_frames(q_slice, emb, method="lsh", n_planes=8,
+                                nprobe_bits=2)) \
+        == rows(ann_lsh_topk_multiprobe(spark, sf_dir, nprobe_bits=2))
+
+    # external query batch: 5 corpus vectors, slightly perturbed, new ids
+    src = emb.filter(F.col("vec_id") < 5)
+    ext = src.select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(1e-4))
+        .alias("embedding"))
+    got = ann_topk_frames(ext, emb, method="brute", k=1,
+                          exclude_matching_ids=False).collect()
+    assert {r.query_id - 1_000_000: r.neighbor_id for r in got} \
+        == {i: i for i in range(5)}
+    # and the LSH path finds the same top-1 (near-identical vector ->
+    # same signature bucket)
+    got_lsh = ann_topk_frames(ext, emb, method="lsh", n_planes=8, k=1,
+                              exclude_matching_ids=False).collect()
+    assert {r.query_id - 1_000_000: r.neighbor_id for r in got_lsh} \
+        == {i: i for i in range(5)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        ann_topk_frames(q_slice, emb, method="ivf")
