@@ -553,7 +553,8 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
                     target_bucket_size: int = 64,
                     query_id_col: str = "query_id",
                     corpus_id_col: str = "vec_id",
-                    exclude_matching_ids: bool = True) -> DataFrame:
+                    exclude_matching_ids: bool = True,
+                    broadcast_queries: bool = True) -> DataFrame:
     """The deployment ANN entry point (r12): ARBITRARY query and corpus
     frames, instead of the catalog forms' fixed vec_id < N_QUERIES
     query slice — what an actual user calls with an external query
@@ -575,11 +576,21 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
     - ``exclude_matching_ids``: drop candidates whose corpus id equals
       the query id (the catalog semantics, for query batches drawn
       from the corpus itself); pass False for external query ids.
+    - ``broadcast_queries``: default hints the query side broadcast —
+      right for query BATCHES (thousands to low millions of rows).
+      Pass False when the query side outgrows executor memory (an
+      all-pairs-style workload); the LSH bucket join then falls back
+      to a shuffle hash/sort-merge equi-join, which is the correct
+      plan at that scale (brute at that scale is corpus x queries —
+      use LSH).
     """
     from .dedup import bucket_col_for, scaled_n_planes
 
     if method not in ("brute", "lsh"):
         raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
+
+    def _maybe_bcast(df):
+        return F.broadcast(df) if broadcast_queries else df
     nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
     c_cols = [F.col(corpus_id_col).alias("vec_id"), F.col("embedding"),
               nrm.alias("nrm")]
@@ -588,7 +599,7 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
     match = (F.col("query_id") != F.col("vec_id")) if exclude_matching_ids \
         else F.lit(True)
     if method == "brute":
-        scored = (F.broadcast(queries.select(*q_cols))
+        scored = (_maybe_bcast(queries.select(*q_cols))
                   .join(corpus.select(*c_cols), match))
     else:
         if n_planes is None:
@@ -608,7 +619,7 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
                               .alias("q_bucket")))
         else:
             q_norm = queries.select(*q_cols, q_bucket.alias("q_bucket"))
-        scored = (F.broadcast(q_norm)
+        scored = (_maybe_bcast(q_norm)
                   .join(c_norm,
                         (F.col("q_bucket") == F.col("bucket")) & match))
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
