@@ -539,14 +539,6 @@ def sign_bucket_col(n_planes: int, dim: int, plane_offset: int = 0):
     return bucket
 
 
-def embedding_dim(emb: DataFrame) -> int | None:
-    """Dimension of the embedding column (one-row probe), or None on an
-    empty corpus — callers fall back to the row-independent expression
-    form."""
-    row = emb.select(F.size("embedding").alias("d")).first()
-    return int(row.d) if row is not None else None
-
-
 # width-census memo, keyed by the corpus frame's analyzed-plan semantic
 # hash: the census is corpus METADATA (stable for immutable lake/parquet
 # inputs), and every signature-building query in a bench/battery session
@@ -672,8 +664,9 @@ def dedup_embedding_cosine_scaled(spark, sf_dir: str,
     More planes tighten the similarity bound each shared bucket
     implies (every extra matching sign bit is one more agreeing
     hyperplane), trading recall for candidate count exactly like every
-    hyperplane-LSH deployment; probe multiple plane subsets (bands) if
-    a use case needs recall at high n_planes."""
+    hyperplane-LSH deployment; when a use case needs recall at high
+    plane counts, :func:`dedup_embedding_cosine_banded` is that form
+    (independent plane bands, any-band match)."""
     if n_planes is None:
         n_planes = scaled_n_planes(
             load_spread(spark, sf_dir, "embeddings").count(),
