@@ -856,3 +856,31 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(docs: DataFrame, membership: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """The APPLY step of the dedup pipeline (r12) — the piece between
+    "we found the duplicate clusters" and "here is the training
+    corpus": keep every document that appears in NO duplicate cluster,
+    plus exactly one canonical representative per cluster (the
+    cluster's min-label doc — the label :func:`connected_components`
+    already computed, so no extra aggregation).
+
+    ``membership`` is the (doc_id, cluster_id) frame from
+    :func:`connected_components` over any pair source (MinHash,
+    SimHash, n-gram, embedding-cosine, banded). Returns ``docs`` rows
+    unchanged, filtered.
+
+    Scale: membership carries only docs that appeared in some dup pair
+    — normally a small corpus fraction, so AQE broadcasts the join;
+    the corpus side stays a narrow scan + one equi-join, no shuffle of
+    the document payload when broadcast applies. Survivor rule is
+    deterministic (min doc id), matching the min-label convention
+    everywhere else in this module."""
+    memb = membership.select(F.col("doc_id").alias("_m_id"),
+                             F.col("cluster_id").alias("_m_cluster"))
+    return (docs.join(memb, F.col(id_col) == F.col("_m_id"), "left")
+            .filter(F.col("_m_cluster").isNull()
+                    | (F.col(id_col) == F.col("_m_cluster")))
+            .drop("_m_id", "_m_cluster"))

@@ -395,3 +395,31 @@ def test_ann_topk_frames_matches_catalog_and_handles_external_queries(
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         ann_topk_frames(q_slice, emb, method="ivf")
+
+
+def test_dedup_survivors_apply_step(spark, sf_dir):
+    """dedup_survivors == corpus minus every non-canonical cluster
+    member, cross-checked against a driver-side recomputation from the
+    same membership frame; idempotent (a survivor set has no clusters
+    to re-drop... its own re-application is identity)."""
+    from solana_event_stream_spark.operators.dedup import (
+        _minhash_verified_pairs, connected_components, dedup_survivors,
+        docs_with_dups)
+
+    docs = docs_with_dups(spark, sf_dir)
+    memb = connected_components(_minhash_verified_pairs(docs))
+    got = {r.doc_id for r in dedup_survivors(docs, memb)
+           .select("doc_id").collect()}
+
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    m = {r.doc_id: r.cluster_id for r in memb.collect()}
+    want = {d for d in all_ids if d not in m or m[d] == d}
+    assert got == want
+    assert len(got) < len(all_ids)              # something was dropped
+    clusters = {v for v in m.values()}
+    assert clusters <= got                      # one survivor per cluster
+    # idempotent: survivors re-filtered with the same membership frame
+    # lose nothing more than the already-dropped members
+    again = {r.doc_id for r in dedup_survivors(
+        dedup_survivors(docs, memb), memb).select("doc_id").collect()}
+    assert again == got
