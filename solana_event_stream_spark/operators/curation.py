@@ -214,27 +214,36 @@ def decontaminate_scaled(docs: DataFrame, ngram: int = NGRAM,
 # K-means + SemDeDup
 # ---------------------------------------------------------------------------
 
-def _sqdist_to(centroid: list[float]) -> F.Column:
-    """Ordered-fold squared L2 distance to a literal centroid —
-    dimension order 1..dims, bitwise identical to the oracle's
-    list_reduce (same add/sub/mul sequence)."""
-    c_arr = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(F.col("embedding"), c_arr,
-                   lambda x, y: (x.cast("double") - y)
-                   * (x.cast("double") - y)),
-        F.lit(0.0), lambda acc, v: acc + v)
-
-
 def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """Narrow argmin fold over literal centroids: adds (cluster, dist).
     Strict ``<`` keeps the first (smallest cluster id) on exact ties —
-    the same total order as ROW_NUMBER(ORDER BY dist, cluster)."""
-    choices = [F.struct(_sqdist_to(c).alias("dist"),
-                        F.lit(cid).alias("cid"))
-               for cid, c in sorted(centroids.items())]
+    the same total order as ROW_NUMBER(ORDER BY dist, cluster).
+
+    Shape (r12): the centroids ride as ONE array<array<double>> literal
+    and the k (dist, cid) choices come from a single ``F.transform``
+    lambda over it, instead of k separately-built zip_with fold trees.
+    The per-element arithmetic is the SAME ordered fold in the same
+    IEEE order — dist/cluster outputs are bitwise identical to the old
+    per-centroid form (measured at k=8/64/256; the oracle pins it) —
+    but Catalyst analyzes ONE lambda instead of k, cutting the
+    per-iteration plan-build cost that dominated the catalog battery
+    (k=8 at sf0.1: plan 1.65 s -> 0.46 s, exec 1.44 s -> 0.58 s).
+    Plan size still grows with the k x dims literal VALUE, so
+    corpus-tracking k stays on :func:`assign_arrow`."""
+    cids = sorted(centroids)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in cids])
+    cids_lit = F.array(*[F.lit(int(c)) for c in cids])
+    choices = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(F.col("embedding"), c,
+                                   lambda x, y: (x.cast("double") - y)
+                                   * (x.cast("double") - y)),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+            F.element_at(cids_lit, i + 1).alias("cid")))
     best = F.aggregate(
-        F.slice(F.array(*choices), 2, len(choices) - 1), choices[0],
+        F.slice(choices, 2, len(cids) - 1), F.element_at(choices, 1),
         lambda acc, c: F.when(c["dist"] < acc["dist"], c).otherwise(acc))
     return emb.select("vec_id", "embedding",
                       best["cid"].alias("cluster"),

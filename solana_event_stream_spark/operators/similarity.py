@@ -269,18 +269,22 @@ def _ivf_cells(spark, sf_dir: str) -> DataFrame:
     """
     norms, choices = _norms_and_centroid_choices(spark, sf_dir)
     best = F.aggregate(
-        F.slice(F.array(*choices), 2, IVF_K - 1),
-        choices[0],
+        F.slice(choices, 2, IVF_K - 1),
+        F.element_at(choices, 1),
         lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
     return norms.select("vec_id", "embedding", "nrm",
                         best["cid"].alias("cell"))
 
 
 def _norms_and_centroid_choices(spark, sf_dir: str):
-    """Shared coarse-quantizer setup: the normalized corpus frame plus,
-    per centroid, a struct(cos, cid) expression against the current
-    row's embedding (literal-folded — the 8 centroids are collected
-    driver-side, the standard k-means-style pattern)."""
+    """Shared coarse-quantizer setup: the normalized corpus frame plus
+    ONE array<struct<cos, cid>> Column of per-centroid choices against
+    the current row's embedding. The 8 centroids are collected
+    driver-side (the standard k-means-style pattern) and ride as a
+    single array<array<double>> literal under one ``F.transform``
+    lambda (r12 — same plan-build cut as curation._assign; the cosine
+    fold arithmetic is unchanged, so values stay bitwise identical and
+    the oracle pins them)."""
     emb = load_spread(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id", "embedding",
@@ -297,17 +301,23 @@ def _norms_and_centroid_choices(spark, sf_dir: str):
             f"vectors (vec_id {IVF_CENTROID_BASE}.."
             f"{IVF_CENTROID_BASE + IVF_K - 1}) in the corpus; found "
             f"{len(cent_rows)} — cell assignment would be wrong")
-    choices = []
-    for r in cent_rows:
-        cent_id = int(r.vec_id) - IVF_CENTROID_BASE
-        c_emb = F.array(*[F.lit(float(x)) for x in r.embedding])
-        cdot = F.aggregate(
-            F.zip_with(F.col("embedding"), c_emb,
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-        cos = cdot / (F.col("nrm") * F.lit(float(r.nrm)))
-        choices.append(F.struct(cos.alias("cos"),
-                                F.lit(cent_id).alias("cid")))
+    # cent_id == array index: cent_rows are the exact-count-checked
+    # contiguous vec_ids BASE..BASE+IVF_K-1 sorted ascending
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in r.embedding])
+        for r in cent_rows])
+    cnrm_lit = F.array(*[F.lit(float(r.nrm)) for r in cent_rows])
+    choices = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            (F.aggregate(
+                F.zip_with(F.col("embedding"), c,
+                           lambda x, y: x.cast("double")
+                           * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+             / (F.col("nrm") * F.element_at(cnrm_lit, i + 1)))
+            .alias("cos"),
+            i.alias("cid")))
     return norms, choices
 
 
@@ -520,16 +530,16 @@ def ann_ivf_topk_probed(spark, sf_dir: str, nprobe: int = 2) -> DataFrame:
         raise ValueError(f"nprobe must be in [1, {IVF_K}], got {nprobe}")
     norms, choices = _norms_and_centroid_choices(spark, sf_dir)
     best = F.aggregate(
-        F.slice(F.array(*choices), 2, IVF_K - 1),
-        choices[0],
+        F.slice(choices, 2, IVF_K - 1),
+        F.element_at(choices, 1),
         lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
     cells = norms.select("vec_id", "embedding", "nrm",
                          best["cid"].alias("cell"))
     # (-cos, cid) structs so ascending array_sort gives cos DESC with
     # cid ASC tie-break; take the first nprobe cell ids
-    ordered = F.array_sort(F.array(*[
-        F.struct((-c["cos"]).alias("ncos"), c["cid"].alias("cid"))
-        for c in choices]))
+    ordered = F.array_sort(F.transform(
+        choices, lambda c: F.struct((-c["cos"]).alias("ncos"),
+                                    c["cid"].alias("cid"))))
     probe_cells = F.transform(F.slice(ordered, 1, nprobe),
                               lambda s: s["cid"])
     queries = (norms.filter(F.col("vec_id") < N_QUERIES)
