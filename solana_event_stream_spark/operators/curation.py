@@ -111,20 +111,43 @@ def decontaminate(docs: DataFrame, ngram: int = NGRAM,
     base = docs.select("doc_id", "lang", "text",
                        F.split("text", " ").alias("w"))
     is_eval = (F.col("doc_id") % eval_mod) == 0
+    return _decon_report(base.filter(~is_eval), base.filter(is_eval),
+                         ngram, hash_grams)
+
+
+def decontaminate_frames(train_docs: DataFrame, eval_docs: DataFrame,
+                         ngram: int = NGRAM,
+                         hash_grams: bool = True) -> DataFrame:
+    """External-eval decontamination (r12) — the deployment call shape:
+    the eval side is its OWN frame (the actual benchmark corpus, text
+    column only required) instead of the catalog's deterministic
+    modulo split. Same report (part, lang, n_train, n_flagged, rate),
+    same plan shape (per-doc-distinct grams, broadcast eval sets,
+    hash_grams ON by default as in :func:`decontaminate_scaled`)."""
+    t = train_docs.select("doc_id", "lang", "text",
+                          F.split("text", " ").alias("w"))
+    e = eval_docs.select(F.lit(-1).cast("long").alias("doc_id"),
+                         F.lit(None).cast("string").alias("lang"),
+                         "text", F.split("text", " ").alias("w"))
+    return _decon_report(t, e, ngram, hash_grams)
+
+
+def _decon_report(train_base: DataFrame, eval_base: DataFrame,
+                  ngram: int, hash_grams: bool) -> DataFrame:
+    """Shared contamination report over pre-split (doc_id, lang, text,
+    w) frames — see :func:`decontaminate` for the plan-shape notes."""
     gram_arr = _gram_col("w", ngram)
     if hash_grams:
         gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
-    grams = base.select("doc_id", "lang", is_eval.alias("ev"),
-                        F.explode(gram_arr).alias("gram"))
-    eval_grams = grams.filter("ev").select("gram").distinct()
-    ngram_hit = (grams.filter(~F.col("ev"))
+    eval_grams = (eval_base.select(F.explode(gram_arr).alias("gram"))
+                  .distinct())
+    ngram_hit = (train_base
+                 .select("doc_id", F.explode(gram_arr).alias("gram"))
                  .join(F.broadcast(eval_grams), "gram", "leftsemi")
                  .select("doc_id").distinct())
 
-    train = (base.filter(~is_eval)
-             .select("doc_id", "lang", F.md5("text").alias("h")))
-    eval_hashes = (base.filter(is_eval)
-                   .select(F.md5("text").alias("h")).distinct())
+    train = train_base.select("doc_id", "lang", F.md5("text").alias("h"))
+    eval_hashes = eval_base.select(F.md5("text").alias("h")).distinct()
 
     rate = (F.count(F.col("_hit")).cast("double")
             / F.count(F.lit(1))).alias("rate")

@@ -329,3 +329,35 @@ def test_kmeans_scaled_init_rule_matches_literal(spark):
         kmeans_assign(emb, k=8, iters=1)
     with pytest.raises(ValueError, match="expects vec_id 0"):
         kmeans_assign_scaled(emb, k=8, iters=1)
+
+
+def test_decontaminate_frames_external_eval(spark):
+    """decontaminate_frames (r12): the eval side is an external frame
+    (text-only benchmark corpus). Planted: train doc 1 shares a 4-gram
+    with the benchmark, train doc 3 is an exact copy; doc 2 is clean."""
+    from solana_event_stream_spark.operators.curation import (
+        decontaminate_frames)
+
+    train = spark.createDataFrame([
+        (1, "en", "the quick brown fox jumps over the dog"),
+        (2, "en", "completely unrelated training text here"),
+        (3, "de", "benchmark question about spark internals"),
+    ], "doc_id long, lang string, text string")
+    bench = spark.createDataFrame([
+        ("what does the quick brown fox do",),
+        ("benchmark question about spark internals",),
+    ], "text string")
+
+    got = {(r.part, r.lang): (r.n_train, r.n_flagged)
+           for r in decontaminate_frames(train, bench).collect()}
+    assert got[("ngram", "en")] == (2, 1)     # doc 1 gram hit, doc 2 clean
+    assert got[("exact", "de")] == (1, 1)     # doc 3 exact copy
+    assert got[("exact", "en")] == (2, 0)
+    # ngram part also flags the exact copy (it shares every gram)
+    assert got[("ngram", "de")] == (1, 1)
+
+    # string-gram form agrees (hash_grams only changes representation)
+    got_str = {(r.part, r.lang): (r.n_train, r.n_flagged)
+               for r in decontaminate_frames(train, bench,
+                                             hash_grams=False).collect()}
+    assert got_str == got
