@@ -273,6 +273,99 @@ def text_pii_scrub(spark, sf_dir: str) -> DataFrame:
 # text_battery — all five operators as one long-format catalog entry
 # ---------------------------------------------------------------------------
 
+_SQL_REPETITION = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    base AS (SELECT doc_id, len(w) AS n_words,
+                    len(list_distinct(w)) AS n_distinct_words FROM w),
+    g2 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(w) >= 2 THEN
+                    list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])
+                  ELSE [] END) AS gram FROM w),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, SUM(c) AS n2grams, MAX(c) AS top2_n,
+                  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup2_n
+           FROM c2 GROUP BY 1),
+    g3 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(w) >= 3 THEN
+                    list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1]
+                                        || ' ' || w[i+2])
+                  ELSE [] END) AS gram FROM w),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    s3 AS (SELECT doc_id, SUM(c) AS n3grams, MAX(c) AS top3_n,
+                  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3_n
+           FROM c3 GROUP BY 1)
+    SELECT b.doc_id, b.n_words, b.n_distinct_words,
+           1.0 - CAST(b.n_distinct_words AS DOUBLE) / b.n_words
+             AS dup_word_frac,
+           s2.n2grams, s2.top2_n, s2.dup2_n,
+           CAST(s2.top2_n AS DOUBLE) / s2.n2grams AS top2_frac,
+           CAST(s2.dup2_n AS DOUBLE) / s2.n2grams AS dup2_frac,
+           s3.n3grams, s3.top3_n, s3.dup3_n,
+           CAST(s3.top3_n AS DOUBLE) / s3.n3grams AS top3_frac,
+           CAST(s3.dup3_n AS DOUBLE) / s3.n3grams AS dup3_frac
+    FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
+def _rep_grams(n: int) -> F.Column:
+    """Word n-grams WITHOUT the per-doc distinct (repetition is the
+    thing being measured); same guarded-sequence recipe as
+    curation._gram_col."""
+    return F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END")
+
+
+def text_repetition(spark, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021 §A1.1, public paper): duplicate-word fraction plus, per
+    n ∈ {2, 3}, the total/most-frequent/duplicated word-n-gram counts
+    and fractions — the standard curation pass that catches
+    boilerplate and degenerate repetition BEFORE cross-document dedup.
+
+    Scale: the gram tally is explode -> two hash aggregations keyed on
+    (doc_id, gram) then doc_id — fully distributed, map-side partials,
+    no per-doc window; the base word stats are narrow HOFs. Docs too
+    short for an n-gram carry NULL n-gram metrics (LEFT JOIN, both
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"))
+
+    def stats(n):
+        g = docs.select("doc_id", F.explode(_rep_grams(n)).alias("gram"))
+        per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.sum("c").alias(f"n{n}grams"),
+            F.max("c").alias(f"top{n}_n"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .alias(f"dup{n}_n"))
+
+    out = (base.join(stats(2), "doc_id", "left")
+           .join(stats(3), "doc_id", "left"))
+    return out.select(
+        "doc_id", "n_words", "n_distinct_words",
+        (F.lit(1.0) - F.col("n_distinct_words").cast("double")
+         / F.col("n_words")).alias("dup_word_frac"),
+        "n2grams", "top2_n", "dup2_n",
+        (F.col("top2_n").cast("double") / F.col("n2grams"))
+        .alias("top2_frac"),
+        (F.col("dup2_n").cast("double") / F.col("n2grams"))
+        .alias("dup2_frac"),
+        "n3grams", "top3_n", "dup3_n",
+        (F.col("top3_n").cast("double") / F.col("n3grams"))
+        .alias("top3_frac"),
+        (F.col("dup3_n").cast("double") / F.col("n3grams"))
+        .alias("dup3_frac"))
+
+
 def _melt_df(df: DataFrame, part: str, k1, num_metrics, str_metrics=()):
     """Melt named columns to long format (part, k1, metric, vd, vs).
 
@@ -327,6 +420,12 @@ _BATTERY_METRICS = {
     "pii": dict(k1="lang",
                 num=("n_docs", "n_emails", "n_phones", "n_docs_redacted",
                      "sum_len_clean", "n_distinct_clean")),
+    "repetition": dict(k1="doc_id",
+                       num=("n_words", "n_distinct_words",
+                            "dup_word_frac", "n2grams", "top2_n",
+                            "dup2_n", "top2_frac", "dup2_frac",
+                            "n3grams", "top3_n", "dup3_n", "top3_frac",
+                            "dup3_frac")),
 }
 
 _BATTERY_SQL = {
@@ -335,6 +434,7 @@ _BATTERY_SQL = {
     "tokens": _SQL_TOKEN_STATS,
     "fingerprint": _SQL_FINGERPRINT,
     "pii": _SQL_PII_SCRUB,
+    "repetition": _SQL_REPETITION,
 }
 
 
@@ -345,9 +445,10 @@ _BATTERY_SQL = {
                   spec.get("str_", ()))
         for part, spec in _BATTERY_METRICS.items()),
     tags=("text", "llm-data", "langid", "quality", "tokens",
-          "fingerprint", "pii"),
-    doc="All five text-analysis operators (language-ID, quality score, "
-        "token stats, fingerprint, PII scrub) as one catalog entry, "
+          "fingerprint", "pii", "repetition"),
+    doc="All six text-analysis operators (language-ID, quality score, "
+        "token stats, fingerprint, PII scrub, Gopher-style repetition "
+        "filters) as one catalog entry, "
         "melted to a shared (part, k1, metric, vd, vs) long format so "
         "each operator's full per-row output stays in the driver's "
         "value hash (driver 50-row-cap consolidation). Each branch "
@@ -369,6 +470,8 @@ def text_battery(spark, sf_dir: str) -> DataFrame:
             "k", F.col("source")),
         "pii": text_pii_scrub(spark, sf_dir).withColumn(
             "k", F.col("lang")),
+        "repetition": text_repetition(spark, sf_dir).withColumn(
+            "k", F.col("doc_id")),
     }
     out = None
     for part, spec in _BATTERY_METRICS.items():
