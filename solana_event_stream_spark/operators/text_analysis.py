@@ -310,15 +310,66 @@ _SQL_REPETITION = """
 """
 
 
-def _rep_grams(n: int) -> F.Column:
+def _rep_grams(words_col, n: int) -> F.Column:
     """Word n-grams WITHOUT the per-doc distinct (repetition is the
-    thing being measured); same guarded-sequence recipe as
-    curation._gram_col."""
-    return F.expr(
-        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n}))) "
-        f"ELSE CAST(array() AS array<string>) END")
+    thing being measured), built as ``zip_with`` over n shifted slices
+    of the words array. The lambda bodies touch only ELEMENTS — the
+    words array is evaluated once per slice argument, never inside a
+    lambda, which matters enormously in interpreted (codegen-off)
+    evaluation where a lambda-body subtree re-evaluates per element (a
+    sequence->slice formulation re-split the text per gram: measured
+    8x the whole battery's cost)."""
+    s = F.size(words_col)
+    cat = lambda a, b: F.concat_ws(" ", a, b)  # noqa: E731
+    if n == 2:
+        grams = F.zip_with(F.slice(words_col, 1, s - 1),
+                           F.slice(words_col, 2, s - 1), cat)
+    elif n == 3:
+        grams = F.zip_with(
+            F.zip_with(F.slice(words_col, 1, s - 2),
+                       F.slice(words_col, 2, s - 2), cat),
+            F.slice(words_col, 3, s - 2), cat)
+    else:
+        raise ValueError(f"n must be 2 or 3, got {n}")
+    return F.when(s >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _run_length_tally(grams_col) -> F.Column:
+    """struct(total, top, dup) gram-frequency tally as a PER-ROW fold:
+    sort the gram array, then ONE pass counting runs — total grams,
+    the longest run (the most frequent gram's count), and the number
+    of grams inside runs of length >= 2. Zero exchange, zero explode:
+    the whole repetition part stays a narrow projection (the explode +
+    (doc_id, gram) hash-aggregate form measured 2.4x the battery cost
+    at sf0.1; the counts are integers, so the DuckDB oracle keeps the
+    plain relational form and still hash-matches). The gram array is
+    referenced exactly ONCE (total rides in the accumulator) and the
+    NULL-init prev means the first gram never matches."""
+    z = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("total"))
+
+    def step(acc, x):
+        nr = F.when(x == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), nr.alias("run"),
+            F.greatest(acc["top"], nr).alias("top"),
+            (acc["dup"] + F.when(nr == 2, 2).when(nr > 2, 1)
+             .otherwise(0)).alias("dup"),
+            (acc["total"] + 1).alias("total"))
+
+    def finish(acc):
+        return F.when(
+            acc["total"] > 0,
+            F.struct(acc["total"].alias("total"), acc["top"].alias("top"),
+                     acc["dup"].alias("dup")))
+
+    return F.aggregate(F.array_sort(grams_col), z, step, finish)
 
 
 def text_repetition(spark, sf_dir: str) -> DataFrame:
@@ -328,41 +379,34 @@ def text_repetition(spark, sf_dir: str) -> DataFrame:
     and fractions — the standard curation pass that catches
     boilerplate and degenerate repetition BEFORE cross-document dedup.
 
-    Scale: the gram tally is explode -> two hash aggregations keyed on
-    (doc_id, gram) then doc_id — fully distributed, map-side partials,
-    no per-doc window; the base word stats are narrow HOFs. Docs too
-    short for an n-gram carry NULL n-gram metrics (LEFT JOIN, both
-    engines)."""
+    Scale: ONE narrow projection — the gram tallies are per-row
+    sorted run-length folds (:func:`_run_length_tally`), so the whole
+    operator is a single scan with no explode and no shuffle. Docs too
+    short for an n-gram carry NULL n-gram metrics (both engines)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     base = docs.select(
         "doc_id", F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct_words"))
-
-    def stats(n):
-        g = docs.select("doc_id", F.explode(_rep_grams(n)).alias("gram"))
-        per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-        return per.groupBy("doc_id").agg(
-            F.sum("c").alias(f"n{n}grams"),
-            F.max("c").alias(f"top{n}_n"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-            .alias(f"dup{n}_n"))
-
-    out = (base.join(stats(2), "doc_id", "left")
-           .join(stats(3), "doc_id", "left"))
-    return out.select(
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        _run_length_tally(_rep_grams(words, 2)).alias("_t2"),
+        _run_length_tally(_rep_grams(words, 3)).alias("_t3"))
+    return base.select(
         "doc_id", "n_words", "n_distinct_words",
         (F.lit(1.0) - F.col("n_distinct_words").cast("double")
          / F.col("n_words")).alias("dup_word_frac"),
-        "n2grams", "top2_n", "dup2_n",
-        (F.col("top2_n").cast("double") / F.col("n2grams"))
+        F.col("_t2.total").alias("n2grams"),
+        F.col("_t2.top").alias("top2_n"),
+        F.col("_t2.dup").alias("dup2_n"),
+        (F.col("_t2.top").cast("double") / F.col("_t2.total"))
         .alias("top2_frac"),
-        (F.col("dup2_n").cast("double") / F.col("n2grams"))
+        (F.col("_t2.dup").cast("double") / F.col("_t2.total"))
         .alias("dup2_frac"),
-        "n3grams", "top3_n", "dup3_n",
-        (F.col("top3_n").cast("double") / F.col("n3grams"))
+        F.col("_t3.total").alias("n3grams"),
+        F.col("_t3.top").alias("top3_n"),
+        F.col("_t3.dup").alias("dup3_n"),
+        (F.col("_t3.top").cast("double") / F.col("_t3.total"))
         .alias("top3_frac"),
-        (F.col("dup3_n").cast("double") / F.col("n3grams"))
+        (F.col("_t3.dup").cast("double") / F.col("_t3.total"))
         .alias("dup3_frac"))
 
 

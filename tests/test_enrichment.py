@@ -200,3 +200,32 @@ def test_enrich_end_to_end_through_streamed_lakes(spark, tmp_path):
     others = [r for s, r in got.items() if s != buy.signature
               and (r.bonding_curve or "") != buy.bonding_curve]
     assert others and all(r.state_slot is None for r in others)
+
+
+def test_streaming_enrichment_matches_batch(spark, tmp_path):
+    """start_enriched_trade_stream: micro-batched enrichment against
+    the account lake equals the batch enrichment of the same trades —
+    the operator inside foreachBatch IS the batch operator."""
+    from solana_event_stream_spark.plans.enrichment import (
+        start_enriched_trade_stream)
+
+    tdir, adir = str(tmp_path / "trades"), str(tmp_path / "accounts")
+    _trades(spark).write.parquet(tdir)
+    _states(spark).write.parquet(adir)
+    kw = dict(state_cols=("virtual_sol_reserves", "complete"))
+
+    want = _by_sig(enrich_trades_asof(
+        spark.read.parquet(tdir), spark.read.parquet(adir), **kw))
+
+    got: dict = {}
+    stream = (spark.readStream
+              .schema(spark.read.parquet(tdir).schema)
+              .option("maxFilesPerTrigger", 1).parquet(tdir))
+    q = start_enriched_trade_stream(
+        stream, adir,
+        lambda df, _bid: got.update(
+            {r.sig: (r.state_slot, r.state_virtual_sol_reserves,
+                     r.state_complete) for r in df.collect()}),
+        str(tmp_path / "ckpt"), available_now=True, **kw)
+    q.awaitTermination(120)
+    assert got == want
