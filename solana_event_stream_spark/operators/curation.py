@@ -132,6 +132,38 @@ def decontaminate_frames(train_docs: DataFrame, eval_docs: DataFrame,
     return _decon_report(t, e, ngram, hash_grams)
 
 
+def decontaminate_survivors(train_docs: DataFrame,
+                            eval_docs: DataFrame,
+                            ngram: int = NGRAM,
+                            hash_grams: bool = True) -> DataFrame:
+    """The APPLY step (r12) — the report's counterpart that a pipeline
+    actually writes back out: ``train_docs`` rows with every flagged
+    document REMOVED (flagged = shares >= 1 word ``ngram``-gram with
+    any eval doc, OR is an exact md5(text) copy of one). Same
+    detectors, same plan shape as the report (per-doc-distinct grams,
+    broadcast eval sets, anti-joins instead of the counting rollup);
+    rows come back unchanged. The dedup analog is
+    :func:`~..operators.dedup.dedup_survivors`."""
+    w = F.split("text", " ")
+    gram_arr = _gram_col("w", ngram)
+    if hash_grams:
+        gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
+    eval_base = eval_docs.select("text", w.alias("w"))
+    eval_grams = (eval_base.select(F.explode(gram_arr).alias("gram"))
+                  .distinct())
+    eval_hashes = eval_base.select(F.md5("text").alias("h")).distinct()
+    ngram_hit = (train_docs.select("doc_id", w.alias("w"))
+                 .select("doc_id", F.explode(gram_arr).alias("gram"))
+                 .join(F.broadcast(eval_grams), "gram", "leftsemi")
+                 .select("doc_id").distinct())
+    return (train_docs
+            .join(ngram_hit, "doc_id", "left_anti")
+            .withColumn("_h", F.md5("text"))
+            .join(F.broadcast(eval_hashes),
+                  F.col("_h") == F.col("h"), "left_anti")
+            .drop("_h"))
+
+
 def _decon_report(train_base: DataFrame, eval_base: DataFrame,
                   ngram: int, hash_grams: bool) -> DataFrame:
     """Shared contamination report over pre-split (doc_id, lang, text,

@@ -361,3 +361,36 @@ def test_decontaminate_frames_external_eval(spark):
                for r in decontaminate_frames(train, bench,
                                              hash_grams=False).collect()}
     assert got_str == got
+
+
+def test_decontaminate_survivors_apply_step(spark):
+    """decontaminate_survivors: gram-hit and exact-copy docs are
+    removed, clean docs survive unchanged; agrees with the report's
+    flag counts; hash/string gram forms identical."""
+    from solana_event_stream_spark.operators.curation import (
+        decontaminate_frames, decontaminate_survivors)
+
+    train = spark.createDataFrame([
+        (1, "en", "the quick brown fox jumps over the dog"),
+        (2, "en", "completely unrelated training text here"),
+        (3, "de", "benchmark question about spark internals"),
+        (4, "fr", "another clean document with novel words"),
+    ], "doc_id long, lang string, text string")
+    bench = spark.createDataFrame([
+        ("what does the quick brown fox do",),
+        ("benchmark question about spark internals",),
+    ], "text string")
+
+    out = decontaminate_survivors(train, bench).collect()
+    assert {r.doc_id for r in out} == {2, 4}
+    assert all(len(r) == 3 for r in out)  # rows unchanged in shape
+    # consistency with the report: survivors == n_train - flagged
+    rep = {(r.part, r.lang): r.n_flagged
+           for r in decontaminate_frames(train, bench).collect()}
+    n_flagged_docs = 2  # doc 1 (gram), doc 3 (gram+exact)
+    assert train.count() - n_flagged_docs == len(out)
+    assert rep[("ngram", "en")] == 1 and rep[("ngram", "de")] == 1
+    # string-gram parity
+    got_str = {r.doc_id for r in decontaminate_survivors(
+        train, bench, hash_grams=False).collect()}
+    assert got_str == {2, 4}
