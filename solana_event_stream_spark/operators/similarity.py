@@ -564,7 +564,8 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
                     query_id_col: str = "query_id",
                     corpus_id_col: str = "vec_id",
                     exclude_matching_ids: bool = True,
-                    broadcast_queries: bool = True) -> DataFrame:
+                    broadcast_queries: bool = True,
+                    width: int | None = None) -> DataFrame:
     """The deployment ANN entry point (r12): ARBITRARY query and corpus
     frames, instead of the catalog forms' fixed vec_id < N_QUERIES
     query slice — what an actual user calls with an external query
@@ -593,6 +594,9 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
       to a shuffle hash/sort-merge equi-join, which is the correct
       plan at that scale (brute at that scale is corpus x queries —
       use LSH).
+    - ``width``: the known uniform embedding dimension — skips the
+      width-census probe scan on BOTH sides (the zero-extra-scan
+      deployment path; embedding models emit fixed dims).
     """
     from .dedup import bucket_col_for, scaled_n_planes
 
@@ -615,9 +619,10 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
         if n_planes is None:
             n_planes = scaled_n_planes(corpus.count(), target_bucket_size)
         c_norm = corpus.select(*c_cols,
-                               bucket_col_for(corpus, n_planes)
+                               bucket_col_for(corpus, n_planes,
+                                              width=width)
                                .alias("bucket"))
-        q_bucket = bucket_col_for(queries, n_planes)
+        q_bucket = bucket_col_for(queries, n_planes, width=width)
         if nprobe_bits:
             masks = _probe_masks(n_planes, nprobe_bits)
             q_norm = (queries.select(*q_cols, q_bucket.alias("_qb"),
