@@ -362,3 +362,72 @@ def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
     return (drawn.groupBy("lang", "n_total", "keep_rate")
             .agg(F.sum("kept").alias("n_kept"))
             .select("lang", "n_total", "n_kept", "keep_rate"))
+
+
+def build_training_corpus(docs: DataFrame,
+                          eval_docs: DataFrame | None = None,
+                          min_words: int = _MIN_WORDS,
+                          max_words: int = _MAX_WORDS,
+                          min_stop_ratio: float = _MIN_STOP_RATIO,
+                          min_unique_ratio: float = _MIN_UNIQUE_RATIO,
+                          max_top2gram_frac: float = 0.20,
+                          max_dup3gram_frac: float = 0.30,
+                          dedup: bool = True,
+                          n_shards: int | None = None) -> DataFrame:
+    """The one-call curation pipeline (r12) — every apply step the
+    module family ships, composed in the order a production run
+    executes them, cheapest-narrowest first:
+
+    1. quality gates (length bounds, stopword floor, unique-word floor
+       — the ``quality_filter_chain`` ladder as a filter);
+    2. Gopher repetition gates (most-frequent-2-gram and duplicate-
+       3-gram fraction ceilings — text_analysis' per-row fold, so
+       steps 1-2 are ONE narrow scan, no shuffle);
+    3. eval-set decontamination (:func:`~.curation.
+       decontaminate_survivors`, when ``eval_docs`` is given);
+    4. near-dup dedup (MinHash-LSH pairs -> connected components ->
+       :func:`~.dedup.dedup_survivors`), run LAST so the quadratic-ish
+       candidate work only sees already-thinned docs;
+    5. optional deterministic ``shard`` column (md5 hash — adding data
+       never moves existing rows between shards).
+
+    Input: (doc_id, lang, text). Output: surviving rows unchanged
+    (+ ``shard``). Every step is individually oracle- or
+    planted-case-tested; this composition is itself planted-case
+    tested (tests/test_training_data.py)."""
+    from .curation import decontaminate_survivors
+    from .dedup import (_minhash_verified_pairs, connected_components,
+                        dedup_survivors)
+    from .text_analysis import _rep_grams, _run_length_tally
+
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(w)
+    stop_ratio = (F.size(F.filter(w, lambda x:
+                                  F.array_contains(stop_arr, x)))
+                  * F.lit(1.0) / n_words)
+    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / n_words
+    t2 = _run_length_tally(_rep_grams(w, 2))
+    t3 = _run_length_tally(_rep_grams(w, 3))
+    # NULL tallies (docs too short for the n-gram) pass the repetition
+    # gates — the length gate already governs short docs.
+    rep_ok = (
+        F.coalesce(t2["top"].cast("double") / t2["total"]
+                   <= max_top2gram_frac, F.lit(True))
+        & F.coalesce(t3["dup"].cast("double") / t3["total"]
+                     <= max_dup3gram_frac, F.lit(True)))
+    kept = docs.filter(
+        (n_words >= min_words) & (n_words <= max_words)
+        & (stop_ratio >= min_stop_ratio)
+        & (uniq_ratio >= min_unique_ratio) & rep_ok)
+    if eval_docs is not None:
+        kept = decontaminate_survivors(kept, eval_docs)
+    if dedup:
+        kept = dedup_survivors(
+            kept, connected_components(_minhash_verified_pairs(kept)))
+    if n_shards:
+        kept = kept.withColumn(
+            "shard",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 15), 16, 10).cast("long") % n_shards)
+    return kept

@@ -142,3 +142,50 @@ def test_stratified_sample_unknown_lang_takes_default(spark, tmp_path):
     out = {r["lang"]: r.asDict()
            for r in sample_stratified_hash(spark, str(tmp_path)).collect()}
     assert out["xx"]["n_kept"] == 0 and out["xx"]["n_total"] == 1
+
+
+def test_build_training_corpus_composition(spark):
+    """The one-call pipeline drops exactly the docs each stage exists
+    for: too-short, boilerplate-repetitive (survives length/uniq gates,
+    dies on the 2-gram ceiling), contaminated, near-dup partner —
+    clean docs survive unchanged, with a deterministic shard."""
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+
+    def sent(i, n=30):
+        # unique-ish words with stopwords sprinkled in
+        return " ".join("the" if d % 7 == 0 else f"w{i}x{d}"
+                        for d in range(n))
+
+    clean = [(i, "en", sent(i)) for i in range(10, 16)]
+    near_dup = [(100, "en", sent(10) + " xtra")]      # ~dup of doc 10
+    short = [(200, "en", "way too short")]
+    # 30 words, 53% unique (passes the uniq gate) BUT "spam ham"
+    # is 8 of 29 2-grams (0.276 > 0.20): the repetition gate, not the
+    # uniq gate, must catch it
+    rep_words = (["spam", "ham"] * 8 + ["the"]
+                 + [f"z{d}" for d in range(13)])
+    repetitive = [(300, "en", " ".join(rep_words))]
+    contaminated = [(400, "en", "benchmark question about spark internals "
+                     + sent(99, 25))]
+    docs = spark.createDataFrame(
+        clean + near_dup + short + repetitive + contaminated,
+        "doc_id long, lang string, text string")
+    bench = spark.createDataFrame(
+        [("here is a benchmark question about spark internals ok",)],
+        "text string")
+
+    out = build_training_corpus(docs, eval_docs=bench, n_shards=4)
+    rows = out.collect()
+    got = {r.doc_id for r in rows}
+    assert got == {10, 11, 12, 13, 14, 15}   # 100 deduped vs 10;
+    # 200 too short; 300 repetition-gated; 400 decontaminated
+    assert all(0 <= r.shard < 4 for r in rows)
+    # deterministic shard: recompute == same
+    again = {r.doc_id: r.shard for r in build_training_corpus(
+        docs, eval_docs=bench, n_shards=4).collect()}
+    assert again == {r.doc_id: r.shard for r in rows}
+    # without dedup, the near-dup partner survives
+    no_dd = {r.doc_id for r in build_training_corpus(
+        docs, eval_docs=bench, dedup=False).collect()}
+    assert no_dd == got | {100}
