@@ -426,6 +426,34 @@ def kmeans_assign(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     return _assign(emb, cents)
 
 
+def kmeans_fit_scaled(emb: DataFrame, k: int = KM_K,
+                      iters: int = KM_ITERS,
+                      dims: int = KM_DIMS) -> dict[int, list[float]]:
+    """The FIT half of :func:`kmeans_assign_scaled`: same deterministic
+    init (vec_id < k, exact count), same Arrow-backed Lloyd loop, same
+    DECIMAL-exact update — returns the final CENTROIDS instead of the
+    assignment. This is how a deployment builds a data-fitted IVF
+    coarse quantizer: ``ivf_cells_arrow(corpus, kmeans_fit_scaled(
+    corpus, k))`` (similarity.ann_ivf_topk_fitted wires it)."""
+    init = sorted(emb.select("vec_id", "embedding")
+                  .filter(F.col("vec_id") < k).collect(),
+                  key=lambda r: r.vec_id)
+    if len(init) != k:
+        raise ValueError(f"k-means init expects vec_id 0..{k-1}; "
+                         f"found {len(init)} rows")
+    if any(len(r.embedding) != dims for r in init):
+        raise ValueError(f"embedding width != {dims}")
+    cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(init)}
+    for _ in range(iters):
+        sums = (assign_arrow(emb, cents).groupBy("cluster")
+                .agg(*_mean_aggs(dims)).collect())
+        new = dict(cents)  # empty cluster -> keep previous centroid
+        for r in sums:
+            new[int(r.cluster)] = [float(r[f"c{d}"]) for d in range(dims)]
+        cents = new
+    return cents
+
+
 def kmeans_assign_scaled(emb: DataFrame, k: int = KM_K,
                          iters: int = KM_ITERS,
                          dims: int = KM_DIMS) -> DataFrame:
@@ -444,28 +472,12 @@ def kmeans_assign_scaled(emb: DataFrame, k: int = KM_K,
     Update-step scale: the groupBy ships dims aggregate columns over k
     groups — k x dims doubles to the driver per iteration (an 80 MB
     collect at k=100k, dims=128; beyond that, keep centroids in a frame
-    and broadcast-join instead of collecting)."""
-    # Same init RULE as kmeans_assign — filter(vec_id < k) with an
-    # exact-count check (ADVICE r11: an orderBy().limit(k) here would
-    # proceed with different seed vectors on a corpus whose vec_ids
-    # don't start at 0, where the literal form raises).
-    init = sorted(emb.select("vec_id", "embedding")
-                  .filter(F.col("vec_id") < k).collect(),
-                  key=lambda r: r.vec_id)
-    if len(init) != k:
-        raise ValueError(f"k-means init expects vec_id 0..{k-1}; "
-                         f"found {len(init)} rows")
-    if any(len(r.embedding) != dims for r in init):
-        raise ValueError(f"embedding width != {dims}")
-    cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(init)}
-    for _ in range(iters):
-        sums = (assign_arrow(emb, cents).groupBy("cluster")
-                .agg(*_mean_aggs(dims)).collect())
-        new = dict(cents)  # empty cluster -> keep previous centroid
-        for r in sums:
-            new[int(r.cluster)] = [float(r[f"c{d}"]) for d in range(dims)]
-        cents = new
-    return assign_arrow(emb, cents)
+    and broadcast-join instead of collecting).
+
+    Init rule (ADVICE r11) is shared with :func:`kmeans_assign` via
+    :func:`kmeans_fit_scaled` — filter(vec_id < k), exact count."""
+    return assign_arrow(emb, kmeans_fit_scaled(emb, k=k, iters=iters,
+                                               dims=dims))
 
 
 def semdedup_flags(assigned: DataFrame, tau: float = SEM_TAU) -> DataFrame:

@@ -642,3 +642,38 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
         scored.select("query_id", F.col("vec_id").alias("neighbor_id"),
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")), k)
+
+
+def ann_ivf_topk_fitted(spark, sf_dir: str, k: int = IVF_K,
+                        nprobe: int = 1, iters: int = 3) -> DataFrame:
+    """IVF ANN over a DATA-FITTED coarse quantizer (r12): the cells
+    come from `curation.kmeans_fit_scaled` (Arrow-backed Lloyd loop at
+    corpus-tracking k) instead of the catalog's arbitrary corpus
+    vectors — the real index-build path a deployment runs, closing the
+    curation -> ANN loop the two modules' docstrings promise each
+    other. Everything downstream is the scaled machinery:
+    `ivf_cells_arrow` assignment (plan flat in k) + the ``nprobe``
+    recall dial + the bounded two-phase top-k. Fitted cells partition
+    the corpus where the data actually clusters, so at equal probe
+    cost they dominate the arbitrary-vector cells on recall and
+    balance (measured in BENCH_NOTES r12)."""
+    from .curation import kmeans_fit_scaled
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_scaled(emb, k=k, iters=iters)
+    cells = ivf_cells_arrow(emb, cents, nprobe=nprobe)
+    q_cell = (F.explode("probe_cells") if nprobe > 1 else F.col("cell"))
+    queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+        q_cell.alias("q_cell"))
+    if nprobe > 1:
+        cells = cells.drop("probe_cells")
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    scored = (F.broadcast(queries)
+              .join(cells, (F.col("q_cell") == F.col("cell"))
+                    & (F.col("query_id") != F.col("vec_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      .alias("cosine")))
+    return _topk_per_query(scored)

@@ -423,3 +423,38 @@ def test_dedup_survivors_apply_step(spark, sf_dir):
     again = {r.doc_id for r in dedup_survivors(
         dedup_survivors(docs, memb), memb).select("doc_id").collect()}
     assert again == got
+
+
+def test_ivf_fitted_quantizer(spark, sf_dir):
+    """Data-fitted IVF (r12): runs end-to-end on k-means cells, dense
+    per-query ranks, full-probe degenerates to exact brute force, and
+    kmeans_assign_scaled == assign on kmeans_fit_scaled centroids
+    (the fit/assign split is a pure refactor)."""
+    from solana_event_stream_spark.catalog import load_catalog
+    from solana_event_stream_spark.operators.curation import (
+        kmeans_assign_scaled, kmeans_fit_scaled, assign_arrow)
+    from solana_event_stream_spark.operators.similarity import (
+        IVF_K, ann_ivf_topk_fitted)
+    from solana_event_stream_spark.tables import load_spread
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_scaled(emb, k=8, iters=2)
+    a = sorted(map(tuple, assign_arrow(emb, cents).collect()))
+    b = sorted(map(tuple,
+                   kmeans_assign_scaled(emb, k=8, iters=2).collect()))
+    assert a == b
+
+    got = ann_ivf_topk_fitted(spark, sf_dir, k=8, nprobe=2, iters=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    assert by_q and all(sorted(v) == list(range(1, len(v) + 1))
+                        for v in by_q.values())
+
+    brute = sorted((r.query_id, r.neighbor_id, r.rk) for r in
+                   load_catalog()["ann_cosine_topk"].spark_fn(
+                       spark, sf_dir).collect())
+    full = sorted((r.query_id, r.neighbor_id, r.rk) for r in
+                  ann_ivf_topk_fitted(spark, sf_dir, k=IVF_K,
+                                      nprobe=IVF_K, iters=1).collect())
+    assert full == brute
