@@ -218,20 +218,22 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(docs_with_dups(spark, sf_dir))
 
 
-def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) LSH candidates with true Jaccard >= 0.6."""
-    # Materialize shingles ONCE: the signature branch and the verify
-    # re-attach branch both consume this DF, and without a checkpoint
-    # Catalyst re-derives the shingle arrays (the single most expensive
-    # narrow stage) for each branch. At scale this is the classic
-    # "persist the feature DF" pattern.
+def _minhash_band_frame(docs: DataFrame):
+    """(shingle frame, exploded band frame) for a (doc_id, text)
+    corpus — the shared feature build of the self-join, cross-frame,
+    and incremental pair finders.
+
+    Shingles are materialized ONCE (localCheckpoint): the signature
+    branch and the verify re-attach branch both consume them, and
+    without the checkpoint Catalyst re-derives the shingle arrays (the
+    single most expensive narrow stage) for each branch — the classic
+    "persist the feature DF" pattern. The band frame carries
+    (doc_id, band_idx, band_val) ONLY, so the heavy shingle arrays
+    never ride the candidate shuffle."""
     sh = (docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
           .localCheckpoint())
     sigs = (sh.select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
-    # Scale: the band join shuffles (doc_id, band) pairs only — the heavy
-    # shingle arrays never ride the candidate shuffle; they re-attach by
-    # doc_id to the (much smaller) verified-candidate set below.
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -239,6 +241,34 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
                                for r in range(ROWS_PER_BAND)])
             for b in range(N_BANDS)
         ])).alias("band_idx", "band_val"))
+    return sh, bands
+
+
+def _verify_jaccard(pairs: DataFrame, sh_a: DataFrame, sh_b: DataFrame,
+                    threshold: float = 0.6) -> DataFrame:
+    """Attach shingles for the candidate ids only (semi-join first, so
+    the arrays rebuild for the small candidate set, not the corpus)
+    and keep pairs with true Jaccard >= threshold."""
+    ids_a = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+    ids_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    ca = sh_a.join(ids_a, "doc_id", "left_semi").alias("sa")
+    cb = sh_b.join(ids_b, "doc_id", "left_semi").alias("sb")
+    attached = (pairs
+                .join(ca, F.col("sa.doc_id") == F.col("doc_a"))
+                .join(cb, F.col("sb.doc_id") == F.col("doc_b"))
+                .select("doc_a", "doc_b",
+                        F.col("sa.shingles").alias("sh_a"),
+                        F.col("sb.shingles").alias("sh_b")))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (attached.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) LSH candidates with true Jaccard >= 0.6."""
+    sh, bands = _minhash_band_frame(docs)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -247,25 +277,46 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"]))
-    # Re-attach shingles for CANDIDATE docs only: semi-join first so the
-    # shingle arrays are rebuilt for the small candidate set, not the
-    # whole corpus again (twice).
-    cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-                .distinct())
-    cand_sh = sh.join(cand_ids, "doc_id", "left_semi")
-    sa, sb = cand_sh.alias("sa"), cand_sh.alias("sb")
-    attached = (pairs
-                .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-                .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-                .select("doc_a", "doc_b",
-                        F.col("sa.shingles").alias("sh_a"),
-                        F.col("sb.shingles").alias("sh_b")))
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = n_inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - n_inter)
-    return (attached.select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.6))
+    return _verify_jaccard(pairs, sh, sh)
+
+
+def dedup_pairs_cross(new_docs: DataFrame,
+                      seen_docs: DataFrame) -> DataFrame:
+    """(doc_a=new id, doc_b=seen id, jaccard) verified near-dup pairs
+    ACROSS two corpora — the incremental-dedup primitive: a new batch
+    probes the historical corpus without re-pairing the historical
+    corpus against itself (that N² half is exactly what an append-only
+    pipeline must never redo). Same features, banding, and Jaccard
+    verification as :func:`dedup_minhash_lsh`; id spaces need not be
+    disjoint (no ordering constraint is applied across frames)."""
+    sh_n, b_n = _minhash_band_frame(new_docs)
+    sh_s, b_s = _minhash_band_frame(seen_docs)
+    pairs = (b_n.alias("a")
+             .join(b_s.alias("b"),
+                   (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    return _verify_jaccard(pairs, sh_n, sh_s)
+
+
+def dedup_incremental_survivors(new_docs: DataFrame,
+                                seen_docs: DataFrame) -> DataFrame:
+    """The append-only dedup step (r12): from a NEW batch, drop every
+    doc that near-dups the SEEN corpus (:func:`dedup_pairs_cross`),
+    then resolve duplicates WITHIN the remainder (pairs -> connected
+    components -> :func:`dedup_survivors`). Returns surviving new rows
+    unchanged — union them into the corpus and the invariant "no two
+    near-dup docs in the corpus" is maintained batch over batch
+    (assuming it held for ``seen_docs``). Cost per batch is
+    ~O(batch x bands) + the band join against the seen index — never
+    a re-pairing of the historical corpus."""
+    hit = (dedup_pairs_cross(new_docs, seen_docs)
+           .select(F.col("doc_a").alias("doc_id")).distinct())
+    fresh = new_docs.join(hit, "doc_id", "left_anti")
+    return dedup_survivors(
+        fresh, connected_components(_minhash_verified_pairs(fresh)))
 
 
 # ---------------------------------------------------------------------------

@@ -458,3 +458,38 @@ def test_ivf_fitted_quantizer(spark, sf_dir):
                   ann_ivf_topk_fitted(spark, sf_dir, k=IVF_K,
                                       nprobe=IVF_K, iters=1).collect())
     assert full == brute
+
+
+def test_incremental_dedup(spark, sf_dir):
+    """Append-only dedup (r12): (a) cross-frame pairs equal the
+    self-join pairs' cross section on a disjoint-id union; (b) the
+    incremental step drops seen-near-dups and within-batch dups but
+    keeps fresh docs; (c) the batch-over-batch invariant holds — after
+    two increments no near-dup pair exists in the accumulated corpus."""
+    from solana_event_stream_spark.operators.dedup import (
+        _minhash_verified_pairs, dedup_incremental_survivors,
+        dedup_pairs_cross, docs_with_dups)
+
+    base = docs_with_dups(spark, sf_dir)
+    seen = base.filter(F.col("doc_id") % 2 == 0)
+    new = base.filter(F.col("doc_id") % 2 == 1)
+
+    cross = {(r.doc_a, r.doc_b)
+             for r in dedup_pairs_cross(new, seen).collect()}
+    union_pairs = {(r.doc_a, r.doc_b)
+                   for r in _minhash_verified_pairs(base).collect()}
+    want = {(a, b) for a, b in union_pairs if (a % 2, b % 2) == (1, 0)} \
+        | {(b, a) for a, b in union_pairs if (a % 2, b % 2) == (0, 1)}
+    assert cross == want and cross
+
+    surv = dedup_incremental_survivors(new, seen)
+    surv_ids = {r.doc_id for r in surv.select("doc_id").collect()}
+    # every survivor is clean vs seen AND vs other survivors
+    flagged_vs_seen = {a for a, _ in cross}
+    assert not (surv_ids & flagged_vs_seen)
+    accumulated = seen.unionByName(surv)
+    assert _minhash_verified_pairs(accumulated).filter(
+        # seen itself contains legacy dups (docs_with_dups plants them)
+        # — the invariant is about pairs INVOLVING the new survivors
+        (F.col("doc_a").isin(*surv_ids))
+        | (F.col("doc_b").isin(*surv_ids))).count() == 0
