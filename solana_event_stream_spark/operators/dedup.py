@@ -759,6 +759,72 @@ def dedup_embedding_cosine_banded(spark, sf_dir: str, n_bands: int = 2,
                                target_bucket_size, limit)
 
 
+def embedding_pairs_cross(new_emb: DataFrame, seen_emb: DataFrame,
+                          n_planes: int | None = None,
+                          target_bucket_size: int = 64,
+                          tau: float = 0.9,
+                          width: int | None = None) -> DataFrame:
+    """(doc_a=new vec_id, doc_b=seen vec_id, cosine) verified
+    near-dup pairs ACROSS two embedding corpora — the vector analog of
+    :func:`dedup_pairs_cross` for append-only pipelines: a new batch's
+    hyperplane signatures probe the seen corpus's buckets (same
+    deterministic plane family on both sides — signatures computed
+    independently are join-compatible by construction), exact cosine
+    verifies candidates at >= tau. The seen corpus is never re-paired
+    against itself. ``n_planes`` defaults to corpus-tracking on the
+    SEEN side (the big one); ``width`` skips both census probes."""
+    if n_planes is None:
+        n_planes = scaled_n_planes(seen_emb.count(), target_bucket_size)
+
+    def norms(df):
+        return df.select(
+            "vec_id", "embedding",
+            F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+            .alias("nrm"),
+            bucket_col_for(df, n_planes, width=width).alias("bucket"))
+
+    a = norms(new_emb).alias("a")
+    b = norms(seen_emb).alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    return (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+            .select(F.col("a.vec_id").alias("doc_a"),
+                    F.col("b.vec_id").alias("doc_b"),
+                    (dot / (F.col("a.nrm") * F.col("b.nrm")))
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= tau))
+
+
+def embedding_incremental_survivors(new_emb: DataFrame,
+                                    seen_emb: DataFrame,
+                                    n_planes: int | None = None,
+                                    target_bucket_size: int = 64,
+                                    tau: float = 0.9,
+                                    width: int | None = None
+                                    ) -> DataFrame:
+    """Append-only EMBEDDING dedup (the vector analog of
+    :func:`dedup_incremental_survivors`): drop new vectors within
+    cosine >= tau of the seen corpus, then resolve near-dups within
+    the remaining batch (bucket pairs -> connected components ->
+    min-label survivors). Returns surviving new rows unchanged."""
+    if n_planes is None:
+        n_planes = scaled_n_planes(seen_emb.count(), target_bucket_size)
+    hit = (embedding_pairs_cross(new_emb, seen_emb, n_planes=n_planes,
+                                 tau=tau, width=width)
+           .select(F.col("doc_a").alias("vec_id")).distinct())
+    fresh = new_emb.join(hit, "vec_id", "left_anti")
+    within = (banded_cosine_pairs(fresh, n_bands=1, band_bits=n_planes,
+                                  limit=1 << 30)
+              .filter(F.col("cosine") >= tau)
+              .select("doc_a", "doc_b"))
+    memb = connected_components(within)
+    return (fresh.join(memb.select(F.col("doc_id").alias("vec_id"),
+                                   "cluster_id"),
+                       "vec_id", "left")
+            .filter(F.col("cluster_id").isNull()
+                    | (F.col("vec_id") == F.col("cluster_id")))
+            .drop("cluster_id"))
+
+
 def banded_cosine_pairs(emb: DataFrame, n_bands: int = 2,
                         band_bits: int | None = None,
                         target_bucket_size: int = 64,

@@ -493,3 +493,43 @@ def test_incremental_dedup(spark, sf_dir):
         # — the invariant is about pairs INVOLVING the new survivors
         (F.col("doc_a").isin(*surv_ids))
         | (F.col("doc_b").isin(*surv_ids))).count() == 0
+
+
+def test_embedding_incremental_dedup(spark):
+    """Vector analog of the append-only dedup: a new batch drops
+    near-copies of the seen corpus, keeps one of a within-batch dup
+    pair (min vec_id), keeps fresh vectors; seen is never re-paired."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup import (
+        embedding_incremental_survivors, embedding_pairs_cross)
+
+    def vec(i):
+        # md5-derived: uncorrelated across ids (a linear-congruential
+        # family here is near-PERIODIC — vec(i) ~ vec(i+27) — which
+        # made every "fresh" id a true near-dup of the seen corpus)
+        return [int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(16)]
+
+    def near(v):
+        return [x + 0.001 for x in v]
+
+    seen = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(1000, near(vec(7))),          # near-copy of seen 7 -> dropped
+         (1001, vec(300)),              # fresh -> kept
+         (1002, near(vec(400))),        # dup pair within batch:
+         (1003, near(near(vec(400)))),  #   1002 kept, 1003 dropped
+         ], "vec_id long, embedding array<float>")
+
+    cross = {(r.doc_a, r.doc_b) for r in
+             embedding_pairs_cross(new, seen, n_planes=8,
+                                   tau=0.95).collect()}
+    assert (1000, 7) in cross
+    assert not any(a in (1001, 1002, 1003) for a, _ in cross)
+
+    surv = {r.vec_id for r in embedding_incremental_survivors(
+        new, seen, n_planes=8, tau=0.95).collect()}
+    assert surv == {1001, 1002}
