@@ -50,46 +50,76 @@ CATALOG: dict[str, QuerySpec] = {}
 # must outlive the caller's collect(); unpersisting a frame is always
 # correctness-safe — a still-referenced plan just recomputes.
 #
-# Thread model (ADVICE r11): the list is lock-guarded and the invoke
-# depth is THREAD-LOCAL, so concurrent catalog queries on separate
-# threads never release each other's live caches mid-query (each
-# thread's top-level entry only drains what has accumulated — the
-# intended cross-query release; a recompute would be correctness-safe
-# anyway, this just keeps the persist effective). Long-lived sessions
-# that stop issuing catalog queries should call ``release_persisted()``
+# Thread model (ADVICE r11 + r12): persists are tracked PER THREAD —
+# a thread's top-level catalog entry drains only the frames that
+# thread's earlier queries enrolled, so concurrent catalog queries on
+# separate threads genuinely never release each other's live caches
+# mid-query (the r11 form only lock-guarded the list mutation; any
+# thread's entry still drained the single global list, rendering
+# another thread's persist ineffective under concurrency — recompute-
+# safe, but not what the comment claimed). A global registry remains
+# for teardown: ``release_persisted()`` drains EVERY thread's frames.
+# Long-lived sessions that stop issuing catalog queries should call it
 # at teardown — nothing else drops the last query's caches.
 
 import threading as _threading
 
-_TRACKED_PERSISTS: list[DataFrame] = []
 _PERSIST_LOCK = _threading.Lock()
-_DEPTH = _threading.local()
+_ALL_PERSISTS: dict[int, DataFrame] = {}   # id(df) -> df, every thread
+_LOCAL = _threading.local()                # .frames: this thread's list
 
 
 def track_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + enrollment for :func:`release_persisted`."""
+    """``df.persist()`` + enrollment for release at the calling
+    thread's next top-level catalog entry (or global
+    :func:`release_persisted`)."""
     df.persist()
+    frames = getattr(_LOCAL, "frames", None)
+    if frames is None:
+        frames = _LOCAL.frames = []
+    frames.append(df)
     with _PERSIST_LOCK:
-        _TRACKED_PERSISTS.append(df)
+        _ALL_PERSISTS[id(df)] = df
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every tracked frame; returns how many were released.
-
-    Call at session teardown if the session will outlive its last
-    catalog query — release is otherwise deferred to the next one."""
-    with _PERSIST_LOCK:
-        drained = _TRACKED_PERSISTS[:]
-        _TRACKED_PERSISTS.clear()
+def _unpersist_all(frames) -> int:
     n = 0
-    for df in drained:
+    for df in frames:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped
         n += 1
     return n
+
+
+def _release_thread_persists() -> int:
+    """Unpersist the frames enrolled by THIS thread's earlier queries."""
+    frames = getattr(_LOCAL, "frames", None)
+    if not frames:
+        return 0
+    drained, frames[:] = frames[:], []
+    with _PERSIST_LOCK:
+        for df in drained:
+            _ALL_PERSISTS.pop(id(df), None)
+    return _unpersist_all(drained)
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame ACROSS threads; returns how many
+    were released. Call at session teardown if the session will
+    outlive its last catalog query — per-thread release is otherwise
+    deferred to that thread's next top-level query. (A thread-local
+    list may briefly retain a reference to a frame drained here;
+    unpersisting twice is a no-op, so that is harmless.)"""
+    with _PERSIST_LOCK:
+        drained = list(_ALL_PERSISTS.values())
+        _ALL_PERSISTS.clear()
+    frames = getattr(_LOCAL, "frames", None)
+    if frames:
+        frames[:] = []
+    return _unpersist_all(drained)
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
@@ -105,14 +135,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            depth = getattr(_DEPTH, "value", 0)
+            depth = getattr(_LOCAL, "depth", 0)
             if depth == 0:
-                release_persisted()
-            _DEPTH.value = depth + 1
+                _release_thread_persists()
+            _LOCAL.depth = depth + 1
             try:
                 return fn(spark, sf_dir)
             finally:
-                _DEPTH.value = depth
+                _LOCAL.depth = depth
 
         CATALOG[name] = QuerySpec(name=name, spark_fn=wrapped, oracle=oracle,
                                   tags=tags, doc=doc or (fn.__doc__ or ""),

@@ -590,26 +590,51 @@ def sign_bucket_col(n_planes: int, dim: int, plane_offset: int = 0):
     return bucket
 
 
-# width-census memo, keyed by the corpus frame's analyzed-plan semantic
-# hash: the census is corpus METADATA (stable for immutable lake/parquet
-# inputs), and every signature-building query in a bench/battery session
-# re-derives the same frame — one narrow aggregate scan per distinct
-# corpus per session instead of one per invocation. Mutable inputs can
-# clear it via ``_WIDTH_CENSUS.clear()``.
-_WIDTH_CENSUS: dict[int, dict[int, int]] = {}
+# width-census memo, keyed by (analyzed-plan semanticHash, input-file
+# digest): the census is corpus METADATA, and every signature-building
+# query in a bench/battery session re-derives the same frame — one
+# narrow aggregate scan per distinct corpus per session instead of one
+# per invocation. The file digest is the DATA-VERSION half of the key
+# (VERDICT r12 item 1): a path re-read after the directory gained files
+# (the append-only lake shape) produces the SAME plan hash but a
+# different file list, so it misses the memo and re-probes — without
+# it, a corpus that turned ragged after its first census would silently
+# get the bare literal signature form, whose zip_with NULL-padding
+# folds other-width rows to the all-zero signature. A DataFrame whose
+# own file index predates the append keeps its (still-correct) entry:
+# its scan is pinned to the files it listed. Non-file frames (local
+# relations, in-memory) digest to the empty string — they cannot gain
+# rows, so the plan hash alone identifies them. Files are identified
+# by path (parquet files are immutable by convention; in-place file
+# rewrites are outside the contract). The memo is size-bounded
+# (oldest-out) so long sessions over many corpora don't grow it
+# unboundedly.
+_WIDTH_CENSUS: dict[tuple, dict[int, int]] = {}
+_WIDTH_CENSUS_MAX = 64
+
+
+def _census_key(emb: DataFrame) -> tuple:
+    import hashlib
+    files = emb.inputFiles()
+    digest = (hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+              if files else "")
+    return (emb._jdf.queryExecution().analyzed().semanticHash(),
+            len(files), digest)
 
 
 def embedding_width_census(emb: DataFrame) -> dict[int, int]:
     """width -> row count for the embedding column (NULL embeddings
     count under -1) — one narrow aggregate scan, memoized per corpus
-    (see ``_WIDTH_CENSUS``)."""
-    key = emb._jdf.queryExecution().analyzed().semanticHash()
+    data version (see ``_WIDTH_CENSUS``)."""
+    key = _census_key(emb)
     got = _WIDTH_CENSUS.get(key)
     if got is None:
         got = {int(r.w): int(r.n) for r in
                emb.groupBy(F.coalesce(F.size("embedding"), F.lit(-1))
                            .alias("w"))
                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        while len(_WIDTH_CENSUS) >= _WIDTH_CENSUS_MAX:
+            _WIDTH_CENSUS.pop(next(iter(_WIDTH_CENSUS)))
         _WIDTH_CENSUS[key] = got
     return got
 

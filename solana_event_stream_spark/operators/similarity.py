@@ -195,9 +195,44 @@ def _probe_masks(n_planes: int, nprobe_bits: int) -> list[int]:
     return sorted(masks)
 
 
+def auto_nprobe_bits(n_planes: int, corpus_rows: int,
+                     target_bucket_size: int = 64) -> int:
+    """The documented plane-count/recall relationship as a default
+    (VERDICT r12 item 6): when a query runs MORE planes than the
+    corpus-tracking count (``dedup.scaled_n_planes``), each excess
+    plane halves the home bucket's expected population — and with it
+    the candidate mass a single probe sees, which is exactly the
+    recall collapse the sf1.0 ladder measured at n_planes=16. Probing
+    the ~2^excess nearest buckets restores the candidate mass the
+    scaled setting would have had, so the smallest ``b`` with
+    C(n_planes, <=b) >= 2^excess is the bit count that buys recall
+    back at bounded cost: probes x expected bucket population
+    ~ 2^excess x corpus/2^n_planes = corpus/2^scaled
+    ~ target_bucket_size per query — the scaled setting's single
+    bucket, paid as many small probes. excess <= 0 -> 0 bits (the
+    home bucket already holds ~target candidates). Mask sets are
+    nested in ``b``, so a larger auto answer never loses a smaller
+    setting's candidates."""
+    import math
+    from math import comb
+
+    scaled = max(0, math.ceil(math.log2(
+        max(corpus_rows, 1) / max(target_bucket_size, 1))))
+    excess = n_planes - scaled
+    if excess <= 0:
+        return 0
+    need = 1 << excess
+    total = 0
+    for b in range(n_planes + 1):
+        total += comb(n_planes, b)
+        if total >= need:
+            return b
+    return n_planes
+
+
 def ann_lsh_topk_multiprobe(spark, sf_dir: str,
                             n_planes: int | None = None,
-                            nprobe_bits: int = 1) -> DataFrame:
+                            nprobe_bits: int | str = 1) -> DataFrame:
     """Multi-probe variant of ``ann_lsh_topk`` — the recall dial that
     makes HIGH n_planes (the corpus-tracking setting from
     dedup.scaled_n_planes) usable: the corpus keeps ONE bucket per
@@ -223,13 +258,21 @@ def ann_lsh_topk_multiprobe(spark, sf_dir: str,
     plan-growth-in-k the Arrow centroid backend removed for cells
     (thousands of expressions at corpus-tracking n_planes ~20+ with
     nprobe_bits >= 3); plan size is now flat in the mask count
-    (test_multiprobe_plan_flat_in_masks)."""
-    from .dedup import _N_PLANES, bucket_col_for
+    (test_multiprobe_plan_flat_in_masks).
+
+    ``nprobe_bits="auto"`` (r13) derives the bit count from the
+    plane-count/corpus relationship (:func:`auto_nprobe_bits`) — the
+    corpus row count comes from the width census' value-sum
+    (memoized; no extra action on an already-censused corpus)."""
+    from .dedup import _N_PLANES, bucket_col_for, embedding_width_census
 
     if n_planes is None:
         n_planes = _N_PLANES
-    masks = _probe_masks(n_planes, nprobe_bits)
     emb = load_spread(spark, sf_dir, "embeddings")
+    if nprobe_bits == "auto":
+        nprobe_bits = auto_nprobe_bits(
+            n_planes, sum(embedding_width_census(emb).values()))
+    masks = _probe_masks(n_planes, nprobe_bits)
     sigs = emb.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
@@ -559,13 +602,15 @@ def ann_ivf_topk_probed(spark, sf_dir: str, nprobe: int = 2) -> DataFrame:
 
 def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
                     method: str = "lsh", k: int = TOP_K,
-                    n_planes: int | None = None, nprobe_bits: int = 0,
+                    n_planes: int | None = None,
+                    nprobe_bits: int | str = 0,
                     target_bucket_size: int = 64,
                     query_id_col: str = "query_id",
                     corpus_id_col: str = "vec_id",
                     exclude_matching_ids: bool = True,
                     broadcast_queries: bool = True,
-                    width: int | None = None) -> DataFrame:
+                    width: int | None = None,
+                    corpus_rows: int | None = None) -> DataFrame:
     """The deployment ANN entry point (r12): ARBITRARY query and corpus
     frames, instead of the catalog forms' fixed vec_id < N_QUERIES
     query slice — what an actual user calls with an external query
@@ -597,11 +642,36 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
     - ``width``: the known uniform embedding dimension — skips the
       width-census probe scan on BOTH sides (the zero-extra-scan
       deployment path; embedding models emit fixed dims).
+    - ``corpus_rows``: known corpus row count — with ``width`` (or an
+      explicit ``n_planes``) the LSH path plans with ZERO pre-query
+      actions (asserted in tests/test_similarity_topk.py). Without
+      either hint, the row count is the width census' value-sum — ONE
+      memoized scan that bucket_col_for reuses, never a second
+      ``count()`` pass (VERDICT r12 item 5).
+    - ``nprobe_bits="auto"``: derive the probe bit count from the
+      plane/corpus relationship (:func:`auto_nprobe_bits`).
     """
-    from .dedup import bucket_col_for, scaled_n_planes
+    from pyspark.sql.types import NumericType
+
+    from .dedup import (bucket_col_for, embedding_width_census,
+                        scaled_n_planes)
 
     if method not in ("brute", "lsh"):
         raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
+    if exclude_matching_ids:
+        qt = queries.schema[query_id_col].dataType
+        ct = corpus.schema[corpus_id_col].dataType
+        if qt != ct and not (isinstance(qt, NumericType)
+                             and isinstance(ct, NumericType)):
+            # ADVICE r12: an implicit cast between incomparable id
+            # types (string query ids vs long corpus ids) turns the
+            # exclusion predicate NULL and silently returns ZERO rows.
+            raise ValueError(
+                f"exclude_matching_ids=True needs comparable id types; "
+                f"{query_id_col} is {qt.simpleString()} but "
+                f"{corpus_id_col} is {ct.simpleString()} — pass "
+                "exclude_matching_ids=False for external query ids, or "
+                "align the id types")
 
     def _maybe_bcast(df):
         return F.broadcast(df) if broadcast_queries else df
@@ -616,8 +686,14 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
         scored = (_maybe_bcast(queries.select(*q_cols))
                   .join(corpus.select(*c_cols), match))
     else:
+        if (n_planes is None or nprobe_bits == "auto") \
+                and corpus_rows is None:
+            corpus_rows = sum(embedding_width_census(corpus).values())
         if n_planes is None:
-            n_planes = scaled_n_planes(corpus.count(), target_bucket_size)
+            n_planes = scaled_n_planes(corpus_rows, target_bucket_size)
+        if nprobe_bits == "auto":
+            nprobe_bits = auto_nprobe_bits(n_planes, corpus_rows,
+                                           target_bucket_size)
         c_norm = corpus.select(*c_cols,
                                bucket_col_for(corpus, n_planes,
                                               width=width)

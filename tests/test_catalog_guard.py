@@ -103,10 +103,43 @@ def test_tracked_persist_released_on_next_query(spark, sf_dir):
     cat_mod.release_persisted()
     df = cat["events_time_rollup"].spark_fn(spark, sf_dir)
     df.collect()
-    assert len(cat_mod._TRACKED_PERSISTS) == 1
-    cached = cat_mod._TRACKED_PERSISTS[0]
+    assert len(cat_mod._ALL_PERSISTS) == 1
+    (cached,) = cat_mod._ALL_PERSISTS.values()
     assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
     cat["events_counts_battery"].spark_fn(spark, sf_dir)  # build only
-    assert cat_mod._TRACKED_PERSISTS == []
+    assert cat_mod._ALL_PERSISTS == {}
     assert not (cached.storageLevel.useMemory
                 or cached.storageLevel.useDisk)
+
+
+def test_tracked_persist_is_thread_scoped(spark, sf_dir):
+    """ADVICE r12: a top-level catalog query on thread B must NOT
+    release a cache thread A's query enrolled — per-thread tracking,
+    not just a lock around a global list. Thread A's OWN next
+    top-level query still drains it (the intended cross-query
+    release), and the global teardown drain sees every thread."""
+    import threading
+
+    from solana_event_stream_spark import catalog as cat_mod
+
+    cat = cat_mod.load_catalog()
+    cat_mod.release_persisted()
+
+    def run_a():
+        cat["events_time_rollup"].spark_fn(spark, sf_dir).collect()
+
+    ta = threading.Thread(target=run_a)
+    ta.start()
+    ta.join()
+    (cached,) = cat_mod._ALL_PERSISTS.values()
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    # a DIFFERENT thread (this one) running a top-level query leaves
+    # thread A's cache alone
+    cat["events_counts_battery"].spark_fn(spark, sf_dir)
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    assert id(cached) in cat_mod._ALL_PERSISTS
+    # global teardown drain releases across threads
+    assert cat_mod.release_persisted() >= 1
+    assert not (cached.storageLevel.useMemory
+                or cached.storageLevel.useDisk)
+    assert cat_mod._ALL_PERSISTS == {}
