@@ -745,7 +745,8 @@ def dedup_embedding_cosine_scaled(spark, sf_dir: str,
     (independent plane bands, any-band match)."""
     if n_planes is None:
         n_planes = scaled_n_planes(
-            load_spread(spark, sf_dir, "embeddings").count(),
+            sum(embedding_width_census(
+                load_spread(spark, sf_dir, "embeddings")).values()),
             target_bucket_size)
     return _embedding_cosine_pairs(spark, sf_dir, n_planes, limit)
 
@@ -797,9 +798,14 @@ def embedding_pairs_cross(new_emb: DataFrame, seen_emb: DataFrame,
     independently are join-compatible by construction), exact cosine
     verifies candidates at >= tau. The seen corpus is never re-paired
     against itself. ``n_planes`` defaults to corpus-tracking on the
-    SEEN side (the big one); ``width`` skips both census probes."""
+    SEEN side (the big one), via the memoized width census' value-sum
+    — no separate ``count()`` action (ADVICE r12); ``width`` skips
+    the per-side census probes inside ``bucket_col_for`` (pass an
+    explicit ``n_planes`` with it for a zero-probe call)."""
     if n_planes is None:
-        n_planes = scaled_n_planes(seen_emb.count(), target_bucket_size)
+        n_planes = scaled_n_planes(
+            sum(embedding_width_census(seen_emb).values()),
+            target_bucket_size)
 
     def norms(df):
         return df.select(
@@ -824,21 +830,38 @@ def embedding_incremental_survivors(new_emb: DataFrame,
                                     n_planes: int | None = None,
                                     target_bucket_size: int = 64,
                                     tau: float = 0.9,
-                                    width: int | None = None
+                                    width: int | None = None,
+                                    within_bands: int = 4
                                     ) -> DataFrame:
     """Append-only EMBEDDING dedup (the vector analog of
     :func:`dedup_incremental_survivors`): drop new vectors within
     cosine >= tau of the seen corpus, then resolve near-dups within
-    the remaining batch (bucket pairs -> connected components ->
-    min-label survivors). Returns surviving new rows unchanged."""
+    the remaining batch (banded bucket pairs -> connected components
+    -> min-label survivors). Returns surviving new rows unchanged.
+
+    The within-batch pass (ADVICE r12) runs MULTI-BAND with
+    ``band_bits`` scaled to the BATCH, not the seen corpus: the
+    cross probe's ``n_planes`` tracks the seen side (~20+ bits at
+    scale), and a single band at that width keeps a cosine-0.9
+    within-batch pair with ~p^24 ≈ 2% — the banded form exists
+    precisely to restore recall there (``within_bands`` bands of
+    batch-sized bits keep it with 1-(1-p^bits)^bands). The pair set
+    is consumed UNSORTED (no global orderBy/limit — the old
+    ``limit=1<<30`` both sorted every candidate pair globally and
+    silently truncated past 2^30)."""
     if n_planes is None:
-        n_planes = scaled_n_planes(seen_emb.count(), target_bucket_size)
+        n_planes = scaled_n_planes(
+            sum(embedding_width_census(seen_emb).values()),
+            target_bucket_size)
     hit = (embedding_pairs_cross(new_emb, seen_emb, n_planes=n_planes,
                                  tau=tau, width=width)
            .select(F.col("doc_a").alias("vec_id")).distinct())
     fresh = new_emb.join(hit, "vec_id", "left_anti")
-    within = (banded_cosine_pairs(fresh, n_bands=1, band_bits=n_planes,
-                                  limit=1 << 30)
+    batch_bits = scaled_n_planes(
+        sum(embedding_width_census(new_emb).values()),
+        target_bucket_size, floor=4)
+    within = (banded_cosine_pairs(fresh, n_bands=within_bands,
+                                  band_bits=batch_bits, limit=None)
               .filter(F.col("cosine") >= tau)
               .select("doc_a", "doc_b"))
     memb = connected_components(within)
@@ -853,12 +876,15 @@ def embedding_incremental_survivors(new_emb: DataFrame,
 def banded_cosine_pairs(emb: DataFrame, n_bands: int = 2,
                         band_bits: int | None = None,
                         target_bucket_size: int = 64,
-                        limit: int = 20) -> DataFrame:
+                        limit: int | None = 20) -> DataFrame:
     """Frame-in core of :func:`dedup_embedding_cosine_banded` (columns
-    ``vec_id``, ``embedding``)."""
-    if band_bits is None:
-        band_bits = scaled_n_planes(emb.count(), target_bucket_size)
+    ``vec_id``, ``embedding``). ``limit=None`` returns EVERY verified
+    pair unsorted — the bulk-consumer form (incremental dedup,
+    connected components): no global orderBy, no truncation."""
     census = embedding_width_census(emb)
+    if band_bits is None:
+        band_bits = scaled_n_planes(sum(census.values()),
+                                    target_bucket_size)
     widths = [w for w in census if w >= 0]
     if len(census) != 1 or len(widths) != 1:
         raise ValueError(
@@ -892,10 +918,13 @@ def banded_cosine_pairs(emb: DataFrame, n_bands: int = 2,
                       F.col("embedding").alias("emb_b"),
                       F.col("nrm").alias("nrm_b"))
     dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
-    return (pairs.join(na, "doc_a").join(nb, "doc_b")
-            .select("doc_a", "doc_b",
-                    (dot / (F.col("nrm_a") * F.col("nrm_b")))
-                    .alias("cosine"))
+    scored = (pairs.join(na, "doc_a").join(nb, "doc_b")
+              .select("doc_a", "doc_b",
+                      (dot / (F.col("nrm_a") * F.col("nrm_b")))
+                      .alias("cosine")))
+    if limit is None:
+        return scored
+    return (scored
             .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(limit))
 

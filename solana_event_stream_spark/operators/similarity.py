@@ -167,11 +167,12 @@ def ann_lsh_topk_scaled(spark, sf_dir: str, n_planes: int | None = None,
     single-probe top-k recall collapses, and 3 probe bits buy it back
     at flat wall): >0 routes through
     :func:`ann_lsh_topk_multiprobe` at the same plane count."""
-    from .dedup import scaled_n_planes
+    from .dedup import embedding_width_census, scaled_n_planes
 
     if n_planes is None:
         n_planes = scaled_n_planes(
-            load_spread(spark, sf_dir, "embeddings").count(),
+            sum(embedding_width_census(
+                load_spread(spark, sf_dir, "embeddings")).values()),
             target_bucket_size)
     if nprobe_bits:
         return ann_lsh_topk_multiprobe(spark, sf_dir, n_planes=n_planes,

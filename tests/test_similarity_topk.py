@@ -535,6 +535,54 @@ def test_embedding_incremental_dedup(spark):
     assert surv == {1001, 1002}
 
 
+def test_embedding_incremental_within_batch_recall_at_high_planes(spark):
+    """ADVICE r12: the within-batch pass must not inherit the SEEN
+    corpus' plane count as a single band — at ~24 bits a cosine-0.96
+    within-batch pair survives a single band with ~p^24 and the
+    invariant 'no two near-dups in the corpus' silently erodes. The
+    fixed form (multi-band, batch-scaled bits) finds the pair this
+    exact scenario plants; the old form demonstrably missed it
+    (single 24-bit band: zero candidate pairs on these vectors)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.dedup import (
+        banded_cosine_pairs, embedding_incremental_survivors)
+
+    def vec(i):
+        return [int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(16)]
+
+    def mix(v, w, a):
+        n1 = math.sqrt(sum(x * x for x in v))
+        n2 = math.sqrt(sum(x * x for x in w))
+        return [x / n1 * (1 - a) + y / n2 * a for x, y in zip(v, w)]
+
+    base = vec(400)
+    b2 = mix(base, vec(401), 0.22)          # cosine(base, b2) ~ 0.959
+    seen = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(1000, [x + 0.001 for x in vec(7)]),  # near-copy of seen 7
+         (1001, vec(300)),                     # fresh
+         (1002, base),                         # within-batch dup pair
+         (1003, b2)],
+        "vec_id long, embedding array<float>")
+
+    # the failure mode on record: ONE band at the seen-tracking width
+    # has no candidate for the planted pair
+    old_form = (banded_cosine_pairs(new, n_bands=1, band_bits=24,
+                                    limit=None)
+                .filter(F.col("cosine") >= 0.9).collect())
+    assert old_form == []
+    surv = sorted(r.vec_id for r in embedding_incremental_survivors(
+        new, seen, n_planes=24, tau=0.9).collect())
+    assert surv == [1001, 1002]
+
+
 def test_width_census_tracks_appended_files(spark, tmp_path):
     """VERDICT r12 item 1 (the staleness hole): the census memo is
     keyed on a DATA VERSION (input-file digest), not the plan hash
