@@ -413,9 +413,118 @@ def main_ab_stateparts(spark, reps: int = 2) -> None:
                       "p50_ms": med}), flush=True)
 
 
+def _run_enrichment_probe(spark, tdir: str, adir: str, n_buckets: int,
+                          refresh_accounts: bool, skewed: bool,
+                          trigger_secs: float = 1.0) -> dict:
+    from solana_event_stream_spark.plans.enrichment import (
+        start_enriched_trade_stream)
+    from solana_event_stream_spark.streaming.metrics import (
+        PipelineMetricsListener, latency_summary)
+
+    collector = PipelineMetricsListener()
+    listener = collector.make_listener()
+    spark.streams.addListener(listener)
+    n_rows_seen = [0]
+    try:
+        with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+            stream = (spark.readStream
+                      .schema(spark.read.parquet(tdir).schema)
+                      .option("maxFilesPerTrigger", 1).parquet(tdir))
+            q = start_enriched_trade_stream(
+                stream, adir,
+                lambda df, _bid: n_rows_seen.__setitem__(
+                    0, n_rows_seen[0] + df.count()),
+                os.path.join(tmp, "ckpt"),
+                refresh_accounts=refresh_accounts,
+                processing_time=f"{trigger_secs} seconds",
+                state_cols=("virtual_sol_reserves", "complete"),
+                skewed=skewed, slice_slots=64)
+            try:
+                deadline = time.time() + 60 + 3 * n_buckets * trigger_secs
+                while time.time() < deadline:
+                    done = [p for p in collector.progress
+                            if p["num_input_rows"]]
+                    if len(done) >= n_buckets:
+                        break
+                    time.sleep(0.5)
+            finally:
+                q.stop()
+                try:
+                    q.awaitTermination(30)
+                except Exception:
+                    pass
+    finally:
+        spark.streams.removeListener(listener)
+    summary = latency_summary(collector.progress)
+    summary.update({"probe": "enrichment_latency",
+                    "refresh_accounts": refresh_accounts,
+                    "skewed": skewed,
+                    "trades_delivered": n_rows_seen[0]})
+    return summary
+
+
+def main_ab_enrichment(spark, reps: int = 2) -> None:
+    """Streaming-enrichment latency arm (VERDICT r12 item 4):
+    trigger-to-sink p50/p95 of `start_enriched_trade_stream` — the
+    foreachBatch as-of enrichment against the account lake — vs the
+    reference's 1,000 ms envelope, interleaved over the four
+    deployment settings: refresh_accounts True/False (re-resolve the
+    lake per trigger vs pin at start) x skewed False/True (plain
+    keyed window fill vs (key, slot-slice) sliced fill).
+
+    Feed shape: 100k account writes across 2k accounts (the lake),
+    2.5k trades per micro-batch over 20 one-file batches on a 1 s
+    trigger, trade keys uniform over the accounts. The skewed form
+    runs the SAME data — this arm measures the latency cost of the
+    sliced-fill machinery itself at trigger cadence (the hot-key
+    crossover where it wins is the batch scale probe's table)."""
+    n_accts, n_writes, n_buckets, per_batch = 2000, 100_000, 20, 2500
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as tmp:
+        adir = os.path.join(tmp, "accounts")
+        tdir = os.path.join(tmp, "trades")
+        (spark.range(n_writes).select(
+            F.concat(F.lit("acct_"),
+                     (F.col("id") % n_accts)).alias("pubkey"),
+            ((F.col("id") / n_accts).cast("long") * 10).alias("slot"),
+            F.col("id").alias("recv_us"),
+            (F.col("id") % 1_000_000).cast("decimal(20,0)")
+            .alias("virtual_sol_reserves"),
+            (F.col("id") % 7 == 0).alias("complete"))
+         .write.parquet(adir))
+        trades = spark.range(n_buckets * per_batch).select(
+            F.concat(F.lit("sig_"), F.col("id")).alias("sig"),
+            # slots advance batch over batch through the lake's span
+            ((F.col("id") / per_batch).cast("long") * 25 + 5)
+            .alias("slot"),
+            F.concat(F.lit("acct_"),
+                     F.pmod(F.xxhash64("id"), F.lit(n_accts)))
+            .alias("bonding_curve"),
+            (F.col("id") % 10_000).alias("sol_amount"))
+        _write_ordered_archive(trades, tdir, n_buckets)
+
+        per: dict[tuple[bool, bool], list[float]] = {}
+        for rep in range(reps):
+            for refresh in (True, False):
+                for skewed in (False, True):
+                    r = _run_enrichment_probe(spark, tdir, adir,
+                                              n_buckets, refresh, skewed)
+                    r["rep"] = rep
+                    per.setdefault((refresh, skewed), []).append(
+                        r["trigger_p50_ms"])
+                    print(json.dumps(r), flush=True)
+        med = {f"refresh={rf},skewed={sk}":
+               sorted(v)[len(v) // 2] for (rf, sk), v in per.items()}
+        print(json.dumps({"probe": "enrichment_ab_summary",
+                          "reps": reps, "p50_ms": med,
+                          "envelope_ms": 1000}), flush=True)
+
+
 def main() -> None:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ab-enrichment" in sys.argv:
+        main_ab_enrichment(spark)
+        return
     if "--ab-archivesink" in sys.argv:
         main_ab_archivesink(spark)
         return

@@ -232,16 +232,22 @@ def _minhash_band_frame(docs: DataFrame):
     never ride the candidate shuffle."""
     sh = (docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
           .localCheckpoint())
+    return sh, _bands_from_shingles(sh)
+
+
+def _bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> exploded (doc_id, band_idx, band_val) LSH
+    band frame — the shared signature build of the self-join finders
+    and the materialized index (operators/dedup_index.py)."""
     sigs = (sh.select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.concat_ws("_", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
                                for r in range(ROWS_PER_BAND)])
             for b in range(N_BANDS)
         ])).alias("band_idx", "band_val"))
-    return sh, bands
 
 
 def _verify_jaccard(pairs: DataFrame, sh_a: DataFrame, sh_b: DataFrame,

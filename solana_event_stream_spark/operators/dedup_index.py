@@ -1,0 +1,329 @@
+"""Materialized append-only dedup index (VERDICT r12 item 1).
+
+The r12 incremental primitives (``dedup_pairs_cross`` /
+``embedding_pairs_cross``) never re-PAIR the historical corpus, but
+they re-DERIVED its features — minhash bands / LSH buckets — from raw
+text/vectors on every batch, so per-batch cost still grew with history
+size. At a 100 TB seen corpus the per-batch wall is dominated by
+re-hashing history, defeating the operators' stated purpose: "never
+re-pair history" must also mean "never re-hash history".
+
+This module persists the features as an append-only INDEX table:
+
+- minhash index: ``(doc_id, band_idx, band_val)`` — one row per
+  (doc, LSH band), the exact frame the band equi-join consumes;
+- embedding index: ``(vec_id, bucket, nrm)`` — the hyperplane
+  signature and norm, the exact frame the bucket equi-join consumes.
+
+Each incremental step (1) hashes ONLY the new batch, (2) probes the
+index with a band/bucket equi-join, (3) verifies candidates by
+re-attaching raw features for the CANDIDATE ids only (an explicit
+semi-join ahead of the feature projection, so history text/vectors are
+touched for a vanishing fraction of rows), and (4) appends the
+survivors' index rows. Per-batch feature-extraction cost is therefore
+O(batch), independent of seen-corpus size; the only O(seen) term left
+is the narrow 2-3-column index scan feeding the equi-join (columnar,
+tens of bytes/row — and prunable further by bucketing the table on
+``band_val`` / ``bucket`` on a real warehouse).
+
+Storage layout: ``<path>/batch=N/`` parquet directories plus a
+one-line JSON manifest listing committed batches, published by atomic
+rename (the same recipe as the event lake's manifest —
+streaming/event_archive.py; its FS facade is reused, so the store
+works on local disk and any Hadoop-resolvable URI). A crash between
+the parquet write and the manifest swap leaves an orphan directory
+that the next append simply overwrites — readers only ever see
+committed batches. Single concurrent writer (the corpus maintainer),
+any number of readers — the append-only pipeline's natural shape.
+
+Index parameters (minhash band geometry / hyperplane count) are
+pinned in the manifest at creation and validated on open: signatures
+computed under different parameters are not join-compatible, so a
+mismatch is a loud error, never silent zero recall.
+
+No reference analog (/root/reference is a streaming decoder); the
+design follows standard LSH index maintenance from the public
+literature (Leskovec et al., Mining of Massive Datasets ch. 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.event_archive import (_fs_isdir, _fs_listdir,
+                                       _fs_read_text, _fs_write_atomic,
+                                       _join)
+from .dedup import (N_BANDS, N_HASHES, ROWS_PER_BAND, _SPARK_DOT,
+                    _bands_from_shingles, _minhash_band_frame,
+                    _minhash_verified_pairs, _shingles, _verify_jaccard,
+                    bucket_col_for, connected_components, dedup_survivors)
+
+_INDEX_MANIFEST = "_INDEX_MANIFEST.json"
+
+_SCHEMAS = {
+    "minhash": "doc_id long, band_idx int, band_val string",
+    "embedding": "vec_id long, bucket long, nrm double",
+}
+
+
+def minhash_index_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) index rows for a (doc_id, text)
+    corpus — the exact band frame ``dedup_minhash_lsh``'s candidate
+    join consumes, computed once to be stored."""
+    return _bands_from_shingles(
+        docs.select("doc_id", _shingles(F.col("text")).alias("shingles")))
+
+
+def embedding_index_rows(emb: DataFrame, n_planes: int,
+                         width: int | None = None) -> DataFrame:
+    """(vec_id, bucket, nrm) index rows for a (vec_id, embedding)
+    corpus — signature + norm, everything the bucket join and the
+    cosine verify need from the seen side except the (candidate-only)
+    embedding arrays."""
+    return emb.select(
+        "vec_id",
+        bucket_col_for(emb, n_planes, width=width).alias("bucket"),
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"))
+
+
+class DedupIndexStore:
+    """Append-only feature-index table (see module docstring).
+
+    Use :func:`create_minhash_index` / :func:`create_embedding_index`
+    to create, :func:`open_dedup_index` to open; ``append`` commits a
+    batch of index rows, ``load`` reads every committed batch."""
+
+    def __init__(self, path: str, kind: str, params: dict,
+                 batches: list[str]):
+        self.path = path
+        self.kind = kind
+        self.params = params
+        self._batches = batches
+
+    # -- manifest ------------------------------------------------------
+    @classmethod
+    def _create(cls, path: str, kind: str, params: dict
+                ) -> "DedupIndexStore":
+        if _fs_isdir(path) and any(
+                not n.startswith(".") for n in _fs_listdir(path)):
+            raise ValueError(f"refusing to create dedup index over "
+                             f"non-empty directory {path!r}")
+        if not _fs_isdir(path) and "://" not in path:
+            os.makedirs(path, exist_ok=True)
+        store = cls(path, kind, params, [])
+        store._write_manifest()
+        return store
+
+    @classmethod
+    def open(cls, path: str) -> "DedupIndexStore":
+        try:
+            m = json.loads(_fs_read_text(_join(path, _INDEX_MANIFEST)))
+        except (OSError, ValueError) as exc:
+            raise FileNotFoundError(
+                f"no dedup index manifest under {path!r}") from exc
+        return cls(path, m["kind"], m["params"], list(m["batches"]))
+
+    def _write_manifest(self) -> None:
+        _fs_write_atomic(
+            _join(self.path, _INDEX_MANIFEST),
+            json.dumps({"version": 1, "kind": self.kind,
+                        "params": self.params,
+                        "batches": self._batches}))
+
+    def _require(self, kind: str, **params) -> None:
+        if self.kind != kind:
+            raise ValueError(f"dedup index at {self.path!r} is a "
+                             f"{self.kind!r} index, not {kind!r}")
+        for k, v in params.items():
+            if v is not None and self.params.get(k) != v:
+                raise ValueError(
+                    f"index parameter mismatch at {self.path!r}: "
+                    f"{k}={self.params.get(k)!r} in the manifest, "
+                    f"{v!r} requested — signatures under different "
+                    "parameters are not join-compatible")
+
+    # -- data ----------------------------------------------------------
+    def append(self, index_rows: DataFrame) -> str:
+        """Commit one batch of index rows; returns the batch dir name.
+
+        The parquet write lands first, the manifest swap publishes it
+        — a crash in between leaves an uncommitted orphan that the
+        next append overwrites."""
+        want = set(_SCHEMAS[self.kind].replace(",", " ").split()[::2])
+        if set(index_rows.columns) != want:
+            raise ValueError(
+                f"{self.kind} index rows need columns {sorted(want)}, "
+                f"got {index_rows.columns}")
+        name = f"batch={len(self._batches)}"
+        (index_rows.write.mode("overwrite")
+         .parquet(_join(self.path, name)))
+        self._batches.append(name)
+        self._write_manifest()
+        return name
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        """Every committed batch as one frame (empty frame with the
+        index schema when no batch has been committed yet)."""
+        if not self._batches:
+            return spark.createDataFrame([], _SCHEMAS[self.kind])
+        return spark.read.parquet(
+            *[_join(self.path, b) for b in self._batches])
+
+
+def create_minhash_index(path: str) -> DedupIndexStore:
+    """New empty minhash band index; geometry pinned from the module
+    constants the finders use (``N_HASHES``/``N_BANDS``/
+    ``ROWS_PER_BAND``)."""
+    return DedupIndexStore._create(
+        path, "minhash", {"n_hashes": N_HASHES, "n_bands": N_BANDS,
+                          "rows_per_band": ROWS_PER_BAND})
+
+
+def create_embedding_index(path: str, n_planes: int,
+                           width: int | None = None) -> DedupIndexStore:
+    """New empty hyperplane-signature index at a FIXED plane count
+    (every batch must sign under the same planes to stay
+    join-compatible; pick it with ``dedup.scaled_n_planes`` against
+    the corpus size you are building toward)."""
+    return DedupIndexStore._create(
+        path, "embedding", {"n_planes": n_planes, "width": width})
+
+
+def open_dedup_index(path: str) -> DedupIndexStore:
+    return DedupIndexStore.open(path)
+
+
+# ---------------------------------------------------------------------------
+# Index-backed pair finders (differential-tested against the recompute
+# forms in tests/test_dedup_index.py)
+# ---------------------------------------------------------------------------
+
+def dedup_pairs_cross_indexed(new_docs: DataFrame, seen_docs: DataFrame,
+                              seen_index: DataFrame) -> DataFrame:
+    """:func:`~.dedup.dedup_pairs_cross` with the seen side's band
+    frame read from the index instead of re-derived from raw text.
+    ``seen_docs`` is touched only to re-attach shingles for CANDIDATE
+    ids (explicit semi-join BEFORE the shingle projection — history is
+    never re-shingled wholesale)."""
+    sh_n, b_n = _minhash_band_frame(new_docs)
+    pairs = (b_n.alias("a")
+             .join(seen_index.alias("b"),
+                   (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_val") == F.col("b.band_val")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    ids_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_s = (seen_docs.join(ids_b, "doc_id", "left_semi")
+            .select("doc_id", _shingles(F.col("text")).alias("shingles")))
+    return _verify_jaccard(pairs, sh_n, sh_s)
+
+
+def embedding_pairs_cross_indexed(new_emb: DataFrame,
+                                  seen_emb: DataFrame,
+                                  seen_index: DataFrame,
+                                  n_planes: int,
+                                  tau: float = 0.9,
+                                  width: int | None = None) -> DataFrame:
+    """:func:`~.dedup.embedding_pairs_cross` with the seen side's
+    (bucket, nrm) read from the index. ``seen_emb`` supplies embedding
+    arrays for CANDIDATE ids only (the cosine verify); ``n_planes``
+    must be the index's pinned plane count — callers should go through
+    :func:`embedding_incremental_survivors_indexed`, which enforces
+    it."""
+    a = new_emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+        .alias("nrm"),
+        bucket_col_for(new_emb, n_planes, width=width).alias("bucket"))
+    cand = (a.alias("a")
+            .join(seen_index.alias("b"),
+                  F.col("a.bucket") == F.col("b.bucket"))
+            .select(F.col("a.vec_id").alias("doc_a"),
+                    F.col("a.embedding").alias("emb_a"),
+                    F.col("a.nrm").alias("nrm_a"),
+                    F.col("b.vec_id").alias("doc_b"),
+                    F.col("b.nrm").alias("nrm_b")))
+    seen_vecs = seen_emb.select(F.col("vec_id").alias("doc_b"),
+                                F.col("embedding").alias("emb_b"))
+    dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
+    return (cand.join(seen_vecs, "doc_b")
+            .select("doc_a", "doc_b",
+                    (dot / (F.col("nrm_a") * F.col("nrm_b")))
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= tau))
+
+
+# ---------------------------------------------------------------------------
+# Index-backed incremental steps (probe index -> drop hits -> resolve
+# within batch -> append survivors' index rows)
+# ---------------------------------------------------------------------------
+
+def dedup_incremental_survivors_indexed(store: DedupIndexStore,
+                                        new_docs: DataFrame,
+                                        seen_docs: DataFrame,
+                                        commit: bool = True) -> DataFrame:
+    """Index-backed :func:`~.dedup.dedup_incremental_survivors`: drop
+    new docs that near-dup the indexed corpus, resolve duplicates
+    within the remainder, and (``commit=True``) append the survivors'
+    band rows so the NEXT batch probes them too. Returns surviving
+    rows (materialized via localCheckpoint when committing, so the
+    caller's frame does not recompute the whole step)."""
+    store._require("minhash")
+    spark = new_docs.sparkSession
+    hit = (dedup_pairs_cross_indexed(new_docs, seen_docs,
+                                     store.load(spark))
+           .select(F.col("doc_a").alias("doc_id")).distinct())
+    fresh = new_docs.join(hit, "doc_id", "left_anti")
+    surv = dedup_survivors(
+        fresh, connected_components(_minhash_verified_pairs(fresh)))
+    if commit:
+        surv = surv.localCheckpoint()
+        store.append(minhash_index_rows(surv))
+    return surv
+
+
+def embedding_incremental_survivors_indexed(store: DedupIndexStore,
+                                            new_emb: DataFrame,
+                                            seen_emb: DataFrame,
+                                            tau: float = 0.9,
+                                            within_bands: int = 4,
+                                            commit: bool = True
+                                            ) -> DataFrame:
+    """Index-backed :func:`~.dedup.embedding_incremental_survivors`;
+    the plane count and width come from the store's manifest (the
+    signatures must match the indexed ones). The within-batch pass is
+    the same batch-scaled multi-band resolve as the recompute form."""
+    from .dedup import (banded_cosine_pairs, embedding_width_census,
+                        scaled_n_planes)
+
+    store._require("embedding")
+    n_planes = store.params["n_planes"]
+    width = store.params.get("width")
+    spark = new_emb.sparkSession
+    hit = (embedding_pairs_cross_indexed(new_emb, seen_emb,
+                                         store.load(spark), n_planes,
+                                         tau=tau, width=width)
+           .select(F.col("doc_a").alias("vec_id")).distinct())
+    fresh = new_emb.join(hit, "vec_id", "left_anti")
+    batch_bits = scaled_n_planes(
+        sum(embedding_width_census(new_emb).values()), floor=4)
+    within = (banded_cosine_pairs(fresh, n_bands=within_bands,
+                                  band_bits=batch_bits, limit=None)
+              .filter(F.col("cosine") >= tau)
+              .select("doc_a", "doc_b"))
+    memb = connected_components(within)
+    surv = (fresh.join(memb.select(F.col("doc_id").alias("vec_id"),
+                                   "cluster_id"),
+                       "vec_id", "left")
+            .filter(F.col("cluster_id").isNull()
+                    | (F.col("vec_id") == F.col("cluster_id")))
+            .drop("cluster_id"))
+    if commit:
+        surv = surv.localCheckpoint()
+        store.append(embedding_index_rows(surv, n_planes, width=width))
+    return surv

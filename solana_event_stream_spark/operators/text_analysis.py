@@ -372,6 +372,72 @@ def _run_length_tally(grams_col) -> F.Column:
     return F.aggregate(F.array_sort(grams_col), z, step, finish)
 
 
+def _fused_rep_tallies(words_col) -> F.Column:
+    """struct(t2, t3) — BOTH Gopher gram tallies from ONE sorted
+    combined keyed gram array and ONE fold (VERDICT r12 item 7: the
+    two independent array_sort+fold passes were the dominant
+    interpreted-HOF cost of the repetition part).
+
+    Each gram is built PREFIXED with its size key ('2 a b' / '3 a b
+    c') during construction — zero extra passes — so one array_sort
+    groups all 2-grams (prefix '2' < '3') ahead of all 3-grams while
+    preserving within-group order: run lengths inside each group are
+    identical to sorting that group alone, and the group boundary
+    resets the run via the ordinary prev-mismatch. The fold routes
+    each element's (run, top, dup, total) updates by first character.
+    Counts are bit-identical to two :func:`_run_length_tally` passes
+    (differential-pinned in tests/test_text_repetition.py); docs too
+    short for an n-gram yield a NULL tally for that n, as before."""
+    s = F.size(words_col)
+    g2 = F.when(s >= 2, F.zip_with(
+        F.slice(words_col, 1, s - 1), F.slice(words_col, 2, s - 1),
+        lambda a, b: F.concat_ws(" ", F.lit("2"), a, b))) \
+        .otherwise(F.array().cast("array<string>"))
+    g3 = F.when(s >= 3, F.zip_with(
+        F.zip_with(F.slice(words_col, 1, s - 2),
+                   F.slice(words_col, 2, s - 2),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        F.slice(words_col, 3, s - 2),
+        lambda ab, c: F.concat_ws(" ", F.lit("3"), ab, c))) \
+        .otherwise(F.array().cast("array<string>"))
+    z = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        *[F.lit(0).cast("long").alias(f) for f in
+          ("top2", "dup2", "tot2", "top3", "dup3", "tot3")])
+
+    def step(acc, x):
+        nr = F.when(x == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        is2 = F.substring(x, 1, 1) == "2"
+        dup_inc = F.when(nr == 2, 2).when(nr > 2, 1).otherwise(0)
+        return F.struct(
+            x.alias("prev"), nr.alias("run"),
+            F.when(is2, F.greatest(acc["top2"], nr))
+            .otherwise(acc["top2"]).alias("top2"),
+            (acc["dup2"] + F.when(is2, dup_inc).otherwise(0))
+            .alias("dup2"),
+            (acc["tot2"] + F.when(is2, 1).otherwise(0)).alias("tot2"),
+            F.when(is2, acc["top3"])
+            .otherwise(F.greatest(acc["top3"], nr)).alias("top3"),
+            (acc["dup3"] + F.when(is2, F.lit(0)).otherwise(dup_inc))
+            .alias("dup3"),
+            (acc["tot3"] + F.when(is2, 0).otherwise(1)).alias("tot3"))
+
+    def finish(acc):
+        return F.struct(
+            F.when(acc["tot2"] > 0,
+                   F.struct(acc["tot2"].alias("total"),
+                            acc["top2"].alias("top"),
+                            acc["dup2"].alias("dup"))).alias("t2"),
+            F.when(acc["tot3"] > 0,
+                   F.struct(acc["tot3"].alias("total"),
+                            acc["top3"].alias("top"),
+                            acc["dup3"].alias("dup"))).alias("t3"))
+
+    return F.aggregate(F.array_sort(F.concat(g2, g3)), z, step, finish)
+
+
 def text_repetition(spark, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filters (Rae et al.
     2021 §A1.1, public paper): duplicate-word fraction plus, per
