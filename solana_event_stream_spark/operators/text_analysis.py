@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..catalog import register
-from ..tables import load_table
+from ..tables import load_spread
 
 # tiny marker lexicons per language (n-gram heuristic stand-in)
 _MARKERS = {
@@ -72,7 +72,7 @@ _SQL_LANGUAGE_ID = f"""
 def text_language_id(spark, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word hit counts per language,
     argmax with deterministic tie order, confusion counts vs label."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     scored = docs.select(
         "doc_id", F.col("lang").alias("labeled_lang"),
@@ -116,7 +116,7 @@ _SQL_QUALITY_SCORE = f"""
 def text_quality_score(spark, sf_dir: str) -> DataFrame:
     """Quality scoring: length, avg word length, stopword ratio,
     non-alpha ratio, pass/fail gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_words = F.size(words)
@@ -149,7 +149,7 @@ _SQL_TOKEN_STATS = """
 
 def text_token_stats(spark, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split vs BPE-ish regex segmentation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     bpe = F.size(F.expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
     return docs.select(
@@ -175,7 +175,7 @@ _SQL_FINGERPRINT = """
 def text_fingerprint(spark, sf_dir: str) -> DataFrame:
     """Document fingerprinting: normalized-content md5, per-source
     distinct counts (shard-level dedup accounting)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.regexp_replace(F.col("text"), " +", " ")))
     return (docs.select("doc_id", "source", fp.alias("fingerprint"))
             .groupBy("source")
@@ -209,7 +209,7 @@ _SQL_PII_DOCS = """
 
 
 def _docs_with_pii(spark, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_spread(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text")
     contact = F.concat(
         F.col("text"), F.lit(" contact user"),
@@ -335,7 +335,7 @@ def _rep_grams(words_col, n: int) -> F.Column:
         F.array().cast("array<string>"))
 
 
-def _run_length_tally(grams_col) -> F.Column:
+def _run_length_tally(grams_col, elem_type: str = "string") -> F.Column:
     """struct(total, top, dup) gram-frequency tally as a PER-ROW fold:
     sort the gram array, then ONE pass counting runs — total grams,
     the longest run (the most frequent gram's count), and the number
@@ -347,7 +347,7 @@ def _run_length_tally(grams_col) -> F.Column:
     referenced exactly ONCE (total rides in the accumulator) and the
     NULL-init prev means the first gram never matches."""
     z = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast(elem_type).alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("top"),
         F.lit(0).cast("long").alias("dup"),
@@ -372,70 +372,61 @@ def _run_length_tally(grams_col) -> F.Column:
     return F.aggregate(F.array_sort(grams_col), z, step, finish)
 
 
-def _fused_rep_tallies(words_col) -> F.Column:
-    """struct(t2, t3) — BOTH Gopher gram tallies from ONE sorted
-    combined keyed gram array and ONE fold (VERDICT r12 item 7: the
-    two independent array_sort+fold passes were the dominant
-    interpreted-HOF cost of the repetition part).
+def _word_hashes(words_col) -> F.Column:
+    """xxhash64 per word — hash each word string ONCE; every gram
+    downstream combines the LONGS (fixed 8-byte hashing) instead of
+    re-traversing word strings per gram (each word otherwise gets
+    string-hashed ~5x across the 2- and 3-gram builds)."""
+    return F.transform(words_col, lambda x: F.xxhash64(x))
 
-    Each gram is built PREFIXED with its size key ('2 a b' / '3 a b
-    c') during construction — zero extra passes — so one array_sort
-    groups all 2-grams (prefix '2' < '3') ahead of all 3-grams while
-    preserving within-group order: run lengths inside each group are
-    identical to sorting that group alone, and the group boundary
-    resets the run via the ordinary prev-mismatch. The fold routes
-    each element's (run, top, dup, total) updates by first character.
-    Counts are bit-identical to two :func:`_run_length_tally` passes
-    (differential-pinned in tests/test_text_repetition.py); docs too
-    short for an n-gram yield a NULL tally for that n, as before."""
-    s = F.size(words_col)
-    g2 = F.when(s >= 2, F.zip_with(
-        F.slice(words_col, 1, s - 1), F.slice(words_col, 2, s - 1),
-        lambda a, b: F.concat_ws(" ", F.lit("2"), a, b))) \
-        .otherwise(F.array().cast("array<string>"))
-    g3 = F.when(s >= 3, F.zip_with(
-        F.zip_with(F.slice(words_col, 1, s - 2),
-                   F.slice(words_col, 2, s - 2),
-                   lambda a, b: F.concat_ws(" ", a, b)),
-        F.slice(words_col, 3, s - 2),
-        lambda ab, c: F.concat_ws(" ", F.lit("3"), ab, c))) \
-        .otherwise(F.array().cast("array<string>"))
-    z = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        *[F.lit(0).cast("long").alias(f) for f in
-          ("top2", "dup2", "tot2", "top3", "dup3", "tot3")])
 
-    def step(acc, x):
-        nr = F.when(x == acc["prev"], acc["run"] + 1) \
-            .otherwise(F.lit(1).cast("long"))
-        is2 = F.substring(x, 1, 1) == "2"
-        dup_inc = F.when(nr == 2, 2).when(nr > 2, 1).otherwise(0)
-        return F.struct(
-            x.alias("prev"), nr.alias("run"),
-            F.when(is2, F.greatest(acc["top2"], nr))
-            .otherwise(acc["top2"]).alias("top2"),
-            (acc["dup2"] + F.when(is2, dup_inc).otherwise(0))
-            .alias("dup2"),
-            (acc["tot2"] + F.when(is2, 1).otherwise(0)).alias("tot2"),
-            F.when(is2, acc["top3"])
-            .otherwise(F.greatest(acc["top3"], nr)).alias("top3"),
-            (acc["dup3"] + F.when(is2, F.lit(0)).otherwise(dup_inc))
-            .alias("dup3"),
-            (acc["tot3"] + F.when(is2, 0).otherwise(1)).alias("tot3"))
+def _rep_gram_hashes(hw_col, n: int) -> F.Column:
+    """Word n-gram HASHES from the pre-hashed word array: the same
+    zip_with-over-shifted-slices shape as :func:`_rep_grams`, but the
+    element op is xxhash64 over longs (3-grams chain the 2-gram hash
+    with the third word's hash) — no per-gram string allocation, long
+    sort keys, long run compares.
 
-    def finish(acc):
-        return F.struct(
-            F.when(acc["tot2"] > 0,
-                   F.struct(acc["tot2"].alias("total"),
-                            acc["top2"].alias("top"),
-                            acc["dup2"].alias("dup"))).alias("t2"),
-            F.when(acc["tot3"] > 0,
-                   F.struct(acc["tot3"].alias("total"),
-                            acc["top3"].alias("top"),
-                            acc["dup3"].alias("dup"))).alias("t3"))
+    The tallies only need equality runs, so hashed grams produce
+    IDENTICAL counts unless two distinct grams of one doc collide in
+    64 bits — P ~ m^2/2^65 per doc (~3e-11 at 1k grams), ~5e-2
+    expected collisions across a trillion-doc corpus, and a collision
+    perturbs one doc's top/dup count by one run merge; the exact
+    string form (:func:`_rep_grams` + string tally) remains as the
+    reference and is differential-pinned in
+    tests/test_text_repetition.py. VERDICT r12 item 7: the measured
+    A/B (BENCH_NOTES r13) chose this over the proposed single-fused
+    fold (1.25x SLOWER than two folds — per-element cost dominates,
+    not per-pass overhead), a packed single-long accumulator (1.07x),
+    and a long-keyed fused sort (1.14x)."""
+    s = F.size(hw_col)
+    if n == 2:
+        grams = F.zip_with(F.slice(hw_col, 1, s - 1),
+                           F.slice(hw_col, 2, s - 1),
+                           lambda a, b: F.xxhash64(a, b))
+    elif n == 3:
+        grams = F.zip_with(
+            F.zip_with(F.slice(hw_col, 1, s - 2),
+                       F.slice(hw_col, 2, s - 2),
+                       lambda a, b: F.xxhash64(a, b)),
+            F.slice(hw_col, 3, s - 2),
+            lambda h, c: F.xxhash64(h, c))
+    else:
+        raise ValueError(f"n must be 2 or 3, got {n}")
+    return F.when(s >= n, grams).otherwise(F.array().cast("array<long>"))
 
-    return F.aggregate(F.array_sort(F.concat(g2, g3)), z, step, finish)
+
+def _g3_from_g2(g2_col, hw_col) -> F.Column:
+    """3-gram hashes chained FROM an already-materialized 2-gram hash
+    array: hash3[i] = xxhash64(hash2[i], w[i+2]) — identical values to
+    ``_rep_gram_hashes(hw, 3)`` by construction (same chain), but the
+    (a, b) pair hashes are reused instead of recomputed (one fewer
+    xxhash64 pass per row; measured 0.96x in scripts/rep_tally_ab.py)."""
+    s = F.size(hw_col)
+    return F.when(s >= 3, F.zip_with(
+        F.slice(g2_col, 1, s - 2), F.slice(hw_col, 3, s - 2),
+        lambda h, c: F.xxhash64(h, c))) \
+        .otherwise(F.array().cast("array<long>"))
 
 
 def text_repetition(spark, sf_dir: str) -> DataFrame:
@@ -445,17 +436,32 @@ def text_repetition(spark, sf_dir: str) -> DataFrame:
     and fractions — the standard curation pass that catches
     boilerplate and degenerate repetition BEFORE cross-document dedup.
 
-    Scale: ONE narrow projection — the gram tallies are per-row
-    sorted run-length folds (:func:`_run_length_tally`), so the whole
-    operator is a single scan with no explode and no shuffle. Docs too
-    short for an n-gram carry NULL n-gram metrics (both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale: stacked narrow projections over one scan — no explode, no
+    keyed shuffle (load_spread adds one round-robin rebalance ONLY
+    when the scan has fewer splits than cores; a no-op at warehouse
+    scale). The first projection materializes the per-word hash array
+    ONCE (:func:`_word_hashes`; Catalyst keeps the projections
+    separate because the transform is multi-referenced and non-cheap,
+    so the hashes are computed once per row, not once per reference);
+    the second stages the 2-gram hash array, from which the 3-gram
+    hashes are chained (:func:`_g3_from_g2`); the third runs the
+    distinct count and both gram tallies over LONGS — the r13 form
+    that A/B-measured 0.64x the all-string form at identical counts
+    (BENCH_NOTES r13; collision bound in _rep_gram_hashes'
+    docstring). Docs too short for an n-gram carry NULL n-gram
+    metrics (both engines)."""
+    docs = load_spread(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    base = docs.select(
-        "doc_id", F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct_words"),
-        _run_length_tally(_rep_grams(words, 2)).alias("_t2"),
-        _run_length_tally(_rep_grams(words, 3)).alias("_t3"))
+    hashed = docs.select("doc_id", _word_hashes(words).alias("hw"))
+    hw = F.col("hw")
+    staged = hashed.select(
+        "doc_id", "hw", _rep_gram_hashes(hw, 2).alias("g2"))
+    base = staged.select(
+        "doc_id", F.size(hw).alias("n_words"),
+        F.size(F.array_distinct(hw)).alias("n_distinct_words"),
+        _run_length_tally(F.col("g2"), "long").alias("_t2"),
+        _run_length_tally(_g3_from_g2(F.col("g2"), hw), "long")
+        .alias("_t3"))
     return base.select(
         "doc_id", "n_words", "n_distinct_words",
         (F.lit(1.0) - F.col("n_distinct_words").cast("double")

@@ -202,7 +202,9 @@ def quality_filter_chain(spark, sf_dir: str) -> DataFrame:
     """Composable quality-filter chain with first-failing-reason
     accounting: length bounds -> stopword-ratio floor -> unique-word-
     ratio floor. Narrow per-row CASE ladder (one pass, no UDF); the
-    per-reason rollup is the only shuffle."""
+    per-reason rollup is the only shuffle. (A conditional load_spread
+    rebalance was A/B-measured here at 1.12x — the stopword filter is
+    too light to amortize the extra exchange; see BENCH_NOTES r13.)"""
     docs = load_table(spark, sf_dir, "documents").select("text")
     w = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -395,20 +397,41 @@ def build_training_corpus(docs: DataFrame,
     (+ ``shard``). Every step is individually oracle- or
     planted-case-tested; this composition is itself planted-case
     tested (tests/test_training_data.py)."""
+    from ..tables import spread_frame
     from .curation import decontaminate_survivors
     from .dedup import (_minhash_verified_pairs, connected_components,
                         dedup_survivors)
-    from .text_analysis import _rep_grams, _run_length_tally
+    from .text_analysis import (_g3_from_g2, _rep_gram_hashes,
+                                _run_length_tally, _word_hashes)
 
-    w = F.split("text", " ")
+    # Staged narrow projections (r13): the word array, the per-word
+    # hash array, the 2-gram hash array (from which the 3-gram hashes
+    # chain), and each gram tally are materialized as COLUMNS so
+    # every later reference is a cheap attribute read. The previous
+    # form referenced the split inside one filter predicate ~6 times
+    # and each tally twice — in interpreted evaluation every textual
+    # reference re-evaluates its subtree (Catalyst only refuses to
+    # DUPLICATE non-cheap exprs across projections; inside one
+    # expression the duplication was already written down). Tallies
+    # ride the hashed-gram form (same counts, measured 0.64x — see
+    # text_analysis._rep_gram_hashes). spread_frame rebalances a
+    # narrower-than-the-cluster input once up front (no-op at
+    # warehouse scale) so the HOF-heavy gate scan uses every core.
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_words = F.size(w)
-    stop_ratio = (F.size(F.filter(w, lambda x:
+    docs = spread_frame(docs.sparkSession, docs)
+    staged = (docs.withColumn("_w", F.split("text", " "))
+              .withColumn("_hw", _word_hashes(F.col("_w")))
+              .withColumn("_g2", _rep_gram_hashes(F.col("_hw"), 2))
+              .withColumn("_t2", _run_length_tally(F.col("_g2"), "long"))
+              .withColumn("_t3", _run_length_tally(
+                  _g3_from_g2(F.col("_g2"), F.col("_hw")), "long")))
+    n_words = F.size("_hw")
+    stop_ratio = (F.size(F.filter(F.col("_w"), lambda x:
                                   F.array_contains(stop_arr, x)))
                   * F.lit(1.0) / n_words)
-    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / n_words
-    t2 = _run_length_tally(_rep_grams(w, 2))
-    t3 = _run_length_tally(_rep_grams(w, 3))
+    uniq_ratio = (F.size(F.array_distinct("_hw"))
+                  * F.lit(1.0) / n_words)
+    t2, t3 = F.col("_t2"), F.col("_t3")
     # NULL tallies (docs too short for the n-gram) pass the repetition
     # gates — the length gate already governs short docs.
     rep_ok = (
@@ -416,10 +439,11 @@ def build_training_corpus(docs: DataFrame,
                    <= max_top2gram_frac, F.lit(True))
         & F.coalesce(t3["dup"].cast("double") / t3["total"]
                      <= max_dup3gram_frac, F.lit(True)))
-    kept = docs.filter(
+    kept = (staged.filter(
         (n_words >= min_words) & (n_words <= max_words)
         & (stop_ratio >= min_stop_ratio)
         & (uniq_ratio >= min_unique_ratio) & rep_ok)
+        .drop("_w", "_hw", "_g2", "_t2", "_t3"))
     if eval_docs is not None:
         kept = decontaminate_survivors(kept, eval_docs)
     if dedup:

@@ -46,25 +46,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """load_table + spread across all cores.
+def spread_frame(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Conditionally spread a frame across all cores.
 
-    For tables that feed expensive per-row expressions (embedding dot
-    products, shingle hashing): the small-SF parquet arrives as 1-3
-    splits, which would serialize the narrow compute on one task. One
-    round-robin shuffle of the raw rows costs microseconds here and lets
-    every core work.
+    For frames that feed expensive per-row expressions (embedding dot
+    products, shingle hashing, gram tallies): a small-SF parquet scan
+    arrives as 1-3 splits, which would serialize the narrow compute on
+    one task. One round-robin shuffle of the raw rows costs
+    microseconds here and lets every core work.
 
-    Self-tuning: the shuffle only happens when the scan has fewer
-    splits than the cluster's parallelism. At real scale (100 TB) the
-    scan already has thousands of splits, so this is a no-op there —
-    no unconditional full shuffle of the corpus.
+    Self-tuning: the shuffle only happens when the plan has fewer
+    partitions than the cluster's parallelism. At real scale (100 TB)
+    the scan already has thousands of splits, so this is a no-op there
+    — no unconditional full shuffle of the corpus. Streaming frames
+    pass through untouched (no .rdd on unbounded plans).
     """
-    df = load_table(spark, sf_dir, name)
+    if df.isStreaming:
+        return df
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:
         return df
     return df.repartition(cores)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + :func:`spread_frame` (see there for the scale
+    story)."""
+    return spread_frame(spark, load_table(spark, sf_dir, name))
 
 
 def load_all(spark: SparkSession, sf_dir: str,

@@ -41,3 +41,63 @@ def test_repetition_planted_goldens(spark, tmp_path):
     assert r4.dup2_frac == 1.0
     # 3-grams: "p q p"x2, "q p q"x1 -> 3 grams, top 2, dup 2
     assert (r4.n3grams, r4.top3_n, r4.dup3_n) == (3, 2, 2)
+
+
+def test_hashed_tallies_match_string_reference(spark, sf_dir):
+    """r13: the shipped hashed-gram tallies (long sort keys, xxhash64
+    gram chain, hash-based distinct) must produce IDENTICAL counts to
+    the exact string-gram reference form on the full test corpus —
+    the differential that bounds the documented 64-bit collision
+    caveat at a measured zero on every SF the driver checks."""
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.text_analysis import (
+        _rep_gram_hashes, _rep_grams, _run_length_tally, _word_hashes)
+    from solana_event_stream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    want = {r.doc_id: (r.nd, r.t2, r.t3) for r in docs.select(
+        "doc_id",
+        F.size(F.array_distinct(w)).alias("nd"),
+        _run_length_tally(_rep_grams(w, 2)).alias("t2"),
+        _run_length_tally(_rep_grams(w, 3)).alias("t3")).collect()}
+    hashed = docs.select("doc_id", _word_hashes(w).alias("hw"))
+    got = {r.doc_id: (r.nd, r.t2, r.t3) for r in hashed.select(
+        "doc_id",
+        F.size(F.array_distinct("hw")).alias("nd"),
+        _run_length_tally(_rep_gram_hashes(F.col("hw"), 2), "long")
+        .alias("t2"),
+        _run_length_tally(_rep_gram_hashes(F.col("hw"), 3), "long")
+        .alias("t3")).collect()}
+    assert got == want
+
+
+def test_repetition_plan_single_hash_pass_no_exchange(spark, sf_dir):
+    """The word-hash array must be computed ONCE per row (the stacked
+    projections must not collapse into per-reference copies of the
+    transform), the 2-gram hash array must be built ONCE (the 3-gram
+    chain reuses it), and the whole operator stays narrow — no keyed
+    exchange, no generate. The only permitted exchange is the
+    conditional load_spread round-robin rebalance (fires here because
+    the test corpus is a single split; a no-op at warehouse scale)."""
+    from solana_event_stream_spark.operators.text_analysis import (
+        text_repetition)
+
+    plan = (text_repetition(spark, sf_dir)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # ONE split and ONE word-hash transform in the whole plan: had the
+    # stacked projections collapsed, every reference to hw would carry
+    # its own transform(split(text)) copy
+    assert plan.count("split(text") == 1, plan
+    assert plan.count("transform(") == 1, plan
+    # ONE 2-gram zip_with over hw (slices 1 and 2): the 3-gram build
+    # must chain from g2, not re-derive the pair hashes
+    assert plan.count("zip_with(slice") == 2, plan  # g2 + the g3 chain
+    executed = (text_repetition(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+    for line in executed.splitlines():
+        if "Exchange" in line:
+            assert "roundrobin" in line.lower(), line
+    assert "hashpartitioning" not in executed
+    assert "Generate" not in executed
