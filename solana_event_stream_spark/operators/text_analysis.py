@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..catalog import register
+from ..catalog import register, track_persist
 from ..tables import load_spread
 
 # tiny marker lexicons per language (n-gram heuristic stand-in)
@@ -69,23 +69,28 @@ _SQL_LANGUAGE_ID = f"""
 """
 
 
-def text_language_id(spark, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: marker-word hit counts per language,
-    argmax with deterministic tie order, confusion counts vs label."""
-    docs = load_spread(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    scored = docs.select(
-        "doc_id", F.col("lang").alias("labeled_lang"),
-        *[_hits_expr(words, m).alias(f"hits_{k}")
-          for k, m in _MARKERS.items()])
-    h = {k: F.col(f"hits_{k}") for k in _MARKERS}
-    pred = (
+def _langid_pred(h) -> F.Column:
+    """Deterministic-tie argmax over a {lang: hit-count Column} dict
+    (shared by the standalone operator and the fused battery)."""
+    return (
         F.when((h["en"] >= h["de"]) & (h["en"] >= h["es"])
                & (h["en"] >= h["fr"]) & (h["en"] >= h["zh"]), "en")
         .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"])
               & (h["de"] >= h["zh"]), "de")
         .when((h["es"] >= h["fr"]) & (h["es"] >= h["zh"]), "es")
         .when(h["fr"] >= h["zh"], "fr").otherwise("zh"))
+
+
+def text_language_id(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with deterministic tie order, confusion counts vs label."""
+    docs = docs if docs is not None else load_spread(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        *[_hits_expr(words, m).alias(f"hits_{k}")
+          for k, m in _MARKERS.items()])
+    pred = _langid_pred({k: F.col(f"hits_{k}") for k in _MARKERS})
     return (scored.withColumn("predicted_lang", pred)
             .groupBy("labeled_lang", "predicted_lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -113,25 +118,34 @@ _SQL_QUALITY_SCORE = f"""
 """
 
 
-def text_quality_score(spark, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, avg word length, stopword ratio,
-    non-alpha ratio, pass/fail gate."""
-    docs = load_spread(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+def _quality_metric_cols(text_col, words) -> dict:
+    """Per-row quality metrics as a {name: Column} dict (shared by
+    the standalone operator and the fused battery)."""
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    n_chars2 = F.length("text")
-    n_nonalpha = F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    n_chars2 = F.length(text_col)
+    n_nonalpha = F.length(F.regexp_replace(text_col, "[a-z ]", ""))
     stop_ratio = n_stop.cast("double") / n_words
-    return docs.select(
-        "doc_id", "lang", n_chars2.alias("n_chars2"),
-        n_words.alias("n_words"),
-        (n_chars2.cast("double") / n_words).alias("avg_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        (n_nonalpha.cast("double") / n_chars2).alias("nonalpha_ratio"),
-        F.when((n_words >= 50) & (n_words <= 1000) & (stop_ratio >= 0.01),
-               1).otherwise(0).alias("quality_pass"))
+    return {
+        "n_chars2": n_chars2,
+        "n_words": n_words,
+        "avg_word_len": n_chars2.cast("double") / n_words,
+        "stopword_ratio": stop_ratio,
+        "nonalpha_ratio": n_nonalpha.cast("double") / n_chars2,
+        "quality_pass": F.when((n_words >= 50) & (n_words <= 1000)
+                               & (stop_ratio >= 0.01), 1).otherwise(0),
+    }
+
+
+def text_quality_score(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
+    """Quality scoring: length, avg word length, stopword ratio,
+    non-alpha ratio, pass/fail gate."""
+    docs = docs if docs is not None else load_spread(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    cols = _quality_metric_cols(F.col("text"), words)
+    return docs.select("doc_id", "lang",
+                       *[c.alias(n) for n, c in cols.items()])
 
 
 _SQL_TOKEN_STATS = """
@@ -147,17 +161,25 @@ _SQL_TOKEN_STATS = """
 """
 
 
-def text_token_stats(spark, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace split vs BPE-ish regex segmentation."""
-    docs = load_spread(spark, sf_dir, "documents")
+def _token_metric_cols(words) -> dict:
+    """Per-row token metrics as a {name: Column} dict. Requires the
+    source column to be named ``text`` (the BPE-ish segmentation uses
+    a SQL expr)."""
     bpe = F.size(F.expr(
         "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
-        bpe.alias("bpe_ish_tokens"),
-        F.length("text").alias("n_bytes2"),
-        (F.length("text").cast("double") / bpe).alias("bytes_per_token"))
+    return {
+        "ws_tokens": F.size(words),
+        "bpe_ish_tokens": bpe,
+        "n_bytes2": F.length("text"),
+        "bytes_per_token": F.length("text").cast("double") / bpe,
+    }
+
+
+def text_token_stats(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
+    """Token counting: whitespace split vs BPE-ish regex segmentation."""
+    docs = docs if docs is not None else load_spread(spark, sf_dir, "documents")
+    cols = _token_metric_cols(F.split(F.col("text"), " "))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 _SQL_FINGERPRINT = """
@@ -172,11 +194,17 @@ _SQL_FINGERPRINT = """
 """
 
 
-def text_fingerprint(spark, sf_dir: str) -> DataFrame:
+def _fp_expr(text_col) -> F.Column:
+    """Normalized-content md5 fingerprint (shared by the standalone
+    operator and the fused battery)."""
+    return F.md5(F.lower(F.regexp_replace(text_col, " +", " ")))
+
+
+def text_fingerprint(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
     """Document fingerprinting: normalized-content md5, per-source
     distinct counts (shard-level dedup accounting)."""
-    docs = load_spread(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), " +", " ")))
+    docs = docs if docs is not None else load_spread(spark, sf_dir, "documents")
+    fp = _fp_expr(F.col("text"))
     return (docs.select("doc_id", "source", fp.alias("fingerprint"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -208,18 +236,38 @@ _SQL_PII_DOCS = """
 """
 
 
-def _docs_with_pii(spark, sf_dir: str) -> DataFrame:
-    docs = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text")
+def _pii_text_expr(doc_id, text) -> F.Column:
+    """The deterministic PII-injected text column (every 5th doc gains
+    a synthetic contact string; shared by the standalone operator and
+    the fused battery)."""
     contact = F.concat(
-        F.col("text"), F.lit(" contact user"),
-        F.col("doc_id").cast("string"), F.lit("@mail.example or 555-01"),
-        (F.col("doc_id") % 10).cast("string"), F.lit("-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+        text, F.lit(" contact user"),
+        doc_id.cast("string"), F.lit("@mail.example or 555-01"),
+        (doc_id % 10).cast("string"), F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"))
+    return F.when(doc_id % 5 == 0, contact).otherwise(text)
+
+
+def _pii_row_cols(ptext) -> dict:
+    """Per-row PII metrics over the injected text column: redaction
+    counts and the cleaned text."""
+    clean = F.regexp_replace(
+        F.regexp_replace(ptext, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    return {
+        "n_emails": F.regexp_count(ptext, F.lit(_EMAIL_RE)),
+        "n_phones": F.regexp_count(ptext, F.lit(_PHONE_RE)),
+        "clean": clean,
+    }
+
+
+def _docs_with_pii(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
+    docs = (docs if docs is not None
+            else load_spread(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text")
     return docs.select(
         "doc_id", "lang",
-        F.when(F.col("doc_id") % 5 == 0, contact)
-        .otherwise(F.col("text")).alias("text"))
+        _pii_text_expr(F.col("doc_id"), F.col("text")).alias("text"))
 
 
 _SQL_PII_SCRUB = f"""
@@ -243,21 +291,16 @@ _SQL_PII_SCRUB = f"""
 """
 
 
-def text_pii_scrub(spark, sf_dir: str) -> DataFrame:
+def text_pii_scrub(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
     """PII scrubbing: email/phone regex redaction with per-kind
     accounting, rolled up per language. Narrow per-row regex work
     (pushed-down 3-column scan); the 5-key rollup is the only shuffle.
     The md5-of-clean-text distinct count pins the exact redacted
     output, not just the counts."""
-    docs = _docs_with_pii(spark, sf_dir)
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE, "<PHONE>")
+    docs = _docs_with_pii(spark, sf_dir, docs)
+    cols = _pii_row_cols(F.col("text"))
     scrubbed = docs.select(
-        "lang",
-        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
-        clean.alias("clean"))
+        "lang", *[c.alias(n) for n, c in cols.items()])
     return (scrubbed.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_emails").alias("n_emails"),
@@ -429,7 +472,7 @@ def _g3_from_g2(g2_col, hw_col) -> F.Column:
         .otherwise(F.array().cast("array<long>"))
 
 
-def text_repetition(spark, sf_dir: str) -> DataFrame:
+def text_repetition(spark, sf_dir: str, docs: DataFrame = None) -> DataFrame:
     """Gopher-style within-document repetition filters (Rae et al.
     2021 §A1.1, public paper): duplicate-word fraction plus, per
     n ∈ {2, 3}, the total/most-frequent/duplicated word-n-gram counts
@@ -450,7 +493,8 @@ def text_repetition(spark, sf_dir: str) -> DataFrame:
     (BENCH_NOTES r13; collision bound in _rep_gram_hashes'
     docstring). Docs too short for an n-gram carry NULL n-gram
     metrics (both engines)."""
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = (docs if docs is not None
+            else load_spread(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     hashed = docs.select("doc_id", _word_hashes(words).alias("hw"))
     hw = F.col("hw")
@@ -462,24 +506,33 @@ def text_repetition(spark, sf_dir: str) -> DataFrame:
         _run_length_tally(F.col("g2"), "long").alias("_t2"),
         _run_length_tally(_g3_from_g2(F.col("g2"), hw), "long")
         .alias("_t3"))
-    return base.select(
-        "doc_id", "n_words", "n_distinct_words",
-        (F.lit(1.0) - F.col("n_distinct_words").cast("double")
-         / F.col("n_words")).alias("dup_word_frac"),
-        F.col("_t2.total").alias("n2grams"),
-        F.col("_t2.top").alias("top2_n"),
-        F.col("_t2.dup").alias("dup2_n"),
-        (F.col("_t2.top").cast("double") / F.col("_t2.total"))
-        .alias("top2_frac"),
-        (F.col("_t2.dup").cast("double") / F.col("_t2.total"))
-        .alias("dup2_frac"),
-        F.col("_t3.total").alias("n3grams"),
-        F.col("_t3.top").alias("top3_n"),
-        F.col("_t3.dup").alias("dup3_n"),
-        (F.col("_t3.top").cast("double") / F.col("_t3.total"))
-        .alias("top3_frac"),
-        (F.col("_t3.dup").cast("double") / F.col("_t3.total"))
-        .alias("dup3_frac"))
+    cols = _repetition_metric_cols(
+        F.col("n_words"), F.col("n_distinct_words"),
+        F.col("_t2"), F.col("_t3"))
+    return base.select("doc_id",
+                       *[c.alias(n) for n, c in cols.items()])
+
+
+def _repetition_metric_cols(n_words, nd, t2, t3) -> dict:
+    """The 13 Gopher repetition metrics from the staged word/tally
+    columns, as a {name: Column} dict (shared by the standalone
+    operator and the fused battery). ``t2``/``t3`` are the
+    :func:`_run_length_tally` structs (NULL for too-short docs)."""
+    return {
+        "n_words": n_words,
+        "n_distinct_words": nd,
+        "dup_word_frac": F.lit(1.0) - nd.cast("double") / n_words,
+        "n2grams": t2["total"],
+        "top2_n": t2["top"],
+        "dup2_n": t2["dup"],
+        "top2_frac": t2["top"].cast("double") / t2["total"],
+        "dup2_frac": t2["dup"].cast("double") / t2["total"],
+        "n3grams": t3["total"],
+        "top3_n": t3["top"],
+        "dup3_n": t3["dup"],
+        "top3_frac": t3["top"].cast("double") / t3["total"],
+        "dup3_frac": t3["dup"].cast("double") / t3["total"],
+    }
 
 
 def _melt_df(df: DataFrame, part: str, k1, num_metrics, str_metrics=()):
@@ -554,6 +607,30 @@ _BATTERY_SQL = {
 }
 
 
+def _melt_multi(df: DataFrame, k1, parts) -> DataFrame:
+    """Melt SEVERAL parts' metric columns in ONE generate: like
+    :func:`_melt_df` but the part rides inside each literal entry, so
+    n parts over the same per-row frame cost one explode instead of n
+    subplan copies. ``parts`` is [(part, num_metrics, str_metrics)]."""
+    entries = []
+    for part, num, str_ in parts:
+        entries += [F.struct(F.lit(part).alias("part"),
+                             F.lit(m).alias("metric"),
+                             F.col(m).cast("double").alias("vd"),
+                             F.lit(None).cast("string").alias("vs"))
+                    for m in num]
+        entries += [F.struct(F.lit(part).alias("part"),
+                             F.lit(m).alias("metric"),
+                             F.lit(None).cast("double").alias("vd"),
+                             F.col(m).cast("string").alias("vs"))
+                    for m in str_]
+    return (df.select(k1.cast("string").alias("k1"),
+                      F.explode(F.array(*entries)).alias("m"))
+            .select(F.col("m.part").alias("part"), "k1",
+                    F.col("m.metric").alias("metric"),
+                    F.col("m.vd").alias("vd"), F.col("m.vs").alias("vs")))
+
+
 @register(
     "text_battery",
     oracle="\nUNION ALL\n".join(
@@ -572,26 +649,125 @@ _BATTERY_SQL = {
         "a literal-size array — no extra shuffle.",
 )
 def text_battery(spark, sf_dir: str) -> DataFrame:
-    branches = {
-        "langid": text_language_id(spark, sf_dir).withColumn(
-            # F.concat (not concat_ws) so a NULL lang propagates to a
-            # NULL key, matching the oracle's `||` semantics exactly.
-            "k", F.concat(F.col("labeled_lang"), F.lit("->"),
-                          F.col("predicted_lang"))),
-        "quality": text_quality_score(spark, sf_dir).withColumn(
-            "k", F.col("doc_id")),
-        "tokens": text_token_stats(spark, sf_dir).withColumn(
-            "k", F.col("doc_id")),
-        "fingerprint": text_fingerprint(spark, sf_dir).withColumn(
-            "k", F.col("source")),
-        "pii": text_pii_scrub(spark, sf_dir).withColumn(
-            "k", F.col("lang")),
-        "repetition": text_repetition(spark, sf_dir).withColumn(
-            "k", F.col("doc_id")),
-    }
-    out = None
-    for part, spec in _BATTERY_METRICS.items():
-        melted = _melt_df(branches[part], part, F.col("k"),
-                          spec["num"], spec.get("str_", ()))
-        out = melted if out is None else out.unionByName(melted)
-    return out
+    """Fused one-pass battery (r13). The six operators' per-row work
+    is computed in TWO corpus scans instead of six subplan re-scans —
+    the shape that matters at 100 TB, where each union branch would
+    otherwise re-read the whole documents table:
+
+    - scan A (zero shuffle): the three PER-DOC parts (quality, tokens,
+      repetition) share one staged projection chain (words -> word
+      hashes -> 2-gram hashes -> tallies; each array materialized once
+      per row) and melt through ONE literal-size explode
+      (:func:`_melt_multi`).
+    - scan B (one agg shuffle): the three ROLLUP parts (langid,
+      fingerprint, pii) pre-compute their per-row inputs in one staged
+      chain, emit one (kind, key) struct per part per row through one
+      explode, and aggregate in ONE groupBy whose combined aggregate
+      set covers all three parts (the distinct-heavy fingerprint/pii
+      members shuffled the same per-doc hashes as the old per-branch
+      form — volume unchanged, scans 3 -> 1). The ~35-row aggregate is
+      persisted (catalog-tracked) so the three part selections don't
+      re-trigger the scan.
+
+    Values are bit-identical to the standalone operators (the metric
+    expressions are the SAME shared builder functions) and the oracle
+    SQL is unchanged. NULL-lang caveat: langid groups by the
+    concatenated key, which merges label-NULL rows across predictions;
+    the corpus has non-null lang (generator) and the oracle comparison
+    would catch a violation."""
+    shared = load_spread(spark, sf_dir, "documents")
+
+    # ---- scan A: per-doc parts, zero shuffle ----
+    words = F.split(F.col("text"), " ")
+    s1 = shared.select("doc_id", "lang", "text",
+                       words.alias("_w"))
+    s2 = s1.select("doc_id", "lang", "text", "_w",
+                   _word_hashes(F.col("_w")).alias("_hw"))
+    s3 = s2.select("doc_id", "lang", "text", "_w", "_hw",
+                   _rep_gram_hashes(F.col("_hw"), 2).alias("_g2"))
+    s4 = s3.select(
+        "doc_id", "lang", "text", "_w", "_hw",
+        _run_length_tally(F.col("_g2"), "long").alias("_t2"),
+        _run_length_tally(_g3_from_g2(F.col("_g2"), F.col("_hw")),
+                          "long").alias("_t3"))
+    per_doc_cols = {}
+    per_doc_cols.update(_quality_metric_cols(F.col("text"), F.col("_w")))
+    per_doc_cols.update(_token_metric_cols(F.col("_w")))
+    # n_words appears in both quality and repetition with the same
+    # value (word count) — one column serves both parts' melt entries
+    rep = _repetition_metric_cols(
+        F.size(F.col("_hw")),
+        F.size(F.array_distinct(F.col("_hw"))),
+        F.col("_t2"), F.col("_t3"))
+    per_doc_cols.update({n: c for n, c in rep.items() if n != "n_words"})
+    row = s4.select("doc_id", "lang",
+                    *[c.alias(n) for n, c in per_doc_cols.items()])
+    spec_q = _BATTERY_METRICS["quality"]
+    melted_a = _melt_multi(row, F.col("doc_id"), [
+        ("quality", spec_q["num"], spec_q.get("str_", ())),
+        ("tokens", _BATTERY_METRICS["tokens"]["num"], ()),
+        ("repetition", _BATTERY_METRICS["repetition"]["num"], ()),
+    ])
+
+    # ---- scan B: rollup parts, one agg shuffle ----
+    b1 = shared.select(
+        "doc_id", "lang", "source", "text",
+        F.split(F.col("text"), " ").alias("_w"))
+    b2 = b1.select(
+        "lang", "source",
+        *[_hits_expr(F.col("_w"), m).alias(f"hits_{k}")
+          for k, m in _MARKERS.items()],
+        _fp_expr(F.col("text")).alias("_fpr"),
+        _pii_text_expr(F.col("doc_id"), F.col("text")).alias("_ptext"))
+    pii = _pii_row_cols(F.col("_ptext"))
+    b3 = b2.select(
+        "lang", "source", "hits_en",
+        F.concat(F.col("lang"), F.lit("->"),
+                 _langid_pred({k: F.col(f"hits_{k}")
+                               for k in _MARKERS})).alias("_lkey"),
+        "_fpr",
+        pii["n_emails"].alias("_nem"), pii["n_phones"].alias("_nph"),
+        F.length(pii["clean"]).alias("_lenc"),
+        F.md5(pii["clean"]).alias("_md5c"))
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_i = F.lit(None).cast("int")
+    kinds = b3.select(F.explode(F.array(
+        F.struct(F.lit("langid").alias("kind"),
+                 F.col("_lkey").alias("key"),
+                 F.col("hits_en").cast("long").alias("h_en"),
+                 null_s.alias("fpr"), null_i.alias("nem"),
+                 null_i.alias("nph"), null_l.alias("lenc"),
+                 null_s.alias("md5c")),
+        F.struct(F.lit("fingerprint").alias("kind"),
+                 F.col("source").alias("key"),
+                 null_l.alias("h_en"), F.col("_fpr").alias("fpr"),
+                 null_i.alias("nem"), null_i.alias("nph"),
+                 null_l.alias("lenc"), null_s.alias("md5c")),
+        F.struct(F.lit("pii").alias("kind"), F.col("lang").alias("key"),
+                 null_l.alias("h_en"), null_s.alias("fpr"),
+                 F.col("_nem").alias("nem"), F.col("_nph").alias("nph"),
+                 F.col("_lenc").cast("long").alias("lenc"),
+                 F.col("_md5c").alias("md5c")),
+    )).alias("g")).select("g.*")
+    agg = track_persist(
+        kinds.groupBy("kind", "key").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("h_en").alias("total_marker_hits"),
+            F.count_distinct(F.col("fpr")).alias("n_distinct"),
+            F.min("fpr").alias("min_fp"),
+            F.sum("nem").alias("n_emails"),
+            F.sum("nph").alias("n_phones"),
+            F.sum(F.when(F.col("nem") + F.col("nph") > 0, 1)
+                  .otherwise(0)).alias("n_docs_redacted"),
+            F.sum("lenc").alias("sum_len_clean"),
+            F.count_distinct(F.col("md5c")).alias("n_distinct_clean")))
+    melted_b = None
+    for part, key_col in (("langid", "key"), ("fingerprint", "key"),
+                          ("pii", "key")):
+        spec = _BATTERY_METRICS[part]
+        m = _melt_df(agg.filter(F.col("kind") == part), part,
+                     F.col(key_col), spec["num"], spec.get("str_", ()))
+        melted_b = m if melted_b is None else melted_b.unionByName(m)
+
+    return melted_a.unionByName(melted_b)

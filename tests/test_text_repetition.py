@@ -101,3 +101,31 @@ def test_repetition_plan_single_hash_pass_no_exchange(spark, sf_dir):
             assert "roundrobin" in line.lower(), line
     assert "hashpartitioning" not in executed
     assert "Generate" not in executed
+
+
+def test_battery_fused_two_scans(spark, sf_dir):
+    """r13 fused battery: the six parts must cost TWO corpus scans
+    (per-doc parts fused over one staged chain + one multi-part melt;
+    rollup parts pre-agg through one explode + ONE groupBy whose tiny
+    result is cached for the three part selections) — not six union
+    branches each re-scanning the table."""
+    from solana_event_stream_spark.catalog import release_persisted
+    from solana_event_stream_spark.operators.text_analysis import (
+        text_battery)
+
+    df = text_battery(spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    lines = executed.splitlines()
+    n_fs = sum("FileScan" in ln for ln in lines)
+    n_imr = sum("InMemoryRelation" in ln for ln in lines)
+    n_imts = sum("InMemoryTableScan" in ln for ln in lines)
+    # the three rollup parts read the cached aggregate, not the corpus
+    assert n_imts == 3, executed
+    # plan TEXT renders the cached subtree (whose single FileScan is
+    # the rollup subplan's ONE corpus scan) under every
+    # InMemoryTableScan — same plan_id, one physical scan — so each
+    # InMemoryRelation print accounts for one FileScan string. The
+    # remainder is the uncached scans: exactly ONE (the per-doc
+    # subplan). More means a union branch re-reads the corpus.
+    assert n_fs - n_imr == 1, executed
+    release_persisted()
