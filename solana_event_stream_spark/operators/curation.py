@@ -167,42 +167,57 @@ def decontaminate_survivors(train_docs: DataFrame,
 def _decon_report(train_base: DataFrame, eval_base: DataFrame,
                   ngram: int, hash_grams: bool) -> DataFrame:
     """Shared contamination report over pre-split (doc_id, lang, text,
-    w) frames — see :func:`decontaminate` for the plan-shape notes."""
+    w) frames — see :func:`decontaminate` for the plan-shape notes.
+
+    Scan shape (r13, from the scan audit's 5 corpus reads): the eval
+    side's per-doc (grams, md5) projection is computed in ONE pass and
+    persisted (catalog-tracked; the eval side is benchmark-sized by
+    contract — MBs even at 100 TB corpus scale) so the gram set and
+    the hash set don't each re-derive it; the train side costs exactly
+    TWO passes (the gram-explode hit detection, which must see every
+    gram, and the report join pass) — the irreducible pair without
+    caching a corpus-sized frame; and both report parts ride ONE
+    groupBy(lang), melted post-agg from the ~5-row result."""
+    from ..catalog import track_persist
+
     gram_arr = _gram_col("w", ngram)
     if hash_grams:
         gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
-    eval_grams = (eval_base.select(F.explode(gram_arr).alias("gram"))
+    eval_pd = track_persist(
+        eval_base.select(gram_arr.alias("grams"),
+                         F.md5("text").alias("h")))
+    eval_grams = (eval_pd.select(F.explode("grams").alias("gram"))
                   .distinct())
+    eval_hashes = eval_pd.select("h").distinct()
     ngram_hit = (train_base
                  .select("doc_id", F.explode(gram_arr).alias("gram"))
                  .join(F.broadcast(eval_grams), "gram", "leftsemi")
                  .select("doc_id").distinct())
 
     train = train_base.select("doc_id", "lang", F.md5("text").alias("h"))
-    eval_hashes = eval_base.select(F.md5("text").alias("h")).distinct()
 
-    rate = (F.count(F.col("_hit")).cast("double")
-            / F.count(F.lit(1))).alias("rate")
     # ngram_hit is CORPUS-derived (scales with contaminated-doc count,
     # not the eval set) — unlike eval_grams/eval_hashes above, do not
     # force it through a broadcast; AQE picks (ADVICE r10)
-    ngram_part = (train
-                  .join(ngram_hit.withColumn("_hit", F.lit(1)),
-                        "doc_id", "left")
-                  .groupBy("lang")
-                  .agg(F.count(F.lit(1)).alias("n_train"),
-                       F.count(F.col("_hit")).alias("n_flagged"), rate)
-                  .select(F.lit("ngram").alias("part"), "lang",
-                          "n_train", "n_flagged", "rate"))
-    exact_part = (train
-                  .join(F.broadcast(eval_hashes.withColumn("_hit", F.lit(1))),
-                        "h", "left")
-                  .groupBy("lang")
-                  .agg(F.count(F.lit(1)).alias("n_train"),
-                       F.count(F.col("_hit")).alias("n_flagged"), rate)
-                  .select(F.lit("exact").alias("part"), "lang",
-                          "n_train", "n_flagged", "rate"))
-    return ngram_part.unionByName(exact_part)
+    agg = (train
+           .join(ngram_hit.withColumn("_hit_n", F.lit(1)),
+                 "doc_id", "left")
+           .join(F.broadcast(eval_hashes.withColumn("_hit_e", F.lit(1))),
+                 "h", "left")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_train"),
+                F.count(F.col("_hit_n")).alias("_fn"),
+                F.count(F.col("_hit_e")).alias("_fe")))
+    parts = agg.select("lang", "n_train", F.explode(F.array(
+        F.struct(F.lit("ngram").alias("part"),
+                 F.col("_fn").alias("n_flagged")),
+        F.struct(F.lit("exact").alias("part"),
+                 F.col("_fe").alias("n_flagged")))).alias("m"))
+    return parts.select(
+        F.col("m.part").alias("part"), "lang", "n_train",
+        F.col("m.n_flagged").alias("n_flagged"),
+        (F.col("m.n_flagged").cast("double") / F.col("n_train"))
+        .alias("rate"))
 
 
 _SQL_DECON = f"""

@@ -295,19 +295,74 @@ def shard_assignment_stats(spark, sf_dir: str) -> DataFrame:
         "per-row plan; only the tiny summary rollups shuffle.",
 )
 def training_sample_filter(spark, sf_dir: str) -> DataFrame:
-    samp = sample_stratified_hash(spark, sf_dir).select(
-        F.lit("sample").alias("part"), F.col("lang").alias("k1"),
-        F.col("n_total").alias("n1"), F.col("n_kept").alias("n2"),
-        F.col("realized_rate").alias("v"))
-    filt = quality_filter_chain(spark, sf_dir).select(
-        F.lit("filter").alias("part"), F.col("reason").alias("k1"),
-        F.col("n_docs").alias("n1"), F.lit(None).cast("long").alias("n2"),
-        F.col("avg_words").alias("v"))
-    shard = shard_assignment_stats(spark, sf_dir).select(
-        F.lit("shard").alias("part"),
-        F.col("shard").cast("string").alias("k1"),
-        F.col("n_docs").alias("n1"), F.col("sum_tok").alias("n2"),
-        F.col("share").alias("v"))
+    """Fused one-pass form (r13): the three parts each aggregated the
+    same corpus through their own scan (the scan audit read FOUR
+    documents scans). Now one staged projection computes every
+    per-row input — the md5 hash int is derived ONCE and feeds both
+    the sampling draw and the shard assignment — one explode emits a
+    (kind, key) struct per part per row, ONE groupBy covers all three
+    parts' aggregates, and the ~25-row result is persisted
+    (catalog-tracked) for the part selections. Values bit-identical
+    to the standalone operators; oracle SQL unchanged."""
+    from ..catalog import track_persist
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    s1 = docs.select("doc_id", "lang", F.split("text", " ").alias("_w"))
+    nw = F.size("_w")
+    hash_int = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                   1, 15), 16, 10).cast("long"))
+    rate = F.coalesce(
+        F.try_element_at(
+            F.create_map(*[F.lit(x) for kv in _SAMPLE_RATES.items()
+                           for x in kv]),
+            F.col("lang")),
+        F.lit(0.0))
+    s2 = s1.select(
+        "lang", nw.alias("_nw"),
+        (F.size(F.filter(F.col("_w"), lambda x:
+                         F.array_contains(stop_arr, x)))
+         * F.lit(1.0) / nw).alias("_stop"),
+        (F.size(F.array_distinct("_w")) * F.lit(1.0) / nw).alias("_uniq"),
+        F.when((hash_int % _HASH_MOD) / F.lit(float(_HASH_MOD)) < rate, 1)
+        .otherwise(0).cast("long").alias("_kept"),
+        (hash_int % _N_SHARDS).cast("string").alias("_shard"))
+    reason = (F.when(F.col("_nw") < _MIN_WORDS, "too_short")
+              .when(F.col("_nw") > _MAX_WORDS, "too_long")
+              .when(F.col("_stop") < _MIN_STOP_RATIO, "low_stopword")
+              .when(F.col("_uniq") < _MIN_UNIQUE_RATIO, "repetitive")
+              .otherwise("pass"))
+    null_l = F.lit(None).cast("long")
+    kinds = s2.select(F.explode(F.array(
+        F.struct(F.lit("sample").alias("kind"), F.col("lang").alias("key"),
+                 F.col("_kept").alias("kept"), null_l.alias("nw")),
+        F.struct(F.lit("filter").alias("kind"), reason.alias("key"),
+                 null_l.alias("kept"), F.col("_nw").cast("long")
+                 .alias("nw")),
+        F.struct(F.lit("shard").alias("kind"), F.col("_shard").alias("key"),
+                 null_l.alias("kept"), F.col("_nw").cast("long")
+                 .alias("nw")),
+    )).alias("g")).select("g.*")
+    agg = track_persist(
+        kinds.groupBy("kind", "key").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("nw").alias("sum_w")))
+    samp = agg.filter(F.col("kind") == "sample").select(
+        F.lit("sample").alias("part"), F.col("key").alias("k1"),
+        F.col("n").alias("n1"), F.col("n_kept").alias("n2"),
+        (F.col("n_kept").cast("double") / F.col("n")).alias("v"))
+    filt = agg.filter(F.col("kind") == "filter").select(
+        F.lit("filter").alias("part"), F.col("key").alias("k1"),
+        F.col("n").alias("n1"), F.lit(None).cast("long").alias("n2"),
+        (F.col("sum_w").cast("double") / F.col("n")).alias("v"))
+    shard_rows = agg.filter(F.col("kind") == "shard")
+    total = shard_rows.agg(F.sum("n").cast("double").alias("grand_total"))
+    shard = (shard_rows.crossJoin(F.broadcast(total)).select(
+        F.lit("shard").alias("part"), F.col("key").alias("k1"),
+        F.col("n").alias("n1"), F.col("sum_w").alias("n2"),
+        (F.col("n").cast("double") / F.col("grand_total")).alias("v")))
     return samp.unionByName(filt).unionByName(shard)
 
 
