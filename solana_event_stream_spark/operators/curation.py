@@ -149,11 +149,19 @@ def decontaminate_survivors(train_docs: DataFrame,
     if hash_grams:
         gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
     eval_base = eval_docs.select("text", w.alias("w"))
-    eval_grams = (eval_base.select(F.explode(gram_arr).alias("gram"))
+    # explode_outer + isNotNull, NOT explode: an inner explode makes
+    # Catalyst infer size(grams) > 0 (InferFiltersFromGenerate), and
+    # that filter re-evaluates the ENTIRE gram chain per row after
+    # pushdown (the r13 substring-window lesson: 10x on the unspread
+    # scan stage). The NULL row from an empty array is dropped on the
+    # GENERATED column instead, which cannot push past the Generate.
+    eval_grams = (eval_base.select(F.explode_outer(gram_arr).alias("gram"))
+                  .filter(F.col("gram").isNotNull())
                   .distinct())
     eval_hashes = eval_base.select(F.md5("text").alias("h")).distinct()
     ngram_hit = (train_docs.select("doc_id", w.alias("w"))
-                 .select("doc_id", F.explode(gram_arr).alias("gram"))
+                 .select("doc_id", F.explode_outer(gram_arr).alias("gram"))
+                 .filter(F.col("gram").isNotNull())
                  .join(F.broadcast(eval_grams), "gram", "leftsemi")
                  .select("doc_id").distinct())
     return (train_docs
@@ -189,8 +197,11 @@ def _decon_report(train_base: DataFrame, eval_base: DataFrame,
     eval_grams = (eval_pd.select(F.explode("grams").alias("gram"))
                   .distinct())
     eval_hashes = eval_pd.select("h").distinct()
+    # explode_outer + isNotNull: see decontaminate_survivors (the
+    # inferred size(grams)>0 filter would re-evaluate the gram chain)
     ngram_hit = (train_base
-                 .select("doc_id", F.explode(gram_arr).alias("gram"))
+                 .select("doc_id", F.explode_outer(gram_arr).alias("gram"))
+                 .filter(F.col("gram").isNotNull())
                  .join(F.broadcast(eval_grams), "gram", "leftsemi")
                  .select("doc_id").distinct())
 

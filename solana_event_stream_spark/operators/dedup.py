@@ -91,24 +91,79 @@ def docs_with_dups(spark, sf_dir: str) -> DataFrame:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+_SUBSTR_K = 32
+
+# k-token string windows, per-doc distinct (DuckDB list slicing is
+# inclusive-end: w[i:i+k-1] is k tokens starting at i)
+_SQL_WINDOWS = f"""
+      list_distinct(CASE WHEN len(w) >= {_SUBSTR_K} THEN
+        list_transform(range(1, len(w) - {_SUBSTR_K - 2}),
+                       i -> array_to_string(w[i:i+{_SUBSTR_K - 1}], ' '))
+      ELSE [] END)
+"""
+
+
 @register(
     "dedup_exact",
     oracle=f"""
     WITH {DOCS_CTE},
-    hashed AS (SELECT doc_id, md5(text) AS text_hash FROM docs)
-    SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
-    FROM hashed GROUP BY text_hash HAVING COUNT(*) > 1
+    hashed AS (SELECT doc_id, md5(text) AS text_hash FROM docs),
+    exact AS (
+      SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+      FROM hashed GROUP BY text_hash HAVING COUNT(*) > 1),
+    win AS (
+      SELECT doc_id, {_SQL_WINDOWS} AS wh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)),
+    expl AS (SELECT doc_id, unnest(wh) AS wnd FROM win),
+    dup AS (SELECT wnd FROM expl GROUP BY wnd HAVING COUNT(*) > 1),
+    cov AS (
+      SELECT w.doc_id, len(w.wh) AS n_windows,
+             COUNT(d.wnd) AS n_dup
+      FROM win w
+      LEFT JOIN (SELECT e.doc_id, e.wnd FROM expl e
+                 JOIN dup USING (wnd)) d
+        ON w.doc_id = d.doc_id
+      GROUP BY w.doc_id, len(w.wh))
+    SELECT 'exact' AS part, text_hash AS k1, n_copies AS n1,
+           keeper_doc_id AS n2, CAST(NULL AS DOUBLE) AS v
+    FROM exact
+    UNION ALL
+    SELECT 'substring' AS part, CAST(doc_id AS VARCHAR) AS k1,
+           n_windows AS n1, n_dup AS n2,
+           CASE WHEN n_windows > 0
+                THEN CAST(n_dup AS DOUBLE) / n_windows END AS v
+    FROM cov
     """,
-    tags=("dedup", "llm-data"),
-    doc="Exact dedup: md5 content hash -> groupBy -> keep min doc_id.",
+    tags=("dedup", "llm-data", "substring"),
+    doc="Exact dedup battery (tagged union): part 'exact' is the md5 "
+        "content hash -> groupBy -> keep min doc_id; part 'substring' "
+        "is Lee et al. 2022-style exact-substring coverage — the "
+        f"fraction of each doc's {_SUBSTR_K}-token windows whose "
+        "verbatim content appears in another document. The Spark side "
+        "detects windows via O(n log k) doubling xxhash64 chains "
+        "(8-byte longs end to end); the oracle rebuilds the same "
+        "statistic from string windows — the outputs are counts and "
+        "fractions, so they agree independently of the hash function.",
 )
 def dedup_exact(spark, sf_dir: str) -> DataFrame:
     docs = docs_with_dups(spark, sf_dir)
-    return (docs.select("doc_id", F.md5("text").alias("text_hash"))
-            .groupBy("text_hash")
-            .agg(F.count(F.lit(1)).alias("n_copies"),
-                 F.min("doc_id").alias("keeper_doc_id"))
-            .filter(F.col("n_copies") > 1))
+    exact = (docs.select("doc_id", F.md5("text").alias("text_hash"))
+             .groupBy("text_hash")
+             .agg(F.count(F.lit(1)).alias("n_copies"),
+                  F.min("doc_id").alias("keeper_doc_id"))
+             .filter(F.col("n_copies") > 1)
+             .select(F.lit("exact").alias("part"),
+                     F.col("text_hash").alias("k1"),
+                     F.col("n_copies").alias("n1"),
+                     F.col("keeper_doc_id").alias("n2"),
+                     F.lit(None).cast("double").alias("v")))
+    cov = (exact_substring_coverage(docs, k=_SUBSTR_K)
+           .select(F.lit("substring").alias("part"),
+                   F.col("doc_id").cast("string").alias("k1"),
+                   F.col("n_windows").alias("n1"),
+                   F.col("n_dup_windows").alias("n2"),
+                   F.col("dup_frac").alias("v")))
+    return exact.unionByName(cov)
 
 
 # ---------------------------------------------------------------------------
@@ -387,8 +442,11 @@ _SQL_H32 = ("list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9),"
 )
 def dedup_simhash(spark, sf_dir: str) -> DataFrame:
     docs = docs_with_dups(spark, sf_dir)
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("wrd"))
+    # explode_outer + isNotNull: the inferred size(split)>0 filter of a
+    # plain explode re-evaluates the split per row (r13 generate lesson)
+    words = (docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("wrd"))
+        .filter(F.col("wrd").isNotNull()))
     wh = words.select("doc_id", F.expr(_SPARK_H32).alias("h"))
     # 32 conditional partial aggregates instead of a words x bits explode
     # (identical integer math; map-side combine keeps the shuffle at one
@@ -1079,3 +1137,143 @@ def dedup_survivors(docs: DataFrame, membership: DataFrame,
             .filter(F.col("_m_cluster").isNull()
                     | (F.col(id_col) == F.col("_m_cluster")))
             .drop("_m_id", "_m_cluster"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — public paper). The reference engine has
+# no analog; this is the LLM-data-pipeline modality between exact-hash
+# (whole doc) and MinHash (bag-of-shingles): detect VERBATIM token spans
+# of length >= k shared across documents, the strongest dedup signal for
+# boilerplate and near-verbatim scrapes.
+#
+# Spark-first formulation (the paper uses a single-node suffix array,
+# which does not distribute): a duplicated span of >= k tokens exists
+# between two docs iff they share at least one exact k-token window, so
+# the detection is: per-position window hashes -> corpus-wide
+# duplicated-window set (ONE groupBy on 8-byte longs) -> per-doc
+# coverage / capped pair listing. Window hashes are built by DOUBLING —
+# h_1[i] = xxhash64(w[i]); h_2m[i] = xxhash64(h_m[i], h_m[i+m]) — so a
+# k=2^j window costs j zip_with passes over long arrays, O(n log k) per
+# doc instead of the O(n k) naive fold. Collisions: two different
+# k-windows colliding in 64 bits is ~n_windows^2 / 2^65 corpus-wide —
+# the same budget the MinHash/decontamination families already accept.
+# ---------------------------------------------------------------------------
+
+
+def _window_hash_frame(docs: DataFrame, k: int,
+                       distinct: bool = True) -> DataFrame:
+    """(doc_id, wh) with per-position k-token window hashes (k a power
+    of two), built by log2(k) doubling passes of xxhash64 over shifted
+    slices — h_2m[i] = xxhash64(h_m[i], h_m[i+m]) — so a k-window
+    costs O(n log k) hash evals per doc.
+
+    Each level is STAGED as its own projection column: a level
+    references its predecessor four times (size + two slices), and in
+    interpreted evaluation every reference to an unstaged expression
+    re-evaluates its whole subtree — chaining the levels as one
+    expression tree multiplies the work ~4^log2(k) (measured 9.6 s vs
+    0.6 s at sf0.1, the text_repetition staging lesson compounded).
+    Position i's hash covers words [i, i+k); docs shorter than k yield
+    an empty array (level sizes walk n -> n-1 -> n-3 -> ... -> n-k+1,
+    floored at zero)."""
+    if k < 1 or (k & (k - 1)) != 0:
+        raise ValueError(f"k must be a power of two, got {k}")
+    df = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "),
+                    lambda w: F.xxhash64(w)).alias("_wh"))
+    m = 1
+    while m < k:
+        h = F.col("_wh")
+        n_out = F.greatest(F.size(h) - m, F.lit(0))
+        df = df.select(
+            "doc_id",
+            F.zip_with(F.slice(h, 1, n_out), F.slice(h, m + 1, n_out),
+                       lambda a, b: F.xxhash64(a, b)).alias("_wh"))
+        m *= 2
+    wh = F.array_distinct("_wh") if distinct else F.col("_wh")
+    return df.select("doc_id", wh.alias("wh"))
+
+
+def substring_duplicate_windows(docs: DataFrame, k: int = 32) -> DataFrame:
+    """(window_hash, n_docs) for every k-token window appearing in MORE
+    than one document — the corpus-wide duplicated-span index.
+
+    Scale: the explode emits one LONG per token position (comparable
+    to the decontamination gram explode, which this repo already runs
+    hashed for the same reason); the groupBy partial-aggregates
+    map-side. Per-doc distinct window hashes ride array_distinct
+    BEFORE the explode so a span repeated WITHIN one doc cannot fake a
+    cross-doc duplicate."""
+    per_doc = _window_hash_frame(docs, k)
+    # explode_outer, NOT explode: an inner explode makes Catalyst infer
+    # a size(wh) > 0 filter (InferFiltersFromGenerate) that pushes the
+    # WHOLE window-hash chain into a pre-shuffle Filter — re-evaluated
+    # per row on the unspread scan stage (measured 91 s vs 6 s at
+    # sf0.1). The NULL rows from empty arrays are dropped on the
+    # GENERATED column, which nothing can push past the Generate.
+    return (per_doc.select(F.explode_outer("wh").alias("window_hash"))
+            .filter(F.col("window_hash").isNotNull())
+            .groupBy("window_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1))
+
+
+def exact_substring_coverage(docs: DataFrame, k: int = 32) -> DataFrame:
+    """Per-doc duplicated-span coverage: of the doc's k-token windows,
+    the fraction whose exact content appears in at least one OTHER
+    document — the Lee et al. removal criterion (drop/trim docs whose
+    coverage exceeds a threshold).
+
+    Columns: doc_id, n_windows, n_dup_windows, dup_frac. Docs shorter
+    than k tokens carry n_windows=0 and NULL dup_frac. Two corpus
+    passes (the duplicated-window set must see every doc before any
+    doc can be scored) + one long-keyed semi-join — the distributed
+    floor for this statistic."""
+    dup = substring_duplicate_windows(docs, k).select("window_hash")
+    per_doc = _window_hash_frame(docs, k)
+    exploded = per_doc.select(
+        "doc_id", F.size("wh").alias("n_windows"),
+        F.explode_outer("wh").alias("window_hash"))
+    # count each doc's windows that are corpus-duplicated. explode_outer
+    # keeps too-short docs (NULL window) in the report.
+    scored = (exploded.join(dup.withColumn("_dup", F.lit(1)),
+                            "window_hash", "left")
+              .groupBy("doc_id", "n_windows")
+              .agg(F.count(F.col("_dup")).alias("n_dup_windows")))
+    return scored.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.when(F.col("n_windows") > 0,
+               F.col("n_dup_windows").cast("double")
+               / F.col("n_windows")).alias("dup_frac"))
+
+
+def exact_substring_pairs(docs: DataFrame, k: int = 32,
+                          max_docs_per_window: int = 64) -> DataFrame:
+    """(doc_a, doc_b, n_shared_windows) for every document pair sharing
+    at least one exact k-token window, doc_a < doc_b.
+
+    Scale guard: a boilerplate window shared by m docs contributes
+    C(m,2) pairs — ``max_docs_per_window`` drops windows above that
+    population (the standard stop-window cut; such spans are corpus
+    boilerplate better handled by the coverage report than a pair
+    list). The join is an equi-join on the window hash — blocked, like
+    the MinHash band join, never a cross join."""
+    per_doc = _window_hash_frame(docs, k)
+    # explode_outer + isNotNull: see substring_duplicate_windows
+    exploded = (per_doc.select(
+        "doc_id", F.explode_outer("wh").alias("window_hash"))
+        .filter(F.col("window_hash").isNotNull()))
+    eligible = (exploded.groupBy("window_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n") > 1)
+                        & (F.col("n") <= max_docs_per_window))
+                .select("window_hash"))
+    hits = exploded.join(eligible, "window_hash")
+    a, b = hits.alias("a"), hits.alias("b")
+    return (a.join(b, (F.col("a.window_hash") == F.col("b.window_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_windows")))

@@ -1,0 +1,131 @@
+"""Exact-substring dedup (Lee et al. 2022 style, operators/dedup.py):
+planted verbatim spans must be detected at >= k tokens, shorter overlaps
+and within-doc repeats must not, and the coverage statistic must match
+hand-computed window counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_window_hashes_doubling_matches_bruteforce(spark):
+    """The O(n log k) doubling construction must produce one hash per
+    window position, equal windows -> equal hashes, and distinct
+    windows -> distinct hashes (on this corpus)."""
+    from solana_event_stream_spark.operators.dedup import (
+        _window_hash_frame)
+
+    docs = _mk_docs(spark, [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d y"),       # contains the 4-window "a b c d"
+        (3, "a b c"),             # shorter than k=4 -> empty
+    ])
+    out = {r.doc_id: r.wh for r in
+           _window_hash_frame(docs, 4, distinct=False).collect()}
+    assert len(out[1]) == 5      # 8 - 4 + 1 positions
+    assert len(out[2]) == 3
+    assert out[3] == []
+    # doc2's window at position 1 is "a b c d" == doc1's position 0
+    assert out[2][1] == out[1][0]
+    # all other cross-doc windows differ
+    assert len(set(out[1]) | set(out[2])) == 7   # 5 + 3 - 1 shared
+
+
+def test_window_hashes_rejects_non_power_of_two(spark):
+    from solana_event_stream_spark.operators.dedup import (
+        _window_hash_frame)
+
+    with pytest.raises(ValueError):
+        _window_hash_frame(_mk_docs(spark, [(1, "a b c")]), 3)
+
+
+def test_exact_substring_pairs_planted(spark):
+    """Two docs sharing a verbatim 40-token span are a pair at k=32; a
+    31-token overlap is NOT; a span repeated twice WITHIN one doc does
+    not create a self-pair or inflate counts."""
+    from solana_event_stream_spark.operators.dedup import (
+        exact_substring_pairs)
+
+    span40 = _words("s", 40)
+    span31 = _words("t", 31)
+    docs = _mk_docs(spark, [
+        (1, _words("a", 20) + " " + span40 + " " + _words("b", 20)),
+        (2, _words("c", 10) + " " + span40 + " " + _words("d", 30)),
+        (3, _words("e", 25) + " " + span31 + " " + _words("f", 25)),
+        (4, _words("g", 25) + " " + span31 + " " + _words("h", 25)),
+        # doc 5 repeats ITS OWN 40-token span twice; shares nothing
+        (5, span40.replace("s", "z") + " " + span40.replace("s", "z")),
+    ])
+    pairs = {(r.doc_a, r.doc_b): r.n_shared_windows
+             for r in exact_substring_pairs(docs, k=32).collect()}
+    assert (1, 2) in pairs
+    # a 40-token shared span has 40 - 32 + 1 = 9 shared windows
+    assert pairs[(1, 2)] == 9
+    assert (3, 4) not in pairs          # 31 < k
+    assert all(a != 5 and b != 5 for a, b in pairs)
+    assert set(pairs) == {(1, 2)}
+
+
+def test_exact_substring_coverage_golden(spark):
+    """Hand-computed coverage: doc1 has 49 windows (80 tokens, k=32),
+    9 of them duplicated (the 40-token span shared with doc2); doc3 is
+    fully unique; a too-short doc reports 0 windows and NULL frac."""
+    from solana_event_stream_spark.operators.dedup import (
+        exact_substring_coverage)
+
+    span40 = _words("s", 40)
+    docs = _mk_docs(spark, [
+        (1, _words("a", 20) + " " + span40 + " " + _words("b", 20)),
+        (2, _words("c", 10) + " " + span40 + " " + _words("d", 30)),
+        (3, _words("u", 80)),
+        (4, _words("v", 10)),
+    ])
+    cov = {r.doc_id: r for r in
+           exact_substring_coverage(docs, k=32).collect()}
+    assert cov[1].n_windows == 49
+    assert cov[1].n_dup_windows == 9
+    assert abs(cov[1].dup_frac - 9 / 49) < 1e-12
+    assert cov[3].n_dup_windows == 0 and cov[3].dup_frac == 0.0
+    assert cov[4].n_windows == 0 and cov[4].dup_frac is None
+    assert set(cov) == {1, 2, 3, 4}
+
+
+def test_exact_substring_stop_window_cap(spark):
+    """A window shared by more docs than max_docs_per_window is dropped
+    from the PAIR list (boilerplate guard) while rarer windows still
+    pair."""
+    from solana_event_stream_spark.operators.dedup import (
+        exact_substring_pairs)
+
+    boiler = _words("bp", 32)            # shared by 5 docs
+    rare = _words("r", 32)               # shared by 2 docs
+    rows = [(i, boiler + " " + _words(f"x{i}_", 10)) for i in range(5)]
+    rows += [(10, rare + " " + _words("p", 5)),
+             (11, rare + " " + _words("q", 5))]
+    docs = _mk_docs(spark, rows)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in exact_substring_pairs(
+                 docs, k=32, max_docs_per_window=4).collect()}
+    assert pairs == {(10, 11)}
+
+
+def test_exact_substring_plan_blocked_not_cross(spark):
+    """The pair join must be an equi-join on the window hash — no
+    cartesian product, no per-row Python."""
+    from solana_event_stream_spark.operators.dedup import (
+        exact_substring_pairs)
+
+    docs = _mk_docs(spark, [(1, _words("a", 40)), (2, _words("b", 40))])
+    plan = (exact_substring_pairs(docs, k=32)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
