@@ -1277,3 +1277,21 @@ def exact_substring_pairs(docs: DataFrame, k: int = 32,
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_shared_windows")))
+
+
+def exact_substring_survivors(docs: DataFrame, k: int = 32,
+                              max_dup_frac: float = 0.5) -> DataFrame:
+    """The APPLY step: ``docs`` rows whose duplicated-window coverage
+    (:func:`exact_substring_coverage`) is at most ``max_dup_frac`` —
+    the Lee et al. 2022 removal criterion as a filter a pipeline
+    writes back out. Docs too short to carry a k-window pass (the
+    length gates own short docs, as in build_training_corpus). Rows
+    come back unchanged; the flagged side is the anti-join complement.
+
+    Scale: coverage's two corpus passes + one ids-only semi-join —
+    nothing here holds the corpus, and the duplicated-window set is
+    the only state that crosses the passes."""
+    flagged = (exact_substring_coverage(docs, k)
+               .filter(F.col("dup_frac") > max_dup_frac)
+               .select("doc_id"))
+    return docs.join(flagged, "doc_id", "left_anti")

@@ -430,6 +430,7 @@ def build_training_corpus(docs: DataFrame,
                           max_top2gram_frac: float = 0.20,
                           max_dup3gram_frac: float = 0.30,
                           dedup: bool = True,
+                          max_substring_dup_frac: float | None = None,
                           n_shards: int | None = None) -> DataFrame:
     """The one-call curation pipeline (r12) — every apply step the
     module family ships, composed in the order a production run
@@ -442,10 +443,13 @@ def build_training_corpus(docs: DataFrame,
        steps 1-2 are ONE narrow scan, no shuffle);
     3. eval-set decontamination (:func:`~.curation.
        decontaminate_survivors`, when ``eval_docs`` is given);
-    4. near-dup dedup (MinHash-LSH pairs -> connected components ->
+    4. optional exact-substring dedup (``max_substring_dup_frac``:
+       drop docs whose duplicated >= 32-token-window coverage exceeds
+       the ceiling — :func:`~.dedup.exact_substring_survivors`);
+    5. near-dup dedup (MinHash-LSH pairs -> connected components ->
        :func:`~.dedup.dedup_survivors`), run LAST so the quadratic-ish
        candidate work only sees already-thinned docs;
-    5. optional deterministic ``shard`` column (md5 hash — adding data
+    6. optional deterministic ``shard`` column (md5 hash — adding data
        never moves existing rows between shards).
 
     Input: (doc_id, lang, text). Output: surviving rows unchanged
@@ -501,6 +505,13 @@ def build_training_corpus(docs: DataFrame,
         .drop("_w", "_hw", "_g2", "_t2", "_t3"))
     if eval_docs is not None:
         kept = decontaminate_survivors(kept, eval_docs)
+    if max_substring_dup_frac is not None:
+        # exact verbatim spans first (the strongest signal), fuzzy
+        # MinHash last — both cross-document stages see gate-thinned
+        # docs only
+        from .dedup import exact_substring_survivors
+        kept = exact_substring_survivors(
+            kept, max_dup_frac=max_substring_dup_frac)
     if dedup:
         kept = dedup_survivors(
             kept, connected_components(_minhash_verified_pairs(kept)))

@@ -129,3 +129,24 @@ def test_exact_substring_plan_blocked_not_cross(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_substring_survivors_apply_step(spark):
+    """Docs over the coverage ceiling are dropped, everything else —
+    including too-short docs — survives unchanged."""
+    from solana_event_stream_spark.operators.dedup import (
+        exact_substring_survivors)
+
+    span40 = _words("s", 40)
+    docs = _mk_docs(spark, [
+        # 9/9 windows duplicated (the whole doc is the shared span+pad
+        # shorter than another window) -> coverage 1.0 -> dropped
+        (1, span40),
+        (2, span40 + " " + _words("d", 60)),   # 9/69 ~ 0.13 -> kept
+        (3, _words("u", 80)),                  # unique -> kept
+        (4, _words("v", 10)),                  # too short -> kept
+    ])
+    kept = sorted(r.doc_id for r in
+                  exact_substring_survivors(
+                      docs, k=32, max_dup_frac=0.5).collect())
+    assert kept == [2, 3, 4]

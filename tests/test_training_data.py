@@ -189,3 +189,33 @@ def test_build_training_corpus_composition(spark):
     no_dd = {r.doc_id for r in build_training_corpus(
         docs, eval_docs=bench, dedup=False).collect()}
     assert no_dd == got | {100}
+
+def test_build_training_corpus_substring_gate(spark):
+    """With max_substring_dup_frac set, a doc that shares a verbatim
+    >= 32-token span covering most of its windows is dropped, while
+    the doc that shares the same span as a small fraction of a longer
+    text survives."""
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+
+    def uniq(prefix, n):
+        return " ".join("the" if d % 7 == 0 else f"{prefix}{d}"
+                        for d in range(n))
+
+    span = " ".join("the" if d % 7 == 0 else f"sp{d}" for d in range(40))
+    # (all docs must sit inside the 20..90-word quality gates so the
+    # substring stage — not the length gate — decides)
+    # doc 1: span + 4 pad -> 44 words, 13 windows, 9 duplicated (0.69)
+    # doc 2: span inside 70 words -> 39 windows, 9 duplicated (0.23)
+    docs = spark.createDataFrame([
+        (1, "en", span + " " + uniq("p", 4)),
+        (2, "en", uniq("q", 15) + " " + span + " " + uniq("r", 15)),
+        (3, "en", uniq("u", 50)),
+    ], "doc_id long, lang string, text string")
+    out = {r.doc_id for r in build_training_corpus(
+        docs, dedup=False, max_substring_dup_frac=0.5).collect()}
+    assert out == {2, 3}
+    # gate off: everything passing the quality gates survives
+    off = {r.doc_id for r in build_training_corpus(
+        docs, dedup=False).collect()}
+    assert off == {1, 2, 3}
