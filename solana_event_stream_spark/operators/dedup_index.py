@@ -147,6 +147,14 @@ class DedupIndexStore:
                     "parameters are not join-compatible")
 
     # -- data ----------------------------------------------------------
+    def _next_name(self) -> str:
+        """Monotonic batch naming: the counter never reuses an index,
+        even after :meth:`compact` shrinks the committed list — a new
+        append must never land on a directory an in-flight reader of
+        an older manifest may still be scanning."""
+        used = [int(n.split("=", 1)[1]) for n in self._batches]
+        return f"batch={max(used) + 1 if used else 0}"
+
     def append(self, index_rows: DataFrame) -> str:
         """Commit one batch of index rows; returns the batch dir name.
 
@@ -158,10 +166,42 @@ class DedupIndexStore:
             raise ValueError(
                 f"{self.kind} index rows need columns {sorted(want)}, "
                 f"got {index_rows.columns}")
-        name = f"batch={len(self._batches)}"
+        name = self._next_name()
         (index_rows.write.mode("overwrite")
          .parquet(_join(self.path, name)))
         self._batches.append(name)
+        self._write_manifest()
+        return name
+
+    def compact(self, spark: SparkSession,
+                n_files: int | None = None) -> str:
+        """Rewrite every committed batch into ONE batch directory and
+        publish a manifest listing only it — the small-files lifecycle
+        step an append-only index needs: after B appends the loader
+        unions B parquet directories, and at per-trigger append
+        cadence B grows without bound (planning cost, file handles,
+        and min-file-size row groups all degrade the probe scan).
+
+        Crash-safe the same way append is: the compacted directory
+        lands first, the manifest swap publishes it; a crash in
+        between leaves the old manifest (and data) fully intact. The
+        superseded batch directories are left on disk as orphans so a
+        reader holding the PRE-compaction manifest keeps working —
+        physical deletion is the owner's separate retention decision
+        (same policy as the event lake's snapshot compactor).
+
+        ``n_files`` sizes the rewrite (default: the cluster's
+        parallelism, capped at the current batch-dir count)."""
+        if not self._batches:
+            return ""
+        whole = self.load(spark)
+        if n_files is None:
+            n_files = max(1, min(len(self._batches),
+                                 spark.sparkContext.defaultParallelism))
+        name = self._next_name()
+        (whole.repartition(n_files).write.mode("overwrite")
+         .parquet(_join(self.path, name)))
+        self._batches = [name]
         self._write_manifest()
         return name
 

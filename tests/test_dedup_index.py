@@ -184,3 +184,46 @@ def test_store_orphan_batch_is_invisible_then_overwritten(
     store.append(rows)
     loaded = open_dedup_index(str(tmp_path / "mh")).load(spark)
     assert loaded.count() == 2
+
+
+def test_index_compaction_roundtrip(spark, tmp_path):
+    """compact() folds N committed batch dirs into one, rows identical;
+    appends after compaction never reuse a superseded directory name;
+    a reader holding the pre-compaction manifest keeps working."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        DedupIndexStore, create_minhash_index, minhash_index_rows,
+        open_dedup_index)
+
+    path = str(tmp_path / "mh_index")
+    store = create_minhash_index(path)
+    for i in range(4):
+        docs = spark.createDataFrame(
+            [(100 * i + j, f"alpha bravo charlie d{i}x{j} echo "
+                           f"foxtrot golf hotel india juliet")
+             for j in range(5)],
+            "doc_id long, text string")
+        store.append(minhash_index_rows(docs))
+    before = sorted(map(tuple, store.load(spark).collect()))
+    old_reader = open_dedup_index(path)          # pre-compaction view
+
+    name = store.compact(spark)
+    assert store._batches == [name] == ["batch=4"]
+    after = sorted(map(tuple, store.load(spark).collect()))
+    assert after == before
+    # reopen sees the compacted manifest
+    assert open_dedup_index(path)._batches == [name]
+    # superseded dirs still on disk: the old reader's view is intact
+    assert sorted(map(tuple, old_reader.load(spark).collect())) == before
+
+    # append after compaction: fresh name, data unions in
+    docs = spark.createDataFrame(
+        [(999, "kilo lima mike november oscar papa quebec romeo "
+               "sierra tango")],
+        "doc_id long, text string")
+    new_name = store.append(minhash_index_rows(docs))
+    assert new_name == "batch=5"
+    assert store.load(spark).select("doc_id").distinct().count() == 21
+
+    # compacting an empty store is a no-op
+    empty = create_minhash_index(str(tmp_path / "empty_index"))
+    assert empty.compact(spark) == ""
