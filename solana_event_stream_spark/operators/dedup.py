@@ -1295,3 +1295,77 @@ def exact_substring_survivors(docs: DataFrame, k: int = 32,
                .filter(F.col("dup_frac") > max_dup_frac)
                .select("doc_id"))
     return docs.join(flagged, "doc_id", "left_anti")
+
+
+def substring_fingerprint_frame(docs: DataFrame, k: int = 32,
+                                w: int = 16) -> DataFrame:
+    """(doc_id, fps) winnowed substring fingerprints — the 100 TB form
+    of the window-hash index (Schleimer et al. 2003, MOSS winnowing;
+    public paper). Exploding EVERY k-token window hash shuffles
+    ~token-count x 8 bytes corpus-wide; winnowing keeps, per position,
+    only the MINIMUM hash of each ``w`` consecutive window hashes —
+    expected volume ~2/(w+1) of all-positions — with the classic
+    alignment-free guarantee: any shared verbatim span of
+    >= k + w - 1 tokens contains the same w consecutive window hashes
+    in both documents, so both select that window's minimum — a shared
+    fingerprint, wherever the span sits in either doc. Spans in
+    [k, k+w-1) may be missed (the documented trade); a fingerprint
+    match still implies a genuine shared k-token window (precision
+    unchanged, modulo 64-bit collisions).
+
+    The sliding min runs by the same staged DOUBLING as the window
+    hashes (min is idempotent, so overlapping composition is exact for
+    ANY w): m_2a[i] = least(m_a[i], m_a[i+a]), then one overlapped
+    combine m_w[i] = least(m_p[i], m_p[i+w-p]) for the largest power
+    of two p <= w. O(n log w) per doc, every level its own projection
+    column."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    df = _window_hash_frame(docs, k, distinct=False)  # staged chain
+    a = 1
+    while 2 * a <= w:
+        h = F.col("wh")
+        n_out = F.greatest(F.size(h) - a, F.lit(0))
+        df = df.select(
+            "doc_id",
+            F.zip_with(F.slice(h, 1, n_out), F.slice(h, a + 1, n_out),
+                       lambda x, y: F.least(x, y)).alias("wh"))
+        a *= 2
+    if a < w:
+        h = F.col("wh")
+        n_out = F.greatest(F.size(h) - (w - a), F.lit(0))
+        df = df.select(
+            "doc_id",
+            F.zip_with(F.slice(h, 1, n_out),
+                       F.slice(h, w - a + 1, n_out),
+                       lambda x, y: F.least(x, y)).alias("wh"))
+    return df.select("doc_id", F.array_distinct("wh").alias("fps"))
+
+
+def exact_substring_pairs_winnowed(docs: DataFrame, k: int = 32,
+                                   w: int = 16,
+                                   max_docs_per_window: int = 64
+                                   ) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps) — :func:`exact_substring_pairs`
+    over winnowed fingerprints instead of every window position: the
+    deployment form whose exploded volume is ~2/(w+1) of
+    all-positions. Guaranteed to pair docs sharing a verbatim span of
+    >= k + w - 1 tokens (see :func:`substring_fingerprint_frame`);
+    every reported pair genuinely shares >= 1 exact k-token window.
+    Same stop-window cut as the exact form."""
+    per_doc = substring_fingerprint_frame(docs, k, w)
+    exploded = (per_doc.select(
+        "doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull()))
+    eligible = (exploded.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n") > 1)
+                        & (F.col("n") <= max_docs_per_window))
+                .select("fp"))
+    hits = exploded.join(eligible, "fp")
+    a, b = hits.alias("a"), hits.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fps")))

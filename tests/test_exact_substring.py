@@ -150,3 +150,63 @@ def test_exact_substring_survivors_apply_step(spark):
                   exact_substring_survivors(
                       docs, k=32, max_dup_frac=0.5).collect())
     assert kept == [2, 3, 4]
+
+
+def test_winnowed_guarantee_alignment_free(spark):
+    """Any shared span of >= k + w - 1 tokens must produce a shared
+    winnowed fingerprint REGARDLESS of where the span sits in either
+    doc (the Schleimer et al. guarantee); a fingerprint pair implies a
+    genuine shared k-window (no false pairs across disjoint texts)."""
+    from solana_event_stream_spark.operators.dedup import (
+        exact_substring_pairs_winnowed)
+
+    k, w = 8, 4
+    span = _words("s", k + w - 1)        # exactly the guarantee floor
+    rows = []
+    # plant the same span at wildly different offsets in 4 docs
+    for i, off in enumerate((0, 3, 11, 26)):
+        rows.append((i, _words(f"pad{i}_", off) + (" " if off else "")
+                     + span + " " + _words(f"tail{i}_", 7)))
+    rows.append((50, _words("other", 40)))          # unrelated
+    docs = _mk_docs(spark, rows)
+    pairs = {(r.doc_a, r.doc_b) for r in
+             exact_substring_pairs_winnowed(docs, k=k, w=w).collect()}
+    import itertools
+    assert set(itertools.combinations(range(4), 2)) <= pairs
+    assert all(50 not in p for p in pairs)
+
+
+def test_winnowed_volume_reduction(spark, sf_dir):
+    """Winnowed fingerprints per doc must be a small fraction of the
+    all-positions window count (~2/(w+1) expected; assert < 2x that
+    bound on the real corpus)."""
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.dedup import (
+        _window_hash_frame, substring_fingerprint_frame)
+    from solana_event_stream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k, w = 16, 8
+    n_all = (_window_hash_frame(docs, k, distinct=False)
+             .agg(F.sum(F.size("wh"))).collect()[0][0])
+    n_fp = (substring_fingerprint_frame(docs, k, w)
+            .agg(F.sum(F.size("fps"))).collect()[0][0])
+    assert n_fp > 0
+    assert n_fp / n_all < 2 * (2 / (w + 1)), (n_fp, n_all)
+
+
+def test_winnowed_fingerprints_subset_of_window_hashes(spark):
+    """Every selected fingerprint IS one of the doc's window hashes
+    (winnowing selects, never synthesizes)."""
+    from solana_event_stream_spark.operators.dedup import (
+        _window_hash_frame, substring_fingerprint_frame)
+
+    docs = _mk_docs(spark, [(1, _words("a", 60)), (2, _words("b", 35))])
+    wh = {r.doc_id: set(r.wh) for r in
+          _window_hash_frame(docs, 8, distinct=False).collect()}
+    fps = {r.doc_id: set(r.fps) for r in
+           substring_fingerprint_frame(docs, 8, 5).collect()}
+    for d in wh:
+        assert fps[d] <= wh[d]
+        assert fps[d]
