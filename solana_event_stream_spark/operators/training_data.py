@@ -521,3 +521,50 @@ def build_training_corpus(docs: DataFrame,
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
                                1, 15), 16, 10).cast("long") % n_shards)
     return kept
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Split long documents into training-window chunks with token
+    overlap — the step between curation and packing when documents
+    exceed the model's sequence budget: successive chunks start every
+    ``max_tokens - overlap`` tokens, so every token appears in at
+    least one chunk and consecutive chunks share ``overlap`` tokens of
+    context (the standard long-document windowing).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk) — chunk_idx is
+    0-based and deterministic; a doc at or under the budget yields
+    exactly itself as chunk 0; the final chunk is the (possibly
+    shorter) tail. Re-chunking the same corpus is reproducible by
+    construction and appending docs never changes other docs' chunks.
+
+    Scale: one narrow projection builds each doc's chunk array (HOF
+    slice over the split words — no shuffle), one generate emits the
+    chunks (posexplode_outer: an inner explode would infer a
+    size(chunks) > 0 filter that re-evaluates the chunk build per row
+    — the r13 generate lesson). Chunk volume is corpus tokens x
+    (1 + overlap/(max_tokens-overlap)), the documented overlap tax."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    step = max_tokens - overlap
+    w = F.split("text", " ")
+    staged = docs.select("doc_id", w.alias("_w"))
+    n = F.size("_w")
+    # chunk starts: 0, step, 2*step, ... while start < n (and at least
+    # one chunk for the empty-doc edge); sequence is inclusive, so the
+    # last start is the largest multiple of step strictly below n
+    last_start = F.greatest((n - 1), F.lit(0)) - F.pmod(
+        F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_start, F.lit(step)),
+        lambda s: F.struct(
+            (s / step).cast("long").alias("chunk_idx"),
+            F.slice(F.col("_w"), s + 1, max_tokens).alias("toks")))
+    out = (staged.select("doc_id", F.posexplode_outer(chunks)
+                         .alias("_pos", "c"))
+           .filter(F.col("c").isNotNull()))
+    return out.select(
+        "doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.toks").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk"))

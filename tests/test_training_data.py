@@ -219,3 +219,75 @@ def test_build_training_corpus_substring_gate(spark):
     off = {r.doc_id for r in build_training_corpus(
         docs, dedup=False).collect()}
     assert off == {1, 2, 3}
+
+
+def test_chunk_documents_goldens(spark):
+    """Hand-computed chunk boundaries: 10 tokens at max=4/overlap=1
+    (step 3) -> starts 0,3,6,9 -> chunks of 4,4,4,1 tokens with the
+    overlap token shared; short and exact-budget docs are identity."""
+    from solana_event_stream_spark.operators.training_data import (
+        chunk_documents)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),
+         (2, "a b c"),            # under budget -> one chunk
+         (3, "p q r s")],         # exactly max_tokens -> one chunk
+        "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
+           for r in chunk_documents(docs, max_tokens=4,
+                                    overlap=1).collect()}
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t3 t4 t5 t6")     # t3 shared (overlap 1)
+    assert out[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert out[(1, 3)] == (1, "t9")              # tail
+    assert out[(2, 0)] == (3, "a b c")
+    assert out[(3, 0)] == (4, "p q r s")
+    assert {k[0] for k in out} == {1, 2, 3}
+    assert len([k for k in out if k[0] == 1]) == 4
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Reconstruction property on the real corpus: stripping each
+    chunk's leading overlap and concatenating in chunk order
+    reproduces the original text exactly."""
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.training_data import (
+        chunk_documents)
+    from solana_event_stream_spark.tables import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text").limit(200))
+    max_tokens, overlap = 16, 4
+    ch = chunk_documents(docs, max_tokens, overlap)
+    rebuilt = (ch.withColumn(
+        "part",
+        F.when(F.col("chunk_idx") == 0, F.col("chunk"))
+        .otherwise(F.array_join(
+            F.slice(F.split("chunk", " "), overlap + 1, max_tokens),
+            " ")))
+        .filter(F.col("part") != "")
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list(
+            F.struct("chunk_idx", "part"))).getField("part"), " ")
+            .alias("rebuilt")))
+    joined = docs.join(rebuilt, "doc_id")
+    bad = joined.filter(F.col("text") != F.col("rebuilt")).count()
+    assert bad == 0
+
+
+def test_chunk_documents_plan_narrow(spark):
+    """One generate, no inferred size-filter re-evaluating the chunk
+    build, no shuffle."""
+    from solana_event_stream_spark.operators.training_data import (
+        chunk_documents)
+
+    docs = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    ex = (chunk_documents(docs, 4, 1)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert ex.count("Generate") == 1
+    assert "Exchange" not in ex
+    for ln in ex.splitlines():
+        if "Filter" in ln:
+            assert "size(" not in ln, ln
