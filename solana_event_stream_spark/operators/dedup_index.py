@@ -98,11 +98,16 @@ class DedupIndexStore:
     batch of index rows, ``load`` reads every committed batch."""
 
     def __init__(self, path: str, kind: str, params: dict,
-                 batches: list[str]):
+                 batches: list[str], meta: dict | None = None):
         self.path = path
         self.kind = kind
         self.params = params
         self._batches = batches
+        # free-form consumer state published ATOMICALLY with the batch
+        # list (e.g. the streaming maintenance loop's last-committed
+        # micro-batch id and corpus-batch list): a reader never sees
+        # index rows without the meta that committed them, or vice versa
+        self.meta = dict(meta or {})
 
     # -- manifest ------------------------------------------------------
     @classmethod
@@ -125,14 +130,16 @@ class DedupIndexStore:
         except (OSError, ValueError) as exc:
             raise FileNotFoundError(
                 f"no dedup index manifest under {path!r}") from exc
-        return cls(path, m["kind"], m["params"], list(m["batches"]))
+        return cls(path, m["kind"], m["params"], list(m["batches"]),
+                   m.get("meta"))
 
     def _write_manifest(self) -> None:
         _fs_write_atomic(
             _join(self.path, _INDEX_MANIFEST),
             json.dumps({"version": 1, "kind": self.kind,
                         "params": self.params,
-                        "batches": self._batches}))
+                        "batches": self._batches,
+                        "meta": self.meta}))
 
     def _require(self, kind: str, **params) -> None:
         if self.kind != kind:
@@ -155,12 +162,15 @@ class DedupIndexStore:
         used = [int(n.split("=", 1)[1]) for n in self._batches]
         return f"batch={max(used) + 1 if used else 0}"
 
-    def append(self, index_rows: DataFrame) -> str:
+    def append(self, index_rows: DataFrame,
+               meta_update: dict | None = None) -> str:
         """Commit one batch of index rows; returns the batch dir name.
 
         The parquet write lands first, the manifest swap publishes it
         — a crash in between leaves an uncommitted orphan that the
-        next append overwrites."""
+        next append overwrites. ``meta_update`` merges into
+        :attr:`meta` in the SAME atomic publish (the streaming
+        maintenance loop's idempotency handle)."""
         want = set(_SCHEMAS[self.kind].replace(",", " ").split()[::2])
         if set(index_rows.columns) != want:
             raise ValueError(
@@ -170,6 +180,8 @@ class DedupIndexStore:
         (index_rows.write.mode("overwrite")
          .parquet(_join(self.path, name)))
         self._batches.append(name)
+        if meta_update:
+            self.meta.update(meta_update)
         self._write_manifest()
         return name
 
@@ -367,3 +379,94 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
         surv = surv.localCheckpoint()
         store.append(embedding_index_rows(surv, n_planes, width=width))
     return surv
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus maintenance: the index + survivors corpus as the
+# foreachBatch target of a document stream
+# ---------------------------------------------------------------------------
+
+def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
+                                  batch_id: int, corpus_path: str,
+                                  index_path: str,
+                                  compact_every: int | None = None) -> bool:
+    """One idempotent maintenance step: dedup ``batch_df`` against the
+    indexed corpus, append the survivors to the corpus and their band
+    rows to the index. Returns False when ``batch_id`` was already
+    committed (crash-replay no-op).
+
+    Commit protocol (single writer): the survivors land in a
+    batch-id-named corpus directory first (mode=overwrite, so a replay
+    rewrites identical content — the step is deterministic given the
+    committed index state), then ONE atomic index-manifest publish
+    commits the index rows AND the meta (last committed micro-batch
+    id + the corpus-batch list) together. A crash before the publish
+    leaves an orphan corpus directory the replay overwrites; a crash
+    after it makes the replay a no-op — the corpus reader only ever
+    trusts the manifest's corpus-batch list, so it never sees
+    survivors whose index rows aren't committed (the state in which a
+    replayed batch would self-collide with its own index rows and
+    dedup itself to nothing)."""
+    store = open_dedup_index(index_path)
+    store._require("minhash")
+    if batch_id <= store.meta.get("last_stream_batch", -1):
+        return False
+    corpus_batches = list(store.meta.get("corpus_batches", []))
+    if corpus_batches:
+        seen_docs = spark.read.parquet(
+            *[_join(corpus_path, b) for b in corpus_batches])
+    else:
+        seen_docs = spark.createDataFrame([], "doc_id long, text string")
+    surv = dedup_incremental_survivors_indexed(
+        store, batch_df.select("doc_id", "text"), seen_docs, commit=False)
+    surv = surv.localCheckpoint()
+    cname = f"batch={batch_id}"
+    (surv.write.mode("overwrite").parquet(_join(corpus_path, cname)))
+    store.append(minhash_index_rows(surv), meta_update={
+        "last_stream_batch": batch_id,
+        "corpus_batches": corpus_batches + [cname]})
+    if compact_every and len(store._batches) >= compact_every:
+        store.compact(spark)
+    return True
+
+
+def load_maintained_corpus(spark: SparkSession, corpus_path: str,
+                           index_path: str) -> DataFrame:
+    """The deduplicated corpus as of the index manifest — only
+    manifest-committed corpus batches (orphans from a crashed trigger
+    are invisible until their replay commits)."""
+    store = open_dedup_index(index_path)
+    batches = store.meta.get("corpus_batches", [])
+    if not batches:
+        return spark.createDataFrame([], "doc_id long, text string")
+    return spark.read.parquet(*[_join(corpus_path, b) for b in batches])
+
+
+def start_dedup_maintenance_stream(docs_stream: DataFrame,
+                                   corpus_path: str, index_path: str,
+                                   checkpoint_dir: str,
+                                   compact_every: int | None = None,
+                                   available_now: bool = False,
+                                   processing_time: str = "10 seconds"):
+    """Streaming corpus maintenance: each micro-batch of (doc_id,
+    text) documents is deduplicated against everything committed so
+    far (:func:`apply_dedup_maintenance_batch`) — the index answers
+    "have I seen a near-dup?" without re-hashing history, survivors
+    append to both stores, and the index optionally compacts when its
+    batch-dir count reaches ``compact_every``. foreachBatch for the
+    same reason as the lake enrichment stream: the step is an exact
+    bounded-frame operator per trigger; idempotent replay makes it
+    exactly-once end to end (the checkpoint replays a failed trigger,
+    the manifest meta makes the replay a committed-batch no-op)."""
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        apply_dedup_maintenance_batch(
+            batch_df.sparkSession, batch_df, batch_id,
+            corpus_path, index_path, compact_every)
+
+    writer = (docs_stream.writeStream.foreachBatch(_proc)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -227,3 +227,90 @@ def test_index_compaction_roundtrip(spark, tmp_path):
     # compacting an empty store is a no-op
     empty = create_minhash_index(str(tmp_path / "empty_index"))
     assert empty.compact(spark) == ""
+
+
+def test_streaming_maintenance_matches_batch_loop(spark, tmp_path):
+    """The streaming maintenance loop (availableNow over 3 one-file
+    micro-batches with planted cross-batch and vs-seen near-dups) must
+    land the SAME survivors corpus as driving
+    apply_dedup_maintenance_batch by hand, replay of a committed batch
+    must be a no-op, and compaction must fold the index."""
+    import os
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index,
+        load_maintained_corpus, open_dedup_index,
+        start_dedup_maintenance_stream)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+
+    def doc(i, extra=""):
+        return (i, base + f" uniq{i} " + extra if extra
+                else base + f" uniq{i}")
+
+    batches = [
+        [(1, base + " one"), (2, "totally different words here for "
+                                 "the second document of batch zero "
+                                 "nothing shared with the template")],
+        # 11 near-dups doc 1 (one appended token); 12 fresh
+        [(11, base + " one xdup"),
+         (12, "another fully distinct document with its own "
+              "vocabulary set nothing in common with others")],
+        # 21 near-dups 11/1 again; 22 within-batch dup of 23
+        [(21, base + " one ydup"),
+         (22, "shared within batch text payload aaa bbb ccc ddd eee "
+              "fff ggg hhh iii jjj"),
+         (23, "shared within batch text payload aaa bbb ccc ddd eee "
+              "fff ggg hhh iii jjj zzz")],
+    ]
+
+    def run(tag, driver):
+        cdir = str(tmp_path / f"corpus_{tag}")
+        idir = str(tmp_path / f"index_{tag}")
+        create_minhash_index(idir)
+        driver(cdir, idir)
+        return sorted(r.doc_id for r in
+                      load_maintained_corpus(spark, cdir, idir).collect())
+
+    # hand-driven loop
+    def by_hand(cdir, idir):
+        for bid, rows in enumerate(batches):
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            assert apply_dedup_maintenance_batch(
+                spark, bdf, bid, cdir, idir, compact_every=2)
+        # replay of the last batch: committed -> no-op
+        bdf = spark.createDataFrame(batches[-1],
+                                    "doc_id long, text string")
+        assert not apply_dedup_maintenance_batch(
+            spark, bdf, len(batches) - 1, cdir, idir)
+
+    want = run("hand", by_hand)
+    assert want == [1, 2, 12, 22]   # 11/21 cross-batch dups, 23 within
+
+    # streaming loop over the same batches as files
+    sdir = tmp_path / "stream_in"
+    sdir.mkdir()
+    for bid, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(sdir / f"b{bid}.parquet")))
+
+    def by_stream(cdir, idir):
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(sdir) + "/*"))
+        q = start_dedup_maintenance_stream(
+            stream, cdir, idir,
+            str(tmp_path / "ckpt_stream"), compact_every=2,
+            available_now=True)
+        q.awaitTermination(120)
+
+    got = run("stream", by_stream)
+    assert sorted(got) == sorted(want) or set(got) == {1, 2, 12, 22, 11}
+    # (file-trigger order is filename-deterministic here: strict equality)
+    assert got == want
+    st = open_dedup_index(str(tmp_path / "index_stream"))
+    assert len(st._batches) <= 2    # compact_every=2 folded the index
+    assert st.meta["last_stream_batch"] == 2
