@@ -431,14 +431,19 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
 
 
 def load_maintained_corpus(spark: SparkSession, corpus_path: str,
-                           index_path: str) -> DataFrame:
+                           index_path: str,
+                           empty_schema: str = "doc_id long, text string"
+                           ) -> DataFrame:
     """The deduplicated corpus as of the index manifest — only
     manifest-committed corpus batches (orphans from a crashed trigger
-    are invisible until their replay commits)."""
+    are invisible until their replay commits). ``empty_schema`` is the
+    frame shape before the first commit (text default; pass
+    ``"vec_id long, embedding array<double>"`` for embedding
+    corpora)."""
     store = open_dedup_index(index_path)
     batches = store.meta.get("corpus_batches", [])
     if not batches:
-        return spark.createDataFrame([], "doc_id long, text string")
+        return spark.createDataFrame([], empty_schema)
     return spark.read.parquet(*[_join(corpus_path, b) for b in batches])
 
 
@@ -464,6 +469,70 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
             corpus_path, index_path, compact_every)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def apply_embedding_maintenance_batch(spark: SparkSession,
+                                      batch_df: DataFrame, batch_id: int,
+                                      corpus_path: str, index_path: str,
+                                      tau: float = 0.9,
+                                      compact_every: int | None = None
+                                      ) -> bool:
+    """Embedding analog of :func:`apply_dedup_maintenance_batch` —
+    same idempotent commit protocol (batch-id corpus dir overwrite,
+    then ONE atomic manifest publish of index rows + meta); the
+    per-batch step is :func:`embedding_incremental_survivors_indexed`
+    (bucket probe against the index, batch-scaled multi-band
+    within-batch resolve)."""
+    store = open_dedup_index(index_path)
+    store._require("embedding")
+    if batch_id <= store.meta.get("last_stream_batch", -1):
+        return False
+    corpus_batches = list(store.meta.get("corpus_batches", []))
+    if corpus_batches:
+        seen_emb = spark.read.parquet(
+            *[_join(corpus_path, b) for b in corpus_batches])
+    else:
+        seen_emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+    surv = embedding_incremental_survivors_indexed(
+        store, batch_df.select("vec_id", "embedding"), seen_emb,
+        tau=tau, commit=False)
+    surv = surv.localCheckpoint()
+    cname = f"batch={batch_id}"
+    surv.write.mode("overwrite").parquet(_join(corpus_path, cname))
+    store.append(
+        embedding_index_rows(surv, store.params["n_planes"],
+                             width=store.params.get("width")),
+        meta_update={"last_stream_batch": batch_id,
+                     "corpus_batches": corpus_batches + [cname]})
+    if compact_every and len(store._batches) >= compact_every:
+        store.compact(spark)
+    return True
+
+
+def start_embedding_maintenance_stream(emb_stream: DataFrame,
+                                       corpus_path: str, index_path: str,
+                                       checkpoint_dir: str,
+                                       tau: float = 0.9,
+                                       compact_every: int | None = None,
+                                       available_now: bool = False,
+                                       processing_time: str = "10 seconds"):
+    """Streaming embedding-corpus maintenance — see
+    :func:`start_dedup_maintenance_stream` for the commit/replay
+    contract; the dedup criterion here is cosine >= ``tau`` against
+    the LSH-bucket index."""
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        apply_embedding_maintenance_batch(
+            batch_df.sparkSession, batch_df, batch_id,
+            corpus_path, index_path, tau, compact_every)
+
+    writer = (emb_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -314,3 +314,79 @@ def test_streaming_maintenance_matches_batch_loop(spark, tmp_path):
     st = open_dedup_index(str(tmp_path / "index_stream"))
     assert len(st._batches) <= 2    # compact_every=2 folded the index
     assert st.meta["last_stream_batch"] == 2
+
+
+def test_embedding_streaming_maintenance_matches_batch_loop(spark,
+                                                            tmp_path):
+    """Embedding analog of the maintenance differential: availableNow
+    stream over 3 micro-batches with planted cosine near-dups == the
+    hand-driven loop; replay no-op; compaction folds the index."""
+    import math
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus, open_dedup_index,
+        start_embedding_maintenance_stream)
+
+    dim = 8
+
+    def vec(seed, jitter=0.0):
+        base = [math.sin(seed * 1.7 + d) for d in range(dim)]
+        if jitter:
+            base = [x + jitter * math.cos(seed + 9.1 * d)
+                    for d, x in enumerate(base)]
+        return base
+
+    batches = [
+        [(1, vec(1)), (2, vec(2))],
+        [(11, vec(1, 0.01)), (12, vec(3))],      # 11 ~ 1
+        [(21, vec(2, 0.01)), (22, vec(4)), (23, vec(4, 0.01))],
+    ]                                             # 21 ~ 2; 23 ~ 22
+
+    def run(tag, driver):
+        cdir = str(tmp_path / f"ecorpus_{tag}")
+        idir = str(tmp_path / f"eindex_{tag}")
+        create_embedding_index(idir, n_planes=8, width=dim)
+        driver(cdir, idir)
+        got = load_maintained_corpus(
+            spark, cdir, idir,
+            empty_schema="vec_id long, embedding array<double>")
+        return sorted(r.vec_id for r in got.collect())
+
+    def by_hand(cdir, idir):
+        for bid, rows in enumerate(batches):
+            bdf = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>")
+            assert apply_embedding_maintenance_batch(
+                spark, bdf, bid, cdir, idir, compact_every=2)
+        bdf = spark.createDataFrame(
+            batches[-1], "vec_id long, embedding array<double>")
+        assert not apply_embedding_maintenance_batch(
+            spark, bdf, len(batches) - 1, cdir, idir)
+
+    want = run("hand", by_hand)
+    assert want == [1, 2, 12, 22]
+
+    sdir = tmp_path / "estream_in"
+    sdir.mkdir()
+    for bid, rows in enumerate(batches):
+        (spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(sdir / f"b{bid}.parquet")))
+
+    def by_stream(cdir, idir):
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(sdir) + "/*"))
+        q = start_embedding_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "eckpt"),
+            compact_every=2, available_now=True)
+        q.awaitTermination(120)
+
+    got = run("stream", by_stream)
+    assert got == want
+    st = open_dedup_index(str(tmp_path / "eindex_stream"))
+    assert len(st._batches) <= 2
+    assert st.meta["last_stream_batch"] == 2

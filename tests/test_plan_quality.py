@@ -306,3 +306,35 @@ def test_load_spread_is_self_tuning(spark, tmp_path):
     df = load_spread(spark, narrow, "embeddings")
     assert df.rdd.getNumPartitions() == cores
     assert "roundrobinpartitioning" in plan_of(df).lower()
+
+
+def test_scan_counts_stay_fused(spark, sf_dir):
+    """r13 scan-audit regression gate: the queries rebuilt as fused
+    one-pass forms must not quietly regrow per-branch corpus re-reads
+    (each extra FileScan is a full-corpus read at warehouse scale).
+    Counts are physical: one FileScan prints inside every
+    InMemoryRelation render, so uncached scans = n_fs - n_imr."""
+    import __spark_entry__ as entry
+    from solana_event_stream_spark.catalog import release_persisted
+
+    # query -> max UNCACHED FileScans (documented shapes, BENCH_NOTES
+    # r13): training_sample_filter 1 (everything behind the cached
+    # agg); corpus_decontaminate 2 uncached train passes (+1 eval scan
+    # inside the cache); events_profile_battery 2; dedup_exact 2 (the
+    # shared variant-explode scan feeds the hash part and the
+    # substring part's two passes are one scan each... pinned at its
+    # audited value); text_battery has its own dedicated gate.
+    budgets = {"training_sample_filter": 1, "corpus_decontaminate": 2,
+               "events_profile_battery": 2, "dedup_exact": 3}
+    q = entry.queries()
+    for name, budget in budgets.items():
+        try:
+            df = q[name](spark, sf_dir)
+            ex = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            release_persisted()
+        lines = ex.splitlines()
+        n_fs = sum("FileScan" in ln for ln in lines)
+        n_imr = sum("InMemoryRelation" in ln for ln in lines)
+        assert n_fs - n_imr <= budget, (
+            f"{name}: {n_fs - n_imr} uncached scans > budget {budget}")
