@@ -771,3 +771,112 @@ def text_battery(spark, sf_dir: str) -> DataFrame:
         melted_b = m if melted_b is None else melted_b.unionByName(m)
 
     return melted_a.unionByName(melted_b)
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM perplexity scoring (CCNet-style quality filter — Wenzek et
+# al. 2020 train a KenLM on clean reference text and keep low-perplexity
+# documents; public paper. Same shape here with a word-bigram LM whose
+# training and scoring are both plain Spark aggregations/joins, so the
+# filter runs in-engine with no external model artifact.)
+# ---------------------------------------------------------------------------
+
+def train_bigram_lm(reference_docs: DataFrame,
+                    add_k: float = 1.0,
+                    vocab_size: int | None = None) -> DataFrame:
+    """(w1, w2, logp) add-k-smoothed bigram log-probabilities from a
+    clean reference corpus: logp = ln((c(w1,w2) + k) / (c(w1) + k*V)).
+
+    V is the reference unigram vocabulary size (or the ``vocab_size``
+    override when the deployment fixes V across LM versions). The
+    result is reference-sized (bounded by the clean slice, not the
+    corpus being scored) — the broadcastable side of the scoring join.
+
+    Scale: one explode of reference bigrams -> ONE groupBy; unigram
+    counts derive from the bigram counts (sum over w2 of pairs led by
+    w1, plus each doc's final token counted from the unigram explode)
+    — here the simple exact form aggregates unigrams separately."""
+    w = F.split("text", " ")
+    uni = (reference_docs.select(F.explode_outer(w).alias("w1"))
+           .filter(F.col("w1").isNotNull())
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    s = F.size(w)
+    bigrams = F.when(s >= 2, F.zip_with(
+        F.slice(w, 1, s - 1), F.slice(w, 2, s - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))) \
+        .otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"))
+    big = (reference_docs.select(F.explode_outer(bigrams).alias("g"))
+           .filter(F.col("g").isNotNull())
+           .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("c12")))
+    v = vocab_size if vocab_size is not None else uni.count()
+    return (big.join(uni, "w1")
+            .select("w1", "w2",
+                    F.log((F.col("c12") + F.lit(float(add_k)))
+                          / (F.col("c1") + F.lit(float(add_k * v))))
+                    .alias("logp")))
+
+
+def score_perplexity(docs: DataFrame, lm: DataFrame,
+                     add_k: float = 1.0,
+                     vocab_size: int | None = None,
+                     oov_logp: float | None = None) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp, perplexity) of each document
+    under a :func:`train_bigram_lm` table — the CCNet-style filter
+    statistic (keep documents whose perplexity under the clean-text LM
+    sits below a threshold; boilerplate and garbage score high).
+
+    Unseen bigrams take ``oov_logp`` (default: the add-k floor
+    ln(k / (k*V)) = -ln(V), the probability the smoothing assigns a
+    novel pair under an unseen head word). Docs with no bigram carry
+    NULL scores.
+
+    Scale: the doc side explodes to (doc_id, w1, w2) and LEFT-joins
+    the REFERENCE-sized LM (broadcastable — benchmarks/clean slices
+    are MBs); one groupBy(doc_id) rolls up. No per-row Python, no
+    corpus-sized state."""
+    if oov_logp is None:
+        import math
+        v = vocab_size if vocab_size is not None else (
+            lm.select(F.col("w1").alias("w"))
+            .unionByName(lm.select(F.col("w2").alias("w")))
+            .distinct().count())
+        oov_logp = -math.log(max(v, 1))
+    w = F.split("text", " ")
+    s = F.size(w)
+    bigrams = F.when(s >= 2, F.zip_with(
+        F.slice(w, 1, s - 1), F.slice(w, 2, s - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))) \
+        .otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"))
+    exploded = (docs.select("doc_id", F.explode_outer(bigrams).alias("g"))
+                .select("doc_id", F.col("g.w1").alias("w1"),
+                        F.col("g.w2").alias("w2")))
+    scored = (exploded
+              .join(F.broadcast(lm), ["w1", "w2"], "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.col("w1")).alias("n_bigrams"),
+                   F.sum(F.coalesce(F.col("logp"),
+                                    F.when(F.col("w1").isNotNull(),
+                                           F.lit(float(oov_logp)))))
+                   .alias("_sum")))
+    avg = F.col("_sum") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id", "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, avg).alias("avg_logp"),
+        F.when(F.col("n_bigrams") > 0, F.exp(-avg)).alias("perplexity"))
+
+
+def perplexity_filter(docs: DataFrame, reference_docs: DataFrame,
+                      max_perplexity: float,
+                      add_k: float = 1.0) -> DataFrame:
+    """The APPLY step: ``docs`` rows whose bigram perplexity under the
+    reference LM is at most ``max_perplexity`` (docs too short to
+    score pass — the length gates own them). One LM build + one
+    scoring pass; rows come back unchanged."""
+    lm = train_bigram_lm(reference_docs, add_k=add_k)
+    flagged = (score_perplexity(docs, lm, add_k=add_k)
+               .filter(F.col("perplexity") > max_perplexity)
+               .select("doc_id"))
+    return docs.join(flagged, "doc_id", "left_anti")
