@@ -431,6 +431,8 @@ def build_training_corpus(docs: DataFrame,
                           max_dup3gram_frac: float = 0.30,
                           dedup: bool = True,
                           max_substring_dup_frac: float | None = None,
+                          reference_docs: DataFrame | None = None,
+                          max_perplexity: float | None = None,
                           n_shards: int | None = None) -> DataFrame:
     """The one-call curation pipeline (r12) — every apply step the
     module family ships, composed in the order a production run
@@ -441,15 +443,18 @@ def build_training_corpus(docs: DataFrame,
     2. Gopher repetition gates (most-frequent-2-gram and duplicate-
        3-gram fraction ceilings — text_analysis' per-row fold, so
        steps 1-2 are ONE narrow scan, no shuffle);
-    3. eval-set decontamination (:func:`~.curation.
+    3. optional reference-LM perplexity gate (``max_perplexity`` +
+       ``reference_docs`` — :func:`~.text_analysis.perplexity_filter`,
+       the CCNet-style clean-text signal);
+    4. eval-set decontamination (:func:`~.curation.
        decontaminate_survivors`, when ``eval_docs`` is given);
-    4. optional exact-substring dedup (``max_substring_dup_frac``:
+    5. optional exact-substring dedup (``max_substring_dup_frac``:
        drop docs whose duplicated >= 32-token-window coverage exceeds
        the ceiling — :func:`~.dedup.exact_substring_survivors`);
-    5. near-dup dedup (MinHash-LSH pairs -> connected components ->
+    6. near-dup dedup (MinHash-LSH pairs -> connected components ->
        :func:`~.dedup.dedup_survivors`), run LAST so the quadratic-ish
        candidate work only sees already-thinned docs;
-    6. optional deterministic ``shard`` column (md5 hash — adding data
+    7. optional deterministic ``shard`` column (md5 hash — adding data
        never moves existing rows between shards).
 
     Input: (doc_id, lang, text). Output: surviving rows unchanged
@@ -503,6 +508,15 @@ def build_training_corpus(docs: DataFrame,
         & (stop_ratio >= min_stop_ratio)
         & (uniq_ratio >= min_unique_ratio) & rep_ok)
         .drop("_w", "_hw", "_g2", "_t2", "_t3"))
+    if max_perplexity is not None:
+        # reference-LM quality gate (CCNet-style): runs right after the
+        # heuristic gates, before the cross-document stages
+        if reference_docs is None:
+            raise ValueError(
+                "max_perplexity requires reference_docs (the clean "
+                "slice the bigram LM trains on)")
+        from .text_analysis import perplexity_filter
+        kept = perplexity_filter(kept, reference_docs, max_perplexity)
     if eval_docs is not None:
         kept = decontaminate_survivors(kept, eval_docs)
     if max_substring_dup_frac is not None:

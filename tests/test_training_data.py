@@ -291,3 +291,38 @@ def test_chunk_documents_plan_narrow(spark):
     for ln in ex.splitlines():
         if "Filter" in ln:
             assert "size(" not in ln, ln
+
+
+def test_build_training_corpus_perplexity_gate(spark):
+    """With a reference LM and threshold, random-vocab garbage that
+    passes every heuristic gate is dropped while in-domain text
+    survives; threshold off keeps both."""
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+    from solana_event_stream_spark.tables import load_table
+
+    ref = (load_table(spark, "/root/testdata/sf0.001", "documents")
+           .select("doc_id", "text").limit(300))
+    sample = ref.limit(1).collect()[0].text
+    n = len(sample.split(" "))
+    # garbage with enough stopwords/uniqueness to pass the heuristics
+    garbage = " ".join("the" if i % 7 == 0 else f"zzq{i}"
+                       for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, "en", sample), (2, "en", garbage)],
+        "doc_id long, lang string, text string")
+    both = {r.doc_id for r in build_training_corpus(
+        docs, dedup=False).collect()}
+    assert both == {1, 2}
+    # threshold between the two measured scores (the synthetic
+    # template corpus separates thinly; the ordering is what the gate
+    # rides — see test_perplexity_filter_orders_in_domain_first)
+    from solana_event_stream_spark.operators.text_analysis import (
+        score_perplexity, train_bigram_lm)
+    ppl = {r.doc_id: r.perplexity for r in score_perplexity(
+        docs.select("doc_id", "text"), train_bigram_lm(ref)).collect()}
+    assert ppl[1] < ppl[2]
+    kept = {r.doc_id for r in build_training_corpus(
+        docs, dedup=False, reference_docs=ref,
+        max_perplexity=(ppl[1] + ppl[2]) / 2).collect()}
+    assert kept == {1}
