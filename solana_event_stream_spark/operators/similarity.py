@@ -754,3 +754,77 @@ def ann_ivf_topk_fitted(spark, sf_dir: str, k: int = IVF_K,
                       (dot / (F.col("q_nrm") * F.col("nrm")))
                       .alias("cosine")))
     return _topk_per_query(scored)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_int8(emb: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(id, scale, q) per-vector symmetric int8 quantization:
+    q[d] = round(x[d] / scale * 127) with scale = max|x| — the standard
+    embedding-storage compression (8x smaller than float64 columns,
+    4x smaller than float32) whose dot products approximate the
+    originals to ~1/254 relative error per element.
+
+    At 100 TB the embedding column IS the dominant similarity-stack
+    IO; serving tiers store the int8 form and keep full precision only
+    for re-ranking. All arithmetic is JVM HOFs (one narrow
+    projection); a zero vector carries scale=0 and an all-zero q (its
+    cosine is undefined either way)."""
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.transform(
+        F.col("_x"),
+        lambda v: F.when(F.col("_s") > 0,
+                         F.round(v / F.col("_s") * 127))
+        .otherwise(F.lit(0)).cast("tinyint"))
+    return (emb.select(F.col(id_col).alias("vec_id"), x.alias("_x"),
+                       scale.alias("_s"))
+            .select("vec_id", F.col("_s").alias("scale"),
+                    q.alias("q")))
+
+
+def dequantize_embeddings_int8(qemb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) back from the int8 form — the ~1/254
+    round-trip approximation the recall differential quantifies."""
+    return qemb.select(
+        "vec_id",
+        F.transform(F.col("q"),
+                    lambda b: b.cast("double") / 127.0 * F.col("scale"))
+        .alias("embedding"))
+
+
+def ann_cosine_topk_quantized(spark, sf_dir: str,
+                              top_k: int = TOP_K) -> DataFrame:
+    """Brute-force cosine top-k over the INT8-quantized corpus — the
+    storage-tier serving form: scores are computed directly on the
+    int8 codes (integer dot x one scale product per pair; cosine is
+    scale-invariant so the per-vector scales cancel entirely in the
+    normalized score). Output schema matches ann_cosine_topk; the
+    recall differential vs the exact form is pinned in
+    tests/test_quantization.py."""
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qemb = quantize_embeddings_int8(emb)
+    norms = qemb.select(
+        "vec_id", "q",
+        F.sqrt(F.aggregate(
+            F.zip_with(F.col("q"), F.col("q"),
+                       lambda a, b: (a.cast("double")
+                                     * b.cast("double"))),
+            F.lit(0.0), lambda acc, v: acc + v)).alias("qn"))
+    queries = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+        F.col("qn").alias("q_qn"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (F.broadcast(queries)
+              .join(norms, F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot / (F.col("q_qn") * F.col("qn")))
+                      .alias("cosine")))
+    return _topk_per_query(scored, top_k)
