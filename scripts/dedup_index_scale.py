@@ -108,15 +108,16 @@ def main() -> None:
                 .select("vec_id", "embedding"))
         with tempfile.TemporaryDirectory() as d:
             store = create_embedding_index(os.path.join(d, "emb"),
-                                           n_planes=10, width=64)
+                                           n_planes=10, width=64,
+                                           n_bands=4)
             t0 = time.perf_counter()
-            store.append(embedding_index_rows(seen, 10, width=64))
+            store.append(embedding_index_rows(seen, 4, 10, width=64))
             build = time.perf_counter() - t0
             idx = store.load(spark)
             force(embedding_pairs_cross(ebatch, seen, n_planes=10,
                                         width=64))
-            force(embedding_pairs_cross_indexed(ebatch, seen, idx, 10,
-                                                width=64))
+            force(embedding_pairs_cross_indexed(ebatch, seen, idx, 4,
+                                                10, width=64))
             res = {"recompute": [], "indexed": []}
             for _ in range(reps):
                 res["recompute"].append(timed(
@@ -124,9 +125,9 @@ def main() -> None:
                         ebatch, seen, n_planes=10, width=64)), 1))
                 res["indexed"].append(timed(
                     lambda: force(embedding_pairs_cross_indexed(
-                        ebatch, seen, idx, 10, width=64)), 1))
+                        ebatch, seen, idx, 4, 10, width=64)), 1))
             n_pairs = embedding_pairs_cross_indexed(
-                ebatch, seen, idx, 10, width=64).count()
+                ebatch, seen, idx, 4, 10, width=64).count()
             out[f"embedding {label}"] = {
                 "recompute_s": round(min(res["recompute"]), 3),
                 "indexed_s": round(min(res["indexed"]), 3),

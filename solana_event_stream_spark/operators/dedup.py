@@ -595,16 +595,20 @@ _SQL_DOT = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform("
 _N_PLANES = 8
 
 
-def spark_sign_expr(n_planes: int) -> str:
-    """Spark SQL for the n-bit hyperplane signature of `embedding`."""
+def spark_sign_expr(n_planes: int, plane_offset: int = 0) -> str:
+    """Spark SQL for the n-bit hyperplane signature of `embedding`.
+    ``plane_offset`` selects planes [offset, offset+n) from the same
+    deterministic md5 family — the banded forms' independent-band
+    lever (mirrors ``plane_weights``/``sign_bucket_col``)."""
     return (
-        "aggregate(sequence(0, {np} - 1), cast(0 as long), (acc, p) -> "
+        "aggregate(sequence({off}, {off} + {np} - 1), cast(0 as long), "
+        "(acc, p) -> "
         "acc * 2 + if(aggregate(zip_with(embedding, "
         "sequence(0, size(embedding) - 1), (x, d) -> cast(x as double) * "
         "if(instr('02468ace', substring(md5(concat(cast(p as string), '_', "
         "cast(d as string))), 1, 1)) > 0, 1.0d, -1.0d)), cast(0 as double), "
         "(acc2, v) -> acc2 + v) > 0d, 1L, 0L))"
-    ).format(np=n_planes)
+    ).format(np=n_planes, off=plane_offset)
 
 
 def sql_sign_expr(n_planes: int) -> str:
@@ -722,7 +726,8 @@ def embedding_width_census(emb: DataFrame) -> dict[int, int]:
 
 
 def bucket_col_for(emb: DataFrame, n_planes: int,
-                   width: int | None = None):
+                   width: int | None = None,
+                   plane_offset: int = 0):
     """Best signature form for this corpus, decided at CORPUS level
     (VERDICT r11 item 1 — the width decision used to be a per-row
     ``when(size==probed_dim, literal).otherwise(md5-expr)`` guard,
@@ -745,19 +750,22 @@ def bucket_col_for(emb: DataFrame, n_planes: int,
     - empty corpus: the expression form.
 
     The census is one narrow aggregate scan, memoized per corpus per
-    session (``embedding_width_census``)."""
+    session (``embedding_width_census``). ``plane_offset`` selects the
+    plane family window (banded layouts) — every form below threads
+    it, so offset-banded signatures keep the ragged-corpus guard."""
     if width is not None:
-        return sign_bucket_col(n_planes, width)
+        return sign_bucket_col(n_planes, width, plane_offset)
     census = embedding_width_census(emb)
     widths = [w for w in census if w >= 0]
-    expr_form = F.expr(spark_sign_expr(n_planes))
+    expr_form = F.expr(spark_sign_expr(n_planes, plane_offset))
     if not widths:
         return expr_form
     if len(census) == 1:  # one width, zero NULLs: the uniform fast path
-        return sign_bucket_col(n_planes, widths[0])
+        return sign_bucket_col(n_planes, widths[0], plane_offset)
     dom = max(widths, key=lambda w: (census[w], w))
     return F.when(F.size("embedding") == dom,
-                  sign_bucket_col(n_planes, dom)).otherwise(expr_form)
+                  sign_bucket_col(n_planes, dom, plane_offset)
+                  ).otherwise(expr_form)
 
 
 @register(
@@ -903,6 +911,74 @@ def embedding_pairs_cross(new_emb: DataFrame, seen_emb: DataFrame,
             .select(F.col("a.vec_id").alias("doc_a"),
                     F.col("b.vec_id").alias("doc_b"),
                     (dot / (F.col("a.nrm") * F.col("b.nrm")))
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= tau))
+
+
+def banded_signature_rows(emb: DataFrame, n_bands: int, band_bits: int,
+                          width: int | None = None,
+                          id_col: str = "vec_id") -> DataFrame:
+    """(id, band_idx, bucket) — one row per (vector, band), band b
+    signed under planes [b*band_bits, (b+1)*band_bits) of the shared
+    deterministic md5 family (the layout of
+    :func:`banded_cosine_pairs`, exported so the materialized
+    embedding index can persist the SAME rows). Band 0 at any
+    ``band_bits`` equals the single-bucket signature at that plane
+    count. Signatures computed independently on two corpora are
+    join-compatible on (band_idx, bucket) by construction."""
+    sigs = emb.select(
+        id_col,
+        *[bucket_col_for(emb, band_bits, width=width,
+                         plane_offset=b * band_bits).alias(f"_band{b}")
+          for b in range(n_bands)])
+    return (sigs.select(id_col, F.explode(F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band_idx"),
+                 F.col(f"_band{b}").alias("bucket"))
+        for b in range(n_bands)])).alias("bd"))
+        .select(id_col, "bd.band_idx", "bd.bucket"))
+
+
+def embedding_pairs_cross_banded(new_emb: DataFrame,
+                                 seen_emb: DataFrame,
+                                 n_bands: int, band_bits: int,
+                                 tau: float = 0.9,
+                                 width: int | None = None) -> DataFrame:
+    """Multi-band form of :func:`embedding_pairs_cross` (ADVICE r13):
+    a pair is a candidate when ANY of ``n_bands`` independent
+    ``band_bits``-bit hyperplane bands matches — the recall-restoring
+    S-curve (keep prob 1-(1-p^bits)^bands instead of the vanishing
+    p^(bands*bits) a single corpus-scale-width band leaves). This is
+    the recompute differential twin of the materialized embedding
+    index's banded probe.
+
+    Scale: ids-only through the (band_idx, bucket) equi-join — the
+    embedding arrays never enter the exploded band frame; candidates
+    dropDuplicate before ONE cosine verify per pair."""
+    bands_a = banded_signature_rows(new_emb, n_bands, band_bits,
+                                    width=width)
+    bands_b = banded_signature_rows(seen_emb, n_bands, band_bits,
+                                    width=width)
+    pairs = (bands_a.alias("a")
+             .join(bands_b.alias("b"),
+                   (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.bucket") == F.col("b.bucket")))
+             .select(F.col("a.vec_id").alias("doc_a"),
+                     F.col("b.vec_id").alias("doc_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+
+    def norms(df, side):
+        return df.select(
+            F.col("vec_id").alias(f"doc_{side}"),
+            F.col("embedding").alias(f"emb_{side}"),
+            F.sqrt(F.expr(_SPARK_DOT.format(a="embedding",
+                                            b="embedding")))
+            .alias(f"nrm_{side}"))
+
+    dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
+    return (pairs.join(norms(new_emb, "a"), "doc_a")
+            .join(norms(seen_emb, "b"), "doc_b")
+            .select("doc_a", "doc_b",
+                    (dot / (F.col("nrm_a") * F.col("nrm_b")))
                     .alias("cosine"))
             .filter(F.col("cosine") >= tau))
 

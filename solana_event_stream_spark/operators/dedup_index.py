@@ -12,8 +12,15 @@ This module persists the features as an append-only INDEX table:
 
 - minhash index: ``(doc_id, band_idx, band_val)`` — one row per
   (doc, LSH band), the exact frame the band equi-join consumes;
-- embedding index: ``(vec_id, bucket, nrm)`` — the hyperplane
-  signature and norm, the exact frame the bucket equi-join consumes.
+- embedding index: ``(vec_id, band_idx, bucket, nrm)`` — one row per
+  (vector, hyperplane band) plus the norm, the exact frame the
+  (band_idx, bucket) equi-join consumes. MULTI-band (ADVICE r13): a
+  single band at the corpus-scale plane count keeps a cosine-0.9 pair
+  with ~p^bits — vanishing as bits track the corpus — so the index
+  stores ``n_bands`` independent ``band_bits``-bit bands (the
+  ``banded_cosine_pairs`` plane-offset families) and the probe keeps
+  a near-dup with 1-(1-p^bits)^bands, the same S-curve as the
+  minhash index's band layout.
 
 Each incremental step (1) hashes ONLY the new batch, (2) probes the
 index with a band/bucket equi-join, (3) verifies candidates by
@@ -59,13 +66,15 @@ from ..streaming.event_archive import (_fs_isdir, _fs_listdir,
 from .dedup import (N_BANDS, N_HASHES, ROWS_PER_BAND, _SPARK_DOT,
                     _bands_from_shingles, _minhash_band_frame,
                     _minhash_verified_pairs, _shingles, _verify_jaccard,
-                    bucket_col_for, connected_components, dedup_survivors)
+                    banded_signature_rows, connected_components,
+                    dedup_survivors)
 
 _INDEX_MANIFEST = "_INDEX_MANIFEST.json"
 
 _SCHEMAS = {
     "minhash": "doc_id long, band_idx int, band_val string",
-    "embedding": "vec_id long, bucket long, nrm double",
+    "embedding": "vec_id long, band_idx int, bucket long, nrm double",
+    "substring": "doc_id long, fp long",
 }
 
 
@@ -77,17 +86,22 @@ def minhash_index_rows(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", _shingles(F.col("text")).alias("shingles")))
 
 
-def embedding_index_rows(emb: DataFrame, n_planes: int,
+def embedding_index_rows(emb: DataFrame, n_bands: int, band_bits: int,
                          width: int | None = None) -> DataFrame:
-    """(vec_id, bucket, nrm) index rows for a (vec_id, embedding)
-    corpus — signature + norm, everything the bucket join and the
-    cosine verify need from the seen side except the (candidate-only)
-    embedding arrays."""
-    return emb.select(
+    """(vec_id, band_idx, bucket, nrm) index rows for a (vec_id,
+    embedding) corpus — one row per (vector, band): the banded
+    hyperplane signatures plus the norm, everything the (band_idx,
+    bucket) join and the cosine verify need from the seen side except
+    the (candidate-only) embedding arrays. The norm rides every band
+    row (it is 8 bytes against the row's ~20 — cheaper than a second
+    per-vector side table at read time)."""
+    nrm = emb.select(
         "vec_id",
-        bucket_col_for(emb, n_planes, width=width).alias("bucket"),
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
         .alias("nrm"))
+    return (banded_signature_rows(emb, n_bands, band_bits, width=width)
+            .join(nrm, "vec_id")
+            .select("vec_id", "band_idx", "bucket", "nrm"))
 
 
 class DedupIndexStore:
@@ -170,12 +184,23 @@ class DedupIndexStore:
         — a crash in between leaves an uncommitted orphan that the
         next append overwrites. ``meta_update`` merges into
         :attr:`meta` in the SAME atomic publish (the streaming
-        maintenance loop's idempotency handle)."""
-        want = set(_SCHEMAS[self.kind].replace(",", " ").split()[::2])
-        if set(index_rows.columns) != want:
+        maintenance loop's idempotency handle).
+
+        The batch is validated against the index's FULL schema —
+        names and types (VERDICT r13 item 3): a name-only check let a
+        mistyped column (e.g. an int ``band_val``) write a
+        schema-divergent parquet batch that only failed at a later
+        multi-directory read. Type mismatch must be loud at append
+        time, like the manifest's parameter guard."""
+        from pyspark.sql.types import StructType
+        want = {f.name: f.dataType.simpleString()
+                for f in StructType.fromDDL(_SCHEMAS[self.kind]).fields}
+        got = {f.name: f.dataType.simpleString()
+               for f in index_rows.schema.fields}
+        if got != want:
             raise ValueError(
-                f"{self.kind} index rows need columns {sorted(want)}, "
-                f"got {index_rows.columns}")
+                f"{self.kind} index rows need schema {want}, "
+                f"got {got}")
         name = self._next_name()
         (index_rows.write.mode("overwrite")
          .parquet(_join(self.path, name)))
@@ -236,13 +261,20 @@ def create_minhash_index(path: str) -> DedupIndexStore:
 
 
 def create_embedding_index(path: str, n_planes: int,
-                           width: int | None = None) -> DedupIndexStore:
-    """New empty hyperplane-signature index at a FIXED plane count
+                           width: int | None = None,
+                           n_bands: int = 4) -> DedupIndexStore:
+    """New empty hyperplane-signature index at a FIXED band geometry
     (every batch must sign under the same planes to stay
-    join-compatible; pick it with ``dedup.scaled_n_planes`` against
-    the corpus size you are building toward)."""
+    join-compatible). ``n_planes`` is the PER-BAND signature width in
+    bits (pick it with ``dedup.scaled_n_planes`` against the corpus
+    size you are building toward, so each band's expected bucket
+    population stays bounded); ``n_bands`` independent bands restore
+    the recall a single corpus-scale-width band loses (ADVICE r13 —
+    keep prob 1-(1-p^bits)^bands vs p^bits; at ``n_bands=1`` the
+    layout degenerates to the old single-bucket index)."""
     return DedupIndexStore._create(
-        path, "embedding", {"n_planes": n_planes, "width": width})
+        path, "embedding", {"n_planes": n_planes, "width": width,
+                            "n_bands": n_bands})
 
 
 def open_dedup_index(path: str) -> DedupIndexStore:
@@ -254,13 +286,42 @@ def open_dedup_index(path: str) -> DedupIndexStore:
 # forms in tests/test_dedup_index.py)
 # ---------------------------------------------------------------------------
 
+def _check_candidate_coverage(pairs: DataFrame, seen: DataFrame,
+                              id_col: str) -> None:
+    """Raise when a candidate seen-side id has no row in the caller's
+    seen frame — such candidates vanish at the verify inner join and
+    near-dups are silently ADMITTED (ADVICE r13). One small action
+    over candidate ids only; opt-in via ``check_coverage``."""
+    missing = (pairs.select(F.col("doc_b").alias(id_col)).distinct()
+               .join(seen.select(id_col), id_col, "left_anti")
+               .limit(5).collect())
+    if missing:
+        raise ValueError(
+            "seen frame does not cover indexed candidate ids "
+            f"{sorted(r[0] for r in missing)}... — candidates for "
+            "uncovered docs would vanish at the verify join and "
+            "near-dups would be silently admitted. The seen frame "
+            "must cover every doc whose rows are in the index "
+            "(the streaming maintenance loop guarantees this via the "
+            "manifest's corpus_batches).")
+
+
 def dedup_pairs_cross_indexed(new_docs: DataFrame, seen_docs: DataFrame,
-                              seen_index: DataFrame) -> DataFrame:
+                              seen_index: DataFrame,
+                              check_coverage: bool = False) -> DataFrame:
     """:func:`~.dedup.dedup_pairs_cross` with the seen side's band
     frame read from the index instead of re-derived from raw text.
     ``seen_docs`` is touched only to re-attach shingles for CANDIDATE
     ids (explicit semi-join BEFORE the shingle projection — history is
-    never re-shingled wholesale)."""
+    never re-shingled wholesale).
+
+    CONTRACT (ADVICE r13): ``seen_docs`` must cover every doc_id whose
+    rows are in ``seen_index`` — candidates whose raw text is missing
+    vanish at the verify join, silently ADMITTING near-dups. The
+    maintenance loop satisfies this by reading the manifest's
+    corpus_batches; standalone callers can pass
+    ``check_coverage=True`` to pay one candidate-ids-only action that
+    raises on uncovered ids."""
     sh_n, b_n = _minhash_band_frame(new_docs)
     pairs = (b_n.alias("a")
              .join(seen_index.alias("b"),
@@ -269,6 +330,8 @@ def dedup_pairs_cross_indexed(new_docs: DataFrame, seen_docs: DataFrame,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    if check_coverage:
+        _check_candidate_coverage(pairs, seen_docs, "doc_id")
     ids_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     sh_s = (seen_docs.join(ids_b, "doc_id", "left_semi")
             .select("doc_id", _shingles(F.col("text")).alias("shingles")))
@@ -278,32 +341,44 @@ def dedup_pairs_cross_indexed(new_docs: DataFrame, seen_docs: DataFrame,
 def embedding_pairs_cross_indexed(new_emb: DataFrame,
                                   seen_emb: DataFrame,
                                   seen_index: DataFrame,
-                                  n_planes: int,
+                                  n_bands: int, band_bits: int,
                                   tau: float = 0.9,
-                                  width: int | None = None) -> DataFrame:
-    """:func:`~.dedup.embedding_pairs_cross` with the seen side's
-    (bucket, nrm) read from the index. ``seen_emb`` supplies embedding
-    arrays for CANDIDATE ids only (the cosine verify); ``n_planes``
-    must be the index's pinned plane count — callers should go through
+                                  width: int | None = None,
+                                  check_coverage: bool = False
+                                  ) -> DataFrame:
+    """:func:`~.dedup.embedding_pairs_cross_banded` with the seen
+    side's (band_idx, bucket, nrm) read from the index. ``seen_emb``
+    supplies embedding arrays for CANDIDATE ids only (the cosine
+    verify); the band geometry must be the index's pinned one —
+    callers should go through
     :func:`embedding_incremental_survivors_indexed`, which enforces
-    it."""
-    a = new_emb.select(
-        "vec_id", "embedding",
+    it. Ids-only through the band join: the new batch's arrays attach
+    AFTER the per-pair dropDuplicates.
+
+    Same coverage CONTRACT as :func:`dedup_pairs_cross_indexed`:
+    ``seen_emb`` must cover every indexed vec_id (``check_coverage``
+    opts into the loud candidate-only check)."""
+    bands_a = banded_signature_rows(new_emb, n_bands, band_bits,
+                                    width=width)
+    pairs = (bands_a.alias("a")
+             .join(seen_index.alias("b"),
+                   (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.bucket") == F.col("b.bucket")))
+             .select(F.col("a.vec_id").alias("doc_a"),
+                     F.col("b.vec_id").alias("doc_b"),
+                     F.col("b.nrm").alias("nrm_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    if check_coverage:
+        _check_candidate_coverage(pairs, seen_emb, "vec_id")
+    new_feats = new_emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("emb_a"),
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-        .alias("nrm"),
-        bucket_col_for(new_emb, n_planes, width=width).alias("bucket"))
-    cand = (a.alias("a")
-            .join(seen_index.alias("b"),
-                  F.col("a.bucket") == F.col("b.bucket"))
-            .select(F.col("a.vec_id").alias("doc_a"),
-                    F.col("a.embedding").alias("emb_a"),
-                    F.col("a.nrm").alias("nrm_a"),
-                    F.col("b.vec_id").alias("doc_b"),
-                    F.col("b.nrm").alias("nrm_b")))
+        .alias("nrm_a"))
     seen_vecs = seen_emb.select(F.col("vec_id").alias("doc_b"),
                                 F.col("embedding").alias("emb_b"))
     dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
-    return (cand.join(seen_vecs, "doc_b")
+    return (pairs.join(new_feats, "doc_a").join(seen_vecs, "doc_b")
             .select("doc_a", "doc_b",
                     (dot / (F.col("nrm_a") * F.col("nrm_b")))
                     .alias("cosine"))
@@ -325,7 +400,13 @@ def dedup_incremental_survivors_indexed(store: DedupIndexStore,
     band rows so the NEXT batch probes them too. Returns surviving
     rows (materialized via localCheckpoint when committing, so the
     caller's frame does not recompute the whole step)."""
-    store._require("minhash")
+    # geometry, not just kind (ADVICE r13): the probe signs the NEW
+    # batch under the module constants, so an index pinned under
+    # different band geometry would equi-join incompatible band_vals
+    # and silently return zero candidates — exactly the silent-zero-
+    # recall failure the manifest guard exists to make loud.
+    store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
+                   rows_per_band=ROWS_PER_BAND)
     spark = new_docs.sparkSession
     hit = (dedup_pairs_cross_indexed(new_docs, seen_docs,
                                      store.load(spark))
@@ -347,18 +428,21 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
                                             commit: bool = True
                                             ) -> DataFrame:
     """Index-backed :func:`~.dedup.embedding_incremental_survivors`;
-    the plane count and width come from the store's manifest (the
-    signatures must match the indexed ones). The within-batch pass is
-    the same batch-scaled multi-band resolve as the recompute form."""
+    the band geometry and width come from the store's manifest (the
+    signatures must match the indexed ones — geometry cannot drift by
+    construction). The cross probe is multi-band (ADVICE r13), like
+    the within-batch batch-scaled multi-band resolve."""
     from .dedup import (banded_cosine_pairs, embedding_width_census,
                         scaled_n_planes)
 
     store._require("embedding")
     n_planes = store.params["n_planes"]
+    n_bands = store.params.get("n_bands", 1)
     width = store.params.get("width")
     spark = new_emb.sparkSession
     hit = (embedding_pairs_cross_indexed(new_emb, seen_emb,
-                                         store.load(spark), n_planes,
+                                         store.load(spark),
+                                         n_bands, n_planes,
                                          tau=tau, width=width)
            .select(F.col("doc_a").alias("vec_id")).distinct())
     fresh = new_emb.join(hit, "vec_id", "left_anti")
@@ -377,7 +461,8 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
             .drop("cluster_id"))
     if commit:
         surv = surv.localCheckpoint()
-        store.append(embedding_index_rows(surv, n_planes, width=width))
+        store.append(embedding_index_rows(surv, n_bands, n_planes,
+                                          width=width))
     return surv
 
 
@@ -386,10 +471,32 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
 # foreachBatch target of a document stream
 # ---------------------------------------------------------------------------
 
+def _check_stream_token(store: DedupIndexStore,
+                        stream_token: str | None) -> None:
+    """Replay idempotence is keyed on the micro-batch id, and batch
+    ids restart at 0 under a NEW checkpoint directory — without this
+    guard every early micro-batch of a restarted-with-fresh-checkpoint
+    stream would satisfy ``batch_id <= last_stream_batch`` and be
+    silently dropped until ids passed the old high-water mark (ADVICE
+    r13). The checkpoint dir is recorded in the manifest meta on the
+    first commit and a mismatch is a hard error: a checkpoint dir and
+    an index are permanently paired."""
+    recorded = store.meta.get("stream_token")
+    if (stream_token is not None and recorded is not None
+            and recorded != stream_token):
+        raise ValueError(
+            f"dedup index at {store.path!r} is paired with streaming "
+            f"checkpoint {recorded!r}; driving it from "
+            f"{stream_token!r} would restart micro-batch ids at 0 and "
+            "silently drop batches as replays — resume from the "
+            "original checkpoint directory (or build a new index)")
+
+
 def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
                                   batch_id: int, corpus_path: str,
                                   index_path: str,
-                                  compact_every: int | None = None) -> bool:
+                                  compact_every: int | None = None,
+                                  stream_token: str | None = None) -> bool:
     """One idempotent maintenance step: dedup ``batch_df`` against the
     indexed corpus, append the survivors to the corpus and their band
     rows to the index. Returns False when ``batch_id`` was already
@@ -408,7 +515,9 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
     replayed batch would self-collide with its own index rows and
     dedup itself to nothing)."""
     store = open_dedup_index(index_path)
-    store._require("minhash")
+    store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
+                   rows_per_band=ROWS_PER_BAND)
+    _check_stream_token(store, stream_token)
     if batch_id <= store.meta.get("last_stream_batch", -1):
         return False
     corpus_batches = list(store.meta.get("corpus_batches", []))
@@ -422,11 +531,14 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
     (surv.write.mode("overwrite").parquet(_join(corpus_path, cname)))
-    store.append(minhash_index_rows(surv), meta_update={
-        "last_stream_batch": batch_id,
-        "corpus_batches": corpus_batches + [cname]})
+    meta = {"last_stream_batch": batch_id,
+            "corpus_batches": corpus_batches + [cname]}
+    if stream_token is not None:
+        meta["stream_token"] = stream_token
+    store.append(minhash_index_rows(surv), meta_update=meta)
     if compact_every and len(store._batches) >= compact_every:
         store.compact(spark)
+        compact_maintained_corpus(spark, corpus_path, store)
     return True
 
 
@@ -447,6 +559,50 @@ def load_maintained_corpus(spark: SparkSession, corpus_path: str,
     return spark.read.parquet(*[_join(corpus_path, b) for b in batches])
 
 
+def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
+                              store: "DedupIndexStore | str",
+                              n_files: int | None = None) -> str:
+    """Fold every committed survivors-corpus batch directory into ONE
+    and swap ``corpus_batches`` in a single atomic manifest publish —
+    the corpus-side twin of :meth:`DedupIndexStore.compact` (VERDICT
+    r13 item 1): the maintenance loops append one ``batch=N`` corpus
+    dir per trigger, and both the per-trigger ``seen_docs`` read and
+    :func:`load_maintained_corpus` union the full list, so at
+    per-trigger cadence the read degrades exactly like the index's
+    measured small-files shape — worse, because corpus rows are WIDE
+    (full text), so min-file-size row groups waste more.
+
+    Same crash-safety recipe as the index compact: the compacted
+    directory lands first, the manifest swap publishes it; a crash in
+    between leaves the old manifest (and every old dir) fully intact,
+    and the rewrite is deterministic so a redo overwrites the same
+    directory. Superseded dirs stay on disk for readers holding the
+    pre-compaction manifest (retention is the owner's separate
+    decision). Compacted dirs are named ``compact=K`` with a monotonic
+    K carried in the manifest meta — they can never collide with the
+    ``batch=<micro-batch id>`` trigger dirs.
+
+    ``store`` may be an open :class:`DedupIndexStore` (the maintenance
+    loop's in-hand instance) or the index path."""
+    if isinstance(store, str):
+        store = open_dedup_index(store)
+    batches = list(store.meta.get("corpus_batches", []))
+    if len(batches) <= 1:
+        return ""
+    whole = spark.read.parquet(*[_join(corpus_path, b) for b in batches])
+    if n_files is None:
+        n_files = max(1, min(len(batches),
+                             spark.sparkContext.defaultParallelism))
+    seq = int(store.meta.get("corpus_compact_seq", -1)) + 1
+    name = f"compact={seq}"
+    (whole.repartition(n_files).write.mode("overwrite")
+     .parquet(_join(corpus_path, name)))
+    store.meta["corpus_batches"] = [name]
+    store.meta["corpus_compact_seq"] = seq
+    store._write_manifest()
+    return name
+
+
 def start_dedup_maintenance_stream(docs_stream: DataFrame,
                                    corpus_path: str, index_path: str,
                                    checkpoint_dir: str,
@@ -462,11 +618,16 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
     same reason as the lake enrichment stream: the step is an exact
     bounded-frame operator per trigger; idempotent replay makes it
     exactly-once end to end (the checkpoint replays a failed trigger,
-    the manifest meta makes the replay a committed-batch no-op)."""
+    the manifest meta makes the replay a committed-batch no-op). The
+    checkpoint directory is recorded in the manifest on first commit
+    and pinned thereafter: driving a committed index from a DIFFERENT
+    checkpoint (whose micro-batch ids restart at 0) is a hard error,
+    not a silent replay-drop (ADVICE r13)."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         apply_dedup_maintenance_batch(
             batch_df.sparkSession, batch_df, batch_id,
-            corpus_path, index_path, compact_every)
+            corpus_path, index_path, compact_every,
+            stream_token=checkpoint_dir)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
@@ -481,16 +642,18 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                                       batch_df: DataFrame, batch_id: int,
                                       corpus_path: str, index_path: str,
                                       tau: float = 0.9,
-                                      compact_every: int | None = None
+                                      compact_every: int | None = None,
+                                      stream_token: str | None = None
                                       ) -> bool:
     """Embedding analog of :func:`apply_dedup_maintenance_batch` —
     same idempotent commit protocol (batch-id corpus dir overwrite,
     then ONE atomic manifest publish of index rows + meta); the
     per-batch step is :func:`embedding_incremental_survivors_indexed`
-    (bucket probe against the index, batch-scaled multi-band
+    (banded bucket probe against the index, batch-scaled multi-band
     within-batch resolve)."""
     store = open_dedup_index(index_path)
     store._require("embedding")
+    _check_stream_token(store, stream_token)
     if batch_id <= store.meta.get("last_stream_batch", -1):
         return False
     corpus_batches = list(store.meta.get("corpus_batches", []))
@@ -506,13 +669,18 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
     surv.write.mode("overwrite").parquet(_join(corpus_path, cname))
+    meta = {"last_stream_batch": batch_id,
+            "corpus_batches": corpus_batches + [cname]}
+    if stream_token is not None:
+        meta["stream_token"] = stream_token
     store.append(
-        embedding_index_rows(surv, store.params["n_planes"],
+        embedding_index_rows(surv, store.params.get("n_bands", 1),
+                             store.params["n_planes"],
                              width=store.params.get("width")),
-        meta_update={"last_stream_batch": batch_id,
-                     "corpus_batches": corpus_batches + [cname]})
+        meta_update=meta)
     if compact_every and len(store._batches) >= compact_every:
         store.compact(spark)
+        compact_maintained_corpus(spark, corpus_path, store)
     return True
 
 
@@ -526,11 +694,12 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
     """Streaming embedding-corpus maintenance — see
     :func:`start_dedup_maintenance_stream` for the commit/replay
     contract; the dedup criterion here is cosine >= ``tau`` against
-    the LSH-bucket index."""
+    the banded LSH-bucket index."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         apply_embedding_maintenance_batch(
             batch_df.sparkSession, batch_df, batch_id,
-            corpus_path, index_path, tau, compact_every)
+            corpus_path, index_path, tau, compact_every,
+            stream_token=checkpoint_dir)
 
     writer = (emb_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))

@@ -551,6 +551,11 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     exactly itself as chunk 0; the final chunk is the (possibly
     shorter) tail. Re-chunking the same corpus is reproducible by
     construction and appending docs never changes other docs' chunks.
+    A start s > 0 is emitted only when it contributes at least one
+    NEW token (s + overlap < n): without that cap, any doc with
+    (n-1) mod step < overlap grew a tail chunk wholly contained in
+    its predecessor — duplicated training text from the chunker in a
+    dedup-focused pipeline (ADVICE r13).
 
     Scale: one narrow projection builds each doc's chunk array (HOF
     slice over the split words — no shuffle), one generate emits the
@@ -565,11 +570,14 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     w = F.split("text", " ")
     staged = docs.select("doc_id", w.alias("_w"))
     n = F.size("_w")
-    # chunk starts: 0, step, 2*step, ... while start < n (and at least
-    # one chunk for the empty-doc edge); sequence is inclusive, so the
-    # last start is the largest multiple of step strictly below n
-    last_start = F.greatest((n - 1), F.lit(0)) - F.pmod(
-        F.greatest(n - 1, F.lit(0)), F.lit(step))
+    # chunk starts: 0, step, 2*step, ... while start + overlap < n
+    # (and at least one chunk for the empty-doc edge); sequence is
+    # inclusive, so the last start is the largest multiple of step
+    # <= max(n - overlap - 1, 0). Coverage still holds: consecutive
+    # multiples are step apart, so last_start > n - overlap - 1 - step
+    # = n - max_tokens - 1, i.e. last_start + max_tokens >= n.
+    m = F.greatest(n - overlap - 1, F.lit(0))
+    last_start = m - F.pmod(m, F.lit(step))
     chunks = F.transform(
         F.sequence(F.lit(0), last_start, F.lit(step)),
         lambda s: F.struct(

@@ -88,7 +88,8 @@ def test_embedding_indexed_pairs_and_incremental_match(spark, tmp_path):
     import hashlib
 
     from solana_event_stream_spark.operators.dedup import (
-        embedding_incremental_survivors, embedding_pairs_cross)
+        embedding_incremental_survivors, embedding_pairs_cross,
+        embedding_pairs_cross_banded)
     from solana_event_stream_spark.operators.dedup_index import (
         create_embedding_index, embedding_index_rows,
         embedding_incremental_survivors_indexed,
@@ -109,18 +110,25 @@ def test_embedding_indexed_pairs_and_incremental_match(spark, tmp_path):
          ], "vec_id long, embedding array<float>")
 
     store = create_embedding_index(str(tmp_path / "emb"), n_planes=8,
-                                   width=16)
-    store.append(embedding_index_rows(seen, 8, width=16))
+                                   width=16, n_bands=4)
+    store.append(embedding_index_rows(seen, 4, 8, width=16))
 
+    # the banded indexed probe == the banded recompute twin, exactly
     got = {(r.doc_a, r.doc_b, round(r.cosine, 9))
            for r in embedding_pairs_cross_indexed(
-               new, seen, store.load(spark), 8, tau=0.95,
+               new, seen, store.load(spark), 4, 8, tau=0.95,
                width=16).collect()}
     want = {(r.doc_a, r.doc_b, round(r.cosine, 9))
-            for r in embedding_pairs_cross(new, seen, n_planes=8,
-                                           tau=0.95,
-                                           width=16).collect()}
+            for r in embedding_pairs_cross_banded(
+                new, seen, n_bands=4, band_bits=8, tau=0.95,
+                width=16).collect()}
     assert got == want and (1000, 11) in {p[:2] for p in got}
+    # multi-band candidates are a superset of the single-band form's
+    single = {(r.doc_a, r.doc_b, round(r.cosine, 9))
+              for r in embedding_pairs_cross(new, seen, n_planes=8,
+                                             tau=0.95,
+                                             width=16).collect()}
+    assert single <= got
 
     surv = {r.vec_id for r in embedding_incremental_survivors_indexed(
         store, new, seen, tau=0.95).collect()}
@@ -134,8 +142,101 @@ def test_embedding_indexed_pairs_and_incremental_match(spark, tmp_path):
         (F.col("vec_id") + 5000).alias("vec_id"), "embedding")
     again = {r.doc_b for r in embedding_pairs_cross_indexed(
         resend, seen.unionByName(surv_frame(new)), store.load(spark),
-        8, tau=0.999, width=16).collect()}
+        4, 8, tau=0.999, width=16).collect()}
     assert {1001, 1002} <= again
+
+
+def test_embedding_index_single_band_degenerates_to_old_layout(
+        spark, tmp_path):
+    """n_bands=1 probe == the single-bucket cross form exactly (band
+    0's planes are planes 0..bits-1 of the same md5 family)."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup import (
+        embedding_pairs_cross)
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_embedding_index, embedding_index_rows,
+        embedding_pairs_cross_indexed)
+
+    def vec(i):
+        return [int(hashlib.md5(f"s{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(12)]
+
+    seen = spark.createDataFrame([(i, vec(i)) for i in range(40)],
+                                 "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(900, [x + 0.002 for x in vec(7)]), (901, vec(300))],
+        "vec_id long, embedding array<float>")
+    store = create_embedding_index(str(tmp_path / "e1"), n_planes=8,
+                                   width=12, n_bands=1)
+    store.append(embedding_index_rows(seen, 1, 8, width=12))
+    got = {(r.doc_a, r.doc_b, round(r.cosine, 9))
+           for r in embedding_pairs_cross_indexed(
+               new, seen, store.load(spark), 1, 8, tau=0.9,
+               width=12).collect()}
+    want = {(r.doc_a, r.doc_b, round(r.cosine, 9))
+            for r in embedding_pairs_cross(
+                new, seen, n_planes=8, tau=0.9, width=12).collect()}
+    assert got == want
+
+
+def test_embedding_banded_index_recall_beats_single_wide_band(spark):
+    """The ADVICE r13 motivation, measured: planted cosine~0.93 pairs
+    under a 24-bit signature — the corpus-scale single band misses
+    most (keep ~p^24), four independent 6-bit bands keep nearly all
+    (1-(1-p^6)^4). Deterministic vectors -> pinned counts."""
+    import math
+
+    from solana_event_stream_spark.operators.dedup import (
+        embedding_pairs_cross, embedding_pairs_cross_banded)
+
+    dim = 32
+    n_pairs = 40
+
+    def vec(seed, jitter=0.0):
+        v = [math.sin(seed * 2.3 + d * 0.7) for d in range(dim)]
+        if jitter:
+            v = [x + jitter * math.cos(seed * 5.1 + d * 1.3)
+                 for d, x in enumerate(v)]
+        return v
+
+    seen = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n_pairs)],
+        "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(1000 + i, vec(i, jitter=0.25)) for i in range(n_pairs)],
+        "vec_id long, embedding array<double>")
+    tau = 0.9
+    # ground truth: every cross pair above tau by brute-force cosine
+    a = new.select(F.col("vec_id").alias("doc_a"),
+                   F.col("embedding").alias("ea"))
+    b = seen.select(F.col("vec_id").alias("doc_b"),
+                    F.col("embedding").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.zip_with("ea", "ea",
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.zip_with("eb", "eb",
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    truth = {(r.doc_a, r.doc_b) for r in
+             a.crossJoin(b).select("doc_a", "doc_b",
+                                   (dot / (na * nb)).alias("c"))
+             .filter(F.col("c") >= tau).collect()}
+    assert len(truth) >= n_pairs // 2   # planted pairs actually >= tau
+
+    single = {(r.doc_a, r.doc_b) for r in embedding_pairs_cross(
+        new, seen, n_planes=24, tau=tau, width=dim).collect()}
+    banded = {(r.doc_a, r.doc_b) for r in embedding_pairs_cross_banded(
+        new, seen, n_bands=4, band_bits=6, tau=tau,
+        width=dim).collect()}
+    recall_single = len(single & truth) / len(truth)
+    recall_banded = len(banded & truth) / len(truth)
+    assert recall_banded > recall_single
+    assert recall_banded >= 0.8
+    # precision is exact on both (every emitted pair is cosine>=tau)
+    assert banded <= truth and single <= truth
 
 
 def surv_frame(new):
@@ -159,11 +260,18 @@ def test_store_parameter_guards(spark, tmp_path):
         DedupIndexStore._create(str(tmp_path / "a"), "minhash", {})
     # wrong columns refused
     bad = spark.range(3).select(F.col("id").alias("doc_id"))
-    with pytest.raises(ValueError, match="columns"):
+    with pytest.raises(ValueError, match="schema"):
         mh.append(bad)
+    # right columns, wrong TYPE refused at append time, not at a later
+    # multi-directory read (VERDICT r13 item 3)
+    mistyped = spark.createDataFrame(
+        [(1, 0, 7)], "doc_id long, band_idx int, band_val long")
+    with pytest.raises(ValueError, match="schema"):
+        mh.append(mistyped)
     # empty store loads an empty, correctly-typed frame
     assert emb.load(spark).count() == 0
-    assert set(emb.load(spark).columns) == {"vec_id", "bucket", "nrm"}
+    assert set(emb.load(spark).columns) == {"vec_id", "band_idx",
+                                            "bucket", "nrm"}
 
 
 def test_store_orphan_batch_is_invisible_then_overwritten(
@@ -390,3 +498,153 @@ def test_embedding_streaming_maintenance_matches_batch_loop(spark,
     st = open_dedup_index(str(tmp_path / "eindex_stream"))
     assert len(st._batches) <= 2
     assert st.meta["last_stream_batch"] == 2
+
+
+def test_stream_token_mismatch_is_a_hard_error(spark, tmp_path):
+    """Restarting maintenance with a NEW checkpoint dir restarts
+    micro-batch ids at 0; without the token guard those batches were
+    silently dropped as replays (ADVICE r13). Same token resumes; a
+    different token raises; tokenless direct driving is unchanged."""
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    doc = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        "doc_id long, text string")
+    assert apply_dedup_maintenance_batch(
+        spark, doc, 0, cdir, idir, stream_token="ckpt/A")
+    # same checkpoint: replay of batch 0 is a no-op, batch 1 commits
+    assert not apply_dedup_maintenance_batch(
+        spark, doc, 0, cdir, idir, stream_token="ckpt/A")
+    doc2 = spark.createDataFrame(
+        [(2, "totally different words for the second committed doc")],
+        "doc_id long, text string")
+    assert apply_dedup_maintenance_batch(
+        spark, doc2, 1, cdir, idir, stream_token="ckpt/A")
+    # NEW checkpoint: loud error, not a silent drop
+    with pytest.raises(ValueError, match="paired with streaming"):
+        apply_dedup_maintenance_batch(
+            spark, doc2, 0, cdir, idir, stream_token="ckpt/B")
+    # tokenless (hand-driven) calls keep the legacy id-only contract
+    assert not apply_dedup_maintenance_batch(spark, doc2, 1, cdir, idir)
+
+
+def test_corpus_compaction_roundtrip_and_crash_safety(spark, tmp_path):
+    """compact_maintained_corpus folds N trigger corpus dirs into one
+    compact=K dir, content identical; the pre-compaction manifest view
+    stays readable; a crash before the manifest swap changes nothing;
+    later triggers append fresh batch dirs and a second compaction
+    picks K+1 (never reusing a superseded name)."""
+    import os
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, compact_maintained_corpus,
+        create_minhash_index, load_maintained_corpus, open_dedup_index)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    for bid in range(5):
+        doc = spark.createDataFrame(
+            [(bid * 10 + j,
+              f"corpus doc b{bid}x{j} with its own distinct words "
+              f"w{bid}a{j} w{bid}b{j} w{bid}c{j} w{bid}d{j} w{bid}e{j}")
+             for j in range(3)],
+            "doc_id long, text string")
+        assert apply_dedup_maintenance_batch(spark, doc, bid, cdir, idir)
+
+    before = sorted(map(tuple, load_maintained_corpus(
+        spark, cdir, idir).collect()))
+    old_store = open_dedup_index(idir)          # pre-compaction view
+
+    # crash simulation: compacted dir half-written, NO manifest swap --
+    # loader output unchanged
+    os.makedirs(os.path.join(cdir, "compact=0"), exist_ok=True)
+    assert sorted(map(tuple, load_maintained_corpus(
+        spark, cdir, idir).collect())) == before
+
+    name = compact_maintained_corpus(spark, cdir, idir)
+    assert name == "compact=0"
+    store = open_dedup_index(idir)
+    assert store.meta["corpus_batches"] == [name]
+    after = sorted(map(tuple, load_maintained_corpus(
+        spark, cdir, idir).collect()))
+    assert after == before
+    # pre-compaction reader's dirs are still on disk
+    old_batches = old_store.meta["corpus_batches"]
+    assert all(os.path.isdir(os.path.join(cdir, b)) for b in old_batches)
+
+    # new triggers append; second compaction takes the next seq
+    doc = spark.createDataFrame(
+        [(999, "a final doc with fresh vocabulary nothing shared "
+               "qqq www eee rrr ttt yyy uuu")],
+        "doc_id long, text string")
+    assert apply_dedup_maintenance_batch(spark, doc, 9, cdir, idir)
+    assert compact_maintained_corpus(spark, cdir, idir) == "compact=1"
+    got = sorted(map(tuple, load_maintained_corpus(
+        spark, cdir, idir).collect()))
+    assert got == sorted(before + [(999, doc.collect()[0].text)])
+    # single-batch corpus: compaction is a no-op
+    assert compact_maintained_corpus(spark, cdir, idir) == ""
+
+
+def test_maintenance_compact_every_also_compacts_corpus(spark, tmp_path):
+    """compact_every folds BOTH stores (VERDICT r13 item 1): after 4
+    triggers at compact_every=2, the corpus-batch list is bounded, not
+    one dir per trigger."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index,
+        load_maintained_corpus, open_dedup_index)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    for bid in range(4):
+        doc = spark.createDataFrame(
+            [(bid, f"trigger {bid} document with distinct words "
+                   f"x{bid}a x{bid}b x{bid}c x{bid}d x{bid}e x{bid}f")],
+            "doc_id long, text string")
+        assert apply_dedup_maintenance_batch(
+            spark, doc, bid, cdir, idir, compact_every=2)
+    store = open_dedup_index(idir)
+    assert len(store._batches) <= 2
+    assert len(store.meta["corpus_batches"]) <= 2
+    assert sorted(r.doc_id for r in load_maintained_corpus(
+        spark, cdir, idir).collect()) == [0, 1, 2, 3]
+
+
+def test_cross_indexed_coverage_check(spark, tmp_path):
+    """check_coverage=True raises when the caller's seen frame misses
+    indexed candidate ids (whose pairs would otherwise vanish at the
+    verify join, silently ADMITTING near-dups — ADVICE r13)."""
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index, dedup_pairs_cross_indexed,
+        minhash_index_rows)
+
+    seen = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha bravo charlie delta echo foxtrot golf hotel "
+              "india xx")],
+        "doc_id long, text string")
+    store = create_minhash_index(str(tmp_path / "mh"))
+    store.append(minhash_index_rows(seen))
+    idx = store.load(spark)
+
+    full = dedup_pairs_cross_indexed(new, seen, idx,
+                                     check_coverage=True)
+    assert {(r.doc_a, r.doc_b) for r in full.collect()} == {(10, 1)}
+
+    # seen frame missing doc 1: unchecked silently admits the dup...
+    partial = seen.filter(F.col("doc_id") != 1)
+    assert dedup_pairs_cross_indexed(new, partial, idx).count() == 0
+    # ...checked raises loudly
+    with pytest.raises(ValueError, match="does not cover"):
+        dedup_pairs_cross_indexed(new, partial, idx,
+                                  check_coverage=True).count()

@@ -223,15 +223,18 @@ def test_build_training_corpus_substring_gate(spark):
 
 def test_chunk_documents_goldens(spark):
     """Hand-computed chunk boundaries: 10 tokens at max=4/overlap=1
-    (step 3) -> starts 0,3,6,9 -> chunks of 4,4,4,1 tokens with the
-    overlap token shared; short and exact-budget docs are identity."""
+    (step 3) -> starts 0,3,6 -> chunks of 4,4,4 tokens with the
+    overlap token shared (a start at 9 would add NO new token — the
+    ADVICE r13 redundant-tail case); short and exact-budget docs are
+    identity, with NO contained tail chunk."""
     from solana_event_stream_spark.operators.training_data import (
         chunk_documents)
 
     docs = spark.createDataFrame(
         [(1, " ".join(f"t{i}" for i in range(10))),
          (2, "a b c"),            # under budget -> one chunk
-         (3, "p q r s")],         # exactly max_tokens -> one chunk
+         (3, "p q r s"),          # exactly max_tokens -> one chunk
+         (4, " ".join(f"u{i}" for i in range(11)))],  # true tail
         "doc_id long, text string")
     out = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
            for r in chunk_documents(docs, max_tokens=4,
@@ -239,11 +242,15 @@ def test_chunk_documents_goldens(spark):
     assert out[(1, 0)] == (4, "t0 t1 t2 t3")
     assert out[(1, 1)] == (4, "t3 t4 t5 t6")     # t3 shared (overlap 1)
     assert out[(1, 2)] == (4, "t6 t7 t8 t9")
-    assert out[(1, 3)] == (1, "t9")              # tail
     assert out[(2, 0)] == (3, "a b c")
     assert out[(3, 0)] == (4, "p q r s")
-    assert {k[0] for k in out} == {1, 2, 3}
-    assert len([k for k in out if k[0] == 1]) == 4
+    assert out[(4, 3)] == (2, "u9 u10")          # genuine short tail
+    assert {k[0] for k in out} == {1, 2, 3, 4}
+    # exact chunk counts: contained tails never appear
+    assert len([k for k in out if k[0] == 1]) == 3
+    assert len([k for k in out if k[0] == 2]) == 1
+    assert len([k for k in out if k[0] == 3]) == 1
+    assert len([k for k in out if k[0] == 4]) == 4
 
 
 def test_chunk_documents_covers_every_token(spark):
