@@ -784,12 +784,16 @@ def text_battery(spark, sf_dir: str) -> DataFrame:
 def train_bigram_lm(reference_docs: DataFrame,
                     add_k: float = 1.0,
                     vocab_size: int | None = None) -> DataFrame:
-    """(w1, w2, logp) add-k-smoothed bigram log-probabilities from a
-    clean reference corpus: logp = ln((c(w1,w2) + k) / (c(w1) + k*V)).
+    """(w1, w2, logp, v) add-k-smoothed bigram log-probabilities from
+    a clean reference corpus: logp = ln((c(w1,w2) + k) / (c(w1) + k*V)).
 
     V is the reference unigram vocabulary size (or the ``vocab_size``
-    override when the deployment fixes V across LM versions). The
-    result is reference-sized (bounded by the clean slice, not the
+    override when the deployment fixes V across LM versions) and is
+    PINNED as the constant ``v`` column so downstream scoring never
+    re-derives it (VERDICT r13 item 2: the default-args gate used to
+    fire two driver-side counts before planning — V now folds into the
+    plan as a one-row broadcast, zero pre-query actions end to end).
+    The result is reference-sized (bounded by the clean slice, not the
     corpus being scored) — the broadcastable side of the scoring join.
 
     Scale: one explode of reference bigrams -> ONE groupBy; unigram
@@ -810,12 +814,21 @@ def train_bigram_lm(reference_docs: DataFrame,
            .filter(F.col("g").isNotNull())
            .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
            .agg(F.count(F.lit(1)).alias("c12")))
-    v = vocab_size if vocab_size is not None else uni.count()
-    return (big.join(uni, "w1")
-            .select("w1", "w2",
-                    F.log((F.col("c12") + F.lit(float(add_k)))
-                          / (F.col("c1") + F.lit(float(add_k * v))))
-                    .alias("logp")))
+    base = big.join(uni, "w1")
+    if vocab_size is not None:
+        vcol = F.lit(int(vocab_size)).cast("long")
+    else:
+        # V in-plan: a one-row aggregate of the unigram table,
+        # broadcast under the LM rows — no uni.count() action
+        vtab = uni.agg(F.count(F.lit(1)).alias("_v"))
+        base = base.crossJoin(F.broadcast(vtab))
+        vcol = F.col("_v")
+    return base.select(
+        "w1", "w2",
+        F.log((F.col("c12") + F.lit(float(add_k)))
+              / (F.col("c1") + F.lit(float(add_k)) * vcol))
+        .alias("logp"),
+        vcol.alias("v"))
 
 
 def score_perplexity(docs: DataFrame, lm: DataFrame,
@@ -829,20 +842,38 @@ def score_perplexity(docs: DataFrame, lm: DataFrame,
 
     Unseen bigrams take ``oov_logp`` (default: the add-k floor
     ln(k / (k*V)) = -ln(V), the probability the smoothing assigns a
-    novel pair under an unseen head word). Docs with no bigram carry
-    NULL scores.
+    novel pair under an unseen head word). V comes, in precedence
+    order, from ``oov_logp`` directly, ``vocab_size``, the LM's
+    pinned ``v`` column (:func:`train_bigram_lm` — folded in-plan as
+    a one-row broadcast, ZERO pre-query actions, VERDICT r13 item 2),
+    or — legacy LM tables without ``v`` only — a distinct-union count
+    over the LM (one reference-sized action). Docs with no bigram
+    carry NULL scores.
 
     Scale: the doc side explodes to (doc_id, w1, w2) and LEFT-joins
     the REFERENCE-sized LM (broadcastable — benchmarks/clean slices
     are MBs); one groupBy(doc_id) rolls up. No per-row Python, no
     corpus-sized state."""
-    if oov_logp is None:
+    oov_col = None
+    vtab = None
+    if oov_logp is not None:
+        oov_col = F.lit(float(oov_logp))
+    elif vocab_size is not None:
         import math
-        v = vocab_size if vocab_size is not None else (
-            lm.select(F.col("w1").alias("w"))
-            .unionByName(lm.select(F.col("w2").alias("w")))
-            .distinct().count())
-        oov_logp = -math.log(max(v, 1))
+        oov_col = F.lit(-math.log(max(vocab_size, 1)))
+    elif "v" in lm.columns:
+        # pinned-V LM: -ln(V) as a one-row broadcast, no action
+        vtab = lm.agg(F.max("v").alias("_lmv"))
+        oov_col = -F.log(F.coalesce(F.greatest(F.col("_lmv"),
+                                               F.lit(1).cast("long")),
+                                    F.lit(1).cast("long"))
+                         .cast("double"))
+    else:
+        import math
+        v = (lm.select(F.col("w1").alias("w"))
+             .unionByName(lm.select(F.col("w2").alias("w")))
+             .distinct().count())
+        oov_col = F.lit(-math.log(max(v, 1)))
     w = F.split("text", " ")
     s = F.size(w)
     bigrams = F.when(s >= 2, F.zip_with(
@@ -853,13 +884,16 @@ def score_perplexity(docs: DataFrame, lm: DataFrame,
     exploded = (docs.select("doc_id", F.explode_outer(bigrams).alias("g"))
                 .select("doc_id", F.col("g.w1").alias("w1"),
                         F.col("g.w2").alias("w2")))
+    if vtab is not None:
+        exploded = exploded.crossJoin(F.broadcast(vtab))
     scored = (exploded
-              .join(F.broadcast(lm), ["w1", "w2"], "left")
+              .join(F.broadcast(lm.select("w1", "w2", "logp")),
+                    ["w1", "w2"], "left")
               .groupBy("doc_id")
               .agg(F.count(F.col("w1")).alias("n_bigrams"),
                    F.sum(F.coalesce(F.col("logp"),
                                     F.when(F.col("w1").isNotNull(),
-                                           F.lit(float(oov_logp)))))
+                                           oov_col)))
                    .alias("_sum")))
     avg = F.col("_sum") / F.col("n_bigrams")
     return scored.select(

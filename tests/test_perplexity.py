@@ -86,3 +86,50 @@ def test_perplexity_plan_broadcast_no_udf(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_perplexity_gate_plans_with_zero_actions(spark, monkeypatch):
+    """VERDICT r13 item 2: the default-args perplexity gate must plan
+    WITHOUT driver-side actions — V is pinned in the LM ('v' column)
+    and folds into the scoring plan as a one-row broadcast. Enforced
+    by making every DataFrame action explode during construction of
+    the full build_training_corpus perplexity path."""
+    from pyspark.sql import DataFrame
+
+    from solana_event_stream_spark.operators.text_analysis import (
+        perplexity_filter, score_perplexity, train_bigram_lm)
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+
+    ref = _mk(spark, [(1, "a b a b a c"), (2, "b a c a b a")])
+    docs = spark.createDataFrame(
+        [(10, "en", "a b a c a b a b a c b a"),
+         (20, "en", "x y z q w e r t y u i o")],
+        "doc_id long, lang string, text string")
+
+    def _boom(self, *a, **k):
+        raise AssertionError("pre-query action fired on the "
+                             "default-args perplexity gate path")
+
+    with monkeypatch.context() as m:
+        for action in ("count", "collect", "toLocalIterator", "head"):
+            m.setattr(DataFrame, action, _boom)
+        lm = train_bigram_lm(ref)
+        scored = score_perplexity(docs.select("doc_id", "text"), lm)
+        filtered = perplexity_filter(docs, ref, max_perplexity=1e9)
+        piped = build_training_corpus(
+            docs, dedup=False, min_words=1, min_stop_ratio=0.0,
+            min_unique_ratio=0.0, max_top2gram_frac=1.0,
+            max_dup3gram_frac=1.0, reference_docs=ref,
+            max_perplexity=1e9)
+    # outside the patch the plans execute and are correct
+    assert {r.doc_id for r in scored.collect()} == {10, 20}
+    assert {r.doc_id for r in filtered.collect()} == {10, 20}
+    assert {r.doc_id for r in piped.collect()} == {10, 20}
+    # and the pinned-V scores equal the explicit-vocab_size form
+    import math
+    explicit = {r.doc_id: r.perplexity for r in score_perplexity(
+        docs.select("doc_id", "text"), lm, vocab_size=3).collect()}
+    pinned = {r.doc_id: r.perplexity for r in scored.collect()}
+    for k in pinned:
+        assert abs(pinned[k] - explicit[k]) < 1e-12
