@@ -95,6 +95,44 @@ def main() -> None:
                 "verified_pairs": n_pairs,
             }
 
+    # substring kind (r14): per-batch coverage probe must be ~flat in
+    # seen size (narrow fp-index scan), recompute re-fingerprints the
+    # whole seen corpus every batch
+    from solana_event_stream_spark.operators.dedup import (  # noqa: E402
+        substring_incremental_survivors)
+    from solana_event_stream_spark.operators.dedup_index import (  # noqa: E402
+        create_substring_index, substring_incremental_survivors_indexed,
+        substring_index_rows)
+
+    for label, path in (("seen=5k", SMALL), ("seen=50k", BIG)):
+        seen = (spark.read.parquet(os.path.join(path,
+                                                "documents.parquet"))
+                .select("doc_id", "text"))
+        with tempfile.TemporaryDirectory() as d:
+            store = create_substring_index(os.path.join(d, "ss"))
+            t0 = time.perf_counter()
+            store.append(substring_index_rows(seen))
+            build = time.perf_counter() - t0
+            force(substring_incremental_survivors(batch, seen))   # warm
+            force(substring_incremental_survivors_indexed(
+                store, batch, commit=False))
+            res = {"recompute": [], "indexed": []}
+            for _ in range(reps):
+                res["recompute"].append(timed(
+                    lambda: force(substring_incremental_survivors(
+                        batch, seen)), 1))
+                res["indexed"].append(timed(
+                    lambda: force(substring_incremental_survivors_indexed(
+                        store, batch, commit=False)), 1))
+            n_surv = substring_incremental_survivors_indexed(
+                store, batch, commit=False).count()
+            out[f"substring {label}"] = {
+                "recompute_s": round(min(res["recompute"]), 3),
+                "indexed_s": round(min(res["indexed"]), 3),
+                "index_build_s": round(build, 3),
+                "survivors": n_surv,
+            }
+
     ebatch_src = (spark.read.parquet(os.path.join(
         SMALL, "embeddings.parquet")).filter(F.col("vec_id") < 100))
     ebatch = (ebatch_src.select(

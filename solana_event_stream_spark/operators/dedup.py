@@ -1445,3 +1445,96 @@ def exact_substring_pairs_winnowed(docs: DataFrame, k: int = 32,
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+
+
+# ---------------------------------------------------------------------------
+# Append-only exact-substring dedup (VERDICT r13 item 2): the cross /
+# incremental forms over winnowed fingerprints, the recompute twins of
+# the materialized "substring" index kind (operators/dedup_index.py).
+# ---------------------------------------------------------------------------
+
+def _substring_fp_exploded(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, n_fps, fp) — winnowed fingerprints exploded with the
+    per-doc fingerprint count carried alongside (the coverage
+    denominator). explode_outer keeps too-short docs (NULL fp,
+    n_fps=0) visible to the scorer."""
+    per_doc = substring_fingerprint_frame(docs, k, w)
+    return per_doc.select("doc_id", F.size("fps").alias("n_fps"),
+                          F.explode_outer("fps").alias("fp"))
+
+
+def substring_pairs_cross(new_docs: DataFrame, seen_docs: DataFrame,
+                          k: int = 32, w: int = 16,
+                          max_docs_per_window: int = 64) -> DataFrame:
+    """(doc_a=new doc_id, doc_b=seen doc_id, n_shared_fps) — document
+    pairs ACROSS two corpora sharing winnowed substring fingerprints:
+    the append-only form of :func:`exact_substring_pairs_winnowed`
+    (the seen corpus is never re-paired against itself; a pair implies
+    a genuine shared >= k-token verbatim window, guaranteed for spans
+    >= k + w - 1). Stop-window cut on the COMBINED per-fingerprint
+    population (a boilerplate span present in m docs across both sides
+    still caps at max_docs_per_window)."""
+    fp_n = (_substring_fp_exploded(new_docs, k, w)
+            .filter(F.col("fp").isNotNull()).select("doc_id", "fp"))
+    fp_s = (_substring_fp_exploded(seen_docs, k, w)
+            .filter(F.col("fp").isNotNull()).select("doc_id", "fp"))
+    pop = (fp_n.select("fp").unionByName(fp_s.select("fp"))
+           .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") <= max_docs_per_window).select("fp"))
+    return (fp_n.join(pop, "fp").alias("a")
+            .join(fp_s.alias("b"), F.col("a.fp") == F.col("b.fp"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+
+
+def substring_incremental_survivors(new_docs: DataFrame,
+                                    seen_docs: DataFrame,
+                                    k: int = 32, w: int = 16,
+                                    max_dup_frac: float = 0.5
+                                    ) -> DataFrame:
+    """Append-only exact-substring dedup: ``new_docs`` rows whose
+    duplicated-fingerprint coverage — the fraction of the doc's
+    winnowed fingerprints that appear in the SEEN corpus or in another
+    doc of the same batch — is at most ``max_dup_frac``. The
+    incremental twin of :func:`exact_substring_survivors`'s coverage
+    ceiling, with fingerprint coverage standing in for window coverage
+    (an unbiased ~2/(w+1) positional sample; spans >= k + w - 1 always
+    contribute at least one shared fingerprint). Docs too short to
+    carry a fingerprint pass — the length gates own them.
+
+    No verify re-attach is needed (unlike MinHash): a fingerprint
+    equality IS the evidence — it implies a shared exact k-token
+    window directly (64-bit collision budget as everywhere else), so
+    the seen corpus contributes only its fingerprint SET. That is what
+    makes the materialized "substring" index self-sufficient: the
+    indexed probe never touches seen raw text."""
+    seen_fps = (_substring_fp_exploded(seen_docs, k, w)
+                .filter(F.col("fp").isNotNull())
+                .select("fp").distinct())
+    return _substring_survivors_against(new_docs, seen_fps, k, w,
+                                        max_dup_frac)
+
+
+def _substring_survivors_against(new_docs: DataFrame,
+                                 seen_fps: DataFrame,
+                                 k: int, w: int,
+                                 max_dup_frac: float) -> DataFrame:
+    """Shared core of the recompute and indexed incremental forms:
+    score each new doc's fingerprint coverage against ``seen_fps``
+    (a distinct (fp) frame) plus within-batch duplicated fingerprints,
+    and keep rows at or under the ceiling."""
+    batch = _substring_fp_exploded(new_docs, k, w)
+    within_dup = (batch.filter(F.col("fp").isNotNull())
+                  .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+                  .filter(F.col("n") > 1).select("fp"))
+    dup_fps = (seen_fps.select("fp").unionByName(within_dup)
+               .distinct().withColumn("_dup", F.lit(1)))
+    flagged = (batch.join(dup_fps, "fp", "left")
+               .groupBy("doc_id", "n_fps")
+               .agg(F.count(F.col("_dup")).alias("n_dup"))
+               .filter((F.col("n_fps") > 0)
+                       & (F.col("n_dup").cast("double") / F.col("n_fps")
+                          > max_dup_frac))
+               .select("doc_id"))
+    return new_docs.join(flagged, "doc_id", "left_anti")

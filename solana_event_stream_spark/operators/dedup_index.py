@@ -65,7 +65,9 @@ from ..streaming.event_archive import (_fs_isdir, _fs_listdir,
                                        _join)
 from .dedup import (N_BANDS, N_HASHES, ROWS_PER_BAND, _SPARK_DOT,
                     _bands_from_shingles, _minhash_band_frame,
-                    _minhash_verified_pairs, _shingles, _verify_jaccard,
+                    _minhash_verified_pairs, _shingles,
+                    _substring_fp_exploded,
+                    _substring_survivors_against, _verify_jaccard,
                     banded_signature_rows, connected_components,
                     dedup_survivors)
 
@@ -251,6 +253,19 @@ class DedupIndexStore:
             *[_join(self.path, b) for b in self._batches])
 
 
+def substring_index_rows(docs: DataFrame, k: int = 32,
+                         w: int = 16) -> DataFrame:
+    """(doc_id, fp) winnowed exact-substring fingerprints for a
+    (doc_id, text) corpus — the rows a "substring" index persists
+    (``dedup.substring_fingerprint_frame`` exploded): a fingerprint
+    equality IS the duplicate evidence (it implies a shared exact
+    k-token window), so unlike the minhash/embedding kinds this index
+    needs NO raw-feature re-attach at probe time."""
+    return (_substring_fp_exploded(docs, k, w)
+            .filter(F.col("fp").isNotNull())
+            .select("doc_id", "fp"))
+
+
 def create_minhash_index(path: str) -> DedupIndexStore:
     """New empty minhash band index; geometry pinned from the module
     constants the finders use (``N_HASHES``/``N_BANDS``/
@@ -275,6 +290,18 @@ def create_embedding_index(path: str, n_planes: int,
     return DedupIndexStore._create(
         path, "embedding", {"n_planes": n_planes, "width": width,
                             "n_bands": n_bands})
+
+
+def create_substring_index(path: str, k: int = 32, w: int = 16
+                           ) -> DedupIndexStore:
+    """New empty winnowed exact-substring fingerprint index (VERDICT
+    r13 item 2 — the strongest-signal dedup modality gets the same
+    append-only form as minhash/embedding). ``k`` is the verbatim
+    window length in tokens, ``w`` the winnowing window (volume
+    ~2/(w+1) of all positions; shared spans >= k + w - 1 are
+    guaranteed to collide) — both pinned: fingerprints under different
+    (k, w) are not join-compatible."""
+    return DedupIndexStore._create(path, "substring", {"k": k, "w": w})
 
 
 def open_dedup_index(path: str) -> DedupIndexStore:
@@ -466,6 +493,54 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
     return surv
 
 
+def substring_pairs_cross_indexed(new_docs: DataFrame,
+                                  seen_index: DataFrame,
+                                  k: int = 32, w: int = 16,
+                                  max_docs_per_window: int = 64
+                                  ) -> DataFrame:
+    """:func:`~.dedup.substring_pairs_cross` with the seen side's
+    fingerprints read from the index — (doc_a=new, doc_b=seen,
+    n_shared_fps). No seen raw text is touched at all: a fingerprint
+    match already implies a shared exact k-token window. Stop-window
+    cut on the combined (new + indexed) per-fingerprint population."""
+    fp_n = (_substring_fp_exploded(new_docs, k, w)
+            .filter(F.col("fp").isNotNull()).select("doc_id", "fp"))
+    pop = (fp_n.select("fp").unionByName(seen_index.select("fp"))
+           .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") <= max_docs_per_window).select("fp"))
+    return (fp_n.join(pop, "fp").alias("a")
+            .join(seen_index.alias("b"), F.col("a.fp") == F.col("b.fp"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fps")))
+
+
+def substring_incremental_survivors_indexed(store: DedupIndexStore,
+                                            new_docs: DataFrame,
+                                            max_dup_frac: float = 0.5,
+                                            commit: bool = True
+                                            ) -> DataFrame:
+    """Index-backed :func:`~.dedup.substring_incremental_survivors`:
+    drop new docs whose duplicated-fingerprint coverage against the
+    INDEXED corpus (plus within-batch duplicates) exceeds the
+    ceiling, and (``commit=True``) append the survivors' fingerprints
+    so the next batch probes them too. The (k, w) geometry comes from
+    the manifest — mismatched fingerprints would silently equi-join to
+    nothing, so it is never caller-supplied. Unlike the minhash form,
+    no ``seen_docs`` parameter exists: the index IS the complete seen
+    state (fingerprint equality needs no verify re-attach)."""
+    store._require("substring")
+    k, w = store.params["k"], store.params["w"]
+    spark = new_docs.sparkSession
+    seen_fps = store.load(spark).select("fp").distinct()
+    surv = _substring_survivors_against(new_docs, seen_fps, k, w,
+                                        max_dup_frac)
+    if commit:
+        surv = surv.localCheckpoint()
+        store.append(substring_index_rows(surv, k, w))
+    return surv
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus maintenance: the index + survivors corpus as the
 # foreachBatch target of a document stream
@@ -627,6 +702,75 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
         apply_dedup_maintenance_batch(
             batch_df.sparkSession, batch_df, batch_id,
             corpus_path, index_path, compact_every,
+            stream_token=checkpoint_dir)
+
+    writer = (docs_stream.writeStream.foreachBatch(_proc)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def apply_substring_maintenance_batch(spark: SparkSession,
+                                      batch_df: DataFrame, batch_id: int,
+                                      corpus_path: str, index_path: str,
+                                      max_dup_frac: float = 0.5,
+                                      compact_every: int | None = None,
+                                      stream_token: str | None = None
+                                      ) -> bool:
+    """Exact-substring analog of :func:`apply_dedup_maintenance_batch`
+    (VERDICT r13 item 2): per trigger, drop new docs whose verbatim
+    duplicated-span (fingerprint) coverage against everything
+    committed so far exceeds ``max_dup_frac``, append survivors to the
+    corpus and their winnowed fingerprints to the index — the
+    composition that lets ``build_training_corpus``'s substring gate
+    run append-only instead of batch-wide. Same idempotent commit
+    protocol; note the per-trigger step never reads the seen corpus
+    (the fingerprint index is the complete seen state), so corpus
+    dirs are write-only until :func:`load_maintained_corpus`."""
+    store = open_dedup_index(index_path)
+    store._require("substring")
+    _check_stream_token(store, stream_token)
+    if batch_id <= store.meta.get("last_stream_batch", -1):
+        return False
+    corpus_batches = list(store.meta.get("corpus_batches", []))
+    surv = substring_incremental_survivors_indexed(
+        store, batch_df.select("doc_id", "text"),
+        max_dup_frac=max_dup_frac, commit=False)
+    surv = surv.localCheckpoint()
+    cname = f"batch={batch_id}"
+    surv.write.mode("overwrite").parquet(_join(corpus_path, cname))
+    meta = {"last_stream_batch": batch_id,
+            "corpus_batches": corpus_batches + [cname]}
+    if stream_token is not None:
+        meta["stream_token"] = stream_token
+    store.append(substring_index_rows(surv, store.params["k"],
+                                      store.params["w"]),
+                 meta_update=meta)
+    if compact_every and len(store._batches) >= compact_every:
+        store.compact(spark)
+        compact_maintained_corpus(spark, corpus_path, store)
+    return True
+
+
+def start_substring_maintenance_stream(docs_stream: DataFrame,
+                                       corpus_path: str, index_path: str,
+                                       checkpoint_dir: str,
+                                       max_dup_frac: float = 0.5,
+                                       compact_every: int | None = None,
+                                       available_now: bool = False,
+                                       processing_time: str = "10 seconds"):
+    """Streaming exact-substring corpus maintenance — see
+    :func:`start_dedup_maintenance_stream` for the commit/replay/
+    checkpoint-pairing contract; the drop criterion here is winnowed
+    verbatim-span coverage > ``max_dup_frac`` against the committed
+    fingerprint index."""
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        apply_substring_maintenance_batch(
+            batch_df.sparkSession, batch_df, batch_id,
+            corpus_path, index_path, max_dup_frac, compact_every,
             stream_token=checkpoint_dir)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)

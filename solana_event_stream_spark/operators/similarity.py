@@ -797,6 +797,35 @@ def dequantize_embeddings_int8(qemb: DataFrame) -> DataFrame:
         .alias("embedding"))
 
 
+def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
+                              **kwargs) -> DataFrame:
+    """:func:`ann_topk_frames` over an INT8-QUANTIZED corpus (VERDICT
+    r13 item 5) — the deployment serving path where the 100 TB corpus
+    tier stores only (vec_id, scale, q) from
+    :func:`quantize_embeddings_int8` (8x smaller than float64) and
+    queries arrive as float embeddings.
+
+    The whole composition rides one identity: cosine is
+    SCALE-INVARIANT per corpus vector, so scoring directly on the int8
+    codes equals scoring on the dequantized values exactly —
+    dot(query, codes) / (|query| * |codes|) has the per-vector scale
+    cancelled — and the hyperplane signature is a SIGN, so
+    sign(W . codes) = sign(W . dequant) too (positive scale). The
+    codes therefore pass straight through as the corpus embedding
+    column: LSH bucket join, multiprobe, broadcast hints, the
+    ``width``/``corpus_rows`` zero-action plan guarantees, and the
+    bounded two-phase top-k are all inherited unchanged, and the
+    ``scale`` column is never read at serving time (it exists for
+    reconstruction/re-ranking). Accepts every :func:`ann_topk_frames`
+    keyword; recall@k >= the pinned 0.9 floor vs the exact float path
+    (tests/test_quantization.py)."""
+    corpus = qcorpus.select(
+        "vec_id",
+        F.col("q").cast("array<double>").alias("embedding"))
+    kwargs.setdefault("corpus_id_col", "vec_id")
+    return ann_topk_frames(queries, corpus, **kwargs)
+
+
 def ann_cosine_topk_quantized(spark, sf_dir: str,
                               top_k: int = TOP_K) -> DataFrame:
     """Brute-force cosine top-k over the INT8-quantized corpus — the

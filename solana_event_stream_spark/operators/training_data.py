@@ -433,6 +433,9 @@ def build_training_corpus(docs: DataFrame,
                           max_substring_dup_frac: float | None = None,
                           reference_docs: DataFrame | None = None,
                           max_perplexity: float | None = None,
+                          chunk_max_tokens: int | None = None,
+                          chunk_overlap: int = 64,
+                          pack_budget: int | None = None,
                           n_shards: int | None = None) -> DataFrame:
     """The one-call curation pipeline (r12) — every apply step the
     module family ships, composed in the order a production run
@@ -454,13 +457,26 @@ def build_training_corpus(docs: DataFrame,
     6. near-dup dedup (MinHash-LSH pairs -> connected components ->
        :func:`~.dedup.dedup_survivors`), run LAST so the quadratic-ish
        candidate work only sees already-thinned docs;
-    7. optional deterministic ``shard`` column (md5 hash — adding data
+    7. optional long-document windowing (``chunk_max_tokens`` —
+       :func:`chunk_documents`, post-gates/post-dedup so chunking
+       never multiplies the dedup candidate work, pre-shard so chunks
+       co-shard with their doc): rows become fixed-budget chunks with
+       ``chunk_overlap`` tokens of shared context;
+    8. optional greedy pack assignment over the chunks
+       (``pack_budget``, requires chunking): the ``pack_sequences``
+       labeling — (bucket, pack_seq) columns where chunks fill
+       pack_budget-token packs in (doc_id, chunk_idx) order WITHIN
+       doc-hash buckets, so the running-total window never needs a
+       global sort;
+    9. optional deterministic ``shard`` column (md5 hash — adding data
        never moves existing rows between shards).
 
     Input: (doc_id, lang, text). Output: surviving rows unchanged
-    (+ ``shard``). Every step is individually oracle- or
-    planted-case-tested; this composition is itself planted-case
-    tested (tests/test_training_data.py)."""
+    (+ ``shard``), or — with ``chunk_max_tokens`` — fixed-budget
+    training rows (doc_id, lang, chunk_idx, n_tokens, chunk
+    [, bucket, pack_seq] [, shard]). Every step is individually
+    oracle- or planted-case-tested; this composition is itself
+    planted-case tested (tests/test_training_data.py)."""
     from ..tables import spread_frame
     from .curation import decontaminate_survivors
     from .dedup import (_minhash_verified_pairs, connected_components,
@@ -522,13 +538,35 @@ def build_training_corpus(docs: DataFrame,
     if max_substring_dup_frac is not None:
         # exact verbatim spans first (the strongest signal), fuzzy
         # MinHash last — both cross-document stages see gate-thinned
-        # docs only
+        # docs only. Append-only deployments run this same ceiling
+        # per-trigger instead via the "substring" index kind
+        # (dedup_index.apply_substring_maintenance_batch).
         from .dedup import exact_substring_survivors
         kept = exact_substring_survivors(
             kept, max_dup_frac=max_substring_dup_frac)
     if dedup:
         kept = dedup_survivors(
             kept, connected_components(_minhash_verified_pairs(kept)))
+    if pack_budget is not None and chunk_max_tokens is None:
+        raise ValueError(
+            "pack_budget requires chunk_max_tokens: packing assigns "
+            "FIXED-budget rows, which only chunking guarantees")
+    if chunk_max_tokens is not None:
+        kept = chunk_documents(kept, max_tokens=chunk_max_tokens,
+                               overlap=chunk_overlap)
+        if pack_budget is not None:
+            wnd = (Window.partitionBy("bucket")
+                   .orderBy("doc_id", "chunk_idx")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+            kept = (kept.withColumn(
+                "bucket", F.col("doc_id") % _PACK_BUCKETS)
+                .withColumn("_cum", F.sum("n_tokens").over(wnd))
+                .withColumn(
+                    "pack_seq",
+                    F.floor((F.col("_cum") - F.col("n_tokens"))
+                            / F.lit(float(pack_budget))))
+                .drop("_cum"))
     if n_shards:
         kept = kept.withColumn(
             "shard",
@@ -546,11 +584,14 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
     least one chunk and consecutive chunks share ``overlap`` tokens of
     context (the standard long-document windowing).
 
-    Output: (doc_id, chunk_idx, n_tokens, chunk) — chunk_idx is
-    0-based and deterministic; a doc at or under the budget yields
-    exactly itself as chunk 0; the final chunk is the (possibly
-    shorter) tail. Re-chunking the same corpus is reproducible by
-    construction and appending docs never changes other docs' chunks.
+    Output: (every input column except ``text``, chunk_idx, n_tokens,
+    chunk) — non-text columns (doc_id, lang, ...) ride through the
+    projection so pipeline composition never needs a re-attach join.
+    chunk_idx is 0-based and deterministic; a doc at or under the
+    budget yields exactly itself as chunk 0; the final chunk is the
+    (possibly shorter) tail. Re-chunking the same corpus is
+    reproducible by construction and appending docs never changes
+    other docs' chunks.
     A start s > 0 is emitted only when it contributes at least one
     NEW token (s + overlap < n): without that cap, any doc with
     (n-1) mod step < overlap grew a tail chunk wholly contained in
@@ -567,8 +608,9 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
         raise ValueError(
             f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
     step = max_tokens - overlap
+    carry = [c for c in docs.columns if c != "text"]
     w = F.split("text", " ")
-    staged = docs.select("doc_id", w.alias("_w"))
+    staged = docs.select(*carry, w.alias("_w"))
     n = F.size("_w")
     # chunk starts: 0, step, 2*step, ... while start + overlap < n
     # (and at least one chunk for the empty-doc edge); sequence is
@@ -583,10 +625,10 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 512,
         lambda s: F.struct(
             (s / step).cast("long").alias("chunk_idx"),
             F.slice(F.col("_w"), s + 1, max_tokens).alias("toks")))
-    out = (staged.select("doc_id", F.posexplode_outer(chunks)
+    out = (staged.select(*carry, F.posexplode_outer(chunks)
                          .alias("_pos", "c"))
            .filter(F.col("c").isNotNull()))
     return out.select(
-        "doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+        *carry, F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.toks").alias("n_tokens"),
         F.array_join("c.toks", " ").alias("chunk"))

@@ -648,3 +648,135 @@ def test_cross_indexed_coverage_check(spark, tmp_path):
     with pytest.raises(ValueError, match="does not cover"):
         dedup_pairs_cross_indexed(new, partial, idx,
                                   check_coverage=True).count()
+
+
+def _span(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_substring_indexed_matches_recompute_and_accumulates(
+        spark, tmp_path):
+    """The 'substring' index kind (VERDICT r13 item 2): indexed
+    incremental survivors == the recompute form on planted shared
+    verbatim spans; committed survivors' fingerprints catch a batch-2
+    re-send; indexed cross pairs == the recompute cross pairs."""
+    from solana_event_stream_spark.operators.dedup import (
+        substring_incremental_survivors, substring_pairs_cross)
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_substring_index, substring_index_rows,
+        substring_incremental_survivors_indexed,
+        substring_pairs_cross_indexed)
+
+    k, w = 8, 4
+    shared = _span("s", 24)             # >= k+w-1: guaranteed to collide
+    seen = spark.createDataFrame(
+        [(1, shared + " " + _span("p1_", 4)),
+         (2, _span("q", 30))],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(11, shared + " " + _span("n1_", 3)),   # mostly the seen span
+         (12, _span("r", 30)),                   # fresh
+         (13, _span("t", 20) + " " + _span("w13_", 2)),  # within-batch
+         (14, _span("t", 20) + " " + _span("w14_", 2))], # dup pair
+        "doc_id long, text string")
+
+    store = create_substring_index(str(tmp_path / "ss"), k=k, w=w)
+    store.append(substring_index_rows(seen, k, w))
+
+    # cross pairs: indexed == recompute
+    gotp = {(r.doc_a, r.doc_b, r.n_shared_fps)
+            for r in substring_pairs_cross_indexed(
+                new, store.load(spark), k=k, w=w).collect()}
+    wantp = {(r.doc_a, r.doc_b, r.n_shared_fps)
+             for r in substring_pairs_cross(new, seen, k=k,
+                                            w=w).collect()}
+    assert gotp == wantp and (11, 1) in {p[:2] for p in gotp}
+
+    got = {r.doc_id for r in substring_incremental_survivors_indexed(
+        store, new, max_dup_frac=0.5).collect()}
+    want = {r.doc_id for r in substring_incremental_survivors(
+        new, seen, k=k, w=w, max_dup_frac=0.5).collect()}
+    assert got == want == {12}          # 11 vs seen; 13/14 each other
+    assert len(store._batches) == 2     # survivors' fps committed
+
+    # a batch-2 re-send of survivor 12's text probes the INDEX alone
+    resend = spark.createDataFrame(
+        [(120, _span("r", 30) + " " + _span("z", 2))],
+        "doc_id long, text string")
+    got2 = {r.doc_id for r in substring_incremental_survivors_indexed(
+        store, resend, max_dup_frac=0.5, commit=False).collect()}
+    assert got2 == set()
+
+    # geometry guard: a probe against a differently-pinned index raises
+    import pytest
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        store._require("substring", k=16, w=w)
+
+
+def test_substring_streaming_maintenance_matches_batch_loop(
+        spark, tmp_path):
+    """Streaming exact-substring maintenance == the hand-driven loop;
+    replay no-op; compact_every folds index AND corpus."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_substring_maintenance_batch, create_substring_index,
+        load_maintained_corpus, open_dedup_index,
+        start_substring_maintenance_stream)
+
+    k, w = 8, 4
+    boiler = _span("b", 24)
+    batches = [
+        [(1, boiler + " " + _span("x1_", 3)), (2, _span("u", 30))],
+        [(11, boiler + " " + _span("x11_", 3)),   # span seen in b0
+         (12, _span("v", 30))],
+        [(21, _span("v", 30) + " " + _span("x21_", 2)),  # ~ doc 12
+         (22, _span("y", 30))],
+    ]
+
+    def run(tag, driver):
+        cdir = str(tmp_path / f"sc_{tag}")
+        idir = str(tmp_path / f"si_{tag}")
+        create_substring_index(idir, k=k, w=w)
+        driver(cdir, idir)
+        return sorted(r.doc_id for r in load_maintained_corpus(
+            spark, cdir, idir).collect())
+
+    def by_hand(cdir, idir):
+        for bid, rows in enumerate(batches):
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            assert apply_substring_maintenance_batch(
+                spark, bdf, bid, cdir, idir, compact_every=2)
+        bdf = spark.createDataFrame(batches[-1],
+                                    "doc_id long, text string")
+        assert not apply_substring_maintenance_batch(
+            spark, bdf, len(batches) - 1, cdir, idir)
+
+    want = run("hand", by_hand)
+    # doc 1's coverage ~24/27 of the boiler span within batch 0? No:
+    # within batch 0 nothing repeats, so 1 and 2 both survive; 11 is
+    # dropped against 1's committed span; 21 against 12's.
+    assert want == [1, 2, 12, 22]
+
+    sdir = tmp_path / "ss_stream_in"
+    sdir.mkdir()
+    for bid, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(sdir / f"b{bid}.parquet")))
+
+    def by_stream(cdir, idir):
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(sdir) + "/*"))
+        q = start_substring_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "ss_ckpt"),
+            compact_every=2, available_now=True)
+        q.awaitTermination(120)
+
+    got = run("stream", by_stream)
+    assert got == want
+    st = open_dedup_index(str(tmp_path / "si_stream"))
+    assert len(st._batches) <= 2
+    assert len(st.meta["corpus_batches"]) <= 2
+    assert st.meta["last_stream_batch"] == 2
+    assert st.meta["stream_token"] == str(tmp_path / "ss_ckpt")

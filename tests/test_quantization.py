@@ -58,3 +58,65 @@ def test_quantized_plan_no_udf_no_cross(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantized_frames_lsh_recall_and_zero_actions(
+        spark, sf_dir, monkeypatch):
+    """VERDICT r13 item 5: the deployment serving path accepts the
+    int8-quantized corpus — LSH over the codes (scale cancels in both
+    the signature sign and the cosine) with recall@k >= the pinned 0.9
+    floor vs the exact float path, and the width=+corpus_rows=
+    zero-action plan guarantee intact."""
+    from pyspark.sql import DataFrame
+
+    from solana_event_stream_spark.operators.similarity import (
+        N_QUERIES, ann_topk_frames, ann_topk_frames_quantized,
+        quantize_embeddings_int8)
+    from solana_event_stream_spark.tables import load_spread
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qcorpus = quantize_embeddings_int8(emb).localCheckpoint()
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def _boom(self, *a, **k):
+        raise AssertionError("pre-query action fired on the quantized "
+                             "width=+corpus_rows= serving path")
+
+    with monkeypatch.context() as m:
+        for action in ("count", "collect", "toLocalIterator", "head"):
+            m.setattr(DataFrame, action, _boom)
+        # 5 probe bits: the float LSH path's measured >=0.9-recall
+        # setting on this corpus (0.96 measured; see commit notes)
+        planned = ann_topk_frames_quantized(
+            queries, qcorpus, method="lsh", width=64, corpus_rows=500,
+            nprobe_bits=5)
+
+    def recall_of(df, exact):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    exact = {}
+    for r in ann_topk_frames(queries, emb, method="brute").collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    q_recall = recall_of(planned, exact)
+    assert q_recall >= 0.9, q_recall
+    # quantization itself costs (almost) nothing: the code-domain LSH
+    # path tracks the float LSH path at identical geometry
+    f_recall = recall_of(
+        ann_topk_frames(queries, emb, method="lsh", width=64,
+                        corpus_rows=500, nprobe_bits=5), exact)
+    assert q_recall >= f_recall - 0.05, (q_recall, f_recall)
+
+    # code-domain cosines equal the float cosines for shared pairs
+    # (scale cancellation is exact up to fp rounding)
+    fcos = {(r.query_id, r.neighbor_id): r.cosine
+            for r in ann_topk_frames(queries, emb, method="brute")
+            .collect()}
+    for r in planned.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in fcos:
+            assert abs(r.cosine - fcos[key]) < 2e-2   # ~1/254 noise

@@ -333,3 +333,68 @@ def test_build_training_corpus_perplexity_gate(spark):
         docs, dedup=False, reference_docs=ref,
         max_perplexity=(ppl[1] + ppl[2]) / 2).collect()}
     assert kept == {1}
+
+
+def test_build_training_corpus_chunk_pack_composition(spark):
+    """VERDICT r13 item 7: the one-call pipeline emits fixed-budget
+    training rows. Every surviving token appears in at least one
+    chunk; per doc the overlap tax matches the documented formula
+    (sum of chunk tokens == n + overlap * (n_chunks - 1)); pack
+    labels fill greedily per bucket with straddle semantics; packing
+    without chunking is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+
+    def doc(i, n):
+        # enough stopwords to pass gates, unique words to dodge dedup
+        return (i, "en", " ".join(
+            "the" if j % 5 == 0 else f"d{i}w{j}" for j in range(n)))
+
+    docs = spark.createDataFrame(
+        [doc(1, 30), doc(2, 45), doc(3, 80)],
+        "doc_id long, lang string, text string")
+    max_tokens, overlap, budget = 16, 4, 32
+    out = build_training_corpus(
+        docs, dedup=False, min_words=1, max_words=10_000,
+        min_stop_ratio=0.0, min_unique_ratio=0.0,
+        chunk_max_tokens=max_tokens, chunk_overlap=overlap,
+        pack_budget=budget, n_shards=4).collect()
+    assert out
+    assert {"doc_id", "lang", "chunk_idx", "n_tokens", "chunk",
+            "bucket", "pack_seq", "shard"} <= {c for r in out[:1]
+                                               for c in r.asDict()}
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in ((1, 30), (2, 45), (3, 80)):
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # coverage: stripping each chunk's leading overlap rebuilds
+        rebuilt = rows[0].chunk.split(" ")
+        for r in rows[1:]:
+            rebuilt += r.chunk.split(" ")[overlap:]
+        assert len(rebuilt) == n
+        assert len(set(rebuilt)) == len(set(
+            w for r in rows for w in r.chunk.split(" ")))
+        # overlap tax formula
+        assert sum(r.n_tokens for r in rows) == n + overlap * (
+            len(rows) - 1)
+        # chunks of one doc share one shard and one bucket
+        assert len({r.shard for r in rows}) == 1
+        assert len({r.bucket for r in rows}) == 1
+
+    # greedy pack fill: the pack a chunk lands in is where its first
+    # token falls in the bucket's running total
+    for bucket in {r.bucket for r in out}:
+        rows = sorted((r for r in out if r.bucket == bucket),
+                      key=lambda r: (r.doc_id, r.chunk_idx))
+        cum = 0
+        for r in rows:
+            assert r.pack_seq == cum // budget
+            cum += r.n_tokens
+
+    with pytest.raises(ValueError, match="pack_budget requires"):
+        build_training_corpus(docs, dedup=False, pack_budget=budget)
