@@ -519,9 +519,97 @@ def main_ab_enrichment(spark, reps: int = 2) -> None:
                           "envelope_ms": 1000}), flush=True)
 
 
+def main_maintenance(spark, n_batches: int = 24,
+                     docs_per_batch: int = 300) -> None:
+    """VERDICT r13 item 6: the dedup corpus-maintenance stream's
+    per-trigger wall as the index and survivors corpus GROW, with and
+    without ``compact_every`` — the number that sets the compaction
+    cadence guidance. Each trigger is one parquet file of
+    ``docs_per_batch`` synthetic docs (20% near-dups of batch 0, so
+    the index genuinely filters); the stream is the real
+    ``start_dedup_maintenance_stream`` (availableNow,
+    maxFilesPerTrigger=1) with per-batch triggerExecution captured by
+    the standard listener. After the run, the maintained-corpus read
+    wall and batch-dir counts quantify the small-files effect the
+    compaction exists to cure."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index, load_maintained_corpus, open_dedup_index,
+        start_dedup_maintenance_stream)
+    from solana_event_stream_spark.streaming.metrics import (
+        PipelineMetricsListener, latency_summary)
+
+    tmpl = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+
+    def batch_rows(b):
+        rows = []
+        for j in range(docs_per_batch):
+            did = b * 1_000_000 + j
+            if b > 0 and j % 5 == 0:     # near-dup of a batch-0 doc
+                rows.append((did, tmpl + f" uniq0_{j} xdup{b}"))
+            else:
+                rows.append((did, tmpl + f" uniq{b}_{j} w{b}x{j} "
+                                  f"y{b}z{j}"))
+        return rows
+
+    with tempfile.TemporaryDirectory() as d:
+        sdir = os.path.join(d, "in")
+        os.makedirs(sdir)
+        for b in range(n_batches):
+            (spark.createDataFrame(batch_rows(b),
+                                   "doc_id long, text string")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(sdir, f"b{b:03d}.parquet")))
+
+        for ce in (None, 6):
+            cdir = os.path.join(d, f"corpus_ce{ce}")
+            idir = os.path.join(d, f"index_ce{ce}")
+            create_minhash_index(idir)
+            collector = PipelineMetricsListener()
+            listener = collector.make_listener()
+            spark.streams.addListener(listener)
+            try:
+                stream = (spark.readStream
+                          .schema("doc_id long, text string")
+                          .option("maxFilesPerTrigger", 1)
+                          .parquet(sdir + "/*"))
+                q = start_dedup_maintenance_stream(
+                    stream, cdir, idir, os.path.join(d, f"ckpt_ce{ce}"),
+                    compact_every=ce, available_now=True)
+                q.awaitTermination(1200)
+            finally:
+                spark.streams.removeListener(listener)
+            trig = [p["duration_ms"].get("triggerExecution", 0)
+                    for p in collector.progress if p["num_input_rows"]]
+            t0 = time.perf_counter()
+            n_corpus_rows = load_maintained_corpus(
+                spark, cdir, idir).count()
+            read_s = time.perf_counter() - t0
+            store = open_dedup_index(idir)
+            med = sorted(trig)[len(trig) // 2] if trig else None
+            print(json.dumps({
+                "probe": "maintenance_stream",
+                "compact_every": ce,
+                "n_triggers": len(trig),
+                "docs_per_batch": docs_per_batch,
+                "per_trigger_ms": trig,
+                "trigger_p50_ms": med,
+                "first5_p50_ms": sorted(trig[1:6])[min(2, max(0, len(trig[1:6]) - 1))] if len(trig) > 1 else None,
+                "last5_p50_ms": sorted(trig[-5:])[2] if len(trig) >= 5 else None,
+                "summary": latency_summary(collector.progress),
+                "corpus_read_s": round(read_s, 3),
+                "corpus_rows": n_corpus_rows,
+                "n_corpus_dirs": len(store.meta.get("corpus_batches", [])),
+                "n_index_dirs": len(store._batches),
+            }), flush=True)
+
+
 def main() -> None:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--maintenance" in sys.argv:
+        main_maintenance(spark)
+        return
     if "--ab-enrichment" in sys.argv:
         main_ab_enrichment(spark)
         return

@@ -1309,15 +1309,22 @@ def exact_substring_coverage(docs: DataFrame, k: int = 32) -> DataFrame:
     floor for this statistic."""
     dup = substring_duplicate_windows(docs, k).select("window_hash")
     per_doc = _window_hash_frame(docs, k)
+    # n_windows is count(window_hash) POST-explode, never size(wh)
+    # carried beside the generate — a second reference to the staged
+    # chain column next to explode defeats the level staging during
+    # optimization (~4^levels plan nodes; see _substring_fp_exploded's
+    # r14 planning-trap note). wh is array_distinct output (no NULL
+    # elements), so the count equals the array size exactly.
     exploded = per_doc.select(
-        "doc_id", F.size("wh").alias("n_windows"),
-        F.explode_outer("wh").alias("window_hash"))
+        "doc_id", F.explode_outer("wh").alias("window_hash"))
     # count each doc's windows that are corpus-duplicated. explode_outer
-    # keeps too-short docs (NULL window) in the report.
+    # keeps too-short docs (NULL window, count 0) in the report.
     scored = (exploded.join(dup.withColumn("_dup", F.lit(1)),
                             "window_hash", "left")
-              .groupBy("doc_id", "n_windows")
-              .agg(F.count(F.col("_dup")).alias("n_dup_windows")))
+              .groupBy("doc_id")
+              .agg(F.count(F.col("window_hash")).cast("int")
+                   .alias("n_windows"),
+                   F.count(F.col("_dup")).alias("n_dup_windows")))
     return scored.select(
         "doc_id", "n_windows", "n_dup_windows",
         F.when(F.col("n_windows") > 0,
@@ -1454,13 +1461,22 @@ def exact_substring_pairs_winnowed(docs: DataFrame, k: int = 32,
 # ---------------------------------------------------------------------------
 
 def _substring_fp_exploded(docs: DataFrame, k: int, w: int) -> DataFrame:
-    """(doc_id, n_fps, fp) — winnowed fingerprints exploded with the
-    per-doc fingerprint count carried alongside (the coverage
-    denominator). explode_outer keeps too-short docs (NULL fp,
-    n_fps=0) visible to the scorer."""
+    """(doc_id, fp) — winnowed fingerprints exploded; explode_outer
+    keeps too-short docs (NULL fp) visible to consumers, so a per-doc
+    fingerprint count is recoverable post-generate as count(fp).
+
+    PLANNING trap (r14, the third staged-chain lesson): do NOT carry
+    ``size(fps)`` in the same projection as ``explode(fps)``. A second
+    reference to the chain column beside a Generate defeats the
+    level-staging during OPTIMIZATION — PhysicalOperation/alias
+    inlining substitutes the staged levels into one mega-expression
+    (~4^levels nodes; k=32+w=16 is 9 levels) and every subsequent rule
+    walks it: measured 145 s of pure PLAN time (1.6 s with the count
+    derived post-explode), and the r14 scale probe originally hung in
+    ``trimAliases`` for 50+ minutes at sf1.0. Counts over generated
+    columns are free; references to the generator's child are not."""
     per_doc = substring_fingerprint_frame(docs, k, w)
-    return per_doc.select("doc_id", F.size("fps").alias("n_fps"),
-                          F.explode_outer("fps").alias("fp"))
+    return per_doc.select("doc_id", F.explode_outer("fps").alias("fp"))
 
 
 def substring_pairs_cross(new_docs: DataFrame, seen_docs: DataFrame,
@@ -1523,7 +1539,11 @@ def _substring_survivors_against(new_docs: DataFrame,
     """Shared core of the recompute and indexed incremental forms:
     score each new doc's fingerprint coverage against ``seen_fps``
     (a distinct (fp) frame) plus within-batch duplicated fingerprints,
-    and keep rows at or under the ceiling."""
+    and keep rows at or under the ceiling. The coverage denominator
+    (per-doc fingerprint count) is count(fp) POST-explode — never a
+    size() carried beside the generate (see _substring_fp_exploded's
+    planning-trap note); explode_outer's NULL row makes too-short docs
+    count 0 and pass."""
     batch = _substring_fp_exploded(new_docs, k, w)
     within_dup = (batch.filter(F.col("fp").isNotNull())
                   .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
@@ -1531,8 +1551,9 @@ def _substring_survivors_against(new_docs: DataFrame,
     dup_fps = (seen_fps.select("fp").unionByName(within_dup)
                .distinct().withColumn("_dup", F.lit(1)))
     flagged = (batch.join(dup_fps, "fp", "left")
-               .groupBy("doc_id", "n_fps")
-               .agg(F.count(F.col("_dup")).alias("n_dup"))
+               .groupBy("doc_id")
+               .agg(F.count(F.col("fp")).alias("n_fps"),
+                    F.count(F.col("_dup")).alias("n_dup"))
                .filter((F.col("n_fps") > 0)
                        & (F.col("n_dup").cast("double") / F.col("n_fps")
                           > max_dup_frac))

@@ -210,3 +210,29 @@ def test_winnowed_fingerprints_subset_of_window_hashes(spark):
     for d in wh:
         assert fps[d] <= wh[d]
         assert fps[d]
+
+
+def test_survivors_plan_time_bounded_at_deployment_geometry(spark):
+    """r14 planning trap regression gate: carrying size(chain_col)
+    beside explode(chain_col) over the 9-level staged fingerprint
+    chain made PhysicalOperation's alias inlining exponential —
+    substring_incremental_survivors took 145 s of pure PLAN time at
+    k=32/w=16 over a parquet scan (1.6 s with the count derived
+    post-explode). Gate: plan construction at deployment geometry
+    stays bounded. The bound is generous (steal-safe); the broken
+    shape exceeds it by ~5x."""
+    import time
+
+    from solana_event_stream_spark.operators.dedup import (
+        substring_incremental_survivors)
+
+    seen = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    batch = _mk_docs(spark, [(9_000_000 + i, _words(f"b{i}_", 60))
+                             for i in range(5)])
+    t0 = time.perf_counter()
+    df = substring_incremental_survivors(batch, seen, k=32, w=16)
+    df._jdf.queryExecution().executedPlan()
+    assert time.perf_counter() - t0 < 30, "staged-chain planning blowup"
+    assert df.count() == 5   # nothing shared with the corpus
