@@ -787,23 +787,46 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                                       corpus_path: str, index_path: str,
                                       tau: float = 0.9,
                                       compact_every: int | None = None,
-                                      stream_token: str | None = None
+                                      stream_token: str | None = None,
+                                      quantize_corpus: bool = False
                                       ) -> bool:
     """Embedding analog of :func:`apply_dedup_maintenance_batch` —
     same idempotent commit protocol (batch-id corpus dir overwrite,
     then ONE atomic manifest publish of index rows + meta); the
     per-batch step is :func:`embedding_incremental_survivors_indexed`
     (banded bucket probe against the index, batch-scaled multi-band
-    within-batch resolve)."""
+    within-batch resolve).
+
+    ``quantize_corpus=True`` stores the survivors corpus in the int8
+    form (``similarity.quantize_embeddings_int8`` — (vec_id, scale, q),
+    ~8x smaller than float64 arrays): at 100 TB the maintained corpus
+    IS the dominant storage and the verify step only needs candidate
+    vectors to ~1/254 relative precision (dequantized on read, one
+    narrow projection). The flag is pinned in the manifest meta on
+    first commit — a loop restarted with the other setting is a loud
+    error, never a mis-typed read. The INDEX rows (signatures + norms)
+    are always computed from the incoming full-precision batch."""
+    from .similarity import (dequantize_embeddings_int8,
+                             quantize_embeddings_int8)
+
     store = open_dedup_index(index_path)
     store._require("embedding")
     _check_stream_token(store, stream_token)
+    recorded_q = store.meta.get("corpus_quantized")
+    if recorded_q is not None and bool(quantize_corpus) != recorded_q:
+        raise ValueError(
+            f"embedding corpus at {corpus_path!r} is committed with "
+            f"corpus_quantized={recorded_q}; driving the loop with "
+            f"quantize_corpus={bool(quantize_corpus)} would mix int8 "
+            "and float batch schemas in one manifest")
     if batch_id <= store.meta.get("last_stream_batch", -1):
         return False
     corpus_batches = list(store.meta.get("corpus_batches", []))
     if corpus_batches:
         seen_emb = spark.read.parquet(
             *[_join(corpus_path, b) for b in corpus_batches])
+        if quantize_corpus:
+            seen_emb = dequantize_embeddings_int8(seen_emb)
     else:
         seen_emb = spark.createDataFrame(
             [], "vec_id long, embedding array<double>")
@@ -812,9 +835,11 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
         tau=tau, commit=False)
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
-    surv.write.mode("overwrite").parquet(_join(corpus_path, cname))
+    out = quantize_embeddings_int8(surv) if quantize_corpus else surv
+    out.write.mode("overwrite").parquet(_join(corpus_path, cname))
     meta = {"last_stream_batch": batch_id,
-            "corpus_batches": corpus_batches + [cname]}
+            "corpus_batches": corpus_batches + [cname],
+            "corpus_quantized": bool(quantize_corpus)}
     if stream_token is not None:
         meta["stream_token"] = stream_token
     store.append(
@@ -834,16 +859,20 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
                                        tau: float = 0.9,
                                        compact_every: int | None = None,
                                        available_now: bool = False,
-                                       processing_time: str = "10 seconds"):
+                                       processing_time: str = "10 seconds",
+                                       quantize_corpus: bool = False):
     """Streaming embedding-corpus maintenance — see
     :func:`start_dedup_maintenance_stream` for the commit/replay
     contract; the dedup criterion here is cosine >= ``tau`` against
-    the banded LSH-bucket index."""
+    the banded LSH-bucket index. ``quantize_corpus`` stores the
+    survivors tier int8 (8x smaller; see
+    :func:`apply_embedding_maintenance_batch`)."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         apply_embedding_maintenance_batch(
             batch_df.sparkSession, batch_df, batch_id,
             corpus_path, index_path, tau, compact_every,
-            stream_token=checkpoint_dir)
+            stream_token=checkpoint_dir,
+            quantize_corpus=quantize_corpus)
 
     writer = (emb_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))

@@ -780,3 +780,92 @@ def test_substring_streaming_maintenance_matches_batch_loop(
     assert len(st.meta["corpus_batches"]) <= 2
     assert st.meta["last_stream_batch"] == 2
     assert st.meta["stream_token"] == str(tmp_path / "ss_ckpt")
+
+
+def test_embedding_maintenance_quantized_corpus(spark, tmp_path):
+    """quantize_corpus=True: same survivor ids as float storage on
+    separable planted data (quantization noise ~1/254 << the planted
+    jitter margins), int8 batches on disk are materially smaller, the
+    loaded corpus dequantizes within the round-trip bound, and mixing
+    the flag across restarts is a loud error."""
+    import math
+    import os
+
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus, open_dedup_index)
+    from solana_event_stream_spark.operators.similarity import (
+        dequantize_embeddings_int8)
+
+    dim = 64
+
+    def vec(seed, jitter=0.0):
+        v = [math.sin(seed * 1.7 + d * 0.31) for d in range(dim)]
+        if jitter:
+            v = [x + jitter * math.cos(seed + 9.1 * d)
+                 for d, x in enumerate(v)]
+        return v
+
+    batches = [
+        [(1, vec(1)), (2, vec(2))],
+        [(11, vec(1, 0.01)), (12, vec(3))],       # 11 ~ 1 -> dropped
+        [(21, vec(2, 0.01)), (22, vec(4))],       # 21 ~ 2 -> dropped
+    ]
+
+    def run(tag, quantize):
+        cdir = str(tmp_path / f"qc_{tag}")
+        idir = str(tmp_path / f"qi_{tag}")
+        create_embedding_index(idir, n_planes=8, width=dim)
+        for bid, rows in enumerate(batches):
+            bdf = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>")
+            assert apply_embedding_maintenance_batch(
+                spark, bdf, bid, cdir, idir, quantize_corpus=quantize)
+        return cdir, idir
+
+    fc, fi = run("float", False)
+    qc, qi = run("int8", True)
+
+    want = sorted(r.vec_id for r in load_maintained_corpus(
+        spark, fc, fi).collect())
+    qraw = load_maintained_corpus(
+        spark, qc, qi, empty_schema="vec_id long, scale double, "
+                                    "q array<tinyint>")
+    assert sorted(r.vec_id for r in qraw.collect()) == want == [1, 2, 12, 22]
+    assert open_dedup_index(qi).meta["corpus_quantized"] is True
+
+    # dequantized round-trip within the scale/254 bound vs the floats
+    back = {r.vec_id: r.embedding
+            for r in dequantize_embeddings_int8(qraw).collect()}
+    orig = {r[0]: r[1] for b in batches for r in b}
+    for vid in want:
+        scale = max(abs(x) for x in orig[vid])
+        assert all(abs(a - b) <= scale / 254 + 1e-12
+                   for a, b in zip(orig[vid], back[vid]))
+
+    # storage: int8 materially smaller than float64 at data volumes
+    # where row content (not parquet footers) dominates
+    from solana_event_stream_spark.operators.similarity import (
+        quantize_embeddings_int8)
+
+    def written_bytes(df, path):
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs
+                   if f.endswith(".parquet"))
+    bulk = spark.createDataFrame(
+        [(i, vec(i, 0.001 * i)) for i in range(500)],
+        "vec_id long, embedding array<double>")
+    fbytes = written_bytes(bulk, str(tmp_path / "bulk_float"))
+    qbytes = written_bytes(quantize_embeddings_int8(bulk),
+                           str(tmp_path / "bulk_int8"))
+    assert qbytes < 0.35 * fbytes, (qbytes, fbytes)
+
+    # restarting the loop with the other flag is a hard error
+    bdf = spark.createDataFrame([(99, vec(9))],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="corpus_quantized"):
+        apply_embedding_maintenance_batch(
+            spark, bdf, 9, qc, qi, quantize_corpus=False)
