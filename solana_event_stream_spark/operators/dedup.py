@@ -1187,6 +1187,41 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def dedup_survivors_by(docs: DataFrame, membership: DataFrame,
+                       score_col, id_col: str = "doc_id") -> DataFrame:
+    """:func:`dedup_survivors` with a QUALITY keeper rule: per
+    duplicate cluster keep the row maximizing ``score_col`` (ties
+    broken by min id — fully deterministic), instead of the min-id
+    canonical. The knob real curation pipelines want (e.g. RefinedWeb
+    keeps the longest/cleanest near-dup, not the lowest-numbered one);
+    ``score_col`` is any Column over ``docs``' columns — length,
+    quality score, perplexity negated, recency.
+
+    Scale: the rank window runs over CLUSTERED rows only (an inner
+    join against membership — normally a small corpus fraction), so
+    unclustered docs never enter a window partition; a NULL-cluster
+    window would put the whole un-duplicated corpus in ONE skewed
+    partition. Two broadcastable-membership joins, never a corpus-wide
+    sort."""
+    from pyspark.sql import Window
+
+    memb = membership.select(F.col("doc_id").alias("_m_id"),
+                             F.col("cluster_id").alias("_m_cluster"))
+    clustered = docs.join(memb, F.col(id_col) == F.col("_m_id"))
+    w = (Window.partitionBy("_m_cluster")
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    keep = (clustered.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(id_col).alias("_keep_id")))
+    return (docs
+            .join(memb.select("_m_id"),
+                  F.col(id_col) == F.col("_m_id"), "left")
+            .join(keep, F.col(id_col) == F.col("_keep_id"), "left")
+            .filter(F.col("_m_id").isNull()
+                    | F.col("_keep_id").isNotNull())
+            .drop("_m_id", "_keep_id"))
+
+
 def dedup_survivors(docs: DataFrame, membership: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """The APPLY step of the dedup pipeline (r12) — the piece between

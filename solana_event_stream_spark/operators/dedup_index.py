@@ -426,7 +426,12 @@ def dedup_incremental_survivors_indexed(store: DedupIndexStore,
     within the remainder, and (``commit=True``) append the survivors'
     band rows so the NEXT batch probes them too. Returns surviving
     rows (materialized via localCheckpoint when committing, so the
-    caller's frame does not recompute the whole step)."""
+    caller's frame does not recompute the whole step).
+
+    ``seen_docs`` must cover every doc_id in the index (the
+    :func:`dedup_pairs_cross_indexed` coverage contract) — the
+    maintenance loop guarantees it via the manifest's
+    corpus_batches."""
     # geometry, not just kind (ADVICE r13): the probe signs the NEW
     # batch under the module constants, so an index pinned under
     # different band geometry would equi-join incompatible band_vals
@@ -458,7 +463,11 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
     the band geometry and width come from the store's manifest (the
     signatures must match the indexed ones — geometry cannot drift by
     construction). The cross probe is multi-band (ADVICE r13), like
-    the within-batch batch-scaled multi-band resolve."""
+    the within-batch batch-scaled multi-band resolve. ``seen_emb``
+    must cover every vec_id in the index (the
+    :func:`embedding_pairs_cross_indexed` coverage contract) — the
+    maintenance loop guarantees it via the manifest's
+    corpus_batches."""
     from .dedup import (banded_cosine_pairs, embedding_width_census,
                         scaled_n_planes)
 

@@ -398,3 +398,34 @@ def test_build_training_corpus_chunk_pack_composition(spark):
 
     with pytest.raises(ValueError, match="pack_budget requires"):
         build_training_corpus(docs, dedup=False, pack_budget=budget)
+
+
+def test_dedup_survivors_by_quality_keeper(spark):
+    """dedup_survivors_by keeps the max-score row per cluster (ties ->
+    min id), unclustered rows pass through untouched, and the default
+    min-id form is recovered by a constant score."""
+    from solana_event_stream_spark.operators.dedup import (
+        dedup_survivors, dedup_survivors_by)
+
+    docs = spark.createDataFrame(
+        [(1, "short", 5), (2, "much longer text here", 21),
+         (3, "mid size", 8),          # cluster A: 1,2,3 -> keep 2
+         (10, "tie a", 7), (11, "tie b", 7),   # cluster B: tie -> 10
+         (50, "solo doc", 9)],        # unclustered -> kept
+        "doc_id long, text string, n_chars int")
+    memb = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+
+    kept = {r.doc_id for r in dedup_survivors_by(
+        docs, memb, F.col("n_chars")).collect()}
+    assert kept == {2, 10, 50}
+    # constant score degenerates to the min-id canonical rule
+    base = {r.doc_id for r in dedup_survivors(docs, memb).collect()}
+    const = {r.doc_id for r in dedup_survivors_by(
+        docs, memb, F.lit(0)).collect()}
+    assert const == base == {1, 10, 50}
+    # rows come back unchanged (full original columns)
+    row = dedup_survivors_by(docs, memb, F.col("n_chars")) \
+        .filter(F.col("doc_id") == 2).collect()[0]
+    assert row.text == "much longer text here" and row.n_chars == 21
