@@ -628,19 +628,34 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
 
 def load_maintained_corpus(spark: SparkSession, corpus_path: str,
                            index_path: str,
-                           empty_schema: str = "doc_id long, text string"
-                           ) -> DataFrame:
+                           empty_schema: str = "doc_id long, text string",
+                           dequantize: bool = False) -> DataFrame:
     """The deduplicated corpus as of the index manifest — only
     manifest-committed corpus batches (orphans from a crashed trigger
     are invisible until their replay commits). ``empty_schema`` is the
     frame shape before the first commit (text default; pass
     ``"vec_id long, embedding array<double>"`` for embedding
-    corpora)."""
+    corpora). ``dequantize=True`` returns an int8-stored embedding
+    corpus (``quantize_corpus`` loops) as (vec_id, embedding) floats —
+    it raises if the manifest says the corpus is NOT quantized, so a
+    mis-paired loader fails loudly instead of mis-typing."""
     store = open_dedup_index(index_path)
     batches = store.meta.get("corpus_batches", [])
+    if dequantize and not store.meta.get("corpus_quantized"):
+        raise ValueError(
+            f"corpus at {corpus_path!r} is not committed as quantized "
+            "(manifest meta corpus_quantized is falsy) — nothing to "
+            "dequantize")
     if not batches:
+        if dequantize:
+            return spark.createDataFrame(
+                [], "vec_id long, embedding array<double>")
         return spark.createDataFrame([], empty_schema)
-    return spark.read.parquet(*[_join(corpus_path, b) for b in batches])
+    out = spark.read.parquet(*[_join(corpus_path, b) for b in batches])
+    if dequantize:
+        from .similarity import dequantize_embeddings_int8
+        out = dequantize_embeddings_int8(out)
+    return out
 
 
 def compact_maintained_corpus(spark: SparkSession, corpus_path: str,

@@ -430,6 +430,7 @@ def build_training_corpus(docs: DataFrame,
                           max_top2gram_frac: float = 0.20,
                           max_dup3gram_frac: float = 0.30,
                           dedup: bool = True,
+                          keeper_score=None,
                           max_substring_dup_frac: float | None = None,
                           reference_docs: DataFrame | None = None,
                           max_perplexity: float | None = None,
@@ -457,6 +458,11 @@ def build_training_corpus(docs: DataFrame,
     6. near-dup dedup (MinHash-LSH pairs -> connected components ->
        :func:`~.dedup.dedup_survivors`), run LAST so the quadratic-ish
        candidate work only sees already-thinned docs;
+       ``keeper_score`` (a Column over the doc columns, e.g.
+       ``F.length("text")``) switches the per-cluster keeper from the
+       min-id canonical to the max-score row
+       (:func:`~.dedup.dedup_survivors_by` — keep the longest/cleanest
+       near-dup, the RefinedWeb-style rule);
     7. optional long-document windowing (``chunk_max_tokens`` —
        :func:`chunk_documents`, post-gates/post-dedup so chunking
        never multiplies the dedup candidate work, pre-shard so chunks
@@ -545,8 +551,12 @@ def build_training_corpus(docs: DataFrame,
         kept = exact_substring_survivors(
             kept, max_dup_frac=max_substring_dup_frac)
     if dedup:
-        kept = dedup_survivors(
-            kept, connected_components(_minhash_verified_pairs(kept)))
+        memb = connected_components(_minhash_verified_pairs(kept))
+        if keeper_score is not None:
+            from .dedup import dedup_survivors_by
+            kept = dedup_survivors_by(kept, memb, keeper_score)
+        else:
+            kept = dedup_survivors(kept, memb)
     if pack_budget is not None and chunk_max_tokens is None:
         raise ValueError(
             "pack_budget requires chunk_max_tokens: packing assigns "

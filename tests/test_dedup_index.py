@@ -835,6 +835,12 @@ def test_embedding_maintenance_quantized_corpus(spark, tmp_path):
                                     "q array<tinyint>")
     assert sorted(r.vec_id for r in qraw.collect()) == want == [1, 2, 12, 22]
     assert open_dedup_index(qi).meta["corpus_quantized"] is True
+    # the loader's dequantize form returns floats; mis-pairing raises
+    deq = load_maintained_corpus(spark, qc, qi, dequantize=True)
+    assert set(deq.columns) == {"vec_id", "embedding"}
+    assert deq.count() == 4
+    with pytest.raises(ValueError, match="not committed as quantized"):
+        load_maintained_corpus(spark, fc, fi, dequantize=True)
 
     # dequantized round-trip within the scale/254 bound vs the floats
     back = {r.vec_id: r.embedding

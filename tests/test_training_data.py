@@ -429,3 +429,25 @@ def test_dedup_survivors_by_quality_keeper(spark):
     row = dedup_survivors_by(docs, memb, F.col("n_chars")) \
         .filter(F.col("doc_id") == 2).collect()[0]
     assert row.text == "much longer text here" and row.n_chars == 21
+
+
+def test_build_training_corpus_keeper_score(spark):
+    """keeper_score flips the near-dup keeper from min-id to max-score
+    inside the one-call pipeline."""
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+
+    def sent(i, n=30, extra=""):
+        return " ".join("the" if d % 7 == 0 else f"w{i}x{d}"
+                        for d in range(n)) + extra
+
+    docs = spark.createDataFrame(
+        [(1, "en", sent(10)),                    # near-dup pair: 1, 2
+         (2, "en", sent(10, extra=" longer tail words here")),
+         (3, "en", sent(99))],                   # unrelated
+        "doc_id long, lang string, text string")
+    default = {r.doc_id for r in build_training_corpus(docs).collect()}
+    assert default == {1, 3}                     # min-id keeper
+    longest = {r.doc_id for r in build_training_corpus(
+        docs, keeper_score=F.length("text")).collect()}
+    assert longest == {2, 3}                     # max-length keeper
