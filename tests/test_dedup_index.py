@@ -875,3 +875,65 @@ def test_embedding_maintenance_quantized_corpus(spark, tmp_path):
     with pytest.raises(ValueError, match="corpus_quantized"):
         apply_embedding_maintenance_batch(
             spark, bdf, 9, qc, qi, quantize_corpus=False)
+
+
+def test_quantized_corpus_serves_ann_directly(spark, tmp_path):
+    """End-to-end composition: the int8-quantized MAINTAINED corpus
+    (deduped by the streaming loop) is directly the serving tier of
+    ann_topk_frames_quantized — no dequantized copy, no float corpus
+    anywhere on disk. Neighbors found over the maintained tier match
+    the exact float brute force over the same survivors."""
+    import hashlib
+    import math
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_topk_frames, ann_topk_frames_quantized)
+
+    dim = 32
+
+    def vec(seed, jitter=0.0):
+        v = [int(hashlib.md5(f"sv{seed}_{d}".encode()).hexdigest()[:4],
+                 16) / 32767.5 - 1.0 for d in range(dim)]
+        if jitter:
+            v = [x + jitter * math.cos(seed + 3.7 * d)
+                 for d, x in enumerate(v)]
+        return v
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=dim)
+    for bid in range(3):
+        bdf = spark.createDataFrame(
+            [(bid * 100 + j, vec(bid * 100 + j)) for j in range(30)]
+            + ([(bid * 100 + 90, vec((bid - 1) * 100 + 5, 0.01))]
+               if bid else []),          # cross-batch near-dup
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, bdf, bid, cdir, idir, quantize_corpus=True)
+
+    qcorpus = load_maintained_corpus(
+        spark, cdir, idir,
+        empty_schema="vec_id long, scale double, q array<tinyint>")
+    fcorpus = load_maintained_corpus(spark, cdir, idir, dequantize=True)
+    queries = spark.createDataFrame(
+        [(9001, vec(5, 0.05)), (9002, vec(105, 0.05))],
+        "query_id long, embedding array<double>")
+
+    got = {(r.query_id, r.rk): r.neighbor_id
+           for r in ann_topk_frames_quantized(
+               queries, qcorpus, method="brute", k=5,
+               exclude_matching_ids=False).collect()}
+    want = {(r.query_id, r.rk): r.neighbor_id
+            for r in ann_topk_frames(
+                queries, fcorpus, method="brute", k=5,
+                exclude_matching_ids=False).collect()}
+    # top-1 agrees exactly; deeper ranks may swap within the 1/254
+    # noise — require >= 4/5 overlap per query
+    assert got[(9001, 1)] == want[(9001, 1)] == 5
+    assert got[(9002, 1)] == want[(9002, 1)] == 105
+    for qid in (9001, 9002):
+        g = {v for (q, _), v in got.items() if q == qid}
+        w = {v for (q, _), v in want.items() if q == qid}
+        assert len(g & w) >= 4
