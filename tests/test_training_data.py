@@ -451,3 +451,52 @@ def test_build_training_corpus_keeper_score(spark):
     longest = {r.doc_id for r in build_training_corpus(
         docs, keeper_score=F.length("text")).collect()}
     assert longest == {2, 3}                     # max-length keeper
+
+
+def test_chunk_documents_property_over_parameter_space(spark):
+    """Property pin for the r13/r14 chunk math across the (n,
+    max_tokens, overlap) space: exact coverage (stripping each chunk's
+    leading overlap rebuilds the doc), NO chunk wholly contained in
+    its predecessor (the ADVICE r13 redundant-tail class), and the
+    overlap-tax identity sum(n_tokens) == n + overlap*(n_chunks-1).
+    One Spark job for the whole grid (docs carry their params)."""
+    from solana_event_stream_spark.operators.training_data import (
+        chunk_documents)
+
+    cases = []
+    did = 0
+    for max_tokens, overlap in ((4, 1), (4, 3), (8, 0), (8, 4),
+                                (16, 4), (16, 15), (5, 2), (7, 3)):
+        for n in (1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 50):
+            did += 1
+            cases.append((did, max_tokens, overlap,
+                          " ".join(f"t{i}" for i in range(n)), n))
+
+    by_params = {}
+    for did, mt, ov, text, n in cases:
+        by_params.setdefault((mt, ov), []).append((did, text, n))
+    for (mt, ov), rows in by_params.items():
+        docs = spark.createDataFrame(
+            [(d, t) for d, t, _ in rows], "doc_id long, text string")
+        out = {}
+        for r in chunk_documents(docs, max_tokens=mt,
+                                 overlap=ov).collect():
+            out.setdefault(r.doc_id, []).append(r)
+        n_of = {d: n for d, _, n in rows}
+        for did, chunks in out.items():
+            chunks = sorted(chunks, key=lambda r: r.chunk_idx)
+            n = n_of[did]
+            toks = [c.chunk.split(" ") for c in chunks]
+            # coverage: leading-overlap-stripped concat == original
+            rebuilt = list(toks[0])
+            for t in toks[1:]:
+                rebuilt += t[ov:]
+            assert rebuilt == [f"t{i}" for i in range(n)], (
+                mt, ov, n, rebuilt)
+            # no contained tail: every chunk after the first adds
+            # at least one new token
+            for t in toks[1:]:
+                assert len(t) > ov, (mt, ov, n, t)
+            # overlap-tax identity
+            assert sum(c.n_tokens for c in chunks) == n + ov * (
+                len(chunks) - 1), (mt, ov, n)
