@@ -421,6 +421,48 @@ def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
             .select("lang", "n_total", "n_kept", "keep_rate"))
 
 
+def sample_token_budget(docs: DataFrame, budget_tokens: int,
+                        by: str = "lang",
+                        safety: float = 1.5) -> DataFrame:
+    """Deterministic TOKEN-budget sampling: within each ``by`` group,
+    keep documents in md5-hash order until the cumulative token count
+    reaches ``budget_tokens`` — the pretraining-mix step that asks for
+    "N tokens of each language", where rate-based sampling
+    (``sample_stratified_hash``/``domain_mix_resample``) can only
+    target row fractions. The doc straddling the boundary is KEPT
+    (budgets are floors; a group under budget keeps everything). The
+    draw order is the md5 unit draw, so re-running is reproducible.
+
+    Scale (two-phase, zero driver actions): a per-group token total
+    (one agg, broadcast back as a column) converts the budget to a
+    keep-rate estimate; only docs whose hash draw falls under
+    ``safety`` x that rate enter the EXACT fill — so the per-group
+    window sort runs over ~safety x budget tokens' worth of rows, not
+    the whole corpus (a corpus-wide partitionBy-sort would be the
+    naive form's cost at 100 TB). ``safety`` guards the estimate
+    against doc-length skew inside the hash prefix; groups where the
+    rate reaches 1 skip the cut entirely. Returns ``docs`` rows
+    unchanged + ``n_tokens``."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    staged = docs.withColumn("_nt", n_tok).withColumn(
+        "_h", _hash_unit(F.col("doc_id")))
+    totals = (staged.groupBy(by)
+              .agg(F.sum("_nt").alias("_grp_tok")))
+    rate = F.least(F.lit(1.0),
+                   F.lit(float(safety)) * F.lit(float(budget_tokens))
+                   / F.col("_grp_tok"))
+    cand = (staged.join(F.broadcast(totals), by)
+            .filter((F.col("_grp_tok") <= budget_tokens)
+                    | (F.col("_h") < rate)))
+    w = (Window.partitionBy(by).orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (cand.withColumn("_cum", F.sum("_nt").over(w))
+           .filter(F.col("_cum") - F.col("_nt") < budget_tokens))
+    return (out.select(*docs.columns, F.col("_nt").alias("n_tokens")))
+
+
 def build_training_corpus(docs: DataFrame,
                           eval_docs: DataFrame | None = None,
                           min_words: int = _MIN_WORDS,

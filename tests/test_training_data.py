@@ -500,3 +500,53 @@ def test_chunk_documents_property_over_parameter_space(spark):
             # overlap-tax identity
             assert sum(c.n_tokens for c in chunks) == n + ov * (
                 len(chunks) - 1), (mt, ov, n)
+
+
+def test_sample_token_budget_fill_and_determinism(spark, sf_dir):
+    """Per-group token budgets are floors hit exactly at the straddle
+    doc (selected tokens in [budget, budget + max kept doc)); groups
+    under budget keep everything; the draw is deterministic; rows come
+    back unchanged. Differential vs the naive single-phase fill (no
+    safety cut) pins that the two-phase estimate drops nothing."""
+    from solana_event_stream_spark.operators.training_data import (
+        _hash_unit, sample_token_budget)
+    from solana_event_stream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    budget = 2000
+    out = sample_token_budget(docs, budget).collect()
+    again = {r.doc_id for r in sample_token_budget(docs, budget)
+             .collect()}
+    assert {r.doc_id for r in out} == again       # deterministic
+
+    totals = {r.lang: r.tok for r in docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tok")).collect()}
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        got = sum(r.n_tokens for r in rows)
+        if totals[lang] <= budget:
+            assert got == totals[lang]            # under budget: all
+        else:
+            assert budget <= got < budget + max(
+                r.n_tokens for r in rows)         # straddle semantics
+
+    # two-phase == naive one-phase (hash-order fill over ALL rows)
+    from pyspark.sql import Window
+
+    staged = (docs
+              .withColumn("_nt", F.size(F.split("text", " "))
+                          .cast("long"))
+              .withColumn("_h", _hash_unit(F.col("doc_id"))))
+    w = (Window.partitionBy("lang").orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = {r.doc_id for r in staged
+             .withColumn("_cum", F.sum("_nt").over(w))
+             .filter(F.col("_cum") - F.col("_nt") < budget).collect()}
+    assert {r.doc_id for r in out} == naive
+
+    import pytest
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sample_token_budget(docs, 0)
