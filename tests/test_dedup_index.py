@@ -937,3 +937,43 @@ def test_quantized_corpus_serves_ann_directly(spark, tmp_path):
         g = {v for (q, _), v in got.items() if q == qid}
         w = {v for (q, _), v in want.items() if q == qid}
         assert len(g & w) >= 4
+
+
+def test_corpus_compaction_is_schema_agnostic_quantized(spark, tmp_path):
+    """compact_every folds a QUANTIZED corpus identically: (vec_id,
+    scale, q) rows survive the rewrite bit-for-bit and the loop keeps
+    running against the compacted tier."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus, open_dedup_index)
+
+    dim = 16
+
+    def vec(seed):
+        return [int(hashlib.md5(f"cq{seed}_{d}".encode()).hexdigest()
+                    [:4], 16) / 32767.5 - 1.0 for d in range(dim)]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=dim)
+    for bid in range(4):
+        bdf = spark.createDataFrame(
+            [(bid * 100 + j, vec(bid * 100 + j)) for j in range(8)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, bdf, bid, cdir, idir, quantize_corpus=True,
+            compact_every=2)
+    store = open_dedup_index(idir)
+    assert len(store.meta["corpus_batches"]) <= 2   # compacted
+    assert any(b.startswith("compact=")
+               for b in store.meta["corpus_batches"])
+    got = load_maintained_corpus(
+        spark, cdir, idir,
+        empty_schema="vec_id long, scale double, q array<tinyint>")
+    rows = {r.vec_id: (r.scale, list(r.q)) for r in got.collect()}
+    assert len(rows) == 32                          # nothing lost
+    # still int8-typed after the rewrite, and dequantizable
+    assert dict(got.dtypes)["q"] == "array<tinyint>"
+    deq = load_maintained_corpus(spark, cdir, idir, dequantize=True)
+    assert deq.count() == 32
