@@ -685,19 +685,34 @@ def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
     loop's in-hand instance) or the index path."""
     if isinstance(store, str):
         store = open_dedup_index(store)
-    batches = list(store.meta.get("corpus_batches", []))
+    return _compact_meta_dirs(spark, corpus_path, store,
+                              "corpus_batches", "corpus_compact_seq",
+                              n_files)
+
+
+def _compact_meta_dirs(spark: SparkSession, base_path: str,
+                       store: DedupIndexStore, list_key: str,
+                       seq_key: str,
+                       n_files: int | None = None) -> str:
+    """Shared compactor for any manifest-meta-listed directory family
+    (the survivors corpus, the composed loop's fingerprint dirs): fold
+    every listed dir into one ``compact=K`` dir and swap the list in
+    ONE atomic manifest publish. Same crash recipe as the index
+    compact — data first, manifest second, superseded dirs left for
+    pre-compaction readers; K is monotonic per family via ``seq_key``."""
+    batches = list(store.meta.get(list_key, []))
     if len(batches) <= 1:
         return ""
-    whole = spark.read.parquet(*[_join(corpus_path, b) for b in batches])
+    whole = spark.read.parquet(*[_join(base_path, b) for b in batches])
     if n_files is None:
         n_files = max(1, min(len(batches),
                              spark.sparkContext.defaultParallelism))
-    seq = int(store.meta.get("corpus_compact_seq", -1)) + 1
+    seq = int(store.meta.get(seq_key, -1)) + 1
     name = f"compact={seq}"
     (whole.repartition(n_files).write.mode("overwrite")
-     .parquet(_join(corpus_path, name)))
-    store.meta["corpus_batches"] = [name]
-    store.meta["corpus_compact_seq"] = seq
+     .parquet(_join(base_path, name)))
+    store.meta[list_key] = [name]
+    store.meta[seq_key] = seq
     store._write_manifest()
     return name
 
@@ -796,6 +811,118 @@ def start_substring_maintenance_stream(docs_stream: DataFrame,
             batch_df.sparkSession, batch_df, batch_id,
             corpus_path, index_path, max_dup_frac, compact_every,
             stream_token=checkpoint_dir)
+
+    writer = (docs_stream.writeStream.foreachBatch(_proc)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def apply_curation_maintenance_batch(spark: SparkSession,
+                                     batch_df: DataFrame, batch_id: int,
+                                     corpus_path: str, index_path: str,
+                                     fp_path: str,
+                                     max_dup_frac: float = 0.5,
+                                     k: int = 32, w: int = 16,
+                                     compact_every: int | None = None,
+                                     stream_token: str | None = None
+                                     ) -> bool:
+    """COMPOSED per-trigger curation (r14): the exact-substring
+    coverage gate THEN MinHash near-dup dedup, both against committed
+    state, with ONE commit point — the ``build_training_corpus``
+    cross-document stage order, append-only.
+
+    Why this cannot be two maintenance loops chained: each loop's
+    store is its own commit authority, so a crash between the
+    substring commit and the minhash commit leaves the trigger
+    half-committed — and on replay the substring stage would probe an
+    index that already contains the batch's OWN fingerprints and
+    dedup it against itself to nothing. Here the MINHASH manifest is
+    the single authority: the substring fingerprints live in plain
+    ``fp_path`` directories whose committed list rides that manifest's
+    meta (``fp_batches``), so corpus dir + fingerprint dir land first
+    and ONE atomic publish commits rows + both directory lists + the
+    replay high-water mark together. A crash anywhere before the
+    publish leaves only invisible orphans the replay overwrites.
+
+    The substring geometry (``k``, ``w``) is recorded in the manifest
+    meta on first commit and validated thereafter (mismatched
+    fingerprints equi-join to silent zero recall — same reason the
+    index kinds pin their params)."""
+    store = open_dedup_index(index_path)
+    store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
+                   rows_per_band=ROWS_PER_BAND)
+    _check_stream_token(store, stream_token)
+    rec_k = store.meta.get("substring_k")
+    rec_w = store.meta.get("substring_w")
+    if rec_k is not None and (rec_k, rec_w) != (k, w):
+        raise ValueError(
+            f"curation loop at {index_path!r} committed fingerprints "
+            f"under (k={rec_k}, w={rec_w}); probing with (k={k}, "
+            f"w={w}) would silently match nothing")
+    if batch_id <= store.meta.get("last_stream_batch", -1):
+        return False
+    corpus_batches = list(store.meta.get("corpus_batches", []))
+    fp_batches = list(store.meta.get("fp_batches", []))
+    if corpus_batches:
+        seen_docs = spark.read.parquet(
+            *[_join(corpus_path, b) for b in corpus_batches])
+    else:
+        seen_docs = spark.createDataFrame([], "doc_id long, text string")
+    if fp_batches:
+        seen_fps = (spark.read.parquet(
+            *[_join(fp_path, b) for b in fp_batches])
+            .select("fp").distinct())
+    else:
+        seen_fps = spark.createDataFrame([], "fp long")
+
+    batch = batch_df.select("doc_id", "text")
+    s1 = _substring_survivors_against(batch, seen_fps, k, w,
+                                      max_dup_frac)
+    surv = dedup_incremental_survivors_indexed(
+        store, s1, seen_docs, commit=False)
+    surv = surv.localCheckpoint()
+    cname = f"batch={batch_id}"
+    surv.write.mode("overwrite").parquet(_join(corpus_path, cname))
+    (substring_index_rows(surv, k, w)
+     .write.mode("overwrite").parquet(_join(fp_path, cname)))
+    meta = {"last_stream_batch": batch_id,
+            "corpus_batches": corpus_batches + [cname],
+            "fp_batches": fp_batches + [cname],
+            "substring_k": k, "substring_w": w}
+    if stream_token is not None:
+        meta["stream_token"] = stream_token
+    store.append(minhash_index_rows(surv), meta_update=meta)
+    if compact_every and len(store._batches) >= compact_every:
+        store.compact(spark)
+        compact_maintained_corpus(spark, corpus_path, store)
+        _compact_meta_dirs(spark, fp_path, store, "fp_batches",
+                           "fp_compact_seq")
+    return True
+
+
+def start_curation_maintenance_stream(docs_stream: DataFrame,
+                                      corpus_path: str, index_path: str,
+                                      fp_path: str,
+                                      checkpoint_dir: str,
+                                      max_dup_frac: float = 0.5,
+                                      k: int = 32, w: int = 16,
+                                      compact_every: int | None = None,
+                                      available_now: bool = False,
+                                      processing_time: str = "10 seconds"):
+    """Streaming composed curation (substring gate -> MinHash dedup
+    per trigger, one commit point) — see
+    :func:`apply_curation_maintenance_batch` for the single-authority
+    commit protocol and :func:`start_dedup_maintenance_stream` for the
+    checkpoint-pairing contract."""
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        apply_curation_maintenance_batch(
+            batch_df.sparkSession, batch_df, batch_id,
+            corpus_path, index_path, fp_path, max_dup_frac, k, w,
+            compact_every, stream_token=checkpoint_dir)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))

@@ -977,3 +977,143 @@ def test_corpus_compaction_is_schema_agnostic_quantized(spark, tmp_path):
     assert dict(got.dtypes)["q"] == "array<tinyint>"
     deq = load_maintained_corpus(spark, cdir, idir, dequantize=True)
     assert deq.count() == 32
+
+
+def _curation_batches():
+    span = _span("s", 24)                       # verbatim boilerplate
+    base_b = _span("b", 40)                     # minhash target
+    words = base_b.split(" ")
+    words[20] = "CHANGED"       # kills the >=16-token verbatim runs'
+    near_b = " ".join(words)    # dominance (fp coverage 0.33 < 0.5,
+    #                             measured) but keeps shingle jaccard
+    #                             0.854 — caught by MinHash, not the
+    #                             substring gate
+    return [
+        [(1, span + " " + _span("p", 4)), (2, base_b)],
+        [(11, span + " " + _span("q", 2)),      # substring-dropped
+         (12, near_b),                          # minhash-dropped
+         (13, _span("u", 25))],                 # fresh -> survives
+    ]
+
+
+def test_curation_maintenance_composes_both_gates(spark, tmp_path):
+    """The composed loop applies the substring coverage gate THEN
+    MinHash dedup per trigger: a boilerplate re-send dies at stage 1
+    (never reaching the quadratic-ish candidate work), a reworded
+    near-dup passes stage 1 and dies at stage 2, fresh docs survive;
+    the stream matches the hand-driven loop; replay is a no-op; the
+    geometry guard is loud."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_curation_maintenance_batch, create_minhash_index,
+        load_maintained_corpus, open_dedup_index,
+        start_curation_maintenance_stream)
+
+    batches = _curation_batches()
+
+    def run(tag, driver):
+        cdir = str(tmp_path / f"cc_{tag}")
+        idir = str(tmp_path / f"ci_{tag}")
+        fdir = str(tmp_path / f"cf_{tag}")
+        create_minhash_index(idir)
+        driver(cdir, idir, fdir)
+        return sorted(r.doc_id for r in load_maintained_corpus(
+            spark, cdir, idir).collect())
+
+    def by_hand(cdir, idir, fdir):
+        for bid, rows in enumerate(batches):
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            assert apply_curation_maintenance_batch(
+                spark, bdf, bid, cdir, idir, fdir, k=16, w=4,
+                compact_every=2)
+        bdf = spark.createDataFrame(batches[-1],
+                                    "doc_id long, text string")
+        assert not apply_curation_maintenance_batch(
+            spark, bdf, len(batches) - 1, cdir, idir, fdir, k=16, w=4)
+
+    want = run("hand", by_hand)
+    assert want == [1, 2, 13]   # 11 substring-dropped, 12 minhash-dropped
+
+    sdir = tmp_path / "cur_stream_in"
+    sdir.mkdir()
+    for bid, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(sdir / f"b{bid}.parquet")))
+
+    def by_stream(cdir, idir, fdir):
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(sdir) + "/*"))
+        q = start_curation_maintenance_stream(
+            stream, cdir, idir, fdir, str(tmp_path / "cur_ckpt"),
+            k=16, w=4, compact_every=2, available_now=True)
+        q.awaitTermination(120)
+
+    got = run("stream", by_stream)
+    assert got == want
+    st = open_dedup_index(str(tmp_path / "ci_stream"))
+    assert st.meta["last_stream_batch"] == 1
+    assert len(st.meta["corpus_batches"]) <= 2
+    assert len(st.meta["fp_batches"]) <= 2
+    assert (st.meta["substring_k"], st.meta["substring_w"]) == (16, 4)
+
+    # geometry guard: different (k, w) against committed fingerprints
+    bdf = spark.createDataFrame([(99, _span("z", 30))],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="committed fingerprints"):
+        apply_curation_maintenance_batch(
+            spark, bdf, 5, str(tmp_path / "cc_hand"),
+            str(tmp_path / "ci_hand"), str(tmp_path / "cf_hand"),
+            k=32, w=4)
+
+
+def test_curation_maintenance_crash_replay_single_authority(
+        spark, tmp_path, monkeypatch):
+    """THE case the single-commit-point design exists for: a crash
+    after the corpus + fingerprint dirs land but BEFORE the manifest
+    publish leaves only invisible orphans — the replay recomputes the
+    trigger against pre-crash state and commits the SAME survivors a
+    never-crashed run would. (Two chained stores would have committed
+    the batch's own fingerprints at the crash point, and the replay's
+    stage-1 probe would dedup the batch against itself to nothing.)"""
+    from solana_event_stream_spark.operators import dedup_index as di
+
+    batches = _curation_batches()
+    cdir = str(tmp_path / "c")
+    idir = str(tmp_path / "i")
+    fdir = str(tmp_path / "f")
+    di.create_minhash_index(idir)
+    b0 = spark.createDataFrame(batches[0], "doc_id long, text string")
+    assert di.apply_curation_maintenance_batch(
+        spark, b0, 0, cdir, idir, fdir, k=16, w=4)
+
+    # crash simulation: the publish (store.append) raises AFTER the
+    # corpus and fingerprint dirs are written
+    real_append = di.DedupIndexStore.append
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+    with monkeypatch.context() as m:
+        m.setattr(di.DedupIndexStore, "append", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            di.apply_curation_maintenance_batch(
+                spark, b1, 1, cdir, idir, fdir, k=16, w=4)
+    import os
+    assert os.path.isdir(os.path.join(cdir, "batch=1"))   # orphans...
+    assert os.path.isdir(os.path.join(fdir, "batch=1"))
+    st = di.open_dedup_index(idir)
+    assert st.meta["last_stream_batch"] == 0              # ...invisible
+    assert st.meta["corpus_batches"] == ["batch=0"]
+
+    # replay: commits batch 1 with the same survivors as no-crash
+    assert di.apply_curation_maintenance_batch(
+        spark, b1, 1, cdir, idir, fdir, k=16, w=4)
+    got = sorted(r.doc_id for r in di.load_maintained_corpus(
+        spark, cdir, idir).collect())
+    assert got == [1, 2, 13]
+    # and a second replay of the committed batch is a no-op
+    assert not di.apply_curation_maintenance_batch(
+        spark, b1, 1, cdir, idir, fdir, k=16, w=4)
