@@ -23,15 +23,20 @@ This module persists the features as an append-only INDEX table:
   minhash index's band layout.
 
 Each incremental step (1) hashes ONLY the new batch, (2) probes the
-index with a band/bucket equi-join, (3) verifies candidates by
-re-attaching raw features for the CANDIDATE ids only (an explicit
-semi-join ahead of the feature projection, so history text/vectors are
-touched for a vanishing fraction of rows), and (4) appends the
-survivors' index rows. Per-batch feature-extraction cost is therefore
-O(batch), independent of seen-corpus size; the only O(seen) term left
-is the narrow 2-3-column index scan feeding the equi-join (columnar,
-tens of bytes/row — and prunable further by bucketing the table on
-``band_val`` / ``bucket`` on a real warehouse).
+index with a band/bucket equi-join, (3) verifies candidates against a
+NARROW verify tier — xxhash64'd shingle sets for minhash
+(:func:`minhash_verify_rows`), the int8 code tier for embeddings —
+never the raw seen text/vectors (VERDICT r14 item 1: the wide
+re-attach scan was the one O(seen)-wide term left), and (4) appends
+the survivors' index + verify rows in one atomic publish. Per-batch
+feature-extraction cost is therefore O(batch), independent of
+seen-corpus size; the only O(seen) terms left are NARROW columnar
+scans (the 2-3-column index and the hashed-feature verify tier, tens
+of bytes/row — prunable further by bucketing on ``band_val`` /
+``bucket`` / id on a real warehouse, and the verify scan additionally
+shrinks to candidate row groups under the opt-in
+``candidate_pushdown`` id filter when a trigger's candidate set is
+small).
 
 Storage layout: ``<path>/batch=N/`` parquet directories plus a
 one-line JSON manifest listing committed batches, published by atomic
@@ -73,6 +78,24 @@ from .dedup import (N_BANDS, N_HASHES, ROWS_PER_BAND, _SPARK_DOT,
 
 _INDEX_MANIFEST = "_INDEX_MANIFEST.json"
 
+
+def _tier_fold_set(names: list, levels: dict, fanout: int):
+    """LSM size-tiered fold selection: the oldest ``fanout`` dirs of
+    the LOWEST level holding at least ``fanout`` dirs (appends enter
+    at level 0; ``names`` is append-ordered, so within a level oldest
+    == first). Returns (fold_list, level) or (None, None) — folding
+    only same-level dirs keeps every pass's rewrite bounded by the
+    level's dir size instead of the whole history (the naive
+    oldest-K-of-everything re-folds the big prior fold every pass,
+    quadratic total rewrite)."""
+    by_level: dict[int, list] = {}
+    for n in names:
+        by_level.setdefault(int(levels.get(n, 0)), []).append(n)
+    for lv in sorted(by_level):
+        if len(by_level[lv]) >= fanout:
+            return by_level[lv][:fanout], lv
+    return None, None
+
 _SCHEMAS = {
     "minhash": "doc_id long, band_idx int, band_val string",
     "embedding": "vec_id long, band_idx int, bucket long, nrm double",
@@ -86,6 +109,57 @@ def minhash_index_rows(docs: DataFrame) -> DataFrame:
     join consumes, computed once to be stored."""
     return _bands_from_shingles(
         docs.select("doc_id", _shingles(F.col("text")).alias("shingles")))
+
+
+def _hashed_shingles(shingles_col) -> F.Column:
+    """String shingle array -> distinct xxhash64 array. Jaccard over
+    the hashed sets equals Jaccard over the string sets except under
+    an xxhash64 collision (2^-64 per pair — the same collision budget
+    the substring fingerprints already accept); the array_distinct
+    re-pass folds any such collision into consistent SET semantics on
+    both sides of the verify."""
+    return F.array_distinct(
+        F.transform(shingles_col, lambda s: F.xxhash64(s)))
+
+
+_VERIFY_SCHEMA = "doc_id long, shingles array<bigint>"
+
+
+def minhash_verify_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<bigint>) — each doc's xxhash64'd
+    distinct shingle set: the NARROW verify tier the maintenance loop
+    persists beside the band index (VERDICT r14 item 1). The Jaccard
+    verify needs only set intersection/union sizes, so hashed shingles
+    carry the full evidence at 8 bytes per shingle — the seen corpus's
+    raw text is never read again after ingest. Column is named
+    ``shingles`` so the tier feeds ``_verify_jaccard`` directly."""
+    return docs.select(
+        "doc_id",
+        _hashed_shingles(_shingles(F.col("text"))).alias("shingles"))
+
+
+def _restrict_to_candidates(tier: DataFrame, pairs: DataFrame,
+                            id_col: str,
+                            pushdown_limit: int | None) -> DataFrame:
+    """Restrict a seen-side verify tier to the candidate ids of
+    ``pairs`` (its ``doc_b`` column). Default (``pushdown_limit``
+    None): left-semi join — correct at any candidate volume, but the
+    tier scan reads every row group. With ``pushdown_limit`` set the
+    candidate ids are collected (``pairs`` must already be
+    materialized — the caller localCheckpoints it) and, when they fit
+    the limit, pushed into the scan as an ``isin`` predicate: on an
+    id-sorted tier the parquet min/max stats prune to candidate row
+    groups, the point-lookup shape the maintenance loops want at a
+    100 TB seen tier. Above the limit it falls back to the semi-join
+    (a huge IN-list is a plan-time regression — the staged-chain
+    lesson)."""
+    ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    if pushdown_limit:
+        got = ids.limit(pushdown_limit + 1).collect()
+        if len(got) <= pushdown_limit:
+            return tier.filter(
+                F.col(id_col).isin([r[0] for r in got]))
+    return tier.join(ids, id_col, "left_semi")
 
 
 def embedding_index_rows(emb: DataFrame, n_bands: int, band_bits: int,
@@ -206,6 +280,21 @@ class DedupIndexStore:
         name = self._next_name()
         (index_rows.write.mode("overwrite")
          .parquet(_join(self.path, name)))
+        if self.kind == "substring":
+            # per-fingerprint population DELTA, pre-counted at append
+            # (VERDICT r14 item 3): the probe's stop-window cut joins
+            # these narrow (fp, n) frames instead of re-aggregating
+            # the full (doc_id, fp) index every trigger. Counted from
+            # the just-written parquet (re-running the caller's lazy
+            # plan would recompute the fingerprint explode); committed
+            # by the same single manifest swap below.
+            spark = index_rows.sparkSession
+            nname = name.replace("batch=", "fpn=")
+            (spark.read.parquet(_join(self.path, name))
+             .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite").parquet(_join(self.path, nname)))
+            self.meta["fpcount_batches"] = list(
+                self.meta.get("fpcount_batches", [])) + [nname]
         self._batches.append(name)
         if meta_update:
             self.meta.update(meta_update)
@@ -213,13 +302,32 @@ class DedupIndexStore:
         return name
 
     def compact(self, spark: SparkSession,
-                n_files: int | None = None) -> str:
-        """Rewrite every committed batch into ONE batch directory and
-        publish a manifest listing only it — the small-files lifecycle
-        step an append-only index needs: after B appends the loader
-        unions B parquet directories, and at per-trigger append
+                n_files: int | None = None,
+                max_batches: int | None = None) -> str:
+        """Rewrite committed batches into fewer directories and
+        publish the new list in one manifest swap — the small-files
+        lifecycle step an append-only index needs: after B appends the
+        loader unions B parquet directories, and at per-trigger append
         cadence B grows without bound (planning cost, file handles,
         and min-file-size row groups all degrade the probe scan).
+
+        Two modes:
+
+        - FULL (default): every batch folds into one directory — the
+          smallest read set, but the rewrite is O(seen), so at
+          maintenance-trigger cadence it spikes the trigger it lands
+          on (measured 7.4-10.1 s vs ~2.4 s steady p50, BENCH_NOTES
+          r14).
+        - TIERED (``max_batches=K`` — VERDICT r14 item 4): fold only
+          the oldest K directories of the lowest LSM level holding at
+          least K (appends enter at level 0; a fold of level-L dirs
+          produces one level-L+1 dir, levels ride the manifest). Each
+          pass rewrites ~K similar-sized dirs, never the whole index
+          — per-pass cost is bounded by the level size, dir count
+          stays O(K x log_K(appends)), and a big high-level fold
+          happens only every K^level appends. No-op ("" returned)
+          when no level qualifies, so the maintenance loops call it
+          every trigger.
 
         Crash-safe the same way append is: the compacted directory
         lands first, the manifest swap publishes it; a crash in
@@ -230,9 +338,11 @@ class DedupIndexStore:
         (same policy as the event lake's snapshot compactor).
 
         ``n_files`` sizes the rewrite (default: the cluster's
-        parallelism, capped at the current batch-dir count)."""
+        parallelism, capped at the folded dir count)."""
         if not self._batches:
             return ""
+        if max_batches is not None:
+            return self._compact_tier(spark, n_files, max_batches)
         whole = self.load(spark)
         if n_files is None:
             n_files = max(1, min(len(self._batches),
@@ -240,7 +350,68 @@ class DedupIndexStore:
         name = self._next_name()
         (whole.repartition(n_files).write.mode("overwrite")
          .parquet(_join(self.path, name)))
+        if self.kind == "substring":
+            # merge the per-append count deltas into ONE pre-summed
+            # (fp, n) frame — after this the probe's population join
+            # reads a single already-unique-per-fp directory
+            cdirs = self.meta.get("fpcount_batches", [])
+            nname = name.replace("batch=", "fpn=")
+            if cdirs:
+                merged = (spark.read.parquet(
+                    *[_join(self.path, d) for d in cdirs])
+                    .groupBy("fp").agg(F.sum("n").alias("n")))
+            else:
+                # pre-r15 substring index: derive the count dir from
+                # the just-compacted rows (the one-time migration
+                # load_fp_counts' error message points at)
+                merged = (spark.read.parquet(_join(self.path, name))
+                          .groupBy("fp")
+                          .agg(F.count(F.lit(1)).alias("n")))
+            merged.write.mode("overwrite").parquet(_join(self.path, nname))
+            self.meta["fpcount_batches"] = [nname]
+        # a full fold outranks every tier: a later tiered pass must
+        # never re-fold this dir with fresh level-0 appends
+        top = max([int(v) for v in
+                   self.meta.get("batch_levels", {}).values()] or [0])
+        self.meta["batch_levels"] = {name: top + 1}
         self._batches = [name]
+        self._write_manifest()
+        return name
+
+    def _compact_tier(self, spark: SparkSession, n_files: int | None,
+                      fanout: int) -> str:
+        """One tiered pass (see :meth:`compact`): fold the oldest
+        ``fanout`` dirs of the lowest qualifying level."""
+        levels = {n: int(v) for n, v in
+                  self.meta.get("batch_levels", {}).items()}
+        fold, lv = _tier_fold_set(self._batches, levels, fanout)
+        if not fold:
+            return ""
+        whole = spark.read.parquet(*[_join(self.path, b) for b in fold])
+        if n_files is None:
+            n_files = max(1, min(len(fold),
+                                 spark.sparkContext.defaultParallelism))
+        name = self._next_name()
+        (whole.repartition(n_files).write.mode("overwrite")
+         .parquet(_join(self.path, name)))
+        if self.kind == "substring":
+            cnames = [b.replace("batch=", "fpn=") for b in fold]
+            have = [c for c in self.meta.get("fpcount_batches", [])
+                    if c in cnames]
+            nname = name.replace("batch=", "fpn=")
+            if have:
+                (spark.read.parquet(*[_join(self.path, c) for c in have])
+                 .groupBy("fp").agg(F.sum("n").alias("n"))
+                 .write.mode("overwrite").parquet(_join(self.path, nname)))
+                self.meta["fpcount_batches"] = (
+                    [c for c in self.meta["fpcount_batches"]
+                     if c not in cnames] + [nname])
+        idx = self._batches.index(fold[0])
+        remaining = [b for b in self._batches if b not in fold]
+        self._batches = remaining[:idx] + [name] + remaining[idx:]
+        levels = {n: v for n, v in levels.items() if n not in fold}
+        levels[name] = lv + 1
+        self.meta["batch_levels"] = levels
         self._write_manifest()
         return name
 
@@ -251,6 +422,39 @@ class DedupIndexStore:
             return spark.createDataFrame([], _SCHEMAS[self.kind])
         return spark.read.parquet(
             *[_join(self.path, b) for b in self._batches])
+
+    def load_fp_counts(self, spark: SparkSession,
+                       restrict_to: DataFrame | None = None) -> DataFrame:
+        """(fp, n) per-fingerprint population of a substring index —
+        the pre-counted narrow frame the probes' stop-window cut
+        consumes (VERDICT r14 item 3), never a re-aggregation of the
+        full (doc_id, fp) index. ``restrict_to``: a SMALL (fp) frame
+        (the new batch's fingerprints) broadcast-semi-joined into the
+        delta scan BEFORE the cross-directory merge, so the only
+        aggregation runs over matched rows — per-trigger cost
+        O(batch ∩ seen), the seen side contributing a pure narrow scan
+        with zero shuffle. Between compactions there are
+        ``compact_every`` delta dirs at most; after a compact, one
+        pre-summed dir (already unique per fp)."""
+        if self.kind != "substring":
+            raise ValueError(
+                f"fp counts exist only for substring indexes, not "
+                f"{self.kind!r}")
+        dirs = self.meta.get("fpcount_batches", [])
+        if not dirs:
+            if self._batches:
+                raise ValueError(
+                    f"substring index at {self.path!r} has committed "
+                    "batches but no fp-count deltas (pre-r15 manifest) "
+                    "— compact() once to derive the merged count dir")
+            return spark.createDataFrame([], "fp long, n long")
+        cnt = spark.read.parquet(*[_join(self.path, d) for d in dirs])
+        if restrict_to is not None:
+            cnt = cnt.join(F.broadcast(restrict_to.select("fp")),
+                           "fp", "left_semi")
+        if len(dirs) == 1:
+            return cnt
+        return cnt.groupBy("fp").agg(F.sum("n").alias("n"))
 
 
 def substring_index_rows(docs: DataFrame, k: int = 32,
@@ -333,22 +537,41 @@ def _check_candidate_coverage(pairs: DataFrame, seen: DataFrame,
             "manifest's corpus_batches).")
 
 
-def dedup_pairs_cross_indexed(new_docs: DataFrame, seen_docs: DataFrame,
+def dedup_pairs_cross_indexed(new_docs: DataFrame,
+                              seen_docs: DataFrame | None,
                               seen_index: DataFrame,
-                              check_coverage: bool = False) -> DataFrame:
+                              check_coverage: bool = False,
+                              seen_verify: DataFrame | None = None,
+                              candidate_pushdown: int | None = None
+                              ) -> DataFrame:
     """:func:`~.dedup.dedup_pairs_cross` with the seen side's band
     frame read from the index instead of re-derived from raw text.
-    ``seen_docs`` is touched only to re-attach shingles for CANDIDATE
-    ids (explicit semi-join BEFORE the shingle projection — history is
-    never re-shingled wholesale).
 
-    CONTRACT (ADVICE r13): ``seen_docs`` must cover every doc_id whose
-    rows are in ``seen_index`` — candidates whose raw text is missing
-    vanish at the verify join, silently ADMITTING near-dups. The
-    maintenance loop satisfies this by reading the manifest's
-    corpus_batches; standalone callers can pass
+    The verify re-attach has two sources (exactly one required):
+
+    - ``seen_verify`` — the NARROW hashed-shingle tier
+      (:func:`minhash_verify_rows`): the Jaccard verify runs entirely
+      on xxhash64'd sets, seen raw text is NEVER read (VERDICT r14
+      item 1 — the maintenance loops' path). ``candidate_pushdown``
+      additionally collects the candidate ids (materializing the
+      probe with one localCheckpoint) and pushes an ``isin`` into the
+      tier scan when they fit the limit — O(candidate) row groups on
+      an id-sorted tier.
+    - ``seen_docs`` — the raw (doc_id, text) corpus (legacy/standalone
+      form): shingles re-derive for CANDIDATE ids only (explicit
+      semi-join BEFORE the shingle projection), but the scan still
+      reads the wide text column.
+
+    CONTRACT (ADVICE r13): the chosen seen frame must cover every
+    doc_id whose rows are in ``seen_index`` — candidates whose verify
+    features are missing vanish at the verify join, silently ADMITTING
+    near-dups. The maintenance loop satisfies this by reading the
+    manifest's committed tier; standalone callers can pass
     ``check_coverage=True`` to pay one candidate-ids-only action that
     raises on uncovered ids."""
+    if (seen_docs is None) == (seen_verify is None):
+        raise ValueError("pass exactly one of seen_docs (raw text) or "
+                         "seen_verify (hashed-shingle tier)")
     sh_n, b_n = _minhash_band_frame(new_docs)
     pairs = (b_n.alias("a")
              .join(seen_index.alias("b"),
@@ -357,6 +580,17 @@ def dedup_pairs_cross_indexed(new_docs: DataFrame, seen_docs: DataFrame,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    if seen_verify is not None:
+        if candidate_pushdown:
+            pairs = pairs.localCheckpoint()
+        if check_coverage:
+            _check_candidate_coverage(pairs, seen_verify, "doc_id")
+        sh_n_h = sh_n.select("doc_id",
+                             _hashed_shingles(F.col("shingles"))
+                             .alias("shingles"))
+        sv = _restrict_to_candidates(seen_verify, pairs, "doc_id",
+                                     candidate_pushdown)
+        return _verify_jaccard(pairs, sh_n_h, sv)
     if check_coverage:
         _check_candidate_coverage(pairs, seen_docs, "doc_id")
     ids_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -371,7 +605,9 @@ def embedding_pairs_cross_indexed(new_emb: DataFrame,
                                   n_bands: int, band_bits: int,
                                   tau: float = 0.9,
                                   width: int | None = None,
-                                  check_coverage: bool = False
+                                  check_coverage: bool = False,
+                                  seen_quantized: bool = False,
+                                  candidate_pushdown: int | None = None
                                   ) -> DataFrame:
     """:func:`~.dedup.embedding_pairs_cross_banded` with the seen
     side's (band_idx, bucket, nrm) read from the index. ``seen_emb``
@@ -381,6 +617,17 @@ def embedding_pairs_cross_indexed(new_emb: DataFrame,
     :func:`embedding_incremental_survivors_indexed`, which enforces
     it. Ids-only through the band join: the new batch's arrays attach
     AFTER the per-pair dropDuplicates.
+
+    ``seen_quantized=True``: ``seen_emb`` is the INT8 tier (vec_id,
+    scale, q) and the candidate vectors dequantize inline AFTER the
+    attach restriction — bit-identical cosines to dequantizing the
+    whole corpus first (the dequantize is row-wise, it commutes with
+    the join), but the verify scan reads 8x fewer bytes (VERDICT r14
+    item 1: the int8 tier is the verify source, the float corpus is
+    never re-read). ``candidate_pushdown``: as in
+    :func:`dedup_pairs_cross_indexed` — collect candidate ids
+    (materializes the probe) and push ``isin`` into the tier scan when
+    they fit the limit.
 
     Same coverage CONTRACT as :func:`dedup_pairs_cross_indexed`:
     ``seen_emb`` must cover every indexed vec_id (``check_coverage``
@@ -395,6 +642,8 @@ def embedding_pairs_cross_indexed(new_emb: DataFrame,
                      F.col("b.vec_id").alias("doc_b"),
                      F.col("b.nrm").alias("nrm_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    if candidate_pushdown:
+        pairs = pairs.localCheckpoint()
     if check_coverage:
         _check_candidate_coverage(pairs, seen_emb, "vec_id")
     new_feats = new_emb.select(
@@ -402,14 +651,42 @@ def embedding_pairs_cross_indexed(new_emb: DataFrame,
         F.col("embedding").alias("emb_a"),
         F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
         .alias("nrm_a"))
-    seen_vecs = seen_emb.select(F.col("vec_id").alias("doc_b"),
-                                F.col("embedding").alias("emb_b"))
+    seen_side = _restrict_to_candidates(seen_emb, pairs, "vec_id",
+                                        candidate_pushdown)
+    if seen_quantized:
+        emb_b = F.transform(
+            F.col("q"),
+            lambda b: b.cast("double") / 127.0 * F.col("scale"))
+    else:
+        emb_b = F.col("embedding")
+    seen_vecs = seen_side.select(F.col("vec_id").alias("doc_b"),
+                                 emb_b.alias("emb_b"))
     dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
     return (pairs.join(new_feats, "doc_a").join(seen_vecs, "doc_b")
             .select("doc_a", "doc_b",
                     (dot / (F.col("nrm_a") * F.col("nrm_b")))
                     .alias("cosine"))
             .filter(F.col("cosine") >= tau))
+
+
+def _embedding_n_bands(store: DedupIndexStore) -> int:
+    """The embedding index's band count — REQUIRED in the manifest.
+    A pre-multi-band manifest (r13 layout) persisted (vec_id, bucket,
+    nrm) rows with no band_idx column: a silent ``get("n_bands", 1)``
+    default implied such indexes still probe, but the banded equi-join
+    fails on the missing column and append rejects the old schema —
+    the default was dead code masking a format break (ADVICE r14).
+    Loud version error instead: rebuild the index."""
+    n_bands = store.params.get("n_bands")
+    if n_bands is None:
+        raise ValueError(
+            f"embedding index at {store.path!r} predates the "
+            "multi-band format (manifest has no n_bands parameter); "
+            "its rows lack the band_idx column the banded probe "
+            "equi-joins on — rebuild the index with "
+            "create_embedding_index (the old single-bucket layout is "
+            "not probe-compatible)")
+    return n_bands
 
 
 # ---------------------------------------------------------------------------
@@ -419,8 +696,11 @@ def embedding_pairs_cross_indexed(new_emb: DataFrame,
 
 def dedup_incremental_survivors_indexed(store: DedupIndexStore,
                                         new_docs: DataFrame,
-                                        seen_docs: DataFrame,
-                                        commit: bool = True) -> DataFrame:
+                                        seen_docs: DataFrame | None = None,
+                                        commit: bool = True,
+                                        seen_verify: DataFrame | None = None,
+                                        candidate_pushdown: int | None = None
+                                        ) -> DataFrame:
     """Index-backed :func:`~.dedup.dedup_incremental_survivors`: drop
     new docs that near-dup the indexed corpus, resolve duplicates
     within the remainder, and (``commit=True``) append the survivors'
@@ -428,10 +708,14 @@ def dedup_incremental_survivors_indexed(store: DedupIndexStore,
     rows (materialized via localCheckpoint when committing, so the
     caller's frame does not recompute the whole step).
 
-    ``seen_docs`` must cover every doc_id in the index (the
-    :func:`dedup_pairs_cross_indexed` coverage contract) — the
-    maintenance loop guarantees it via the manifest's
-    corpus_batches."""
+    The seen-side verify source is either ``seen_docs`` (raw text —
+    the legacy/standalone form) or ``seen_verify`` (the hashed-shingle
+    tier from :func:`minhash_verify_rows` — the maintenance loops'
+    narrow path; see :func:`dedup_pairs_cross_indexed`, including the
+    ``candidate_pushdown`` point-lookup option). Exactly one must be
+    given, and it must cover every doc_id in the index (the coverage
+    contract) — the maintenance loop guarantees it via the manifest's
+    committed verify-tier list."""
     # geometry, not just kind (ADVICE r13): the probe signs the NEW
     # batch under the module constants, so an index pinned under
     # different band geometry would equi-join incompatible band_vals
@@ -441,7 +725,9 @@ def dedup_incremental_survivors_indexed(store: DedupIndexStore,
                    rows_per_band=ROWS_PER_BAND)
     spark = new_docs.sparkSession
     hit = (dedup_pairs_cross_indexed(new_docs, seen_docs,
-                                     store.load(spark))
+                                     store.load(spark),
+                                     seen_verify=seen_verify,
+                                     candidate_pushdown=candidate_pushdown)
            .select(F.col("doc_a").alias("doc_id")).distinct())
     fresh = new_docs.join(hit, "doc_id", "left_anti")
     surv = dedup_survivors(
@@ -457,8 +743,10 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
                                             seen_emb: DataFrame,
                                             tau: float = 0.9,
                                             within_bands: int = 4,
-                                            commit: bool = True
-                                            ) -> DataFrame:
+                                            commit: bool = True,
+                                            seen_quantized: bool = False,
+                                            candidate_pushdown: int | None
+                                            = None) -> DataFrame:
     """Index-backed :func:`~.dedup.embedding_incremental_survivors`;
     the band geometry and width come from the store's manifest (the
     signatures must match the indexed ones — geometry cannot drift by
@@ -473,13 +761,15 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
 
     store._require("embedding")
     n_planes = store.params["n_planes"]
-    n_bands = store.params.get("n_bands", 1)
+    n_bands = _embedding_n_bands(store)
     width = store.params.get("width")
     spark = new_emb.sparkSession
     hit = (embedding_pairs_cross_indexed(new_emb, seen_emb,
                                          store.load(spark),
                                          n_bands, n_planes,
-                                         tau=tau, width=width)
+                                         tau=tau, width=width,
+                                         seen_quantized=seen_quantized,
+                                         candidate_pushdown=candidate_pushdown)
            .select(F.col("doc_a").alias("vec_id")).distinct())
     fresh = new_emb.join(hit, "vec_id", "left_anti")
     batch_bits = scaled_n_planes(
@@ -505,18 +795,37 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
 def substring_pairs_cross_indexed(new_docs: DataFrame,
                                   seen_index: DataFrame,
                                   k: int = 32, w: int = 16,
-                                  max_docs_per_window: int = 64
+                                  max_docs_per_window: int = 64,
+                                  seen_fp_counts: DataFrame | None = None
                                   ) -> DataFrame:
     """:func:`~.dedup.substring_pairs_cross` with the seen side's
     fingerprints read from the index — (doc_a=new, doc_b=seen,
     n_shared_fps). No seen raw text is touched at all: a fingerprint
     match already implies a shared exact k-token window. Stop-window
-    cut on the combined (new + indexed) per-fingerprint population."""
+    cut on the combined (new + indexed) per-fingerprint population.
+
+    ``seen_fp_counts`` — the store's pre-counted (fp, n) frame
+    (:meth:`DedupIndexStore.load_fp_counts`; VERDICT r14 item 3):
+    the population cut becomes new-batch counts LEFT-JOINED against
+    seen counts restricted to the batch's own fingerprints (fps the
+    batch doesn't carry can't pair anyway), so the per-trigger plan
+    has NO corpus-wide aggregation — the seen side contributes only
+    narrow scans. Without it (standalone callers holding a bare index
+    frame) the cut falls back to re-aggregating the union."""
     fp_n = (_substring_fp_exploded(new_docs, k, w)
             .filter(F.col("fp").isNotNull()).select("doc_id", "fp"))
-    pop = (fp_n.select("fp").unionByName(seen_index.select("fp"))
-           .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
-           .filter(F.col("n") <= max_docs_per_window).select("fp"))
+    if seen_fp_counts is not None:
+        new_cnt = fp_n.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        seen_cnt = seen_fp_counts.withColumnRenamed("n", "n_seen")
+        pop = (new_cnt.join(seen_cnt, "fp", "left")
+               .filter(F.col("n")
+                       + F.coalesce(F.col("n_seen"), F.lit(0))
+                       <= max_docs_per_window)
+               .select("fp"))
+    else:
+        pop = (fp_n.select("fp").unionByName(seen_index.select("fp"))
+               .groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") <= max_docs_per_window).select("fp"))
     return (fp_n.join(pop, "fp").alias("a")
             .join(seen_index.alias("b"), F.col("a.fp") == F.col("b.fp"))
             .groupBy(F.col("a.doc_id").alias("doc_a"),
@@ -541,7 +850,15 @@ def substring_incremental_survivors_indexed(store: DedupIndexStore,
     store._require("substring")
     k, w = store.params["k"], store.params["w"]
     spark = new_docs.sparkSession
-    seen_fps = store.load(spark).select("fp").distinct()
+    # the seen fingerprint SET, restricted to the batch's own
+    # fingerprints before any cross-directory merge (fps the batch
+    # doesn't carry can't affect its coverage): the count deltas make
+    # this a narrow scan + broadcast semi-join — the corpus-wide
+    # load().distinct() shuffle is gone (VERDICT r14 item 3)
+    batch_fps = (_substring_fp_exploded(new_docs, k, w)
+                 .filter(F.col("fp").isNotNull()).select("fp").distinct())
+    seen_fps = store.load_fp_counts(
+        spark, restrict_to=batch_fps).select("fp")
     surv = _substring_survivors_against(new_docs, seen_fps, k, w,
                                         max_dup_frac)
     if commit:
@@ -576,28 +893,86 @@ def _check_stream_token(store: DedupIndexStore,
             "original checkpoint directory (or build a new index)")
 
 
+def _load_minhash_verify_tier(spark: SparkSession, store: DedupIndexStore
+                              ) -> DataFrame:
+    """The committed hashed-shingle verify tier (``verify=N`` dirs
+    under the index path, listed in manifest meta). A manifest with
+    committed corpus batches but NO verify tier predates r15 — loud
+    error pointing at the one-time backfill, never a silent fallback
+    to the wide corpus scan the tier exists to kill."""
+    verify_batches = store.meta.get("verify_batches", [])
+    if not verify_batches:
+        if store.meta.get("corpus_batches"):
+            raise ValueError(
+                f"index at {store.path!r} has committed corpus batches "
+                "but no verify tier (pre-r15 manifest) — run "
+                "backfill_minhash_verify_tier(spark, corpus_path, "
+                "index_path) once to derive the hashed-shingle tier "
+                "from the committed corpus text")
+        return spark.createDataFrame([], _VERIFY_SCHEMA)
+    return spark.read.parquet(
+        *[_join(store.path, b) for b in verify_batches])
+
+
+def backfill_minhash_verify_tier(spark: SparkSession, corpus_path: str,
+                                 index_path: str) -> str:
+    """One-time migration for a pre-r15 maintained minhash corpus:
+    derive the hashed-shingle verify tier from the committed corpus
+    text and publish it in one manifest swap. The dir is named after
+    the current high-water mark, which future trigger ids (strictly
+    greater) can never collide with."""
+    store = open_dedup_index(index_path)
+    store._require("minhash")
+    if store.meta.get("verify_batches"):
+        return ""
+    corpus_batches = store.meta.get("corpus_batches", [])
+    if not corpus_batches:
+        store.meta["verify_batches"] = []
+        store._write_manifest()
+        return ""
+    docs = spark.read.parquet(
+        *[_join(corpus_path, b) for b in corpus_batches])
+    name = f"verify={int(store.meta.get('last_stream_batch', 0))}"
+    (minhash_verify_rows(docs).sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(_join(index_path, name)))
+    store.meta["verify_batches"] = [name]
+    store._write_manifest()
+    return name
+
+
 def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
                                   batch_id: int, corpus_path: str,
                                   index_path: str,
                                   compact_every: int | None = None,
-                                  stream_token: str | None = None) -> bool:
+                                  stream_token: str | None = None,
+                                  candidate_pushdown: int | None = 4096,
+                                  compact_mode: str = "full") -> bool:
     """One idempotent maintenance step: dedup ``batch_df`` against the
-    indexed corpus, append the survivors to the corpus and their band
-    rows to the index. Returns False when ``batch_id`` was already
-    committed (crash-replay no-op).
+    indexed corpus, append the survivors to the corpus, their band
+    rows to the index, and their hashed-shingle rows to the verify
+    tier. Returns False when ``batch_id`` was already committed
+    (crash-replay no-op).
+
+    Per-trigger IO is O(batch) + two NARROW seen-side scans — the
+    band index and the hashed-shingle verify tier (VERDICT r14
+    item 1): the wide survivors corpus is WRITE-ONLY here (read only
+    by :func:`load_maintained_corpus` consumers), exactly the
+    substring loop's proven flat-probe shape. ``candidate_pushdown``
+    further turns the verify scan into an ``isin`` point lookup over
+    the id-sorted tier when a trigger's candidate set fits the limit.
 
     Commit protocol (single writer): the survivors land in a
     batch-id-named corpus directory first (mode=overwrite, so a replay
     rewrites identical content — the step is deterministic given the
-    committed index state), then ONE atomic index-manifest publish
-    commits the index rows AND the meta (last committed micro-batch
-    id + the corpus-batch list) together. A crash before the publish
-    leaves an orphan corpus directory the replay overwrites; a crash
-    after it makes the replay a no-op — the corpus reader only ever
-    trusts the manifest's corpus-batch list, so it never sees
-    survivors whose index rows aren't committed (the state in which a
-    replayed batch would self-collide with its own index rows and
-    dedup itself to nothing)."""
+    committed index state), then the verify-tier directory, then ONE
+    atomic index-manifest publish commits the index rows AND the meta
+    (last committed micro-batch id + the corpus- and verify-batch
+    lists) together. A crash before the publish leaves orphan
+    directories the replay overwrites; a crash after it makes the
+    replay a no-op — readers only ever trust the manifest's lists, so
+    they never see survivors whose index rows aren't committed (the
+    state in which a replayed batch would self-collide with its own
+    index rows and dedup itself to nothing)."""
     store = open_dedup_index(index_path)
     store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
                    rows_per_band=ROWS_PER_BAND)
@@ -605,24 +980,26 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
     if batch_id <= store.meta.get("last_stream_batch", -1):
         return False
     corpus_batches = list(store.meta.get("corpus_batches", []))
-    if corpus_batches:
-        seen_docs = spark.read.parquet(
-            *[_join(corpus_path, b) for b in corpus_batches])
-    else:
-        seen_docs = spark.createDataFrame([], "doc_id long, text string")
+    verify_batches = list(store.meta.get("verify_batches", []))
+    seen_verify = _load_minhash_verify_tier(spark, store)
     surv = dedup_incremental_survivors_indexed(
-        store, batch_df.select("doc_id", "text"), seen_docs, commit=False)
+        store, batch_df.select("doc_id", "text"), commit=False,
+        seen_verify=seen_verify, candidate_pushdown=candidate_pushdown)
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
     (surv.write.mode("overwrite").parquet(_join(corpus_path, cname)))
+    vname = f"verify={batch_id}"
+    (minhash_verify_rows(surv).sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(_join(index_path, vname)))
     meta = {"last_stream_batch": batch_id,
-            "corpus_batches": corpus_batches + [cname]}
+            "corpus_batches": corpus_batches + [cname],
+            "verify_batches": verify_batches + [vname]}
     if stream_token is not None:
         meta["stream_token"] = stream_token
     store.append(minhash_index_rows(surv), meta_update=meta)
-    if compact_every and len(store._batches) >= compact_every:
-        store.compact(spark)
-        compact_maintained_corpus(spark, corpus_path, store)
+    _run_compaction(spark, store, compact_every, compact_mode, [
+        (corpus_path, "corpus_batches", "corpus_compact_seq"),
+        (index_path, "verify_batches", "verify_compact_seq")])
     return True
 
 
@@ -660,7 +1037,8 @@ def load_maintained_corpus(spark: SparkSession, corpus_path: str,
 
 def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
                               store: "DedupIndexStore | str",
-                              n_files: int | None = None) -> str:
+                              n_files: int | None = None,
+                              max_batches: int | None = None) -> str:
     """Fold every committed survivors-corpus batch directory into ONE
     and swap ``corpus_batches`` in a single atomic manifest publish —
     the corpus-side twin of :meth:`DedupIndexStore.compact` (VERDICT
@@ -687,34 +1065,140 @@ def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
         store = open_dedup_index(store)
     return _compact_meta_dirs(spark, corpus_path, store,
                               "corpus_batches", "corpus_compact_seq",
-                              n_files)
+                              n_files, max_batches=max_batches)
+
+
+def _assert_uniform_schema(spark: SparkSession, base_path: str,
+                           dirs: list) -> None:
+    """A meta-dir family must be schema-uniform before a folding read
+    (ADVICE r14): `spark.read.parquet(many dirs)` merges BY POSITION
+    across mismatched schemas, so a mixed family (e.g. an int8
+    quantized corpus dir beside a float one) would compact into a
+    silently corrupt parquet. The loops' manifest flags prevent mixing
+    at write time; this guard makes the shared compactor fail loudly
+    even for a hand-assembled manifest. Footer-only reads — no data
+    scan."""
+    schemas = [spark.read.parquet(_join(base_path, d)).schema
+               for d in dirs]
+    for d, s in zip(dirs[1:], schemas[1:]):
+        if s != schemas[0]:
+            raise ValueError(
+                f"refusing to compact schema-mixed dirs under "
+                f"{base_path!r}: {dirs[0]!r} has {schemas[0].simpleString()} "
+                f"but {d!r} has {s.simpleString()}")
 
 
 def _compact_meta_dirs(spark: SparkSession, base_path: str,
                        store: DedupIndexStore, list_key: str,
                        seq_key: str,
-                       n_files: int | None = None) -> str:
+                       n_files: int | None = None,
+                       max_batches: int | None = None) -> str:
     """Shared compactor for any manifest-meta-listed directory family
-    (the survivors corpus, the composed loop's fingerprint dirs): fold
-    every listed dir into one ``compact=K`` dir and swap the list in
-    ONE atomic manifest publish. Same crash recipe as the index
-    compact — data first, manifest second, superseded dirs left for
-    pre-compaction readers; K is monotonic per family via ``seq_key``."""
+    (the survivors corpus, the composed loop's fingerprint dirs, the
+    hashed-shingle verify tier): fold listed dirs into a ``compact=K``
+    dir and swap the list in ONE atomic manifest publish. Same crash
+    recipe as the index compact — data first, manifest second,
+    superseded dirs left for pre-compaction readers; K is monotonic
+    per family via ``seq_key``. ``max_batches`` switches to the same
+    tiered partial mode as :meth:`DedupIndexStore.compact` (fold the
+    oldest K dirs of the lowest qualifying level; no-op otherwise),
+    with the family's levels riding ``meta[f"{list_key}_levels"]``."""
     batches = list(store.meta.get(list_key, []))
-    if len(batches) <= 1:
+    levels_key = f"{list_key}_levels"
+    if max_batches is not None:
+        levels = {n: int(v) for n, v in
+                  store.meta.get(levels_key, {}).items()}
+        fold, lv = _tier_fold_set(batches, levels, max_batches)
+        if not fold:
+            return ""
+    elif len(batches) <= 1:
         return ""
-    whole = spark.read.parquet(*[_join(base_path, b) for b in batches])
+    else:
+        fold = batches
+        lv = max([int(v) for v in
+                  store.meta.get(levels_key, {}).values()] or [0])
+        levels = {}
+    _assert_uniform_schema(spark, base_path, fold)
+    whole = spark.read.parquet(*[_join(base_path, b) for b in fold])
     if n_files is None:
-        n_files = max(1, min(len(batches),
+        n_files = max(1, min(len(fold),
                              spark.sparkContext.defaultParallelism))
     seq = int(store.meta.get(seq_key, -1)) + 1
     name = f"compact={seq}"
     (whole.repartition(n_files).write.mode("overwrite")
      .parquet(_join(base_path, name)))
-    store.meta[list_key] = [name]
+    if max_batches is not None:
+        idx = batches.index(fold[0])
+        remaining = [b for b in batches if b not in fold]
+        store.meta[list_key] = remaining[:idx] + [name] + remaining[idx:]
+        levels = {n: v for n, v in levels.items() if n not in fold}
+        levels[name] = lv + 1
+    else:
+        store.meta[list_key] = [name]
+        levels = {name: lv + 1}
+    store.meta[levels_key] = levels
     store.meta[seq_key] = seq
     store._write_manifest()
     return name
+
+
+def _run_compaction(spark: SparkSession, store: DedupIndexStore,
+                    compact_every: int | None, compact_mode: str,
+                    families: list) -> None:
+    """The loops' shared lifecycle step. ``compact_mode``:
+
+    - ``"full"`` — when the index reaches ``compact_every`` batch
+      dirs, fold EVERYTHING (index + each family) to one dir each:
+      minimal read set, but the rewrite is O(seen), spiking the
+      trigger it lands on (7.4-10.1 s vs ~2.4 s steady p50 measured
+      in r14);
+    - ``"tiered"`` — run a bounded LSM pass every trigger (fanout =
+      ``compact_every``; no-op unless a level qualifies), so the
+      worst-case trigger rewrites ~compact_every small dirs instead
+      of the whole history (VERDICT r14 item 4).
+
+    ``families`` lists the (base_path, list_key, seq_key) meta-dir
+    families compacted alongside the index store."""
+    if not compact_every:
+        return
+    if compact_mode == "tiered":
+        store.compact(spark, max_batches=compact_every)
+        for base, lk, sk in families:
+            _compact_meta_dirs(spark, base, store, lk, sk,
+                               max_batches=compact_every)
+    elif compact_mode == "full":
+        if len(store._batches) >= compact_every:
+            store.compact(spark)
+            for base, lk, sk in families:
+                _compact_meta_dirs(spark, base, store, lk, sk)
+    else:
+        raise ValueError(
+            f"compact_mode must be 'full' or 'tiered', got "
+            f"{compact_mode!r}")
+
+
+class _trigger_shuffle_width:
+    """Set ``spark.sql.shuffle.partitions`` for one maintenance
+    trigger and restore it after (VERDICT r14 item 7): per-trigger
+    frames are bounded and small, so the right shuffle width tracks
+    the TRIGGER volume, not the global conf — 32 -> 8 measured 0.84x
+    p50 at 300-doc triggers (BENCH_NOTES r14). A None width is a
+    no-op."""
+
+    def __init__(self, spark: SparkSession, width: int | None):
+        self.spark, self.width = spark, width
+
+    def __enter__(self):
+        if self.width is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions",
+                                str(int(self.width)))
+        return self
+
+    def __exit__(self, *exc):
+        if self.width is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
 
 
 def start_dedup_maintenance_stream(docs_stream: DataFrame,
@@ -722,7 +1206,11 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
                                    checkpoint_dir: str,
                                    compact_every: int | None = None,
                                    available_now: bool = False,
-                                   processing_time: str = "10 seconds"):
+                                   processing_time: str = "10 seconds",
+                                   candidate_pushdown: int | None = 4096,
+                                   compact_mode: str = "full",
+                                   trigger_shuffle_partitions:
+                                   int | None = None):
     """Streaming corpus maintenance: each micro-batch of (doc_id,
     text) documents is deduplicated against everything committed so
     far (:func:`apply_dedup_maintenance_batch`) — the index answers
@@ -736,12 +1224,23 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
     checkpoint directory is recorded in the manifest on first commit
     and pinned thereafter: driving a committed index from a DIFFERENT
     checkpoint (whose micro-batch ids restart at 0) is a hard error,
-    not a silent replay-drop (ADVICE r13)."""
+    not a silent replay-drop (ADVICE r13).
+
+    ``trigger_shuffle_partitions`` sizes the shuffle width to the
+    per-TRIGGER volume for the duration of each batch fn (restored
+    after — VERDICT r14 item 7; 32 -> 8 measured 0.84x p50 at 300-doc
+    triggers); ``compact_mode="tiered"`` bounds the compaction spike
+    (see :func:`_run_compaction`); ``candidate_pushdown`` turns the
+    verify-tier attach into an id point lookup."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        apply_dedup_maintenance_batch(
-            batch_df.sparkSession, batch_df, batch_id,
-            corpus_path, index_path, compact_every,
-            stream_token=checkpoint_dir)
+        with _trigger_shuffle_width(batch_df.sparkSession,
+                                    trigger_shuffle_partitions):
+            apply_dedup_maintenance_batch(
+                batch_df.sparkSession, batch_df, batch_id,
+                corpus_path, index_path, compact_every,
+                stream_token=checkpoint_dir,
+                candidate_pushdown=candidate_pushdown,
+                compact_mode=compact_mode)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
@@ -757,8 +1256,8 @@ def apply_substring_maintenance_batch(spark: SparkSession,
                                       corpus_path: str, index_path: str,
                                       max_dup_frac: float = 0.5,
                                       compact_every: int | None = None,
-                                      stream_token: str | None = None
-                                      ) -> bool:
+                                      stream_token: str | None = None,
+                                      compact_mode: str = "full") -> bool:
     """Exact-substring analog of :func:`apply_dedup_maintenance_batch`
     (VERDICT r13 item 2): per trigger, drop new docs whose verbatim
     duplicated-span (fingerprint) coverage against everything
@@ -788,9 +1287,8 @@ def apply_substring_maintenance_batch(spark: SparkSession,
     store.append(substring_index_rows(surv, store.params["k"],
                                       store.params["w"]),
                  meta_update=meta)
-    if compact_every and len(store._batches) >= compact_every:
-        store.compact(spark)
-        compact_maintained_corpus(spark, corpus_path, store)
+    _run_compaction(spark, store, compact_every, compact_mode, [
+        (corpus_path, "corpus_batches", "corpus_compact_seq")])
     return True
 
 
@@ -800,17 +1298,23 @@ def start_substring_maintenance_stream(docs_stream: DataFrame,
                                        max_dup_frac: float = 0.5,
                                        compact_every: int | None = None,
                                        available_now: bool = False,
-                                       processing_time: str = "10 seconds"):
+                                       processing_time: str = "10 seconds",
+                                       compact_mode: str = "full",
+                                       trigger_shuffle_partitions:
+                                       int | None = None):
     """Streaming exact-substring corpus maintenance — see
     :func:`start_dedup_maintenance_stream` for the commit/replay/
-    checkpoint-pairing contract; the drop criterion here is winnowed
-    verbatim-span coverage > ``max_dup_frac`` against the committed
-    fingerprint index."""
+    checkpoint-pairing contract and the ``compact_mode`` /
+    ``trigger_shuffle_partitions`` knobs; the drop criterion here is
+    winnowed verbatim-span coverage > ``max_dup_frac`` against the
+    committed fingerprint index."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        apply_substring_maintenance_batch(
-            batch_df.sparkSession, batch_df, batch_id,
-            corpus_path, index_path, max_dup_frac, compact_every,
-            stream_token=checkpoint_dir)
+        with _trigger_shuffle_width(batch_df.sparkSession,
+                                    trigger_shuffle_partitions):
+            apply_substring_maintenance_batch(
+                batch_df.sparkSession, batch_df, batch_id,
+                corpus_path, index_path, max_dup_frac, compact_every,
+                stream_token=checkpoint_dir, compact_mode=compact_mode)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
@@ -828,8 +1332,9 @@ def apply_curation_maintenance_batch(spark: SparkSession,
                                      max_dup_frac: float = 0.5,
                                      k: int = 32, w: int = 16,
                                      compact_every: int | None = None,
-                                     stream_token: str | None = None
-                                     ) -> bool:
+                                     stream_token: str | None = None,
+                                     candidate_pushdown: int | None = 4096,
+                                     compact_mode: str = "full") -> bool:
     """COMPOSED per-trigger curation (r14): the exact-substring
     coverage gate THEN MinHash near-dup dedup, both against committed
     state, with ONE commit point — the ``build_training_corpus``
@@ -851,7 +1356,12 @@ def apply_curation_maintenance_batch(spark: SparkSession,
     The substring geometry (``k``, ``w``) is recorded in the manifest
     meta on first commit and validated thereafter (mismatched
     fingerprints equi-join to silent zero recall — same reason the
-    index kinds pin their params)."""
+    index kinds pin their params).
+
+    Per-trigger seen-side IO is the fingerprint index + the band index
+    + the hashed-shingle verify tier — all NARROW; the wide survivors
+    corpus is write-only (VERDICT r14 item 1), and the MinHash verify
+    reads the tier committed in the same single-authority publish."""
     store = open_dedup_index(index_path)
     store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
                    rows_per_band=ROWS_PER_BAND)
@@ -867,11 +1377,8 @@ def apply_curation_maintenance_batch(spark: SparkSession,
         return False
     corpus_batches = list(store.meta.get("corpus_batches", []))
     fp_batches = list(store.meta.get("fp_batches", []))
-    if corpus_batches:
-        seen_docs = spark.read.parquet(
-            *[_join(corpus_path, b) for b in corpus_batches])
-    else:
-        seen_docs = spark.createDataFrame([], "doc_id long, text string")
+    verify_batches = list(store.meta.get("verify_batches", []))
+    seen_verify = _load_minhash_verify_tier(spark, store)
     if fp_batches:
         seen_fps = (spark.read.parquet(
             *[_join(fp_path, b) for b in fp_batches])
@@ -883,24 +1390,28 @@ def apply_curation_maintenance_batch(spark: SparkSession,
     s1 = _substring_survivors_against(batch, seen_fps, k, w,
                                       max_dup_frac)
     surv = dedup_incremental_survivors_indexed(
-        store, s1, seen_docs, commit=False)
+        store, s1, commit=False, seen_verify=seen_verify,
+        candidate_pushdown=candidate_pushdown)
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
     surv.write.mode("overwrite").parquet(_join(corpus_path, cname))
     (substring_index_rows(surv, k, w)
      .write.mode("overwrite").parquet(_join(fp_path, cname)))
+    vname = f"verify={batch_id}"
+    (minhash_verify_rows(surv).sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(_join(index_path, vname)))
     meta = {"last_stream_batch": batch_id,
             "corpus_batches": corpus_batches + [cname],
             "fp_batches": fp_batches + [cname],
+            "verify_batches": verify_batches + [vname],
             "substring_k": k, "substring_w": w}
     if stream_token is not None:
         meta["stream_token"] = stream_token
     store.append(minhash_index_rows(surv), meta_update=meta)
-    if compact_every and len(store._batches) >= compact_every:
-        store.compact(spark)
-        compact_maintained_corpus(spark, corpus_path, store)
-        _compact_meta_dirs(spark, fp_path, store, "fp_batches",
-                           "fp_compact_seq")
+    _run_compaction(spark, store, compact_every, compact_mode, [
+        (corpus_path, "corpus_batches", "corpus_compact_seq"),
+        (fp_path, "fp_batches", "fp_compact_seq"),
+        (index_path, "verify_batches", "verify_compact_seq")])
     return True
 
 
@@ -912,17 +1423,25 @@ def start_curation_maintenance_stream(docs_stream: DataFrame,
                                       k: int = 32, w: int = 16,
                                       compact_every: int | None = None,
                                       available_now: bool = False,
-                                      processing_time: str = "10 seconds"):
+                                      processing_time: str = "10 seconds",
+                                      candidate_pushdown: int | None = 4096,
+                                      compact_mode: str = "full",
+                                      trigger_shuffle_partitions:
+                                      int | None = None):
     """Streaming composed curation (substring gate -> MinHash dedup
     per trigger, one commit point) — see
     :func:`apply_curation_maintenance_batch` for the single-authority
     commit protocol and :func:`start_dedup_maintenance_stream` for the
-    checkpoint-pairing contract."""
+    checkpoint-pairing contract and the knobs."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        apply_curation_maintenance_batch(
-            batch_df.sparkSession, batch_df, batch_id,
-            corpus_path, index_path, fp_path, max_dup_frac, k, w,
-            compact_every, stream_token=checkpoint_dir)
+        with _trigger_shuffle_width(batch_df.sparkSession,
+                                    trigger_shuffle_partitions):
+            apply_curation_maintenance_batch(
+                batch_df.sparkSession, batch_df, batch_id,
+                corpus_path, index_path, fp_path, max_dup_frac, k, w,
+                compact_every, stream_token=checkpoint_dir,
+                candidate_pushdown=candidate_pushdown,
+                compact_mode=compact_mode)
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
@@ -939,8 +1458,9 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                                       tau: float = 0.9,
                                       compact_every: int | None = None,
                                       stream_token: str | None = None,
-                                      quantize_corpus: bool = False
-                                      ) -> bool:
+                                      quantize_corpus: bool = False,
+                                      candidate_pushdown: int | None = 4096,
+                                      compact_mode: str = "full") -> bool:
     """Embedding analog of :func:`apply_dedup_maintenance_batch` —
     same idempotent commit protocol (batch-id corpus dir overwrite,
     then ONE atomic manifest publish of index rows + meta); the
@@ -951,14 +1471,18 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
     ``quantize_corpus=True`` stores the survivors corpus in the int8
     form (``similarity.quantize_embeddings_int8`` — (vec_id, scale, q),
     ~8x smaller than float64 arrays): at 100 TB the maintained corpus
-    IS the dominant storage and the verify step only needs candidate
-    vectors to ~1/254 relative precision (dequantized on read, one
-    narrow projection). The flag is pinned in the manifest meta on
-    first commit — a loop restarted with the other setting is a loud
-    error, never a mis-typed read. The INDEX rows (signatures + norms)
-    are always computed from the incoming full-precision batch."""
-    from .similarity import (dequantize_embeddings_int8,
-                             quantize_embeddings_int8)
+    IS the dominant storage, and the int8 tier is then ALSO the verify
+    source — candidate vectors dequantize inline after the attach
+    restriction (VERDICT r14 item 1: the verify scan reads int8 codes,
+    never the float arrays; bit-identical to dequantizing first, the
+    row-wise dequantize commutes with the join), with
+    ``candidate_pushdown`` turning it into an ``isin`` point lookup
+    over the id-sorted tier when the trigger's candidate set is small.
+    The flag is pinned in the manifest meta on first commit — a loop
+    restarted with the other setting is a loud error, never a
+    mis-typed read. The INDEX rows (signatures + norms) are always
+    computed from the incoming full-precision batch."""
+    from .similarity import quantize_embeddings_int8
 
     store = open_dedup_index(index_path)
     store._require("embedding")
@@ -976,31 +1500,33 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
     if corpus_batches:
         seen_emb = spark.read.parquet(
             *[_join(corpus_path, b) for b in corpus_batches])
-        if quantize_corpus:
-            seen_emb = dequantize_embeddings_int8(seen_emb)
+    elif quantize_corpus:
+        seen_emb = spark.createDataFrame(
+            [], "vec_id long, scale double, q array<tinyint>")
     else:
         seen_emb = spark.createDataFrame(
             [], "vec_id long, embedding array<double>")
     surv = embedding_incremental_survivors_indexed(
         store, batch_df.select("vec_id", "embedding"), seen_emb,
-        tau=tau, commit=False)
+        tau=tau, commit=False, seen_quantized=bool(quantize_corpus),
+        candidate_pushdown=candidate_pushdown)
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
     out = quantize_embeddings_int8(surv) if quantize_corpus else surv
-    out.write.mode("overwrite").parquet(_join(corpus_path, cname))
+    (out.sortWithinPartitions("vec_id")
+     .write.mode("overwrite").parquet(_join(corpus_path, cname)))
     meta = {"last_stream_batch": batch_id,
             "corpus_batches": corpus_batches + [cname],
             "corpus_quantized": bool(quantize_corpus)}
     if stream_token is not None:
         meta["stream_token"] = stream_token
     store.append(
-        embedding_index_rows(surv, store.params.get("n_bands", 1),
+        embedding_index_rows(surv, _embedding_n_bands(store),
                              store.params["n_planes"],
                              width=store.params.get("width")),
         meta_update=meta)
-    if compact_every and len(store._batches) >= compact_every:
-        store.compact(spark)
-        compact_maintained_corpus(spark, corpus_path, store)
+    _run_compaction(spark, store, compact_every, compact_mode, [
+        (corpus_path, "corpus_batches", "corpus_compact_seq")])
     return True
 
 
@@ -1011,19 +1537,27 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
                                        compact_every: int | None = None,
                                        available_now: bool = False,
                                        processing_time: str = "10 seconds",
-                                       quantize_corpus: bool = False):
+                                       quantize_corpus: bool = False,
+                                       candidate_pushdown: int | None = 4096,
+                                       compact_mode: str = "full",
+                                       trigger_shuffle_partitions:
+                                       int | None = None):
     """Streaming embedding-corpus maintenance — see
     :func:`start_dedup_maintenance_stream` for the commit/replay
-    contract; the dedup criterion here is cosine >= ``tau`` against
-    the banded LSH-bucket index. ``quantize_corpus`` stores the
-    survivors tier int8 (8x smaller; see
-    :func:`apply_embedding_maintenance_batch`)."""
+    contract and the knobs; the dedup criterion here is cosine >=
+    ``tau`` against the banded LSH-bucket index. ``quantize_corpus``
+    stores the survivors tier int8 (8x smaller) and makes it the
+    verify source (see :func:`apply_embedding_maintenance_batch`)."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        apply_embedding_maintenance_batch(
-            batch_df.sparkSession, batch_df, batch_id,
-            corpus_path, index_path, tau, compact_every,
-            stream_token=checkpoint_dir,
-            quantize_corpus=quantize_corpus)
+        with _trigger_shuffle_width(batch_df.sparkSession,
+                                    trigger_shuffle_partitions):
+            apply_embedding_maintenance_batch(
+                batch_df.sparkSession, batch_df, batch_id,
+                corpus_path, index_path, tau, compact_every,
+                stream_token=checkpoint_dir,
+                quantize_corpus=quantize_corpus,
+                candidate_pushdown=candidate_pushdown,
+                compact_mode=compact_mode)
 
     writer = (emb_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
