@@ -561,9 +561,10 @@ def main_maintenance(spark, n_batches: int = 24,
              .coalesce(1).write.mode("overwrite")
              .parquet(os.path.join(sdir, f"b{b:03d}.parquet")))
 
-        for ce in (None, 6):
-            cdir = os.path.join(d, f"corpus_ce{ce}")
-            idir = os.path.join(d, f"index_ce{ce}")
+        for ce, mode in ((None, "full"), (6, "full"), (6, "tiered")):
+            tag = f"ce{ce}_{mode}"
+            cdir = os.path.join(d, f"corpus_{tag}")
+            idir = os.path.join(d, f"index_{tag}")
             create_minhash_index(idir)
             collector = PipelineMetricsListener()
             listener = collector.make_listener()
@@ -574,8 +575,9 @@ def main_maintenance(spark, n_batches: int = 24,
                           .option("maxFilesPerTrigger", 1)
                           .parquet(sdir + "/*"))
                 q = start_dedup_maintenance_stream(
-                    stream, cdir, idir, os.path.join(d, f"ckpt_ce{ce}"),
-                    compact_every=ce, available_now=True)
+                    stream, cdir, idir, os.path.join(d, f"ckpt_{tag}"),
+                    compact_every=ce, available_now=True,
+                    compact_mode=mode)
                 q.awaitTermination(1200)
             finally:
                 spark.streams.removeListener(listener)
@@ -587,13 +589,20 @@ def main_maintenance(spark, n_batches: int = 24,
             read_s = time.perf_counter() - t0
             store = open_dedup_index(idir)
             med = sorted(trig)[len(trig) // 2] if trig else None
+            srt = sorted(trig)
             print(json.dumps({
                 "probe": "maintenance_stream",
                 "compact_every": ce,
+                "compact_mode": mode,
                 "n_triggers": len(trig),
                 "docs_per_batch": docs_per_batch,
                 "per_trigger_ms": trig,
                 "trigger_p50_ms": med,
+                # VERDICT r14 item 4's bound: the compaction spike is
+                # the tail — p95/max vs steady p50 is the spike metric
+                "trigger_p95_ms": srt[int(0.95 * (len(srt) - 1))]
+                if srt else None,
+                "trigger_max_ms": srt[-1] if srt else None,
                 "first5_p50_ms": sorted(trig[1:6])[min(2, max(0, len(trig[1:6]) - 1))] if len(trig) > 1 else None,
                 "last5_p50_ms": sorted(trig[-5:])[2] if len(trig) >= 5 else None,
                 "summary": latency_summary(collector.progress),

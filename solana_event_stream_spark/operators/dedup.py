@@ -1108,17 +1108,25 @@ _CC_MAX_ITERS = 15
       SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
     memb AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
     sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
-              FROM memb GROUP BY cluster_id)
+              FROM memb GROUP BY cluster_id),
+    words AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM docs),
+    rk AS (SELECT m.doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                     ORDER BY w.nw DESC, m.doc_id ASC) AS r
+           FROM memb m JOIN words w USING (doc_id))
     SELECT m.doc_id, m.cluster_id, s.cluster_size,
-           m.doc_id = m.cluster_id AS keep
-    FROM memb m JOIN sizes s USING (cluster_id)
+           m.doc_id = m.cluster_id AS keep,
+           rk.r = 1 AS keep_by_words
+    FROM memb m JOIN sizes s USING (cluster_id) JOIN rk USING (doc_id)
     """,
     tags=("dedup", "llm-data", "graph"),
     doc="Duplicate-cluster resolution: connected components over the "
         "MinHash-verified duplicate pairs (min-label propagation), "
-        "canonical keeper = min doc_id per component. Turns pairwise "
-        "near-dup hits into the actual dedup decision a training "
-        "pipeline needs (which copies to drop).",
+        "canonical keeper = min doc_id per component, PLUS the "
+        "quality-keeper decision (keep_by_words: the RefinedWeb-style "
+        "longest-doc keeper via dedup_survivors_by, ties to min id) — "
+        "both dedup decisions a training pipeline chooses between, "
+        "hash-pinned per cluster (r15 catalog promotion).",
 )
 def dedup_clusters(spark, sf_dir: str) -> DataFrame:
     """Cluster duplicate pairs into components and pick keepers.
@@ -1139,14 +1147,25 @@ def dedup_clusters(spark, sf_dir: str) -> DataFrame:
     /root/reference); completes the dedup family: pair finders say
     "these two match", this says "keep doc X, drop its whole cluster".
     """
-    pairs = (_minhash_verified_pairs(docs_with_dups(spark, sf_dir))
-             .select("doc_a", "doc_b"))
+    docs = docs_with_dups(spark, sf_dir)
+    pairs = _minhash_verified_pairs(docs).select("doc_a", "doc_b")
     memb = connected_components(pairs)
     sizes = memb.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
+    # the quality-keeper rule, via the REAL apply operator (r15
+    # catalog promotion of dedup_survivors_by): survivors under the
+    # word-count score, restricted back to clustered rows — every
+    # cluster contributes exactly one keep_by_words=true row (the
+    # longest member, ties to min id)
+    keepers = (dedup_survivors_by(docs, memb,
+                                  F.size(F.split("text", " ")))
+               .select("doc_id").withColumn("_kbw", F.lit(True)))
     return (memb.join(sizes, "cluster_id")
+            .join(keepers, "doc_id", "left")
             .select("doc_id", "cluster_id", "cluster_size",
-                    (F.col("doc_id") == F.col("cluster_id")).alias("keep")))
+                    (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+                    F.coalesce(F.col("_kbw"), F.lit(False))
+                    .alias("keep_by_words")))
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:

@@ -798,6 +798,8 @@ def dequantize_embeddings_int8(qemb: DataFrame) -> DataFrame:
 
 
 def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
+                              rerank_m: int | None = None,
+                              exact_corpus: DataFrame | None = None,
                               **kwargs) -> DataFrame:
     """:func:`ann_topk_frames` over an INT8-QUANTIZED corpus (VERDICT
     r13 item 5) — the deployment serving path where the 100 TB corpus
@@ -818,12 +820,56 @@ def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
     ``scale`` column is never read at serving time (it exists for
     reconstruction/re-ranking). Accepts every :func:`ann_topk_frames`
     keyword; recall@k >= the pinned 0.9 floor vs the exact float path
-    (tests/test_quantization.py)."""
+    (tests/test_quantization.py).
+
+    ``rerank_m`` (VERDICT r14 item 6) closes the residual recall gap:
+    pull top-``rerank_m`` candidates (m >= k) through the quantized
+    path, then re-score ONLY those m per query against
+    ``exact_corpus`` — the FULL-precision (vec_id, embedding) tier the
+    quantize docstring says a serving deployment keeps for exactly
+    this — and return the exact-cosine top-k. O(queries x m)
+    re-scored rows, attached by an id equi-join (never a second
+    corpus-wide scoring pass). Note the re-rank source must be the
+    full-precision tier, NOT dequantized codes: cosine against
+    dequantized values EQUALS the code-domain cosine (the same
+    scale-invariance identity the fast path rides), so a
+    "dequantized re-rank" would be a no-op by construction — the gap
+    being closed IS the quantization error, and only the float
+    vectors carry the lost bits. Recall@k vs exact pinned >= 0.98 in
+    tests/test_quantization.py; the zero-pre-query-action plan
+    guarantee is inherited (the re-rank adds joins, not actions)."""
     corpus = qcorpus.select(
         "vec_id",
         F.col("q").cast("array<double>").alias("embedding"))
     kwargs.setdefault("corpus_id_col", "vec_id")
-    return ann_topk_frames(queries, corpus, **kwargs)
+    if rerank_m is None:
+        return ann_topk_frames(queries, corpus, **kwargs)
+    if exact_corpus is None:
+        raise ValueError(
+            "rerank_m requires exact_corpus (the full-precision "
+            "(vec_id, embedding) re-rank tier): dequantized codes "
+            "score identically to the codes themselves — they cannot "
+            "close the quantization gap")
+    k = kwargs.pop("k", TOP_K)
+    if rerank_m < k:
+        raise ValueError(f"rerank_m ({rerank_m}) must be >= k ({k})")
+    query_id_col = kwargs.get("query_id_col", "query_id")
+    cand = (ann_topk_frames(queries, corpus, k=rerank_m, **kwargs)
+            .select("query_id", "neighbor_id"))
+    nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    exact = exact_corpus.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("embedding").alias("c_emb"),
+                                nrm.alias("c_nrm"))
+    q_feats = queries.select(F.col(query_id_col).alias("query_id"),
+                             F.col("embedding").alias("q_emb"),
+                             nrm.alias("q_nrm"))
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+    rescored = (cand.join(exact, "neighbor_id")
+                .join(F.broadcast(q_feats), "query_id")
+                .select("query_id", "neighbor_id",
+                        (dot / (F.col("q_nrm") * F.col("c_nrm")))
+                        .alias("cosine")))
+    return _topk_per_query(rescored, k)
 
 
 def ann_cosine_topk_quantized(spark, sf_dir: str,

@@ -115,6 +115,45 @@ _PACK_BUCKETS = 32
 _PACK_BUDGET = 512  # tokens per pack (word-count proxy)
 
 
+_CHUNK_MAX, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK_MAX - _CHUNK_OVERLAP
+_CHUNK_PACK_BUDGET = 64
+
+_SQL_CHUNKPACK_PART = f"""
+    WITH cdoc AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    cst AS (
+      SELECT doc_id, n,
+             CASE WHEN n - {_CHUNK_OVERLAP + 1} > 0
+                  THEN (n - {_CHUNK_OVERLAP + 1})
+                       - ((n - {_CHUNK_OVERLAP + 1}) % {_CHUNK_STEP})
+                  ELSE 0 END AS last
+      FROM cdoc),
+    cch AS (SELECT doc_id, n,
+                   unnest(range(0, last + 1, {_CHUNK_STEP})) AS s
+            FROM cst),
+    ctk AS (
+      SELECT doc_id, s // {_CHUNK_STEP} AS chunk_idx,
+             least({_CHUNK_MAX}, n - s) AS nt,
+             doc_id % {_PACK_BUCKETS} AS bucket
+      FROM cch),
+    ccum AS (
+      SELECT bucket, nt,
+             SUM(nt) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM ctk),
+    cpk AS (
+      SELECT bucket, nt,
+             CAST(floor((c - nt) / {float(_CHUNK_PACK_BUDGET)})
+                  AS BIGINT) AS pack_seq
+      FROM ccum)
+    SELECT 'chunkpack' AS part, bucket AS k1,
+           COUNT(DISTINCT pack_seq) AS k2, COUNT(*) AS n,
+           CAST(SUM(nt) AS BIGINT) AS tok
+    FROM cpk GROUP BY bucket
+"""
+
+
 @register(
     "pack_sequences",
     oracle=f"""
@@ -134,16 +173,23 @@ _PACK_BUDGET = 512  # tokens per pack (word-count proxy)
                   AS BIGINT) AS pack_seq,
              n_tok
       FROM cum)
-    SELECT bucket, pack_seq, COUNT(*) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    SELECT 'pack' AS part, bucket AS k1, pack_seq AS k2,
+           COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS tok
     FROM packs GROUP BY bucket, pack_seq
+    UNION ALL
+    SELECT * FROM ({_SQL_CHUNKPACK_PART})
     """,
-    tags=("training-data", "llm-data", "packing"),
-    doc="Greedy token-budget sequence packing: docs fill 512-token packs "
-        "in doc_id order WITHIN hash buckets (bucket == partition at "
-        "scale), so the running-total window never needs a global sort. "
-        "A doc whose tokens straddle the boundary starts in the pack "
-        "where its first token lands (contiguous-fill semantics).",
+    tags=("training-data", "llm-data", "packing", "chunking"),
+    doc="Sequence packing as one tagged union (driver 50-row-cap "
+        "consolidation; r15 catalog promotion of chunk->pack). "
+        "part='pack': whole docs fill 512-token packs in doc_id order "
+        "WITHIN hash buckets (bucket == partition at scale), so the "
+        "running-total window never needs a global sort. "
+        "part='chunkpack': the composed training-row path — "
+        "chunk_documents (32-token windows, 8 overlap) then the greedy "
+        "64-token pack labeling over the chunks, per-bucket chunk/"
+        "pack/token counts hash-pinned (the overlap tax and "
+        "contained-tail behavior are inside the numbers).",
 )
 def pack_sequences(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -160,9 +206,31 @@ def pack_sequences(spark, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum_tok") - F.col("n_tok"))
                 / F.lit(float(_PACK_BUDGET))).alias("pack_seq"),
         "n_tok")
-    return (packs.groupBy("bucket", "pack_seq")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tok").alias("pack_tokens")))
+    pack = (packs.groupBy("bucket", "pack_seq")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_tok").alias("tok"))
+            .select(F.lit("pack").alias("part"),
+                    F.col("bucket").alias("k1"),
+                    F.col("pack_seq").alias("k2"), "n", "tok"))
+    # the composed chunk->pack path, via the REAL operator
+    chunks = chunk_documents(docs, max_tokens=_CHUNK_MAX,
+                             overlap=_CHUNK_OVERLAP)
+    cw = (Window.partitionBy("bucket").orderBy("doc_id", "chunk_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    labeled = (chunks
+               .withColumn("bucket", F.col("doc_id") % _PACK_BUCKETS)
+               .withColumn("_cum",
+                           F.sum("n_tokens").over(cw).cast("long"))
+               .withColumn("pack_seq",
+                           F.floor((F.col("_cum") - F.col("n_tokens"))
+                                   / F.lit(float(_CHUNK_PACK_BUDGET)))))
+    chunkpack = (labeled.groupBy("bucket")
+                 .agg(F.countDistinct("pack_seq").alias("k2"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.sum("n_tokens").cast("long").alias("tok"))
+                 .select(F.lit("chunkpack").alias("part"),
+                         F.col("bucket").alias("k1"), "k2", "n", "tok"))
+    return pack.unionByName(chunkpack)
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +438,42 @@ def training_sample_filter(spark, sf_dir: str) -> DataFrame:
 # Domain mixing (resample to a uniform per-language target)
 # ---------------------------------------------------------------------------
 
+_BUDGET_TOKENS = 1000
+_BUDGET_SAFETY = 1.5
+
+_SQL_BUDGET_PART = f"""
+    WITH bt AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+             {_SQL_HASH_UNIT.format(c='doc_id')} AS h
+      FROM documents),
+    btot AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS grp
+             FROM bt GROUP BY lang),
+    bcut AS (
+      SELECT bt.*
+      FROM bt JOIN btot USING (lang)
+      WHERE grp <= {_BUDGET_TOKENS}
+         OR h < least(1.0, CAST({_BUDGET_SAFETY} AS DOUBLE)
+                           * {_BUDGET_TOKENS} / grp)),
+    bpool AS (SELECT lang, SUM(nt) AS pool FROM bcut GROUP BY lang),
+    bcand AS (
+      SELECT bt.lang, bt.doc_id, bt.nt, bt.h
+      FROM bt JOIN btot USING (lang) LEFT JOIN bpool USING (lang)
+      WHERE grp <= {_BUDGET_TOKENS}
+         OR h < least(1.0, CAST({_BUDGET_SAFETY} AS DOUBLE)
+                           * {_BUDGET_TOKENS} / grp)
+         OR pool IS NULL OR pool < {_BUDGET_TOKENS}),
+    bcum AS (
+      SELECT lang, nt,
+             SUM(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM bcand)
+    SELECT 'budget' AS part, lang, COUNT(*) AS n1,
+           CAST(SUM(nt) AS BIGINT) AS n2,
+           CAST(SUM(nt) AS DOUBLE) / {_BUDGET_TOKENS} AS v
+    FROM bcum WHERE c - nt < {_BUDGET_TOKENS} GROUP BY lang
+"""
+
+
 @register(
     "domain_mix_resample",
     oracle=f"""
@@ -386,17 +490,22 @@ def training_sample_filter(spark, sf_dir: str) -> DataFrame:
              CASE WHEN {_SQL_HASH_UNIT.format(c='d.doc_id')} < t.keep_rate
                   THEN 1 ELSE 0 END AS kept
       FROM documents d JOIN tgt t ON d.lang = t.lang)
-    SELECT t.lang, t.n_total, CAST(SUM(drawn.kept) AS BIGINT) AS n_kept,
-           t.keep_rate
+    SELECT 'mix' AS part, t.lang, t.n_total AS n1,
+           CAST(SUM(drawn.kept) AS BIGINT) AS n2, t.keep_rate AS v
     FROM drawn JOIN tgt t ON drawn.lang = t.lang
     GROUP BY t.lang, t.n_total, t.keep_rate
+    UNION ALL
+    SELECT * FROM ({_SQL_BUDGET_PART})
     """,
-    tags=("training-data", "llm-data", "mixing"),
-    doc="Domain mixing: downsample over-represented languages to a "
-        "uniform target share. Per-domain rates come from one tiny "
-        "aggregate broadcast back against the corpus — the corpus scan "
-        "stays narrow; the same deterministic md5 draw as stratified "
-        "sampling keeps the mix reproducible.",
+    tags=("training-data", "llm-data", "mixing", "sampling"),
+    doc="Domain mixing + token-budget sampling as one tagged union "
+        "(driver 50-row-cap consolidation; r15 catalog promotion of "
+        "sample_token_budget). part='mix': downsample over-represented "
+        "languages to a uniform target share (broadcast rate table, "
+        "narrow corpus scan). part='budget': keep documents in "
+        "deterministic md5-hash order until each language reaches "
+        "1,000 tokens — the two-phase hash-cut fill with the "
+        "guaranteed-floor fallback, hash-pinned per language.",
 )
 def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -416,9 +525,23 @@ def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
                      F.when(_hash_unit(F.col("doc_id"))
                             < F.col("keep_rate"), 1).otherwise(0)
                      .alias("kept")))
-    return (drawn.groupBy("lang", "n_total", "keep_rate")
-            .agg(F.sum("kept").alias("n_kept"))
-            .select("lang", "n_total", "n_kept", "keep_rate"))
+    mix = (drawn.groupBy("lang", "n_total", "keep_rate")
+           .agg(F.sum("kept").alias("n_kept"))
+           .select(F.lit("mix").alias("part"), "lang",
+                   F.col("n_total").alias("n1"),
+                   F.col("n_kept").alias("n2"),
+                   F.col("keep_rate").alias("v")))
+    full = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    budget = (sample_token_budget(full, _BUDGET_TOKENS, by="lang",
+                                  safety=_BUDGET_SAFETY)
+              .groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n1"),
+                   F.sum("n_tokens").alias("n2"))
+              .select(F.lit("budget").alias("part"), "lang", "n1", "n2",
+                      (F.col("n2").cast("double") / _BUDGET_TOKENS)
+                      .alias("v")))
+    return mix.unionByName(budget)
 
 
 def sample_token_budget(docs: DataFrame, budget_tokens: int,
@@ -441,7 +564,17 @@ def sample_token_budget(docs: DataFrame, budget_tokens: int,
     the whole corpus (a corpus-wide partitionBy-sort would be the
     naive form's cost at 100 TB). ``safety`` guards the estimate
     against doc-length skew inside the hash prefix; groups where the
-    rate reaches 1 skip the cut entirely. Returns ``docs`` rows
+    rate reaches 1 skip the cut entirely.
+
+    The floor is GUARANTEED, not probabilistic (ADVICE r14): the
+    hash-cut pool's token mass is only ~safety x budget in
+    EXPECTATION, so under heavy doc-length skew (one giant doc whose
+    draw lands above the rate) a group's pool could under-fill even
+    though the group has the tokens. A second broadcast-small
+    aggregate totals each group's pool; a group whose pool total
+    lands under the budget (while the group itself is over it) falls
+    back to the FULL-group fill — still deterministic, still in-plan
+    (two tiny aggregates, zero driver actions). Returns ``docs`` rows
     unchanged + ``n_tokens``."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
@@ -453,9 +586,14 @@ def sample_token_budget(docs: DataFrame, budget_tokens: int,
     rate = F.least(F.lit(1.0),
                    F.lit(float(safety)) * F.lit(float(budget_tokens))
                    / F.col("_grp_tok"))
-    cand = (staged.join(F.broadcast(totals), by)
-            .filter((F.col("_grp_tok") <= budget_tokens)
-                    | (F.col("_h") < rate)))
+    cut = ((F.col("_grp_tok") <= budget_tokens) | (F.col("_h") < rate))
+    joined = staged.join(F.broadcast(totals), by)
+    pool = (joined.filter(cut).groupBy(by)
+            .agg(F.sum("_nt").alias("_pool_tok")))
+    shortfall = (F.col("_pool_tok").isNull()
+                 | (F.col("_pool_tok") < budget_tokens))
+    cand = (joined.join(F.broadcast(pool), by, "left")
+            .filter(cut | shortfall))
     w = (Window.partitionBy(by).orderBy("_h", "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = (cand.withColumn("_cum", F.sum("_nt").over(w))
@@ -603,6 +741,18 @@ def build_training_corpus(docs: DataFrame,
         raise ValueError(
             "pack_budget requires chunk_max_tokens: packing assigns "
             "FIXED-budget rows, which only chunking guarantees")
+    if pack_budget is not None and pack_budget < chunk_max_tokens:
+        # ADVICE r14: a single chunk may carry up to chunk_max_tokens
+        # tokens, so a smaller pack budget cannot hold even one chunk
+        # — the straddling chunk would overflow EVERY pack it starts.
+        # Note pack token totals count each chunk's full n_tokens,
+        # INCLUDING the chunk_overlap tokens shared with its
+        # predecessor (contiguous-fill semantics over training rows —
+        # the overlap is real model input, not an accounting artifact).
+        raise ValueError(
+            f"pack_budget ({pack_budget}) must be >= chunk_max_tokens "
+            f"({chunk_max_tokens}): a pack must hold at least one "
+            "full chunk")
     if chunk_max_tokens is not None:
         kept = chunk_documents(kept, max_tokens=chunk_max_tokens,
                                overlap=chunk_overlap)

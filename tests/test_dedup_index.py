@@ -1117,3 +1117,310 @@ def test_curation_maintenance_crash_replay_single_authority(
     # and a second replay of the committed batch is a no-op
     assert not di.apply_curation_maintenance_batch(
         spark, b1, 1, cdir, idir, fdir, k=16, w=4)
+
+
+# ---------------------------------------------------------------------------
+# Round 15: narrow verify tiers, candidate pushdown, fp-count deltas,
+# tiered compaction (VERDICT r14 items 1, 3, 4, 7)
+# ---------------------------------------------------------------------------
+
+def test_verify_tier_pairs_match_raw_text_form(spark, sf_dir, tmp_path):
+    """The hashed-shingle verify tier must reproduce the raw-text
+    verify exactly: same pair set, same jaccards (xxhash64 collisions
+    are the only divergence channel — 2^-64 per pair)."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index, dedup_pairs_cross_indexed,
+        minhash_index_rows, minhash_verify_rows)
+
+    base = _docs(spark, sf_dir)
+    seen = base.filter(F.col("doc_id") % 2 == 0)
+    new = base.filter(F.col("doc_id") % 2 == 1)
+    store = create_minhash_index(str(tmp_path / "mh"))
+    store.append(minhash_index_rows(seen))
+    idx = store.load(spark)
+
+    want = _pairs(dedup_pairs_cross_indexed(new, seen, idx))
+    tier = minhash_verify_rows(seen).localCheckpoint()
+    got = _pairs(dedup_pairs_cross_indexed(new, None, idx,
+                                           seen_verify=tier))
+    assert got == want and got
+    # candidate pushdown: isin path (huge limit) and semi-join
+    # fallback (limit 1 always exceeded) both equal
+    got_isin = _pairs(dedup_pairs_cross_indexed(
+        new, None, idx, seen_verify=tier, candidate_pushdown=100000))
+    got_fb = _pairs(dedup_pairs_cross_indexed(
+        new, None, idx, seen_verify=tier, candidate_pushdown=1))
+    assert got_isin == want and got_fb == want
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_pairs_cross_indexed(new, seen, idx, seen_verify=tier)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_pairs_cross_indexed(new, None, idx)
+
+
+def test_maintenance_loop_never_reads_seen_text(spark, tmp_path):
+    """The wide survivors corpus must be WRITE-ONLY for the minhash
+    maintenance trigger (VERDICT r14 item 1): physically deleting the
+    committed corpus directories between triggers must not affect the
+    next trigger's dedup decisions."""
+    import shutil
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index,
+        open_dedup_index)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    b0 = [(1, base + " one"),
+          (2, "totally different words here for the second document "
+              "nothing shared with the template")]
+    b1 = [(11, base + " one xdup"),     # near-dup of committed doc 1
+          (12, "another fully distinct document with its own "
+               "vocabulary set nothing in common with the others")]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    assert apply_dedup_maintenance_batch(
+        spark, spark.createDataFrame(b0, "doc_id long, text string"),
+        0, cdir, idir)
+    # nuke the committed corpus text — the verify tier carries the
+    # evidence, the trigger must neither need nor touch it
+    st = open_dedup_index(idir)
+    for b in st.meta["corpus_batches"]:
+        shutil.rmtree(f"{cdir}/{b}")
+    assert apply_dedup_maintenance_batch(
+        spark, spark.createDataFrame(b1, "doc_id long, text string"),
+        1, cdir, idir)
+    st = open_dedup_index(idir)
+    # batch-1's own corpus dir committed; 11 was dropped as a near-dup
+    # of seen doc 1 WITHOUT any corpus read
+    surv1 = spark.read.parquet(f"{cdir}/batch=1")
+    assert sorted(r.doc_id for r in surv1.collect()) == [12]
+    assert st.meta["verify_batches"] == ["verify=0", "verify=1"]
+
+
+def test_pre_r15_manifest_requires_backfill(spark, tmp_path):
+    """A manifest with corpus batches but no verify tier (pre-r15)
+    must be a loud error, and the one-time backfill must restore the
+    loop with identical decisions."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, backfill_minhash_verify_tier,
+        create_minhash_index, open_dedup_index)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    b0 = [(1, base + " one")]
+    b1 = [(11, base + " one xdup"), (12, "fresh words entirely "
+                                         "disjoint vocabulary here")]
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    assert apply_dedup_maintenance_batch(
+        spark, spark.createDataFrame(b0, "doc_id long, text string"),
+        0, cdir, idir)
+    # simulate a pre-r15 store: strip the verify tier from the manifest
+    st = open_dedup_index(idir)
+    del st.meta["verify_batches"]
+    st._write_manifest()
+    with pytest.raises(ValueError, match="backfill"):
+        apply_dedup_maintenance_batch(
+            spark, spark.createDataFrame(b1, "doc_id long, text string"),
+            1, cdir, idir)
+    assert backfill_minhash_verify_tier(spark, cdir, idir) == "verify=0"
+    assert apply_dedup_maintenance_batch(
+        spark, spark.createDataFrame(b1, "doc_id long, text string"),
+        1, cdir, idir)
+    surv1 = spark.read.parquet(f"{cdir}/batch=1")
+    assert sorted(r.doc_id for r in surv1.collect()) == [12]
+
+
+def test_substring_fp_counts_roundtrip_and_probe_equality(
+        spark, tmp_path):
+    """The (fp, n) count deltas must always equal a recount of the raw
+    index — across appends, after compact, and restricted — and the
+    count-backed probe must give identical pairs to the re-aggregating
+    form (VERDICT r14 item 3)."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_substring_index, substring_index_rows,
+        substring_pairs_cross_indexed)
+
+    span = " ".join(f"tok{i}" for i in range(60))
+    docs_a = spark.createDataFrame(
+        [(1, span + " tail one"), (2, span + " tail two")],
+        "doc_id long, text string")
+    docs_b = spark.createDataFrame(
+        [(3, span + " tail three"),
+         (4, "unrelated " + " ".join(f"z{i}" for i in range(60)))],
+        "doc_id long, text string")
+    store = create_substring_index(str(tmp_path / "ss"), k=32, w=16)
+    store.append(substring_index_rows(docs_a, 32, 16))
+    store.append(substring_index_rows(docs_b, 32, 16))
+
+    def recount():
+        return {(r.fp, r.n) for r in store.load(spark).groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    def counted():
+        return {(r.fp, r.n) for r in
+                store.load_fp_counts(spark).collect()}
+
+    assert counted() == recount() and counted()
+    new = spark.createDataFrame([(9, span + " tail nine")],
+                                "doc_id long, text string")
+    idx = store.load(spark)
+    want = {(r.doc_a, r.doc_b, r.n_shared_fps) for r in
+            substring_pairs_cross_indexed(new, idx).collect()}
+    got = {(r.doc_a, r.doc_b, r.n_shared_fps) for r in
+           substring_pairs_cross_indexed(
+               new, idx,
+               seen_fp_counts=store.load_fp_counts(spark)).collect()}
+    assert got == want and got
+    store.compact(spark)
+    assert store.meta["fpcount_batches"] == ["fpn=2"]
+    assert counted() == recount()
+    # restriction: counts for the restricted fps only, values unchanged
+    some = store.load(spark).select("fp").limit(3)
+    sub = {(r.fp, r.n) for r in
+           store.load_fp_counts(spark, restrict_to=some).collect()}
+    assert sub <= recount()
+
+
+def test_tiered_compaction_bounds_dirs_and_preserves_rows(
+        spark, sf_dir, tmp_path):
+    """LSM-tiered partial compaction (VERDICT r14 item 4): dir count
+    stays bounded, every fold is same-level, loaded rows always equal
+    the union of appends, and a full compact still wins."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index, minhash_index_rows, open_dedup_index)
+
+    base = _docs(spark, sf_dir).limit(40).localCheckpoint()
+    store = create_minhash_index(str(tmp_path / "mh"))
+    total = 0
+    for i in range(7):
+        part = base.filter(F.col("doc_id") % 7 == i)
+        rows = minhash_index_rows(part).localCheckpoint()
+        total += rows.count()
+        store.append(rows)
+        store.compact(spark, max_batches=3)
+        assert len(store._batches) <= 5
+        assert store.load(spark).count() == total
+    st = open_dedup_index(str(tmp_path / "mh"))
+    lv = st.meta["batch_levels"]
+    # levels record folds; raw appends default to level 0
+    assert set(lv) <= set(st._batches)
+    assert any(v >= 1 for v in lv.values())   # at least one fold ran
+    st.compact(spark)
+    assert len(st._batches) == 1
+    assert st.load(spark).count() == total
+    # post-full-compact: the big dir outranks fresh level-0 appends
+    assert list(st.meta["batch_levels"].values())[0] >= 2
+
+
+def test_tiered_maintenance_matches_full_compaction(spark, tmp_path):
+    """compact_mode='tiered' must land the same survivors corpus as
+    the full-compaction loop while keeping every family's dir count
+    bounded."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index,
+        load_maintained_corpus, open_dedup_index)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    batches = []
+    for b in range(6):
+        rows = [(100 * b + 1, base + f" uniq{b}"),
+                (100 * b + 2, f"own words {b} " + " ".join(
+                    f"w{b}_{j}" for j in range(12)))]
+        if b:
+            rows.append((100 * b + 3, base + " uniq0 xdup"))
+        batches.append(rows)
+
+    def run(tag, mode):
+        cdir = str(tmp_path / f"c_{tag}")
+        idir = str(tmp_path / f"i_{tag}")
+        create_minhash_index(idir)
+        for bid, rows in enumerate(batches):
+            assert apply_dedup_maintenance_batch(
+                spark, spark.createDataFrame(
+                    rows, "doc_id long, text string"),
+                bid, cdir, idir, compact_every=2, compact_mode=mode)
+        st = open_dedup_index(idir)
+        got = sorted(r.doc_id for r in
+                     load_maintained_corpus(spark, cdir, idir).collect())
+        return got, st
+
+    want, _ = run("full", "full")
+    got, st = run("tiered", "tiered")
+    assert got == want
+    assert len(st._batches) <= 4
+    assert len(st.meta["corpus_batches"]) <= 4
+    assert len(st.meta["verify_batches"]) <= 4
+
+
+def test_meta_compactor_rejects_mixed_schemas(spark, tmp_path):
+    """ADVICE r14: folding schema-mixed family dirs must fail loudly,
+    never merge by position."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        _compact_meta_dirs, create_minhash_index)
+
+    store = create_minhash_index(str(tmp_path / "mh"))
+    fam = tmp_path / "fam"
+    (spark.createDataFrame([(1, 2.0)], "vec_id long, scale double")
+     .write.parquet(str(fam / "batch=0")))
+    (spark.createDataFrame([(1, [0.5])],
+                           "vec_id long, embedding array<double>")
+     .write.parquet(str(fam / "batch=1")))
+    store.meta["fam_batches"] = ["batch=0", "batch=1"]
+    store._write_manifest()
+    with pytest.raises(ValueError, match="schema-mixed"):
+        _compact_meta_dirs(spark, str(fam), store, "fam_batches",
+                           "fam_seq")
+
+
+def test_embedding_index_without_n_bands_is_a_format_error(
+        spark, tmp_path):
+    """ADVICE r14: a pre-multi-band manifest must raise a format error
+    instead of dead-code defaulting to n_bands=1."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_embedding_index, embedding_incremental_survivors_indexed,
+        open_dedup_index)
+
+    store = create_embedding_index(str(tmp_path / "e"), n_planes=8,
+                                   width=4)
+    del store.params["n_bands"]
+    store._write_manifest()
+    store = open_dedup_index(str(tmp_path / "e"))
+    emb = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="multi-band format"):
+        embedding_incremental_survivors_indexed(store, emb, emb,
+                                                commit=False)
+
+
+def test_trigger_shuffle_width_knob_sets_and_restores(spark, tmp_path):
+    """VERDICT r14 item 7: the per-trigger shuffle-width option must
+    apply inside the batch fn and restore the session conf after,
+    with identical survivors."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index, load_maintained_corpus,
+        start_dedup_maintenance_stream)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = [(1, "alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet kilo lima"),
+            (2, "second doc with its own distinct vocabulary nothing "
+                "shared at all here")]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(str(sdir / "b0.parquet")))
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(sdir) + "/*"))
+    q = start_dedup_maintenance_stream(
+        stream, cdir, idir, str(tmp_path / "ckpt"),
+        available_now=True, trigger_shuffle_partitions=4)
+    q.awaitTermination(120)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    got = sorted(r.doc_id for r in
+                 load_maintained_corpus(spark, cdir, idir).collect())
+    assert got == [1, 2]

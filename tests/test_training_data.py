@@ -32,8 +32,13 @@ def test_connected_components_empty(spark):
 
 
 def test_dedup_clusters_keeper_per_cluster(spark, sf_dir):
+    from solana_event_stream_spark.operators.dedup import docs_with_dups
     out = CATALOG["dedup_clusters"].spark_fn(spark, sf_dir).collect()
     assert len(out) > 0
+    words = {r.doc_id: r.nw for r in
+             docs_with_dups(spark, sf_dir)
+             .select("doc_id", F.size(F.split("text", " ")).alias("nw"))
+             .collect()}
     by_cluster = {}
     for r in out:
         by_cluster.setdefault(r.cluster_id, []).append(r)
@@ -43,6 +48,14 @@ def test_dedup_clusters_keeper_per_cluster(spark, sf_dir):
         assert keepers[0].doc_id == min(r.doc_id for r in rows) == cid
         assert all(r.cluster_size == len(rows) for r in rows)
         assert len(rows) >= 2  # singletons never enter the edge set
+        # quality-keeper column (r15): exactly one per cluster — the
+        # max-word-count member, ties broken by min doc_id
+        qk = [r for r in rows if r.keep_by_words]
+        assert len(qk) == 1, f"cluster {cid}: {len(qk)} word-keepers"
+        best = max(words[r.doc_id] for r in rows)
+        cands = sorted(r.doc_id for r in rows
+                       if words[r.doc_id] == best)
+        assert qk[0].doc_id == cands[0]
 
 
 def test_stratified_sample_rates_and_determinism(spark, sf_dir):
@@ -60,22 +73,39 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
 
 def test_pack_sequences_budget_and_coverage(spark, sf_dir):
     from solana_event_stream_spark.operators.training_data import (
-        _PACK_BUDGET)
+        _CHUNK_MAX, _CHUNK_OVERLAP, chunk_documents)
     from solana_event_stream_spark.tables import load_table
-    packs = CATALOG["pack_sequences"].spark_fn(spark, sf_dir).collect()
+    rows = CATALOG["pack_sequences"].spark_fn(spark, sf_dir).collect()
+    packs = [r for r in rows if r.part == "pack"]
+    cps = [r for r in rows if r.part == "chunkpack"]
+    assert packs and cps and len(packs) + len(cps) == len(rows)
     docs = load_table(spark, sf_dir, "documents")
     total_tokens = docs.select(
         F.sum(F.size(F.split("text", " ")))).collect()[0][0]
-    assert sum(p.pack_tokens for p in packs) == total_tokens
+    assert sum(p.tok for p in packs) == total_tokens
     # contiguous fill: every pack except a bucket's last starts within
     # budget of its predecessor => pack_seq values per bucket are dense.
     by_bucket = {}
     for p in packs:
-        by_bucket.setdefault(p.bucket, []).append(p.pack_seq)
+        by_bucket.setdefault(p.k1, []).append(p.k2)
     for bucket, seqs in by_bucket.items():
         seqs = sorted(seqs)
         assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
         assert seqs[0] == 0
+    # chunkpack part: chunk totals carry the overlap tax — per-bucket
+    # chunk counts and token sums must equal a direct chunk_documents
+    # run, and pack counts never exceed chunk counts
+    chunks = chunk_documents(docs.select("doc_id", "text"),
+                             max_tokens=_CHUNK_MAX,
+                             overlap=_CHUNK_OVERLAP)
+    want = {r.bucket: (r.n, r.tok) for r in
+            chunks.withColumn("bucket", F.col("doc_id") % 32)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_tokens").alias("tok")).collect()}
+    for r in cps:
+        assert (r.n, r.tok) == want[r.k1]
+        assert 1 <= r.k2 <= r.n
 
 
 def test_quality_filter_chain_partitions_corpus(spark, sf_dir):
@@ -90,14 +120,23 @@ def test_quality_filter_chain_partitions_corpus(spark, sf_dir):
 
 
 def test_domain_mix_caps_rates(spark, sf_dir):
-    rows = CATALOG["domain_mix_resample"].spark_fn(spark, sf_dir).collect()
-    assert len(rows) >= 2
-    for r in rows:
-        assert 0.0 < r.keep_rate <= 1.0
-        assert r.n_kept <= r.n_total
+    from solana_event_stream_spark.operators.training_data import (
+        _BUDGET_TOKENS)
+    all_rows = CATALOG["domain_mix_resample"].spark_fn(
+        spark, sf_dir).collect()
+    rows = [r for r in all_rows if r.part == "mix"]
+    budget = [r for r in all_rows if r.part == "budget"]
+    assert len(rows) >= 2 and budget
+    for r in rows:   # mix: n1=n_total, n2=n_kept, v=keep_rate
+        assert 0.0 < r.v <= 1.0
+        assert r.n2 <= r.n1
     # the over-represented language must be downsampled hardest
-    biggest = max(rows, key=lambda r: r.n_total)
-    assert biggest.keep_rate == min(r.keep_rate for r in rows)
+    biggest = max(rows, key=lambda r: r.n1)
+    assert biggest.v == min(r.v for r in rows)
+    # budget part: v is the realized fill fraction of the token budget
+    for r in budget:   # n1=n_docs, n2=sum_tokens, v=n2/budget
+        assert r.n2 == round(r.v * _BUDGET_TOKENS)
+        assert r.n1 >= 1
 
 
 def test_salted_aggregate_equals_direct(spark, sf_dir):
@@ -550,3 +589,47 @@ def test_sample_token_budget_fill_and_determinism(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError, match="budget_tokens"):
         sample_token_budget(docs, 0)
+
+
+def test_sample_token_budget_skew_fallback_guarantees_floor(spark):
+    """ADVICE r14: with one giant doc whose hash draw lands ABOVE the
+    safety-cut rate, the hash-cut pool under-fills; the in-plan
+    fallback must detect the shortfall and fill from the FULL group —
+    the budget floor is guaranteed, not probabilistic."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.training_data import (
+        sample_token_budget)
+
+    def draw(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                % 1_000_000) / 1e6
+
+    giant_id = next(i for i in range(1, 10000) if draw(i) > 0.95)
+    tiny_ids = [i for i in range(10000, 20000) if draw(i) < 0.5][:20]
+    budget = 1000
+    # giant: 5000 tokens; tinies: 5 tokens each -> group total 5100,
+    # rate = 1.5*1000/5100 ~= 0.29 < giant's 0.95 draw: the pool holds
+    # only tiny docs (< 100 tokens << budget) without the fallback
+    rows = [(giant_id, "g", " ".join(f"t{j}" for j in range(5000)))]
+    rows += [(i, "g", "a b c d e") for i in tiny_ids]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "text string")
+    out = sample_token_budget(docs, budget).collect()
+    got = sum(r.n_tokens for r in out)
+    assert got >= budget, got          # the floor held
+    assert any(r.doc_id == giant_id for r in out)   # via the fallback
+
+
+def test_pack_budget_must_hold_a_chunk(spark):
+    import pytest
+
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus)
+
+    docs = spark.createDataFrame(
+        [(1, "en", " ".join(f"w{j}" for j in range(40)))],
+        "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="must be >= chunk_max_tokens"):
+        build_training_corpus(docs, dedup=False, chunk_max_tokens=32,
+                              chunk_overlap=8, pack_budget=16)
