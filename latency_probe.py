@@ -561,8 +561,12 @@ def main_maintenance(spark, n_batches: int = 24,
              .coalesce(1).write.mode("overwrite")
              .parquet(os.path.join(sdir, f"b{b:03d}.parquet")))
 
-        for ce, mode in ((None, "full"), (6, "full"), (6, "tiered")):
-            tag = f"ce{ce}_{mode}"
+        # (compact_every, compact_mode, trigger_shuffle_partitions):
+        # the last arm reproduces the r14 width A/B through the public
+        # API knob (VERDICT r14 item 7) — compare its p50 to the first
+        for ce, mode, width in ((None, "full", None), (6, "full", None),
+                                (6, "tiered", None), (None, "full", 8)):
+            tag = f"ce{ce}_{mode}_w{width}"
             cdir = os.path.join(d, f"corpus_{tag}")
             idir = os.path.join(d, f"index_{tag}")
             create_minhash_index(idir)
@@ -577,7 +581,8 @@ def main_maintenance(spark, n_batches: int = 24,
                 q = start_dedup_maintenance_stream(
                     stream, cdir, idir, os.path.join(d, f"ckpt_{tag}"),
                     compact_every=ce, available_now=True,
-                    compact_mode=mode)
+                    compact_mode=mode,
+                    trigger_shuffle_partitions=width)
                 q.awaitTermination(1200)
             finally:
                 spark.streams.removeListener(listener)
@@ -594,6 +599,7 @@ def main_maintenance(spark, n_batches: int = 24,
                 "probe": "maintenance_stream",
                 "compact_every": ce,
                 "compact_mode": mode,
+                "trigger_shuffle_partitions": width,
                 "n_triggers": len(trig),
                 "docs_per_batch": docs_per_batch,
                 "per_trigger_ms": trig,

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from solana_event_stream_spark.session import get_spark  # noqa: E402
 from solana_event_stream_spark.operators.dedup_index import (  # noqa: E402
-    apply_dedup_maintenance_batch, create_minhash_index)
+    apply_dedup_maintenance_batch, create_minhash_index,
+    minhash_index_rows, minhash_verify_rows, open_dedup_index)
 
 SMALL = "/root/testdata/sf0.1"
 BIG = "/root/repo/.bench_data/sf1.0"
@@ -55,9 +56,21 @@ def du(path: str) -> int:
 
 
 def seed(spark, d: str, seen_docs) -> tuple[str, str]:
+    """Commit ``seen_docs`` as the maintained state DIRECTLY (corpus
+    dir + verify tier + index rows + manifest meta, the loop's layout)
+    — NOT through a maintenance trigger: sf1.0's replica docs are
+    near-dups of sf0.1's (per-replica ' rN' suffix), so a loop-driven
+    seed would dedup 50k back to ~5k and the big arm would not be 10x
+    seen at all."""
     cdir, idir = os.path.join(d, "corpus"), os.path.join(d, "index")
     create_minhash_index(idir)
-    assert apply_dedup_maintenance_batch(spark, seen_docs, 0, cdir, idir)
+    store = open_dedup_index(idir)
+    seen_docs.write.parquet(os.path.join(cdir, "batch=0"))
+    (minhash_verify_rows(seen_docs).sortWithinPartitions("doc_id")
+     .write.parquet(os.path.join(idir, "verify=0")))
+    store.append(minhash_index_rows(seen_docs), meta_update={
+        "last_stream_batch": 0, "corpus_batches": ["batch=0"],
+        "verify_batches": ["verify=0"]})
     return cdir, idir
 
 
@@ -80,13 +93,22 @@ def one_trigger(spark, cdir, idir, batch, batch_id, reps) -> float:
     return best
 
 
-def fresh_batch(spark, src_dir: str, n: int, id_base: int):
-    return (spark.read.parquet(os.path.join(src_dir,
-                                            "documents.parquet"))
-            .select("doc_id", "text").filter(F.col("doc_id") < n)
+def fresh_batch(spark, n: int, id_base: int):
+    """A trigger batch of ~90% FRESH docs (unique per-doc vocabulary —
+    zero index candidates, isolating the seen-side scan cost from
+    candidate-volume growth) + 10% near-dups of sf0.1 originals (the
+    probe still verifies real hits)."""
+    n_dup = max(1, n // 10)
+    dups = (spark.read.parquet(os.path.join(SMALL, "documents.parquet"))
+            .select("doc_id", "text").filter(F.col("doc_id") < n_dup)
             .select((F.col("doc_id") + id_base).alias("doc_id"),
-                    F.concat("text", F.lit(" xdup")).alias("text"))
-            .localCheckpoint())
+                    F.concat("text", F.lit(" xdup")).alias("text")))
+    fresh = spark.range(n - n_dup).select(
+        (F.col("id") + id_base + 500_000).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))
+            for j in range(40)]).alias("text"))
+    return dups.unionByName(fresh).localCheckpoint()
 
 
 def main() -> None:
@@ -94,9 +116,17 @@ def main() -> None:
     spark = get_spark("maintenance-scale")
     out: dict[str, dict] = {}
 
-    batch = fresh_batch(spark, SMALL, 300, 9_000_000)
+    batch = fresh_batch(spark, 300, 9_000_000)
 
     # ---- Arm A: seen-size flatness -------------------------------
+    # r15 loop (narrow verify tier) vs the r14 shape (the same probe
+    # but verifying from the WIDE corpus text — still reachable via
+    # dedup_pairs_cross_indexed's seen_docs form), both at 1x and 10x
+    # seen. The r15 wall must stay flat; the r14 shape pays the full
+    # text scan.
+    from solana_event_stream_spark.operators.dedup_index import (
+        dedup_pairs_cross_indexed)
+
     for label, path in (("seen=5k", SMALL), ("seen=50k", BIG)):
         seen = (spark.read.parquet(os.path.join(path,
                                                 "documents.parquet"))
@@ -107,8 +137,37 @@ def main() -> None:
             # work is identical across reps)
             one_trigger(spark, cdir, idir, batch, 1, 1)
             wall = one_trigger(spark, cdir, idir, batch, 1, reps)
+            # the r14 probe shape: same candidates, verify re-attached
+            # from the wide corpus read (probe only — no commit, which
+            # only ADDS identical write cost to both shapes)
+            store = open_dedup_index(idir)
+            idx = store.load(spark)
+            corpus = spark.read.parquet(os.path.join(cdir, "batch=0"))
+
+            def force(df):
+                df.write.format("noop").mode("overwrite").save()
+
+            force(dedup_pairs_cross_indexed(batch, corpus, idx))  # warm
+            old = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                force(dedup_pairs_cross_indexed(batch, corpus, idx))
+                old = min(old, time.perf_counter() - t0)
+            # the r15 probe shape, apples to apples (probe only, no
+            # commit): verify from the narrow tier
+            tier = spark.read.parquet(os.path.join(idir, "verify=0"))
+            force(dedup_pairs_cross_indexed(batch, None, idx,
+                                            seen_verify=tier))
+            new_p = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                force(dedup_pairs_cross_indexed(batch, None, idx,
+                                                seen_verify=tier))
+                new_p = min(new_p, time.perf_counter() - t0)
             out[f"trigger {label}"] = {
                 "wall_s": round(wall, 3),
+                "r15_tier_probe_s": round(new_p, 3),
+                "r14_wide_probe_s": round(old, 3),
                 "corpus_text_bytes": du(cdir),
                 "index_plus_tier_bytes": du(idir),
             }
@@ -117,8 +176,7 @@ def main() -> None:
     seen = (spark.read.parquet(os.path.join(SMALL, "documents.parquet"))
             .select("doc_id", "text"))
     for n in (300, 3000, 10000):
-        vol = fresh_batch(spark, BIG if n > 5000 else SMALL, n,
-                          9_000_000)
+        vol = fresh_batch(spark, n, 9_000_000)
         with tempfile.TemporaryDirectory() as d:
             cdir, idir = seed(spark, d, seen)
             one_trigger(spark, cdir, idir, vol, 1, 1)   # warm

@@ -614,6 +614,8 @@ def build_training_corpus(docs: DataFrame,
                           max_substring_dup_frac: float | None = None,
                           reference_docs: DataFrame | None = None,
                           max_perplexity: float | None = None,
+                          budget_tokens: int | None = None,
+                          budget_by: str = "lang",
                           chunk_max_tokens: int | None = None,
                           chunk_overlap: int = 64,
                           pack_budget: int | None = None,
@@ -643,19 +645,28 @@ def build_training_corpus(docs: DataFrame,
        min-id canonical to the max-score row
        (:func:`~.dedup.dedup_survivors_by` — keep the longest/cleanest
        near-dup, the RefinedWeb-style rule);
-    7. optional long-document windowing (``chunk_max_tokens`` —
+    7. optional per-group token budget (``budget_tokens`` +
+       ``budget_by`` — :func:`sample_token_budget`, r15): keep
+       documents in deterministic hash order until each group reaches
+       the budget ("N tokens of each language", the pretraining-mix
+       ask). Runs AFTER dedup (budgets count unique content, not
+       copies) and BEFORE chunking (the straddle-doc floor semantics
+       are per-document; chunk-level cutting would split documents
+       mid-budget). The returned ``n_tokens`` column is dropped — the
+       chunker re-derives token counts per chunk;
+    8. optional long-document windowing (``chunk_max_tokens`` —
        :func:`chunk_documents`, post-gates/post-dedup so chunking
        never multiplies the dedup candidate work, pre-shard so chunks
        co-shard with their doc): rows become fixed-budget chunks with
        ``chunk_overlap`` tokens of shared context;
-    8. optional greedy pack assignment over the chunks
+    9. optional greedy pack assignment over the chunks
        (``pack_budget``, requires chunking): the ``pack_sequences``
        labeling — (bucket, pack_seq) columns where chunks fill
        pack_budget-token packs in (doc_id, chunk_idx) order WITHIN
        doc-hash buckets, so the running-total window never needs a
        global sort;
-    9. optional deterministic ``shard`` column (md5 hash — adding data
-       never moves existing rows between shards).
+    10. optional deterministic ``shard`` column (md5 hash — adding
+        data never moves existing rows between shards).
 
     Input: (doc_id, lang, text). Output: surviving rows unchanged
     (+ ``shard``), or — with ``chunk_max_tokens`` — fixed-budget
@@ -737,6 +748,13 @@ def build_training_corpus(docs: DataFrame,
             kept = dedup_survivors_by(kept, memb, keeper_score)
         else:
             kept = dedup_survivors(kept, memb)
+    if budget_tokens is not None:
+        if budget_by not in kept.columns:
+            raise ValueError(
+                f"budget_by column {budget_by!r} not in the corpus "
+                f"columns {kept.columns}")
+        kept = (sample_token_budget(kept, budget_tokens, by=budget_by)
+                .drop("n_tokens"))
     if pack_budget is not None and chunk_max_tokens is None:
         raise ValueError(
             "pack_budget requires chunk_max_tokens: packing assigns "

@@ -1424,3 +1424,24 @@ def test_trigger_shuffle_width_knob_sets_and_restores(spark, tmp_path):
     got = sorted(r.doc_id for r in
                  load_maintained_corpus(spark, cdir, idir).collect())
     assert got == [1, 2]
+
+
+def test_trigger_shuffle_width_context_manager(spark):
+    """The knob must set the session's shuffle width inside the block
+    and restore the prior value after, including on error; None is a
+    no-op."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        _trigger_shuffle_width)
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _trigger_shuffle_width(spark, 8):
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+    with pytest.raises(RuntimeError):
+        with _trigger_shuffle_width(spark, 8):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    with _trigger_shuffle_width(spark, None):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before

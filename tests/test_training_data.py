@@ -633,3 +633,42 @@ def test_pack_budget_must_hold_a_chunk(spark):
     with pytest.raises(ValueError, match="must be >= chunk_max_tokens"):
         build_training_corpus(docs, dedup=False, chunk_max_tokens=32,
                               chunk_overlap=8, pack_budget=16)
+
+
+def test_build_training_corpus_token_budget_stage(spark):
+    """budget_tokens slots between dedup and chunking: per-group
+    hash-order fill to the floor, then chunking runs over the
+    budgeted survivors only."""
+    from solana_event_stream_spark.operators.training_data import (
+        build_training_corpus, sample_token_budget)
+
+    # quality gates need 20..90 words with stopwords + uniqueness:
+    # build 30-word docs with a few stopwords sprinkled in
+    def text(tag, n=30):
+        toks = [f"{tag}{j}" for j in range(n - 4)]
+        return " ".join(toks + ["the", "of", "to", "and"])
+
+    rows = [(1, "en", text("a")), (2, "en", text("b")),
+            (3, "en", text("c")), (4, "de", text("d"))]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "text string")
+    out = build_training_corpus(docs, dedup=False, budget_tokens=40)
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    # en: 3x30 tokens, budget 40 -> exactly 2 kept (floor + straddle);
+    # de: under budget -> everything
+    assert len(by_lang["en"]) == 2 and by_lang["de"] == [4]
+    # identical to composing the operator by hand
+    want = {r.doc_id for r in sample_token_budget(
+        docs, 40).collect()}
+    assert {r.doc_id for r in out.collect()} == want
+    # budget + chunking compose: chunk rows only for budget survivors
+    chunked = build_training_corpus(docs, dedup=False, budget_tokens=40,
+                                    chunk_max_tokens=16, chunk_overlap=4)
+    assert {r.doc_id for r in chunked.collect()} == want
+    assert "chunk" in chunked.columns
+    import pytest
+    with pytest.raises(ValueError, match="budget_by"):
+        build_training_corpus(docs, dedup=False, budget_tokens=40,
+                              budget_by="nope")
