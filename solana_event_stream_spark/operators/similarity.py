@@ -903,3 +903,96 @@ def ann_cosine_topk_quantized(spark, sf_dir: str,
                       (dot / (F.col("q_qn") * F.col("qn")))
                       .alias("cosine")))
     return _topk_per_query(scored, top_k)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN serving over the maintained embedding corpus (r15)
+# ---------------------------------------------------------------------------
+
+def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
+                            corpus_path: str, index_path: str,
+                            out_path: str, k: int = TOP_K,
+                            rerank_m: int | None = None,
+                            **ann_kwargs) -> str:
+    """Serve one micro-batch of (query_id, embedding) queries against
+    the MAINTAINED embedding corpus (the dedup_index maintenance
+    loops' manifest-committed state) and write (query_id, neighbor_id,
+    cosine, rk) to ``out_path/batch=<id>``. Quantized corpora serve
+    through :func:`ann_topk_frames_quantized` (codes pass straight
+    through the LSH/bucket machinery; ``rerank_m`` re-ranks survivors
+    against the dequantized tier — NOTE that closes ordering noise
+    only approximately here, since a quantized maintained corpus
+    discards the float originals; deployments that keep a float tier
+    should call :func:`ann_topk_frames_quantized` directly with it);
+    float corpora through :func:`ann_topk_frames`. ``ann_kwargs``
+    forward (method/width/corpus_rows/nprobe_bits/...).
+
+    The write is batch-id-named and mode=overwrite, so a Structured
+    Streaming replay is idempotent AGAINST THE SAME corpus state;
+    serving is stateless, so a replay after the corpus grew re-answers
+    under the newer corpus — acceptable for an approximate serving
+    tier and documented here rather than hidden."""
+    import os
+
+    from .dedup_index import load_maintained_corpus, open_dedup_index
+
+    store = open_dedup_index(index_path)
+    if store.kind != "embedding":
+        raise ValueError(f"ANN serving needs an embedding index, got "
+                         f"{store.kind!r} at {index_path!r}")
+    queries = batch_df.select(
+        F.col("query_id"), F.col("embedding"))
+    ann_kwargs.setdefault("exclude_matching_ids", False)
+    if store.meta.get("corpus_quantized"):
+        qcorpus = load_maintained_corpus(
+            spark, corpus_path, index_path,
+            empty_schema="vec_id long, scale double, q array<tinyint>")
+        if rerank_m is not None:
+            exact = load_maintained_corpus(spark, corpus_path,
+                                           index_path, dequantize=True)
+            out = ann_topk_frames_quantized(
+                queries, qcorpus, rerank_m=rerank_m, exact_corpus=exact,
+                k=k, **ann_kwargs)
+        else:
+            out = ann_topk_frames_quantized(queries, qcorpus, k=k,
+                                            **ann_kwargs)
+    else:
+        corpus = load_maintained_corpus(
+            spark, corpus_path, index_path,
+            empty_schema="vec_id long, embedding array<double>")
+        out = ann_topk_frames(queries, corpus, k=k, **ann_kwargs)
+    dest = os.path.join(out_path, f"batch={batch_id}")
+    out.write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def start_ann_serving_stream(queries_stream: DataFrame,
+                             corpus_path: str, index_path: str,
+                             out_path: str, checkpoint_dir: str,
+                             k: int = TOP_K,
+                             rerank_m: int | None = None,
+                             available_now: bool = False,
+                             processing_time: str = "10 seconds",
+                             **ann_kwargs):
+    """The serving half the maintenance loops promise: queries arrive
+    as a stream, each trigger answers them against the CURRENT
+    manifest-committed maintained corpus (new survivors become
+    searchable at their commit, exactly-once via the maintenance
+    loop's protocol), results land as batch-id-named parquet. The
+    corpus re-resolves from the manifest EVERY trigger — a long-lived
+    serving stream tracks corpus growth without restart. foreachBatch
+    like the maintenance loops: per-trigger work is a bounded exact
+    batch operator."""
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ann_serving_batch(
+            batch_df.sparkSession, batch_df, batch_id,
+            corpus_path, index_path, out_path, k=k, rerank_m=rerank_m,
+            **ann_kwargs)
+
+    writer = (queries_stream.writeStream.foreachBatch(_proc)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

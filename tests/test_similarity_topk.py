@@ -732,3 +732,95 @@ def test_auto_nprobe_recall_at_high_plane_count(spark, sf_dir):
     # the auto setting actually buys recall at this plane count: a
     # strict improvement over the collapsed single-probe rung
     assert r_auto > r0, (bits, r0, r_auto)
+
+
+def test_ann_serving_stream_over_maintained_corpus(spark, tmp_path):
+    """r15 serving loop: an availableNow query stream answered against
+    the maintained (quantized) embedding corpus must equal the direct
+    ann_topk_frames_quantized call per batch, and a float-corpus loop
+    must equal ann_topk_frames; results land batch-id-named."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_topk_frames, ann_topk_frames_quantized,
+        start_ann_serving_stream)
+
+    def vec(i):
+        return [int(hashlib.md5(f"sv{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(8)]
+
+    corpus_rows = [(i, vec(i)) for i in range(50)]
+    emb = spark.createDataFrame(corpus_rows,
+                                "vec_id long, embedding array<double>")
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, quantize_corpus=True)
+
+    qrows = [(100 + i, vec(i)) for i in range(4)]
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+     .coalesce(1).write.parquet(str(qdir / "q0.parquet")))
+
+    odir = str(tmp_path / "out")
+    stream = (spark.readStream
+              .schema("query_id long, embedding array<double>")
+              .parquet(str(qdir) + "/*"))
+    q = start_ann_serving_stream(
+        stream, cdir, idir, odir, str(tmp_path / "ckpt"),
+        k=3, available_now=True, method="brute")
+    q.awaitTermination(120)
+
+    got = {(r.query_id, r.neighbor_id, r.rk)
+           for r in spark.read.parquet(odir + "/batch=0").collect()}
+    qcorpus = load_maintained_corpus(
+        spark, cdir, idir,
+        empty_schema="vec_id long, scale double, q array<tinyint>")
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>")
+    want = {(r.query_id, r.neighbor_id, r.rk)
+            for r in ann_topk_frames_quantized(
+                queries, qcorpus, k=3, method="brute",
+                exclude_matching_ids=False).collect()}
+    assert got == want and len(got) == 12
+
+    # float-corpus loop serves through ann_topk_frames
+    cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=6, width=8, n_bands=2)
+    assert apply_embedding_maintenance_batch(spark, emb, 0, cdir2, idir2)
+    odir2 = str(tmp_path / "out2")
+    stream2 = (spark.readStream
+               .schema("query_id long, embedding array<double>")
+               .parquet(str(qdir) + "/*"))
+    q2 = start_ann_serving_stream(
+        stream2, cdir2, idir2, odir2, str(tmp_path / "ckpt2"),
+        k=3, available_now=True, method="brute")
+    q2.awaitTermination(120)
+    corpus_f = load_maintained_corpus(spark, cdir2, idir2,
+                                      empty_schema="vec_id long, "
+                                      "embedding array<double>")
+    want2 = {(r.query_id, r.neighbor_id, r.rk)
+             for r in ann_topk_frames(
+                 queries, corpus_f, k=3, method="brute",
+                 exclude_matching_ids=False).collect()}
+    got2 = {(r.query_id, r.neighbor_id, r.rk)
+            for r in spark.read.parquet(odir2 + "/batch=0").collect()}
+    assert got2 == want2
+
+    # wrong index kind is loud
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index)
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch)
+    create_minhash_index(str(tmp_path / "mh"))
+    with pytest.raises(ValueError, match="embedding index"):
+        apply_ann_serving_batch(spark, queries, 0, cdir,
+                                str(tmp_path / "mh"), odir)
