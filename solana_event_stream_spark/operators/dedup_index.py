@@ -66,8 +66,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..streaming.event_archive import (_fs_isdir, _fs_listdir,
-                                       _fs_read_text, _fs_write_atomic,
-                                       _join)
+                                       _fs_read_text, _fs_rmtree,
+                                       _fs_write_atomic, _join)
 from .dedup import (N_BANDS, N_HASHES, ROWS_PER_BAND, _SPARK_DOT,
                     _bands_from_shingles, _minhash_band_frame,
                     _minhash_verified_pairs, _shingles,
@@ -1140,6 +1140,68 @@ def _compact_meta_dirs(spark: SparkSession, base_path: str,
     store.meta[seq_key] = seq
     store._write_manifest()
     return name
+
+
+_VACUUMABLE_PREFIXES = ("batch=", "verify=", "fpn=", "compact=")
+
+
+def _dir_mtime(path: str) -> float:
+    """Last-modification time of a directory (local or Hadoop URI)."""
+    if "://" not in path:
+        return os.path.getmtime(path)
+    from ..streaming.event_archive import (_hadoop_fs,
+                                           _java_io_as_oserror)
+    with _java_io_as_oserror():
+        _, jpath, fs, _, _ = _hadoop_fs(path)
+        return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+
+
+def vacuum_dedup_index(index_path: str,
+                       families: list | None = None,
+                       grace_seconds: float = 3600.0,
+                       dry_run: bool = False) -> dict:
+    """Physically delete UNREFERENCED data directories — the retention
+    step :meth:`DedupIndexStore.compact` deliberately leaves to the
+    owner: superseded pre-compaction dirs and crash orphans accumulate
+    forever otherwise. Single-writer discipline applies: run this from
+    the maintenance owner, never concurrently with an append/compact.
+
+    Deletes a dir only when ALL of: (1) its name carries one of the
+    store's data prefixes (batch=/verify=/fpn=/compact= — anything
+    else under the path is not ours to touch), (2) the CURRENT
+    manifest does not reference it (batch list, verify/fpcount meta
+    families, and each entry of ``families`` — (base_path, list_key)
+    pairs for the survivors corpus / composed-loop fingerprints),
+    and (3) it is older than ``grace_seconds`` (a reader holding a
+    pre-compaction manifest finishes within the grace window; orphans
+    from a crashed trigger are replayed long before an hour passes).
+
+    Returns {path: [deleted dir names]} (the WOULD-delete list under
+    ``dry_run=True``)."""
+    import time
+
+    store = open_dedup_index(index_path)
+    referenced = {index_path: set(store._batches)
+                  | set(store.meta.get("verify_batches", []))
+                  | set(store.meta.get("fpcount_batches", []))}
+    for base, list_key in (families or []):
+        referenced.setdefault(base, set()).update(
+            store.meta.get(list_key, []))
+    now = time.time()
+    out: dict[str, list] = {}
+    for base, keep in referenced.items():
+        victims = []
+        for name in sorted(_fs_listdir(base)):
+            full = _join(base, name)
+            if (name.startswith(_VACUUMABLE_PREFIXES)
+                    and name not in keep
+                    and _fs_isdir(full)
+                    and now - _dir_mtime(full) >= grace_seconds):
+                victims.append(name)
+                if not dry_run:
+                    _fs_rmtree(full)
+        out[base] = victims
+    return out
 
 
 def _run_compaction(spark: SparkSession, store: DedupIndexStore,

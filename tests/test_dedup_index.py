@@ -1509,3 +1509,62 @@ def test_candidate_pushdown_prunes_tier_scan(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert semi == 2000              # semi-join reads the whole tier
     assert pushed <= 2000 / 8 + 16, pushed   # ~one of 8 range files
+
+
+def test_vacuum_removes_superseded_and_orphans_only(spark, sf_dir,
+                                                    tmp_path):
+    """The retention step: superseded pre-compaction dirs and crash
+    orphans delete; manifest-referenced dirs, foreign files, and
+    dirs younger than the grace window survive; dry_run deletes
+    nothing."""
+    import os
+    import time
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_minhash_index, minhash_index_rows, open_dedup_index,
+        vacuum_dedup_index)
+
+    base = _docs(spark, sf_dir).limit(30).localCheckpoint()
+    idir = str(tmp_path / "mh")
+    store = create_minhash_index(idir)
+    for i in range(3):
+        store.append(minhash_index_rows(
+            base.filter(F.col("doc_id") % 3 == i)))
+    total = store.load(spark).count()
+    store.compact(spark)      # batch=0..2 now superseded by batch=3
+    # a crash orphan (written, never committed) + a foreign file
+    (base.limit(1).write.parquet(os.path.join(idir, "batch=99")))
+    with open(os.path.join(idir, "NOTES.txt"), "w") as fh:
+        fh.write("not ours")
+    # a corpus family with one referenced and one superseded dir
+    cdir = str(tmp_path / "corpus")
+    base.limit(2).write.parquet(os.path.join(cdir, "batch=0"))
+    base.limit(2).write.parquet(os.path.join(cdir, "batch=1"))
+    store = open_dedup_index(idir)
+    store.meta["corpus_batches"] = ["batch=1"]
+    store._write_manifest()
+
+    fams = [(cdir, "corpus_batches")]
+    # everything is younger than the grace window -> nothing deletes
+    assert vacuum_dedup_index(idir, families=fams,
+                              grace_seconds=3600) == {idir: [],
+                                                      cdir: []}
+    # age everything out, dry-run first
+    old = time.time() - 7200
+    for d in (idir, cdir):
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (old, old))
+    dry = vacuum_dedup_index(idir, families=fams, grace_seconds=3600,
+                             dry_run=True)
+    assert sorted(dry[idir]) == ["batch=0", "batch=1", "batch=2",
+                                 "batch=99"]
+    assert dry[cdir] == ["batch=0"]
+    assert os.path.isdir(os.path.join(idir, "batch=0"))  # dry!
+    got = vacuum_dedup_index(idir, families=fams, grace_seconds=3600)
+    assert got == dry
+    left = sorted(os.listdir(idir))
+    assert "batch=3" in left and "NOTES.txt" in left
+    assert not any(n in left for n in dry[idir])
+    assert sorted(os.listdir(cdir)) == ["batch=1"]
+    # the store still reads intact after the vacuum
+    assert open_dedup_index(idir).load(spark).count() == total
