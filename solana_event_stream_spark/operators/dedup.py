@@ -311,8 +311,20 @@ def _minhash_band_frame(docs: DataFrame):
 def _bands_from_shingles(sh: DataFrame) -> DataFrame:
     """(doc_id, shingles) -> exploded (doc_id, band_idx, band_val) LSH
     band frame — the shared signature build of the self-join finders
-    and the materialized index (operators/dedup_index.py)."""
-    sigs = (sh.select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
+    and the materialized index (operators/dedup_index.py).
+
+    Docs with NO shingles (< 3 words) emit NO band rows: their
+    minhash minima are all NULL and concat_ws folds NULLs to "" — so
+    without the filter every short doc band-matched every other short
+    doc (an O(shorts^2) candidate clique whose 0/0 Jaccard then threw
+    DIVIDE_BY_ZERO under ANSI; found by the r15 hypothesis
+    differential). The DuckDB oracle already behaves this way for
+    free (its NULL band values never equi-join), so this is also a
+    cross-engine parity fix on corpora with degenerate docs — the
+    length gates own short docs, dedup never sees evidence for
+    them."""
+    sigs = (sh.filter(F.size("shingles") > 0)
+            .select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
     return sigs.select(
         "doc_id",

@@ -1568,3 +1568,70 @@ def test_vacuum_removes_superseded_and_orphans_only(spark, sf_dir,
     assert sorted(os.listdir(cdir)) == ["batch=1"]
     # the store still reads intact after the vacuum
     assert open_dedup_index(idir).load(spark).count() == total
+
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = [f"w{i}" for i in range(12)]
+_DOC = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=24).map(
+    " ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seen_texts=st.lists(_DOC, min_size=1, max_size=8),
+       new_texts=st.lists(_DOC, min_size=1, max_size=6))
+def test_verify_tier_property_differential(spark, seen_texts, new_texts):
+    """Property: for ANY corpus pair drawn from a small shared
+    vocabulary (overlaps and degenerate docs arise naturally —
+    empties, <3-word docs, identical texts), the hashed-shingle tier
+    verify and the raw-text verify produce identical pair sets and
+    jaccards through the index probe."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        dedup_pairs_cross_indexed, minhash_index_rows,
+        minhash_verify_rows)
+
+    seen = spark.createDataFrame(
+        list(enumerate(seen_texts)), "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string")
+    idx = minhash_index_rows(seen).localCheckpoint()
+    want = _pairs(dedup_pairs_cross_indexed(new, seen, idx))
+    got = _pairs(dedup_pairs_cross_indexed(
+        new, None, idx, seen_verify=minhash_verify_rows(seen)))
+    assert got == want
+
+
+def test_short_docs_never_band_and_never_crash(spark):
+    """Regression for the hypothesis-found ANSI crash: docs with < 3
+    words (empty shingle sets) must emit NO band rows — previously
+    their all-NULL signatures concat_ws-folded to "" and every short
+    doc band-matched every other, with the verify's 0/0 Jaccard
+    throwing DIVIDE_BY_ZERO under ANSI. The DuckDB oracle's NULL
+    bands never joined, so this also pins cross-engine parity."""
+    from solana_event_stream_spark.operators.dedup import (
+        _minhash_verified_pairs, dedup_pairs_cross)
+    from solana_event_stream_spark.operators.dedup_index import (
+        dedup_pairs_cross_indexed, minhash_index_rows,
+        minhash_verify_rows)
+
+    seen = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "a proper document with many "
+                                      "words in a row here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(11, ""), (12, "one two"),
+         (13, "a proper document with many words in a row here too")],
+        "doc_id long, text string")
+    idx = minhash_index_rows(seen)
+    assert {r.doc_id for r in idx.select("doc_id").distinct()
+            .collect()} == {3}    # short docs emit no index rows
+    got = _pairs(dedup_pairs_cross_indexed(new, seen, idx))
+    got_t = _pairs(dedup_pairs_cross_indexed(
+        new, None, idx, seen_verify=minhash_verify_rows(seen)))
+    want = _pairs(dedup_pairs_cross(new, seen))
+    assert got == got_t == want == {p for p in want
+                                    if p[0] == 13 and p[1] == 3}
+    # the self-join finder tolerates short docs too
+    assert {(r.doc_a, r.doc_b) for r in _minhash_verified_pairs(
+        seen.unionByName(new)).collect()} == {(3, 13)}
