@@ -524,7 +524,7 @@ def semdedup_flags(assigned: DataFrame, tau: float = SEM_TAU) -> DataFrame:
     dot = F.expr(_SPARK_DOT.format(a="a_emb", b="embedding"))
     dropped = (a.join(norms, (F.col("a_cl") == F.col("cluster"))
                       & (F.col("a_id") < F.col("vec_id")))
-               .filter(dot / (F.col("a_nrm") * F.col("nrm")) > tau)
+               .filter(F.try_divide(dot, F.col("a_nrm") * F.col("nrm")) > tau)
                .select("vec_id").distinct())
     # no forced broadcast: the dropped set scales with the FLAGGED-row
     # count (corpus-derived, unbounded on a heavily duplicated corpus),

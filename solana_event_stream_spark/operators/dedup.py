@@ -821,7 +821,7 @@ def _embedding_cosine_pairs(spark, sf_dir: str, n_planes: int,
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("doc_a"),
                     F.col("b.vec_id").alias("doc_b"),
-                    (dot / (F.col("a.nrm") * F.col("b.nrm")))
+                    F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm"))
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(limit))
@@ -919,10 +919,17 @@ def embedding_pairs_cross(new_emb: DataFrame, seen_emb: DataFrame,
     a = norms(new_emb).alias("a")
     b = norms(seen_emb).alias("b")
     dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    # try_divide EVERYWHERE a cosine divides (r15, all embedding
+    # paths): a zero vector has no direction, so its cosine is
+    # undefined — NULL, which every >= tau filter and DESC top-k
+    # ordering discards. Plain division THROWS under ANSI when two
+    # zero vectors share a bucket (they always do: sign(0-dot) is a
+    # constant signature), and DuckDB's `/` returns NULL on a zero
+    # divisor, so try_divide is also the exact oracle-parity twin.
     return (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
             .select(F.col("a.vec_id").alias("doc_a"),
                     F.col("b.vec_id").alias("doc_b"),
-                    (dot / (F.col("a.nrm") * F.col("b.nrm")))
+                    F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm"))
                     .alias("cosine"))
             .filter(F.col("cosine") >= tau))
 
@@ -990,7 +997,7 @@ def embedding_pairs_cross_banded(new_emb: DataFrame,
     return (pairs.join(norms(new_emb, "a"), "doc_a")
             .join(norms(seen_emb, "b"), "doc_b")
             .select("doc_a", "doc_b",
-                    (dot / (F.col("nrm_a") * F.col("nrm_b")))
+                    F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b"))
                     .alias("cosine"))
             .filter(F.col("cosine") >= tau))
 
@@ -1090,7 +1097,7 @@ def banded_cosine_pairs(emb: DataFrame, n_bands: int = 2,
     dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
     scored = (pairs.join(na, "doc_a").join(nb, "doc_b")
               .select("doc_a", "doc_b",
-                      (dot / (F.col("nrm_a") * F.col("nrm_b")))
+                      F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b"))
                       .alias("cosine")))
     if limit is None:
         return scored

@@ -664,7 +664,7 @@ def embedding_pairs_cross_indexed(new_emb: DataFrame,
     dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
     return (pairs.join(new_feats, "doc_a").join(seen_vecs, "doc_b")
             .select("doc_a", "doc_b",
-                    (dot / (F.col("nrm_a") * F.col("nrm_b")))
+                    F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b"))
                     .alias("cosine"))
             .filter(F.col("cosine") >= tau))
 

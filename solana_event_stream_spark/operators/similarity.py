@@ -89,7 +89,7 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
     scored = (F.broadcast(queries)
               .join(norms, F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -147,7 +147,7 @@ def _lsh_topk(spark, sf_dir: str, n_planes: int) -> DataFrame:
               .join(sigs, (F.col("q_bucket") == F.col("bucket"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -293,7 +293,7 @@ def ann_lsh_topk_multiprobe(spark, sf_dir: str,
               .join(sigs, (F.col("q_bucket") == F.col("bucket"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -493,7 +493,7 @@ def ann_ivf_topk_scaled(spark, sf_dir: str, nprobe: int = 1) -> DataFrame:
               .join(cells, (F.col("q_cell") == F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -550,7 +550,7 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
               .join(cells, (F.col("q_cell") == F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -596,7 +596,7 @@ def ann_ivf_topk_probed(spark, sf_dir: str, nprobe: int = 2) -> DataFrame:
               .join(cells, (F.col("q_cell") == F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -717,7 +717,7 @@ def ann_topk_frames(queries: DataFrame, corpus: DataFrame,
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     return _topk_per_query(
         scored.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")), k)
 
 
@@ -751,7 +751,7 @@ def ann_ivf_topk_fitted(spark, sf_dir: str, k: int = IVF_K,
               .join(cells, (F.col("q_cell") == F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_nrm") * F.col("nrm")))
+                      F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
                       .alias("cosine")))
     return _topk_per_query(scored)
 
@@ -867,7 +867,7 @@ def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
     rescored = (cand.join(exact, "neighbor_id")
                 .join(F.broadcast(q_feats), "query_id")
                 .select("query_id", "neighbor_id",
-                        (dot / (F.col("q_nrm") * F.col("c_nrm")))
+                        F.try_divide(dot, F.col("q_nrm") * F.col("c_nrm"))
                         .alias("cosine")))
     return _topk_per_query(rescored, k)
 
@@ -900,7 +900,7 @@ def ann_cosine_topk_quantized(spark, sf_dir: str,
     scored = (F.broadcast(queries)
               .join(norms, F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot / (F.col("q_qn") * F.col("qn")))
+                      F.try_divide(dot, F.col("q_qn") * F.col("qn"))
                       .alias("cosine")))
     return _topk_per_query(scored, top_k)
 

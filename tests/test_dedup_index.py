@@ -1635,3 +1635,56 @@ def test_short_docs_never_band_and_never_crash(spark):
     # the self-join finder tolerates short docs too
     assert {(r.doc_a, r.doc_b) for r in _minhash_verified_pairs(
         seen.unionByName(new)).collect()} == {(3, 13)}
+
+
+def test_zero_vectors_never_pair_never_crash(spark, tmp_path):
+    """Zero embeddings have no direction: every cosine path must treat
+    them as non-evidence (NULL via try_divide — DuckDB's exact
+    division-by-zero semantics) instead of the ANSI DIVIDE_BY_ZERO
+    crash two co-bucketed zero vectors used to trigger. They survive
+    dedup (nothing matches them) and never appear in pair output."""
+    from solana_event_stream_spark.operators.dedup import (
+        banded_cosine_pairs, embedding_pairs_cross)
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_topk_frames)
+
+    z = [0.0, 0.0, 0.0, 0.0]
+    seen = spark.createDataFrame(
+        [(1, z), (2, z), (3, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(11, z), (12, [1.0, 0.001, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = {(r.doc_a, r.doc_b) for r in
+           embedding_pairs_cross(new, seen, n_planes=4,
+                                 width=4).collect()}
+    assert got == {(12, 3)}
+    both = seen.unionByName(new)
+    banded = {(r.doc_a, r.doc_b) for r in banded_cosine_pairs(
+        both, n_bands=2, band_bits=3, limit=None)
+        .filter(F.col("cosine") >= 0.9).collect()}
+    assert banded == {(3, 12)}
+    # the maintenance loop tolerates zero vectors end to end (they
+    # always survive — no evidence against them)
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=4, width=4, n_bands=2)
+    assert apply_embedding_maintenance_batch(spark, seen, 0, cdir, idir)
+    assert apply_embedding_maintenance_batch(spark, new, 1, cdir, idir)
+    ids = sorted(r.vec_id for r in load_maintained_corpus(
+        spark, cdir, idir, empty_schema="vec_id long, embedding "
+                                        "array<double>").collect())
+    assert ids == [1, 2, 3, 11]   # 12 deduped vs 3; zeros all survive
+    # ANN serving: zero corpus rows rank last (NULL cosine), zero
+    # queries return no rows — never a crash
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0]), (101, z)],
+                              "query_id long, embedding array<double>")
+    rows = ann_topk_frames(q, seen, method="brute", k=2,
+                           exclude_matching_ids=False).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q[100][0].neighbor_id == 3
+    assert all(r.cosine is None for r in by_q.get(101, []))
