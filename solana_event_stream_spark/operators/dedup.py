@@ -544,15 +544,25 @@ _SQL_JAC_BAND_MATCH = " OR ".join(
 def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
     docs = docs_with_dups(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    bigrams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                              F.element_at(words, i + 2))))
+    # the n>=2 guard mirrors _shingles' n>=3 (r15): without it a
+    # 1-word doc's sequence(0, -1) DESCENDS and element_at walks out
+    # of bounds — an ANSI crash on degenerate input the fixture never
+    # carries (the DuckDB oracle's range(1, 1) is simply empty)
+    bigrams = F.array_distinct(
+        F.when(F.size(words) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2))))
+        .otherwise(F.array()))
     # Same one-computation pattern as minhash: both the signature branch
     # and the verify branch read the gram arrays.
     grams = (docs.select("doc_id", bigrams.alias("g"))
              .localCheckpoint())
-    sigs = (grams.select("doc_id", _hash_ints(F.col("g")).alias("xs"))
+    # empty gram sets emit no signature — same reason as
+    # _bands_from_shingles' filter (all-NULL minhashes band-match
+    # every other empty doc, then the Jaccard verify divides 0/0)
+    sigs = (grams.filter(F.size("g") > 0)
+            .select("doc_id", _hash_ints(F.col("g")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
     bands = sigs.select(
         "doc_id",

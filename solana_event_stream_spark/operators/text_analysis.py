@@ -132,7 +132,10 @@ def _quality_metric_cols(text_col, words) -> dict:
         "n_words": n_words,
         "avg_word_len": n_chars2.cast("double") / n_words,
         "stopword_ratio": stop_ratio,
-        "nonalpha_ratio": n_nonalpha.cast("double") / n_chars2,
+        # try_divide: empty text has 0 chars — ANSI division would
+        # THROW, DuckDB's / yields NULL, so NULL is the parity value
+        "nonalpha_ratio": F.try_divide(n_nonalpha.cast("double"),
+                                       n_chars2),
         "quality_pass": F.when((n_words >= 50) & (n_words <= 1000)
                                & (stop_ratio >= 0.01), 1).otherwise(0),
     }
@@ -171,7 +174,10 @@ def _token_metric_cols(words) -> dict:
         "ws_tokens": F.size(words),
         "bpe_ish_tokens": bpe,
         "n_bytes2": F.length("text"),
-        "bytes_per_token": F.length("text").cast("double") / bpe,
+        # try_divide: empty text segments to 0 BPE-ish tokens (ANSI
+        # crash / DuckDB NULL — same parity rule as nonalpha_ratio)
+        "bytes_per_token": F.try_divide(
+            F.length("text").cast("double"), bpe),
     }
 
 

@@ -672,3 +672,54 @@ def test_build_training_corpus_token_budget_stage(spark):
     with pytest.raises(ValueError, match="budget_by"):
         build_training_corpus(docs, dedup=False, budget_tokens=40,
                               budget_by="nope")
+
+
+def test_ngram_jaccard_tolerates_degenerate_docs(spark, tmp_path):
+    """Regression (r15 degenerate-input sweep): 1-word docs crashed
+    the bigram builder (sequence(0,-1) descends into element_at out
+    of bounds under ANSI) and empty-gram docs formed an all-match
+    band clique with 0/0 Jaccard. Short docs must simply emit no
+    grams and never pair."""
+    import os
+
+    rows = [(0, "", "en", "web", 0),
+            (1, "single", "en", "web", 6),
+            (2, "two words", "en", "web", 9),
+            (50, "a long enough document with plenty of words to form "
+                 "many bigrams for the verify", "en", "web", 80)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int") \
+        .write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+    out = CATALOG["dedup_ngram_jaccard"].spark_fn(
+        spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # doc 50 is a %25==0 exact-copy candidate in docs_with_dups:
+    # its injected exact copy must pair; no degenerate doc appears
+    assert (50, 2000050) in pairs
+    assert all(a not in (0, 1, 2) and b not in (0, 1, 2)
+               for a, b in pairs)
+
+
+def test_text_battery_tolerates_empty_text(spark, tmp_path):
+    """Empty text has 0 chars and 0 BPE-ish tokens: nonalpha_ratio and
+    bytes_per_token must be NULL (try_divide — DuckDB's exact
+    division-by-zero value), not an ANSI crash (r15 degenerate-input
+    sweep)."""
+    import os
+
+    rows = [(0, "", "en", "web", 0),
+            (1, "a perfectly ordinary document with words", "en",
+             "web", 41)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int") \
+        .write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+    out = CATALOG["text_battery"].spark_fn(spark, str(tmp_path)).collect()
+    assert out
+    vals = {(r.part, r.k1, r.metric): r.vd for r in out
+            if r.k1 == "0" and r.metric in ("nonalpha_ratio",
+                                            "bytes_per_token")}
+    assert vals and all(v is None for v in vals.values())
