@@ -998,8 +998,8 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
         meta["stream_token"] = stream_token
     store.append(minhash_index_rows(surv), meta_update=meta)
     _run_compaction(spark, store, compact_every, compact_mode, [
-        (corpus_path, "corpus_batches", "corpus_compact_seq"),
-        (index_path, "verify_batches", "verify_compact_seq")])
+        (corpus_path, "corpus_batches", "corpus_compact_seq", "doc_id"),
+        (index_path, "verify_batches", "verify_compact_seq", "doc_id")])
     return True
 
 
@@ -1092,7 +1092,8 @@ def _compact_meta_dirs(spark: SparkSession, base_path: str,
                        store: DedupIndexStore, list_key: str,
                        seq_key: str,
                        n_files: int | None = None,
-                       max_batches: int | None = None) -> str:
+                       max_batches: int | None = None,
+                       order_col: str | None = None) -> str:
     """Shared compactor for any manifest-meta-listed directory family
     (the survivors corpus, the composed loop's fingerprint dirs, the
     hashed-shingle verify tier): fold listed dirs into a ``compact=K``
@@ -1125,8 +1126,17 @@ def _compact_meta_dirs(spark: SparkSession, base_path: str,
                              spark.sparkContext.defaultParallelism))
     seq = int(store.meta.get(seq_key, -1)) + 1
     name = f"compact={seq}"
-    (whole.repartition(n_files).write.mode("overwrite")
-     .parquet(_join(base_path, name)))
+    if order_col is not None:
+        # id-clustered rewrite: RANGE-partition + sort so the folded
+        # dir keeps tight per-file/row-group min-max stats on the id —
+        # the property candidate_pushdown's point lookup prunes on.
+        # A plain repartition would scatter ids and every compaction
+        # would degrade the verify tier back to full-scan shape.
+        whole = (whole.repartitionByRange(n_files, order_col)
+                 .sortWithinPartitions(order_col))
+    else:
+        whole = whole.repartition(n_files)
+    (whole.write.mode("overwrite").parquet(_join(base_path, name)))
     if max_batches is not None:
         idx = batches.index(fold[0])
         remaining = [b for b in batches if b not in fold]
@@ -1225,14 +1235,15 @@ def _run_compaction(spark: SparkSession, store: DedupIndexStore,
         return
     if compact_mode == "tiered":
         store.compact(spark, max_batches=compact_every)
-        for base, lk, sk in families:
+        for base, lk, sk, oc in families:
             _compact_meta_dirs(spark, base, store, lk, sk,
-                               max_batches=compact_every)
+                               max_batches=compact_every, order_col=oc)
     elif compact_mode == "full":
         if len(store._batches) >= compact_every:
             store.compact(spark)
-            for base, lk, sk in families:
-                _compact_meta_dirs(spark, base, store, lk, sk)
+            for base, lk, sk, oc in families:
+                _compact_meta_dirs(spark, base, store, lk, sk,
+                                   order_col=oc)
     else:
         raise ValueError(
             f"compact_mode must be 'full' or 'tiered', got "
@@ -1350,7 +1361,7 @@ def apply_substring_maintenance_batch(spark: SparkSession,
                                       store.params["w"]),
                  meta_update=meta)
     _run_compaction(spark, store, compact_every, compact_mode, [
-        (corpus_path, "corpus_batches", "corpus_compact_seq")])
+        (corpus_path, "corpus_batches", "corpus_compact_seq", "doc_id")])
     return True
 
 
@@ -1471,9 +1482,9 @@ def apply_curation_maintenance_batch(spark: SparkSession,
         meta["stream_token"] = stream_token
     store.append(minhash_index_rows(surv), meta_update=meta)
     _run_compaction(spark, store, compact_every, compact_mode, [
-        (corpus_path, "corpus_batches", "corpus_compact_seq"),
-        (fp_path, "fp_batches", "fp_compact_seq"),
-        (index_path, "verify_batches", "verify_compact_seq")])
+        (corpus_path, "corpus_batches", "corpus_compact_seq", "doc_id"),
+        (fp_path, "fp_batches", "fp_compact_seq", None),
+        (index_path, "verify_batches", "verify_compact_seq", "doc_id")])
     return True
 
 
@@ -1588,7 +1599,7 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                              width=store.params.get("width")),
         meta_update=meta)
     _run_compaction(spark, store, compact_every, compact_mode, [
-        (corpus_path, "corpus_batches", "corpus_compact_seq")])
+        (corpus_path, "corpus_batches", "corpus_compact_seq", "vec_id")])
     return True
 
 

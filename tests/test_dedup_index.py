@@ -1688,3 +1688,47 @@ def test_zero_vectors_never_pair_never_crash(spark, tmp_path):
         by_q.setdefault(r.query_id, []).append(r)
     assert by_q[100][0].neighbor_id == 3
     assert all(r.cosine is None for r in by_q.get(101, []))
+
+
+def test_verify_tier_compaction_keeps_id_clustering(spark, tmp_path):
+    """Compacting the verify family must keep the id-clustered layout
+    (repartitionByRange + sort) so candidate_pushdown's point lookup
+    keeps pruning after every fold — a plain repartition would degrade
+    the tier to full-scan shape."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        _compact_meta_dirs, create_minhash_index, minhash_verify_rows)
+
+    def text(i):
+        return " ".join(f"d{i}t{j}" for j in range(10))
+
+    store = create_minhash_index(str(tmp_path / "mh"))
+    fam = str(tmp_path / "fam")
+    for b in range(4):
+        docs = spark.createDataFrame(
+            [(b * 500 + i, text(b * 500 + i)) for i in range(400)],
+            "doc_id long, text string")
+        (minhash_verify_rows(docs).sortWithinPartitions("doc_id")
+         .write.parquet(f"{fam}/batch={b}"))
+    store.meta["fam_batches"] = [f"batch={b}" for b in range(4)]
+    store._write_manifest()
+    name = _compact_meta_dirs(spark, fam, store, "fam_batches",
+                              "fam_seq", n_files=4, order_col="doc_id")
+    assert name == "compact=0"
+    files = sorted(glob.glob(f"{fam}/compact=0/*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids)          # sorted within file
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo                 # disjoint id ranges
+    # rows survive the fold intact
+    got = spark.read.parquet(f"{fam}/compact=0").count()
+    assert got == 1600
