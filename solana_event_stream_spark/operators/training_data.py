@@ -508,39 +508,80 @@ _SQL_BUDGET_PART = f"""
         "guaranteed-floor fallback, hash-pinned per language.",
 )
 def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
-    scalars = counts.agg(
-        F.sum("n_total").alias("grand_total"),
-        F.count(F.lit(1)).alias("n_langs"))
-    tgt = (counts.crossJoin(F.broadcast(scalars))
-           .select("lang", "n_total",
-                   F.least(
-                       F.lit(1.0),
-                       (F.col("grand_total").cast("double")
-                        / F.col("n_langs")) / F.col("n_total"))
-                   .alias("keep_rate")))
-    drawn = (docs.join(F.broadcast(tgt), "lang")
-             .select("lang", "n_total", "keep_rate",
-                     F.when(_hash_unit(F.col("doc_id"))
-                            < F.col("keep_rate"), 1).otherwise(0)
-                     .alias("kept")))
-    mix = (drawn.groupBy("lang", "n_total", "keep_rate")
-           .agg(F.sum("kept").alias("n_kept"))
-           .select(F.lit("mix").alias("part"), "lang",
-                   F.col("n_total").alias("n1"),
-                   F.col("n_kept").alias("n2"),
-                   F.col("keep_rate").alias("v")))
-    full = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text")
-    budget = (sample_token_budget(full, _BUDGET_TOKENS, by="lang",
-                                  safety=_BUDGET_SAFETY)
-              .groupBy("lang")
-              .agg(F.count(F.lit(1)).alias("n1"),
-                   F.sum("n_tokens").alias("n2"))
-              .select(F.lit("budget").alias("part"), "lang", "n1", "n2",
-                      (F.col("n2").cast("double") / _BUDGET_TOKENS)
-                      .alias("v")))
+    """Fused three-scan form (r15): the naive composition — the mix
+    part's counts + drawn passes plus sample_token_budget's
+    totals/pool/fill passes — read documents SEVEN times (scan
+    audit). The two-phase guaranteed-floor design needs exactly three
+    corpus passes (per-lang totals -> pool totals under the cut ->
+    the fill itself), so this form pays exactly those: scan 1 is ONE
+    per-lang aggregate feeding both parts (mix counts ride the budget
+    totals), scan 2 the pool aggregate, scan 3 a single pass whose
+    per-lang groupBy carries the mix keep-draws AND the budget fill
+    (the window partitions on (lang, in_pool), so fill order matches
+    the standalone operator row for row). Values bit-identical to
+    composing the standalone operators (pinned in
+    tests/test_training_data.py); oracle SQL unchanged."""
+    from ..catalog import track_persist
+
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    staged = (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "lang", n_tok.alias("_nt"),
+                      _hash_unit(F.col("doc_id")).alias("_h")))
+    # scan 1: one per-lang aggregate for BOTH parts (cached: ~n_langs
+    # rows; every later reference is driver-side-small)
+    aggs = track_persist(
+        staged.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_nt").alias("_grp_tok")))
+    scalars = aggs.agg(F.sum("n_total").alias("grand_total"),
+                       F.count(F.lit(1)).alias("n_langs"))
+    rates = (aggs.crossJoin(F.broadcast(scalars))
+             .select("lang", "n_total", "_grp_tok",
+                     F.least(
+                         F.lit(1.0),
+                         (F.col("grand_total").cast("double")
+                          / F.col("n_langs")) / F.col("n_total"))
+                     .alias("keep_rate"),
+                     F.least(F.lit(1.0),
+                             F.lit(float(_BUDGET_SAFETY))
+                             * F.lit(float(_BUDGET_TOKENS))
+                             / F.col("_grp_tok")).alias("_brate")))
+    joined = staged.join(F.broadcast(rates), "lang")
+    cut = ((F.col("_grp_tok") <= _BUDGET_TOKENS)
+           | (F.col("_h") < F.col("_brate")))
+    # scan 2: pool totals under the hash cut (the floor guarantee)
+    pool = track_persist(
+        joined.filter(cut).groupBy("lang")
+        .agg(F.sum("_nt").alias("_pool_tok")))
+    shortfall = (F.col("_pool_tok").isNull()
+                 | (F.col("_pool_tok") < _BUDGET_TOKENS))
+    # scan 3: the fill window + both parts' per-row terms, one pass
+    full = (joined.join(F.broadcast(pool), "lang", "left")
+            .withColumn("_inp", cut | shortfall))
+    w = (Window.partitionBy("lang", "_inp").orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fill = (F.col("_inp")
+            & (F.sum("_nt").over(w) - F.col("_nt") < _BUDGET_TOKENS))
+    per_lang = (full.select(
+        "lang",
+        F.when(F.col("_h") < F.col("keep_rate"), 1).otherwise(0)
+        .alias("_kept"),
+        F.when(fill, 1).otherwise(0).alias("_fill"),
+        F.when(fill, F.col("_nt")).otherwise(F.lit(0)).alias("_fill_nt"))
+        .groupBy("lang")
+        .agg(F.sum("_kept").alias("n_kept"),
+             F.sum("_fill").alias("n_fill"),
+             F.sum("_fill_nt").alias("fill_tok")))
+    out = per_lang.join(F.broadcast(rates), "lang")
+    mix = out.select(F.lit("mix").alias("part"), "lang",
+                     F.col("n_total").alias("n1"),
+                     F.col("n_kept").alias("n2"),
+                     F.col("keep_rate").alias("v"))
+    budget = out.select(F.lit("budget").alias("part"), "lang",
+                        F.col("n_fill").alias("n1"),
+                        F.col("fill_tok").alias("n2"),
+                        (F.col("fill_tok").cast("double")
+                         / _BUDGET_TOKENS).alias("v"))
     return mix.unionByName(budget)
 
 

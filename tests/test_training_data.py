@@ -723,3 +723,26 @@ def test_text_battery_tolerates_empty_text(spark, tmp_path):
             if r.k1 == "0" and r.metric in ("nonalpha_ratio",
                                             "bytes_per_token")}
     assert vals and all(v is None for v in vals.values())
+
+
+def test_domain_mix_fused_equals_standalone_composition(spark, sf_dir):
+    """The fused three-scan catalog form must be value-identical to
+    composing the standalone operators (mix rates + sample_token_budget
+    fill) — the training_sample_filter precedent."""
+    from solana_event_stream_spark.operators.training_data import (
+        _BUDGET_SAFETY, _BUDGET_TOKENS, sample_token_budget)
+    from solana_event_stream_spark.tables import load_table
+
+    got = {(r.part, r.lang): (r.n1, r.n2, round(r.v, 12))
+           for r in CATALOG["domain_mix_resample"].spark_fn(
+               spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    fill = (sample_token_budget(docs, _BUDGET_TOKENS, by="lang",
+                                safety=_BUDGET_SAFETY)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n1"),
+                 F.sum("n_tokens").alias("n2")).collect())
+    for r in fill:
+        assert got[("budget", r.lang)] == (
+            r.n1, r.n2, round(r.n2 / _BUDGET_TOKENS, 12))
