@@ -508,12 +508,11 @@ _SQL_BUDGET_PART = f"""
         "guaranteed-floor fallback, hash-pinned per language.",
 )
 def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
-    """Fused three-scan form (r15): the naive composition — the mix
+    """Fused four-scan form (r15): the naive composition — the mix
     part's counts + drawn passes plus sample_token_budget's
     totals/pool/fill passes — read documents SEVEN times (scan
-    audit). The two-phase guaranteed-floor design needs exactly three
-    corpus passes (per-lang totals -> pool totals under the cut ->
-    the fill itself), so this form pays exactly those: scan 1 is ONE
+    audit). The guaranteed-floor design needs three budget passes
+    (per-lang totals -> pool totals under the cut -> the fill): scan 1 is ONE
     per-lang aggregate feeding both parts (mix counts ride the budget
     totals), scan 2 the pool aggregate, scan 3 a single pass whose
     per-lang groupBy carries the mix keep-draws AND the budget fill
@@ -549,30 +548,37 @@ def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
     joined = staged.join(F.broadcast(rates), "lang")
     cut = ((F.col("_grp_tok") <= _BUDGET_TOKENS)
            | (F.col("_h") < F.col("_brate")))
-    # scan 2: pool totals under the hash cut (the floor guarantee)
+    # scan 2: pool totals under the hash cut (the floor guarantee);
+    # cached: without the barrier its subtree re-derives (and
+    # re-scans) under the fill branch
     pool = track_persist(
         joined.filter(cut).groupBy("lang")
         .agg(F.sum("_nt").alias("_pool_tok")))
     shortfall = (F.col("_pool_tok").isNull()
                  | (F.col("_pool_tok") < _BUDGET_TOKENS))
-    # scan 3: the fill window + both parts' per-row terms, one pass
-    full = (joined.join(F.broadcast(pool), "lang", "left")
-            .withColumn("_inp", cut | shortfall))
-    w = (Window.partitionBy("lang", "_inp").orderBy("_h", "doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    fill = (F.col("_inp")
-            & (F.sum("_nt").over(w) - F.col("_nt") < _BUDGET_TOKENS))
-    per_lang = (full.select(
+    # scan 3: mix keep-draws (plain aggregate, no window)
+    mix_agg = (joined.select(
         "lang",
         F.when(F.col("_h") < F.col("keep_rate"), 1).otherwise(0)
-        .alias("_kept"),
-        F.when(fill, 1).otherwise(0).alias("_fill"),
-        F.when(fill, F.col("_nt")).otherwise(F.lit(0)).alias("_fill_nt"))
-        .groupBy("lang")
-        .agg(F.sum("_kept").alias("n_kept"),
-             F.sum("_fill").alias("n_fill"),
-             F.sum("_fill_nt").alias("fill_tok")))
-    out = per_lang.join(F.broadcast(rates), "lang")
+        .alias("_kept"))
+        .groupBy("lang").agg(F.sum("_kept").alias("n_kept")))
+    # scan 4: the fill — the window runs over POOL rows only (a
+    # ~safety x budget slice per lang). One fused pass with the mix
+    # aggregate was tried and rejected: it forced the cumsum window
+    # over the WHOLE corpus (partitioned (lang, in_pool)), a
+    # corpus-wide sort that costs more than the scan it saved —
+    # measured 1.8x at sf0.1 and strictly worse at 100x.
+    cand = (joined.join(F.broadcast(pool), "lang", "left")
+            .filter(cut | shortfall))
+    w = (Window.partitionBy("lang").orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fill_agg = (cand.withColumn("_cum", F.sum("_nt").over(w))
+                .filter(F.col("_cum") - F.col("_nt") < _BUDGET_TOKENS)
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_fill"),
+                     F.sum("_nt").alias("fill_tok")))
+    out = (mix_agg.join(fill_agg, "lang")
+           .join(F.broadcast(rates), "lang"))
     mix = out.select(F.lit("mix").alias("part"), "lang",
                      F.col("n_total").alias("n1"),
                      F.col("n_kept").alias("n2"),

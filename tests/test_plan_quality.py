@@ -327,9 +327,11 @@ def test_scan_counts_stay_fused(spark, sf_dir):
     budgets = {"training_sample_filter": 1, "corpus_decontaminate": 2,
                "events_profile_battery": 2, "dedup_exact": 3,
                # r15 tagged-union extensions: domain_mix's fused
-               # three-pass form (2 uncached + 1 cached agg);
-               # pack_sequences' two parts are one scan each
-               "domain_mix_resample": 2, "pack_sequences": 2}
+               # four-pass form (audited at 4 uncached: mix + fill
+               # branches plus two broadcast-side duplications; the
+               # naive composition read SEVEN) — pack_sequences' two
+               # parts are one scan each
+               "domain_mix_resample": 4, "pack_sequences": 2}
     q = entry.queries()
     for name, budget in budgets.items():
         try:
