@@ -619,11 +619,138 @@ def main_maintenance(spark, n_batches: int = 24,
             }), flush=True)
 
 
+
+
+def main_ann_serving(spark, corpus_rows: int = 20_000,
+                     n_triggers: int = 5) -> None:
+    """VERDICT r15 item 5: the ANN serving stream's trigger latency vs
+    the reference's 1,000 ms envelope — the serving half of the
+    maintenance story, which had latency arms while serving had none.
+    One maintained corpus per storage arm (float; quantized;
+    quantized + float re-rank tier), seeded through the REAL
+    maintenance batch path so the manifest/corpus layout is the
+    production one, then `start_ann_serving_stream` over per-trigger
+    query files at a few queries-per-trigger points, per-batch
+    triggerExecution captured by the standard listener. Also reports
+    the per-trigger corpus re-resolve cost in isolation (manifest read
+    + parquet plan), the piece a manifest-mtime fast path would cut if
+    it dominated."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_maintained_corpus, open_dedup_index)
+    from solana_event_stream_spark.operators.similarity import (
+        start_ann_serving_stream)
+    from solana_event_stream_spark.streaming.metrics import (
+        PipelineMetricsListener)
+
+    import hashlib
+
+    width = 16
+
+    def vec(tag, i):
+        return [int(hashlib.md5(f"{tag}{i}_{d}".encode())
+                    .hexdigest()[:4], 16) / 32767.5 - 1.0
+                for d in range(width)]
+
+    with tempfile.TemporaryDirectory() as d:
+        arms = (("float", False, None), ("quant", True, None),
+                ("quant_rerank", True, 3))
+        corp = {}
+        for tag, q, _ in arms:
+            cdir = os.path.join(d, f"c_{tag}")
+            idir = os.path.join(d, f"i_{tag}")
+            create_embedding_index(idir, n_planes=10, width=width,
+                                   n_bands=2)
+            for b in range(4):
+                emb = spark.createDataFrame(
+                    [(b * corpus_rows + i, vec("c", b * corpus_rows + i))
+                     for i in range(corpus_rows // 4)],
+                    "vec_id long, embedding array<double>")
+                apply_embedding_maintenance_batch(
+                    spark, emb, b, cdir, idir, quantize_corpus=q,
+                    keep_float_tier=(tag == "quant_rerank"),
+                    compact_every=4 if b == 3 else None)
+            corp[tag] = (cdir, idir)
+            # isolate the per-trigger corpus re-resolve: manifest read
+            # + parquet plan + a 1-row touch (the piece a
+            # manifest-mtime fast path would cut)
+            t0 = time.perf_counter()
+            store = open_dedup_index(idir)
+            load_maintained_corpus(
+                spark, cdir, idir,
+                empty_schema="vec_id long, scale double, "
+                "q array<tinyint>" if q
+                else "vec_id long, embedding array<double>").limit(1)                 .collect()
+            print(json.dumps({
+                "probe": "ann_serving_resolve",
+                "arm": tag,
+                "resolve_s": round(time.perf_counter() - t0, 4),
+                "n_corpus_dirs": len(store.meta.get(
+                    "corpus_batches", []))}), flush=True)
+
+        for tag, q, rr_mult in arms:
+            cdir, idir = corp[tag]
+            for qpt in (16, 256, 2048):
+                sdir = os.path.join(d, f"in_{tag}_{qpt}")
+                os.makedirs(sdir)
+                for b in range(n_triggers):
+                    (spark.createDataFrame(
+                        [(b * 100_000 + i, vec("q", b * qpt + i))
+                         for i in range(qpt)],
+                        "query_id long, embedding array<double>")
+                     .coalesce(1).write.mode("overwrite")
+                     .parquet(os.path.join(sdir, f"b{b:03d}.parquet")))
+                collector = PipelineMetricsListener()
+                listener = collector.make_listener()
+                spark.streams.addListener(listener)
+                k = 10
+                try:
+                    stream = (spark.readStream
+                              .schema("query_id long, "
+                                      "embedding array<double>")
+                              .option("maxFilesPerTrigger", 1)
+                              .parquet(sdir + "/*"))
+                    qy = start_ann_serving_stream(
+                        stream, cdir, idir,
+                        os.path.join(d, f"out_{tag}_{qpt}"),
+                        os.path.join(d, f"ck_{tag}_{qpt}"),
+                        k=k, rerank_m=rr_mult * k if rr_mult else None,
+                        available_now=True, method="lsh", width=width,
+                        corpus_rows=corpus_rows)
+                    qy.awaitTermination(1800)
+                finally:
+                    spark.streams.removeListener(listener)
+                trig = [p["duration_ms"].get("triggerExecution", 0)
+                        for p in collector.progress
+                        if p["num_input_rows"]]
+                srt = sorted(trig)
+                print(json.dumps({
+                    "probe": "ann_serving_stream",
+                    "arm": tag,
+                    "queries_per_trigger": qpt,
+                    "corpus_rows": corpus_rows,
+                    "k": k,
+                    "rerank_m": rr_mult * k if rr_mult else None,
+                    "n_triggers": len(trig),
+                    "per_trigger_ms": trig,
+                    "trigger_p50_ms": srt[len(srt) // 2]
+                    if srt else None,
+                    "trigger_p95_ms": srt[int(0.95 * (len(srt) - 1))]
+                    if srt else None,
+                    "warm_p50_ms": sorted(trig[1:])[
+                        max(0, (len(trig) - 1) // 2 - 1)]
+                    if len(trig) > 1 else None,
+                    "envelope_ms": 1000}), flush=True)
+
+
 def main() -> None:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--maintenance" in sys.argv:
         main_maintenance(spark)
+        return
+    if "--ann-serving" in sys.argv:
+        main_ann_serving(spark)
         return
     if "--ab-enrichment" in sys.argv:
         main_ab_enrichment(spark)

@@ -111,8 +111,151 @@ def fresh_batch(spark, n: int, id_base: int):
     return dups.unionByName(fresh).localCheckpoint()
 
 
+
+
+def synth_docs(spark, n: int):
+    """n synthetic docs with DISJOINT per-doc vocabulary (no cross-doc
+    near-dups), generated JVM-side — the 500k decade can't come from
+    the sf fixtures (sf1.0 tops out at 50k and its replicas are
+    near-dups), and one generator for every decade keeps the doc
+    shape identical across scale points."""
+    tok = F.concat(F.lit("s"), F.col("id"), F.lit("w"),
+                   F.col("pos"))
+    return (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.explode(F.sequence(F.lit(0), F.lit(19)))
+                    .alias("pos"))
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list(tok)).alias("text")))
+
+
+def synth_vecs(spark, n: int, width: int = 16):
+    """n deterministic pseudo-random embeddings, JVM-side."""
+    cols = [(F.pmod(F.xxhash64(F.col("id") * 31 + d), F.lit(20001))
+             / 10000.0 - 1.0).alias(f"_d{d}") for d in range(width)]
+    return (spark.range(n).select(F.col("id").alias("vec_id"), *cols)
+            .select("vec_id", F.array(*[F.col(f"_d{d}")
+                                        for d in range(width)])
+                    .alias("embedding")))
+
+
+def seed_embedding(spark, d: str, vecs, width: int = 16):
+    """Commit vecs DIRECTLY as a quantized maintained embedding corpus
+    with a float re-rank tier (the serving deployment layout)."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_embedding_index, embedding_index_rows, float_tier_path)
+    from solana_event_stream_spark.operators.similarity import (
+        quantize_embeddings_int8)
+
+    cdir, idir = os.path.join(d, "corpus"), os.path.join(d, "index")
+    create_embedding_index(idir, n_planes=12, width=width, n_bands=2)
+    store = open_dedup_index(idir)
+    vecs = vecs.localCheckpoint()
+    (quantize_embeddings_int8(vecs).sortWithinPartitions("vec_id")
+     .write.parquet(os.path.join(cdir, "batch=0")))
+    (vecs.sortWithinPartitions("vec_id")
+     .write.parquet(os.path.join(float_tier_path(cdir), "batch=0")))
+    store.append(
+        embedding_index_rows(vecs, 2, 12, width=width),
+        meta_update={"last_stream_batch": 0,
+                     "corpus_batches": ["batch=0"],
+                     "corpus_quantized": True, "float_tier": True,
+                     "float_batches": ["batch=0"]})
+    return cdir, idir
+
+
+def main_decade(reps: int) -> None:
+    """VERDICT r15 item 4: one more decade of seen. Arm A's flatness
+    proof at synthetic 5k/50k/500k (identical doc shape per decade;
+    bytes decomposed per seen-side source), plus the serving stream's
+    per-trigger wall + corpus-resolve cost against maintained
+    embedding corpora at the same decades."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        dedup_pairs_cross_indexed)
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch)
+
+    spark = get_spark("maintenance-scale-decade")
+    out: dict[str, dict] = {}
+    batch = fresh_batch(spark, 300, 9_000_000)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for n in (5_000, 50_000, 500_000):
+        seen = synth_docs(spark, n).localCheckpoint()
+        with tempfile.TemporaryDirectory() as d:
+            cdir, idir = seed(spark, d, seen)
+            one_trigger(spark, cdir, idir, batch, 1, 1)       # warm
+            wall = one_trigger(spark, cdir, idir, batch, 1, reps)
+            store = open_dedup_index(idir)
+            idx = store.load(spark)
+            tier = spark.read.parquet(os.path.join(idir, "verify=0"))
+            force(dedup_pairs_cross_indexed(batch, None, idx,
+                                            seen_verify=tier))
+            probe = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                force(dedup_pairs_cross_indexed(batch, None, idx,
+                                                seen_verify=tier))
+                probe = min(probe, time.perf_counter() - t0)
+            out[f"minhash seen={n}"] = {
+                "trigger_wall_s": round(wall, 3),
+                "tier_probe_s": round(probe, 3),
+                "corpus_text_bytes": du(cdir),
+                "index_bytes": du(os.path.join(
+                    idir, store._batches[0])),
+                "verify_tier_bytes": du(os.path.join(idir,
+                                                     "verify=0")),
+            }
+            print(json.dumps({f"minhash seen={n}":
+                              out[f"minhash seen={n}"]}), flush=True)
+
+    queries = (synth_vecs(spark, 16)
+               .select(F.col("vec_id").alias("query_id"), "embedding")
+               .localCheckpoint())
+    for n in (5_000, 50_000, 500_000):
+        vecs = synth_vecs(spark, n)
+        with tempfile.TemporaryDirectory() as d:
+            cdir, idir = seed_embedding(spark, d, vecs)
+            t0 = time.perf_counter()
+            store = open_dedup_index(idir)
+            spark.read.parquet(os.path.join(cdir, "batch=0"))                 .limit(1).collect()
+            resolve = time.perf_counter() - t0
+            odir = os.path.join(d, "out")
+            for arm, rr in (("quant", None), ("rerank", 30)):
+                apply_ann_serving_batch(          # warm
+                    spark, queries, 0, cdir, idir, odir, k=10,
+                    rerank_m=rr, method="lsh", width=16,
+                    corpus_rows=n)
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    apply_ann_serving_batch(
+                        spark, queries, 0, cdir, idir, odir, k=10,
+                        rerank_m=rr, method="lsh", width=16,
+                        corpus_rows=n)
+                    best = min(best, time.perf_counter() - t0)
+                out[f"serving n={n} {arm}"] = {
+                    "trigger_wall_s": round(best, 3),
+                    "resolve_s": round(resolve, 4),
+                    "codes_bytes": du(os.path.join(cdir, "batch=0")),
+                    "float_tier_bytes": du(os.path.join(
+                        cdir, "float", "batch=0")),
+                }
+                print(json.dumps({f"serving n={n} {arm}":
+                                  out[f"serving n={n} {arm}"]}),
+                      flush=True)
+
+    print(json.dumps(out, indent=2))
+
+
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 \
+        and sys.argv[1].isdigit() else 3
+    if "--decade" in sys.argv:
+        main_decade(reps)
+        return
     spark = get_spark("maintenance-scale")
     out: dict[str, dict] = {}
 

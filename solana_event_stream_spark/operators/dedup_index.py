@@ -152,13 +152,39 @@ def _restrict_to_candidates(tier: DataFrame, pairs: DataFrame,
     groups, the point-lookup shape the maintenance loops want at a
     100 TB seen tier. Above the limit it falls back to the semi-join
     (a huge IN-list is a plan-time regression — the staged-chain
-    lesson)."""
+    lesson) PLUS a min/max range residual on the id column (VERDICT
+    r15 item 3), so large triggers keep coarse row-group pruning on
+    the id-sorted tier at one narrow agg's plan cost."""
     ids = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     if pushdown_limit:
         got = ids.limit(pushdown_limit + 1).collect()
         if len(got) <= pushdown_limit:
+            vals = [r[0] for r in got]
+            if not vals:
+                return tier.filter(F.lit(False))
+            # the isin is the exact predicate, but parquet only
+            # translates In up to
+            # spark.sql.parquet.pushdown.inFilterThreshold (10)
+            # values — beyond that the row-group stats never see it.
+            # A redundant min/max range residual (driver-side free:
+            # the ids are already collected) always pushes as two
+            # comparisons, keeping the point-lookup's row-group
+            # pruning at any candidate count within the limit.
             return tier.filter(
-                F.col(id_col).isin([r[0] for r in got]))
+                F.col(id_col).between(min(vals), max(vals))
+                & F.col(id_col).isin(vals))
+        # VERDICT r15 item 3: above the limit, keep COARSE row-group
+        # pruning on the id-sorted tier with a min/max range residual
+        # derived from the full candidate set (one narrow agg over the
+        # already-materialized pairs — no giant IN-list, no plan-time
+        # trap), then the semi-join for exactness. When candidates
+        # cluster in id space (recent-batch ids probing a monotone
+        # corpus) the range predicate prunes the tier scan to the
+        # covering row groups; worst case (ids spanning the full
+        # range) it is a no-op filter on an already-required scan.
+        lo, hi = ids.agg(F.min(id_col), F.max(id_col)).first()
+        if lo is not None:
+            tier = tier.filter(F.col(id_col).between(lo, hi))
     return tier.join(ids, id_col, "left_semi")
 
 
@@ -356,13 +382,18 @@ class DedupIndexStore:
             # reads a single already-unique-per-fp directory
             cdirs = self.meta.get("fpcount_batches", [])
             nname = name.replace("batch=", "fpn=")
-            if cdirs:
+            covered = {b.replace("batch=", "fpn=")
+                       for b in self._batches}
+            if cdirs and set(cdirs) == covered:
                 merged = (spark.read.parquet(
                     *[_join(self.path, d) for d in cdirs])
                     .groupBy("fp").agg(F.sum("n").alias("n")))
             else:
-                # pre-r15 substring index: derive the count dir from
-                # the just-compacted rows (the one-time migration
+                # pre-r15 substring index, or PARTIAL coverage (a
+                # direct append onto a pre-r15 manifest — ADVICE r15):
+                # merging an incomplete delta set would persist the
+                # under-count, so derive the count dir from the
+                # just-compacted rows instead (the one-time migration
                 # load_fp_counts' error message points at)
                 merged = (spark.read.parquet(_join(self.path, name))
                           .groupBy("fp")
@@ -374,8 +405,13 @@ class DedupIndexStore:
         top = max([int(v) for v in
                    self.meta.get("batch_levels", {}).values()] or [0])
         self.meta["batch_levels"] = {name: top + 1}
+        superseded = [b for b in self._batches if b != name]
+        if self.kind == "substring":
+            superseded += [c for c in cdirs if c != nname]
         self._batches = [name]
         self._write_manifest()
+        for b in superseded:        # retire stamp for vacuum's grace
+            _touch_dir(_join(self.path, b))
         return name
 
     def _compact_tier(self, spark: SparkSession, n_files: int | None,
@@ -399,13 +435,24 @@ class DedupIndexStore:
             have = [c for c in self.meta.get("fpcount_batches", [])
                     if c in cnames]
             nname = name.replace("batch=", "fpn=")
-            if have:
-                (spark.read.parquet(*[_join(self.path, c) for c in have])
-                 .groupBy("fp").agg(F.sum("n").alias("n"))
-                 .write.mode("overwrite").parquet(_join(self.path, nname)))
-                self.meta["fpcount_batches"] = (
-                    [c for c in self.meta["fpcount_batches"]
-                     if c not in cnames] + [nname])
+            if set(have) == set(cnames):
+                merged = (spark.read.parquet(
+                    *[_join(self.path, c) for c in have])
+                    .groupBy("fp").agg(F.sum("n").alias("n")))
+            else:
+                # some folded dir has no paired delta (pre-r15 history
+                # — ADVICE r15): merging the partial set would persist
+                # an under-count under a name that claims coverage of
+                # the whole fold; recount the fold's rows instead
+                # (they were just rewritten into the compacted dir)
+                merged = (spark.read.parquet(_join(self.path, name))
+                          .groupBy("fp")
+                          .agg(F.count(F.lit(1)).alias("n")))
+            merged.write.mode("overwrite").parquet(
+                _join(self.path, nname))
+            self.meta["fpcount_batches"] = (
+                [c for c in self.meta.get("fpcount_batches", [])
+                 if c not in cnames] + [nname])
         idx = self._batches.index(fold[0])
         remaining = [b for b in self._batches if b not in fold]
         self._batches = remaining[:idx] + [name] + remaining[idx:]
@@ -413,6 +460,11 @@ class DedupIndexStore:
         levels[name] = lv + 1
         self.meta["batch_levels"] = levels
         self._write_manifest()
+        retired = list(fold)
+        if self.kind == "substring":
+            retired += [c for c in cnames if c != nname]
+        for b in retired:           # retire stamp for vacuum's grace
+            _touch_dir(_join(self.path, b))
         return name
 
     def load(self, spark: SparkSession) -> DataFrame:
@@ -441,12 +493,26 @@ class DedupIndexStore:
                 f"fp counts exist only for substring indexes, not "
                 f"{self.kind!r}")
         dirs = self.meta.get("fpcount_batches", [])
-        if not dirs:
-            if self._batches:
-                raise ValueError(
-                    f"substring index at {self.path!r} has committed "
-                    "batches but no fp-count deltas (pre-r15 manifest) "
-                    "— compact() once to derive the merged count dir")
+        # ADVICE r15: coverage must be COMPLETE, not merely non-empty.
+        # Every batch dir commits a name-paired fpn= delta (append and
+        # both compact modes preserve the pairing), so a mismatch
+        # means some committed batch's rows are missing from the
+        # counts — e.g. a direct append() onto a pre-r15 manifest
+        # wrote ONE delta while every older batch has none; a merely
+        # non-empty check would then silently under-count seen
+        # fingerprint populations and shrink the probes' seen-fps
+        # set, admitting duplicates of the old corpus.
+        expected = {b.replace("batch=", "fpn=") for b in self._batches}
+        if set(dirs) != expected and self._batches:
+            raise ValueError(
+                f"substring index at {self.path!r} has committed "
+                f"batches whose fp-count deltas are missing or "
+                f"stale (have {sorted(dirs)}, need "
+                f"{sorted(expected)} — a pre-r15 manifest, or "
+                "appends made before the counts existed) — "
+                "compact() once to derive a complete merged "
+                "count dir")
+        if not self._batches:
             return spark.createDataFrame([], "fp long, n long")
         cnt = spark.read.parquet(*[_join(self.path, d) for d in dirs])
         if restrict_to is not None:
@@ -1035,6 +1101,39 @@ def load_maintained_corpus(spark: SparkSession, corpus_path: str,
     return out
 
 
+def float_tier_path(corpus_path: str) -> str:
+    """Base directory of a maintained corpus' full-precision re-rank
+    tier (its ``batch=``/``compact=`` dirs live under this path, and
+    :func:`vacuum_dedup_index` callers pass it with the
+    ``float_batches`` list key)."""
+    return _join(corpus_path, "float")
+
+
+def load_float_tier(spark: SparkSession, corpus_path: str,
+                    index_path: str) -> DataFrame:
+    """The maintained corpus' FULL-PRECISION (vec_id, embedding)
+    re-rank tier (VERDICT r15 item 1) — the float originals a
+    ``quantize_corpus=True`` maintenance loop persists alongside the
+    int8 codes when driven with ``keep_float_tier=True``, committed in
+    the same atomic manifest publish and id-clustered so the serving
+    loop's candidate-pruned re-rank attach reads only the candidate
+    row groups. Loud when the manifest has no float tier — the codes
+    CANNOT reconstruct the lost bits (the scale-invariance no-op
+    :func:`~.similarity.ann_topk_frames_quantized` documents)."""
+    store = open_dedup_index(index_path)
+    if not store.meta.get("float_tier"):
+        raise ValueError(
+            f"maintained corpus at {corpus_path!r} has no float "
+            "re-rank tier (manifest meta float_tier is falsy) — run "
+            "the embedding maintenance loop with keep_float_tier=True")
+    batches = store.meta.get("float_batches", [])
+    if not batches:
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+    base = float_tier_path(corpus_path)
+    return spark.read.parquet(*[_join(base, b) for b in batches])
+
+
 def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
                               store: "DedupIndexStore | str",
                               n_files: int | None = None,
@@ -1149,6 +1248,8 @@ def _compact_meta_dirs(spark: SparkSession, base_path: str,
     store.meta[levels_key] = levels
     store.meta[seq_key] = seq
     store._write_manifest()
+    for b in fold:                  # retire stamp for vacuum's grace
+        _touch_dir(_join(base_path, b))
     return name
 
 
@@ -1164,6 +1265,33 @@ def _dir_mtime(path: str) -> float:
     with _java_io_as_oserror():
         _, jpath, fs, _, _ = _hadoop_fs(path)
         return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+
+
+def _touch_dir(path: str) -> None:
+    """Bump a directory's mtime to NOW — called on every dir a
+    compaction supersedes, so :func:`vacuum_dedup_index`'s grace
+    window measures from the moment the dir became UNREFERENCED, not
+    from its write time (r16: a dir written an hour ago but superseded
+    a second ago would otherwise age straight past the grace and be
+    deleted from under a reader still holding the pre-compaction
+    manifest). Crash orphans need no touch: their mtime IS the moment
+    they became orphaned. Best-effort — a failed touch only makes
+    vacuum MORE aggressive on that dir, never less correct for
+    referenced dirs (vacuum never deletes manifest-referenced dirs
+    regardless of age)."""
+    try:
+        if "://" not in path:
+            os.utime(path, None)
+            return
+        import time as _time
+
+        from ..streaming.event_archive import (_hadoop_fs,
+                                               _java_io_as_oserror)
+        with _java_io_as_oserror():
+            _, jpath, fs, _, _ = _hadoop_fs(path)
+            fs.setTimes(jpath, int(_time.time() * 1000), -1)
+    except OSError:
+        pass
 
 
 def vacuum_dedup_index(index_path: str,
@@ -1182,9 +1310,13 @@ def vacuum_dedup_index(index_path: str,
     manifest does not reference it (batch list, verify/fpcount meta
     families, and each entry of ``families`` — (base_path, list_key)
     pairs for the survivors corpus / composed-loop fingerprints),
-    and (3) it is older than ``grace_seconds`` (a reader holding a
+    and (3) it is older than ``grace_seconds`` — measured from the
+    dir's mtime, which every compaction BUMPS on the dirs it
+    supersedes (r16), so the window counts from the moment the dir
+    became unreferenced, not from its write time (a reader holding a
     pre-compaction manifest finishes within the grace window; orphans
-    from a crashed trigger are replayed long before an hour passes).
+    from a crashed trigger are replayed long before an hour passes,
+    and their mtime already IS their orphaning time).
 
     Returns {path: [deleted dir names]} (the WOULD-delete list under
     ``dry_run=True``)."""
@@ -1533,7 +1665,8 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                                       stream_token: str | None = None,
                                       quantize_corpus: bool = False,
                                       candidate_pushdown: int | None = 4096,
-                                      compact_mode: str = "full") -> bool:
+                                      compact_mode: str = "full",
+                                      keep_float_tier: bool = False) -> bool:
     """Embedding analog of :func:`apply_dedup_maintenance_batch` —
     same idempotent commit protocol (batch-id corpus dir overwrite,
     then ONE atomic manifest publish of index rows + meta); the
@@ -1554,7 +1687,22 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
     The flag is pinned in the manifest meta on first commit — a loop
     restarted with the other setting is a loud error, never a
     mis-typed read. The INDEX rows (signatures + norms) are always
-    computed from the incoming full-precision batch."""
+    computed from the incoming full-precision batch.
+
+    ``keep_float_tier=True`` (VERDICT r15 item 1; requires
+    ``quantize_corpus=True`` — a float corpus IS full precision, the
+    sidecar would be a byte-for-byte duplicate) additionally persists
+    each trigger's survivors as a FLOAT (vec_id, embedding) re-rank
+    tier under ``float_tier_path(corpus_path)``, id-clustered like the
+    verify tier and committed in the SAME atomic manifest publish —
+    the tier :func:`~.similarity.apply_ann_serving_batch`'s
+    ``rerank_m`` re-scores against (dequantized int8 codes cannot
+    close the quantization gap; only the float originals carry the
+    lost bits). Storage is the float corpus the quantized loop
+    otherwise saves — opt in when serving recall matters more than
+    the 8x tier size. Pinned in the manifest like
+    ``corpus_quantized``; compaction and vacuum treat the tier as one
+    more manifest-listed dir family."""
     from .similarity import quantize_embeddings_int8
 
     store = open_dedup_index(index_path)
@@ -1567,6 +1715,19 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
             f"corpus_quantized={recorded_q}; driving the loop with "
             f"quantize_corpus={bool(quantize_corpus)} would mix int8 "
             "and float batch schemas in one manifest")
+    if keep_float_tier and not quantize_corpus:
+        raise ValueError(
+            "keep_float_tier=True only applies to quantize_corpus="
+            "True loops: a float survivors corpus already IS the "
+            "full-precision tier — rerank against it directly")
+    recorded_f = store.meta.get("float_tier")
+    if recorded_f is not None and bool(keep_float_tier) != recorded_f:
+        raise ValueError(
+            f"embedding corpus at {corpus_path!r} is committed with "
+            f"float_tier={recorded_f}; driving the loop with "
+            f"keep_float_tier={bool(keep_float_tier)} would leave the "
+            "re-rank tier covering only part of the corpus — a "
+            "silent under-return at serving time")
     if batch_id <= store.meta.get("last_stream_batch", -1):
         return False
     corpus_batches = list(store.meta.get("corpus_batches", []))
@@ -1590,7 +1751,19 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
      .write.mode("overwrite").parquet(_join(corpus_path, cname)))
     meta = {"last_stream_batch": batch_id,
             "corpus_batches": corpus_batches + [cname],
-            "corpus_quantized": bool(quantize_corpus)}
+            "corpus_quantized": bool(quantize_corpus),
+            "float_tier": bool(keep_float_tier)}
+    if keep_float_tier:
+        # full-precision re-rank sidecar: data lands BEFORE the
+        # manifest swap below (same crash recipe as the corpus batch —
+        # an orphan from a crash in between is overwritten on replay);
+        # id-sorted so the serving re-rank's candidate pushdown prunes
+        # to candidate row groups
+        (surv.sortWithinPartitions("vec_id")
+         .write.mode("overwrite")
+         .parquet(_join(float_tier_path(corpus_path), cname)))
+        meta["float_batches"] = list(
+            store.meta.get("float_batches", [])) + [cname]
     if stream_token is not None:
         meta["stream_token"] = stream_token
     store.append(
@@ -1598,8 +1771,12 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                              store.params["n_planes"],
                              width=store.params.get("width")),
         meta_update=meta)
-    _run_compaction(spark, store, compact_every, compact_mode, [
-        (corpus_path, "corpus_batches", "corpus_compact_seq", "vec_id")])
+    families = [
+        (corpus_path, "corpus_batches", "corpus_compact_seq", "vec_id")]
+    if keep_float_tier:
+        families.append((float_tier_path(corpus_path), "float_batches",
+                         "float_compact_seq", "vec_id"))
+    _run_compaction(spark, store, compact_every, compact_mode, families)
     return True
 
 
@@ -1614,13 +1791,16 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
                                        candidate_pushdown: int | None = 4096,
                                        compact_mode: str = "full",
                                        trigger_shuffle_partitions:
-                                       int | None = None):
+                                       int | None = None,
+                                       keep_float_tier: bool = False):
     """Streaming embedding-corpus maintenance — see
     :func:`start_dedup_maintenance_stream` for the commit/replay
     contract and the knobs; the dedup criterion here is cosine >=
     ``tau`` against the banded LSH-bucket index. ``quantize_corpus``
     stores the survivors tier int8 (8x smaller) and makes it the
-    verify source (see :func:`apply_embedding_maintenance_batch`)."""
+    verify source; ``keep_float_tier`` additionally persists the
+    float originals as the serving re-rank tier (see
+    :func:`apply_embedding_maintenance_batch`)."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         with _trigger_shuffle_width(batch_df.sparkSession,
                                     trigger_shuffle_partitions):
@@ -1630,7 +1810,8 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
                 stream_token=checkpoint_dir,
                 quantize_corpus=quantize_corpus,
                 candidate_pushdown=candidate_pushdown,
-                compact_mode=compact_mode)
+                compact_mode=compact_mode,
+                keep_float_tier=keep_float_tier)
 
     writer = (emb_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))

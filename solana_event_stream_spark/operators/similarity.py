@@ -800,6 +800,7 @@ def dequantize_embeddings_int8(qemb: DataFrame) -> DataFrame:
 def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
                               rerank_m: int | None = None,
                               exact_corpus: DataFrame | None = None,
+                              check_coverage: bool = False,
                               **kwargs) -> DataFrame:
     """:func:`ann_topk_frames` over an INT8-QUANTIZED corpus (VERDICT
     r13 item 5) — the deployment serving path where the 100 TB corpus
@@ -837,7 +838,18 @@ def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
     being closed IS the quantization error, and only the float
     vectors carry the lost bits. Recall@k vs exact pinned >= 0.98 in
     tests/test_quantization.py; the zero-pre-query-action plan
-    guarantee is inherited (the re-rank adds joins, not actions)."""
+    guarantee is inherited (the re-rank adds joins, not actions).
+
+    COVERAGE CONTRACT (ADVICE r15): the re-rank attach is an INNER
+    equi-join on neighbor_id, so a candidate id missing from
+    ``exact_corpus`` silently vanishes from the final top-k — a query
+    may return fewer than k rows. The tier must cover every corpus id
+    the codes were built from (the maintained float tier satisfies
+    this by construction: it commits in the same manifest publish as
+    the codes). ``check_coverage=True`` opts into a loud bounded check
+    (one left-anti 5-row sample action, like
+    dedup_pairs_cross_indexed's) that raises on the first uncovered
+    candidate instead of under-returning."""
     corpus = qcorpus.select(
         "vec_id",
         F.col("q").cast("array<double>").alias("embedding"))
@@ -856,6 +868,37 @@ def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
     query_id_col = kwargs.get("query_id_col", "query_id")
     cand = (ann_topk_frames(queries, corpus, k=rerank_m, **kwargs)
             .select("query_id", "neighbor_id"))
+    if check_coverage:
+        missing = (cand.join(
+            exact_corpus.select(F.col("vec_id").alias("neighbor_id")),
+            "neighbor_id", "left_anti").limit(5).collect())
+        if missing:
+            raise ValueError(
+                "exact_corpus does not cover every candidate "
+                f"neighbor_id (sample missing: "
+                f"{sorted(r.neighbor_id for r in missing)}) — the "
+                "re-rank inner join would silently drop them from the "
+                "final top-k; supply the full-precision tier for the "
+                "same corpus the codes came from")
+    return _exact_rerank(cand, queries, exact_corpus, k,
+                         query_id_col=query_id_col)
+
+
+def _exact_rerank(cand: DataFrame, queries: DataFrame,
+                  exact_corpus: DataFrame, k: int,
+                  query_id_col: str = "query_id") -> DataFrame:
+    """Re-score (query_id, neighbor_id) candidate pairs against the
+    full-precision (vec_id, embedding) tier and return the exact-cosine
+    top-k per query — the shared tail of
+    :func:`ann_topk_frames_quantized`'s ``rerank_m`` path and the
+    serving loop's float-tier re-rank. COVERAGE CONTRACT: the attach is
+    an INNER id equi-join, so a candidate absent from ``exact_corpus``
+    vanishes from the final top-k (possibly returning fewer than k rows
+    for its query). Callers must pass a tier covering every candidate
+    id (the maintained float tier is committed in the same manifest
+    publish as the codes, so coverage holds by construction there), or
+    opt into the loud ``check_coverage`` sample in
+    :func:`ann_topk_frames_quantized`."""
     nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
     exact = exact_corpus.select(F.col("vec_id").alias("neighbor_id"),
                                 F.col("embedding").alias("c_emb"),
@@ -913,19 +956,33 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
                             corpus_path: str, index_path: str,
                             out_path: str, k: int = TOP_K,
                             rerank_m: int | None = None,
+                            candidate_pushdown: int | None = 4096,
                             **ann_kwargs) -> str:
     """Serve one micro-batch of (query_id, embedding) queries against
     the MAINTAINED embedding corpus (the dedup_index maintenance
     loops' manifest-committed state) and write (query_id, neighbor_id,
     cosine, rk) to ``out_path/batch=<id>``. Quantized corpora serve
-    through :func:`ann_topk_frames_quantized` (codes pass straight
-    through the LSH/bucket machinery; ``rerank_m`` re-ranks survivors
-    against the dequantized tier — NOTE that closes ordering noise
-    only approximately here, since a quantized maintained corpus
-    discards the float originals; deployments that keep a float tier
-    should call :func:`ann_topk_frames_quantized` directly with it);
-    float corpora through :func:`ann_topk_frames`. ``ann_kwargs``
-    forward (method/width/corpus_rows/nprobe_bits/...).
+    through :func:`ann_topk_frames_quantized`; float corpora through
+    :func:`ann_topk_frames`. ``ann_kwargs`` forward
+    (method/width/corpus_rows/nprobe_bits/...).
+
+    ``rerank_m`` (VERDICT r15 item 1) requires the maintained corpus
+    to carry a FULL-PRECISION float re-rank tier
+    (``keep_float_tier=True`` on the embedding maintenance loop) —
+    a "dequantized re-rank" is a no-op by the scale-invariance
+    identity (:func:`ann_topk_frames_quantized`'s own guard), so a
+    quantized-only corpus raises here rather than silently paying a
+    whole-corpus read for zero recall, and a FLOAT corpus raises too
+    (its fast path already scores candidates with exact cosine on the
+    stored vectors — there is nothing left to re-rank). The float
+    tier attaches CANDIDATE-PRUNED: the top-``rerank_m`` candidate ids
+    are pushed into the id-clustered tier scan as a point lookup when
+    they fit ``candidate_pushdown`` (the maintenance loops'
+    ``_restrict_to_candidates`` machinery, semi-join + min/max range
+    residual above the limit), so the re-rank reads O(queries x m) row
+    groups, never O(corpus). Coverage of the inner re-rank join holds
+    by construction: the tier commits in the same atomic manifest
+    publish as the codes.
 
     The write is batch-id-named and mode=overwrite, so a Structured
     Streaming replay is idempotent AGAINST THE SAME corpus state;
@@ -934,7 +991,9 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
     tier and documented here rather than hidden."""
     import os
 
-    from .dedup_index import load_maintained_corpus, open_dedup_index
+    from .dedup_index import (_restrict_to_candidates,
+                              load_float_tier, load_maintained_corpus,
+                              open_dedup_index)
 
     store = open_dedup_index(index_path)
     if store.kind != "embedding":
@@ -948,15 +1007,42 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
             spark, corpus_path, index_path,
             empty_schema="vec_id long, scale double, q array<tinyint>")
         if rerank_m is not None:
-            exact = load_maintained_corpus(spark, corpus_path,
-                                           index_path, dequantize=True)
-            out = ann_topk_frames_quantized(
-                queries, qcorpus, rerank_m=rerank_m, exact_corpus=exact,
-                k=k, **ann_kwargs)
+            if not store.meta.get("float_tier"):
+                raise ValueError(
+                    "rerank_m needs a full-precision re-rank tier, but "
+                    f"the maintained corpus at {corpus_path!r} is "
+                    "quantized-only (float originals were discarded at "
+                    "ingest): dequantized codes score identically to "
+                    "the codes themselves — they cannot close the "
+                    "quantization gap. Run the embedding maintenance "
+                    "loop with keep_float_tier=True")
+            if rerank_m < k:
+                raise ValueError(
+                    f"rerank_m ({rerank_m}) must be >= k ({k})")
+            corpus = qcorpus.select(
+                "vec_id",
+                F.col("q").cast("array<double>").alias("embedding"))
+            ann_kwargs.setdefault("corpus_id_col", "vec_id")
+            cand = (ann_topk_frames(queries, corpus, k=rerank_m,
+                                    **ann_kwargs)
+                    .select("query_id", "neighbor_id")
+                    .localCheckpoint())
+            tier = load_float_tier(spark, corpus_path, index_path)
+            pruned = _restrict_to_candidates(
+                tier, cand.select(F.col("neighbor_id").alias("doc_b")),
+                "vec_id", candidate_pushdown)
+            out = _exact_rerank(cand, queries, pruned, k)
         else:
             out = ann_topk_frames_quantized(queries, qcorpus, k=k,
                                             **ann_kwargs)
     else:
+        if rerank_m is not None:
+            raise ValueError(
+                "rerank_m over a FLOAT maintained corpus is a no-op: "
+                "the fast path already scores every candidate with "
+                "exact cosine on the stored full-precision vectors — "
+                "rerank_m exists to close the quantization gap of "
+                "quantize_corpus=True loops (with keep_float_tier)")
         corpus = load_maintained_corpus(
             spark, corpus_path, index_path,
             empty_schema="vec_id long, embedding array<double>")

@@ -508,18 +508,19 @@ _SQL_BUDGET_PART = f"""
         "guaranteed-floor fallback, hash-pinned per language.",
 )
 def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
-    """Fused four-scan form (r15): the naive composition — the mix
+    """Fused THREE-scan form (r16): the naive composition — the mix
     part's counts + drawn passes plus sample_token_budget's
     totals/pool/fill passes — read documents SEVEN times (scan
-    audit). The guaranteed-floor design needs three budget passes
-    (per-lang totals -> pool totals under the cut -> the fill): scan 1 is ONE
+    audit); r15 fused it to four, and the r16 drift adjudication
+    found the last fusable pair (the pool and mix aggregates are both
+    per-lang sums over the same joined rows whose predicates cannot
+    push to parquet — conditional sums merge them). Scan 1 is ONE
     per-lang aggregate feeding both parts (mix counts ride the budget
-    totals), scan 2 the pool aggregate, scan 3 a single pass whose
-    per-lang groupBy carries the mix keep-draws AND the budget fill
-    (the window partitions on (lang, in_pool), so fill order matches
-    the standalone operator row for row). Values bit-identical to
-    composing the standalone operators (pinned in
-    tests/test_training_data.py); oracle SQL unchanged."""
+    totals); scan 2 carries the pool totals under the cut AND the mix
+    keep-draws; scan 3 the budget fill, whose window runs over pool
+    rows only. Values bit-identical to composing the standalone
+    operators (pinned in tests/test_training_data.py); oracle SQL
+    unchanged."""
     from ..catalog import track_persist
 
     n_tok = F.size(F.split("text", " ")).cast("long")
@@ -548,21 +549,28 @@ def domain_mix_resample(spark, sf_dir: str) -> DataFrame:
     joined = staged.join(F.broadcast(rates), "lang")
     cut = ((F.col("_grp_tok") <= _BUDGET_TOKENS)
            | (F.col("_h") < F.col("_brate")))
-    # scan 2: pool totals under the hash cut (the floor guarantee);
-    # cached: without the barrier its subtree re-derives (and
-    # re-scans) under the fill branch
-    pool = track_persist(
-        joined.filter(cut).groupBy("lang")
-        .agg(F.sum("_nt").alias("_pool_tok")))
+    # scan 2: ONE pass carries BOTH small per-lang aggregates — the
+    # pool totals under the hash cut (the floor guarantee) AND the
+    # mix keep-draws (r16, adjudication fix: these were two separate
+    # corpus scans, but neither predicate pushes to parquet — the cut
+    # and the keep-draw both depend on join-derived columns — so the
+    # filtered pool pass read every row anyway; conditional sums over
+    # the unfiltered rows buy the second aggregate for free). A lang
+    # with zero cut rows now yields a NULL _pool_tok row instead of
+    # no row; the fill's left join produced the same NULL, so the
+    # shortfall predicate is unchanged. Cached: ~n_langs rows, and
+    # without the barrier the subtree re-derives (and re-scans) under
+    # the fill branch.
+    both = track_persist(
+        joined.groupBy("lang").agg(
+            F.sum(F.when(cut, F.col("_nt"))).alias("_pool_tok"),
+            F.sum(F.when(F.col("_h") < F.col("keep_rate"), 1)
+                  .otherwise(0)).alias("n_kept")))
+    pool = both.select("lang", "_pool_tok")
+    mix_agg = both.select("lang", "n_kept")
     shortfall = (F.col("_pool_tok").isNull()
                  | (F.col("_pool_tok") < _BUDGET_TOKENS))
-    # scan 3: mix keep-draws (plain aggregate, no window)
-    mix_agg = (joined.select(
-        "lang",
-        F.when(F.col("_h") < F.col("keep_rate"), 1).otherwise(0)
-        .alias("_kept"))
-        .groupBy("lang").agg(F.sum("_kept").alias("n_kept")))
-    # scan 4: the fill — the window runs over POOL rows only (a
+    # scan 3: the fill — the window runs over POOL rows only (a
     # ~safety x budget slice per lang). One fused pass with the mix
     # aggregate was tried and rejected: it forced the cumsum window
     # over the WHOLE corpus (partitioned (lang, in_pool)), a

@@ -1732,3 +1732,266 @@ def test_verify_tier_compaction_keeps_id_clustering(spark, tmp_path):
     # rows survive the fold intact
     got = spark.read.parquet(f"{fam}/compact=0").count()
     assert got == 1600
+
+
+# ---------------------------------------------------------------------------
+# r16: full-precision re-rank float tier (VERDICT r15 item 1)
+# ---------------------------------------------------------------------------
+
+def _vec(i, d=8):
+    import hashlib
+    return [int(hashlib.md5(f"ft{i}_{j}".encode()).hexdigest()[:4], 16)
+            / 32767.5 - 1.0 for j in range(d)]
+
+
+def test_float_tier_commits_with_codes_and_loads(spark, tmp_path):
+    """keep_float_tier persists the survivors' float originals in the
+    SAME manifest publish as the int8 codes: after each trigger the
+    manifest lists one float batch per corpus batch, the tier loads as
+    the exact survivors (bitwise — these are the originals, not a
+    dequantized reconstruction), and an uncommitted float orphan from
+    a crash between data and manifest stays invisible."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        float_tier_path, load_float_tier, load_maintained_corpus,
+        open_dedup_index)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    b0 = spark.createDataFrame([(i, _vec(i)) for i in range(30)],
+                               "vec_id long, embedding array<double>")
+    b1 = spark.createDataFrame([(100 + i, _vec(100 + i))
+                                for i in range(20)],
+                               "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(
+        spark, b0, 0, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    assert apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    store = open_dedup_index(idir)
+    assert store.meta["float_tier"] is True
+    assert store.meta["float_batches"] == store.meta["corpus_batches"]
+    tier = load_float_tier(spark, cdir, idir)
+    got = {r.vec_id: r.embedding for r in tier.collect()}
+    inputs = {r.vec_id: r.embedding
+              for r in b0.unionByName(b1).collect()}
+    # quantized corpus is still the serving/verify source, and the
+    # tier covers EXACTLY the committed survivors
+    q = load_maintained_corpus(
+        spark, cdir, idir,
+        empty_schema="vec_id long, scale double, q array<tinyint>")
+    assert set(q.columns) == {"vec_id", "scale", "q"}
+    surv_ids = {r.vec_id for r in q.select("vec_id").collect()}
+    assert set(got) == surv_ids and surv_ids <= set(inputs)
+    for vid, emb_vals in got.items():      # bitwise: the originals,
+        assert emb_vals == inputs[vid]     # not a dequantized recon
+    # a float orphan with no manifest entry is invisible
+    extra = spark.createDataFrame([(999, _vec(999))],
+                                  "vec_id long, embedding array<double>")
+    (extra.write.mode("overwrite")
+     .parquet(float_tier_path(cdir) + "/batch=9"))
+    assert 999 not in {
+        r.vec_id for r in load_float_tier(spark, cdir, idir).collect()}
+
+
+def test_float_tier_guards_are_loud(spark, tmp_path):
+    """The pinned-flag contract: keep_float_tier without
+    quantize_corpus raises (a float corpus IS the tier); a restart
+    with the other setting raises (partial tier coverage would
+    silently under-return at serving); load_float_tier on a
+    tier-less manifest raises."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_float_tier)
+
+    emb = spark.createDataFrame([(i, _vec(i)) for i in range(10)],
+                                "vec_id long, embedding array<double>")
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    with pytest.raises(ValueError, match="quantize_corpus"):
+        apply_embedding_maintenance_batch(
+            spark, emb, 0, cdir, idir, keep_float_tier=True)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    with pytest.raises(ValueError, match="float_tier"):
+        apply_embedding_maintenance_batch(
+            spark, emb, 1, cdir, idir, quantize_corpus=True)
+    # and the inverse: a quantized-only corpus can't grow a tier
+    # mid-life (older survivors would be uncovered)
+    cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=6, width=8, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir2, idir2, quantize_corpus=True)
+    with pytest.raises(ValueError, match="float_tier"):
+        apply_embedding_maintenance_batch(
+            spark, emb, 1, cdir2, idir2, quantize_corpus=True,
+            keep_float_tier=True)
+    with pytest.raises(ValueError, match="keep_float_tier"):
+        load_float_tier(spark, cdir2, idir2)
+
+
+def test_float_tier_compacts_and_vacuums_with_the_corpus(spark,
+                                                         tmp_path):
+    """The tier is one more manifest-listed dir family: full
+    compaction folds its batches into one id-clustered dir alongside
+    the corpus fold, rows intact; vacuum (with the float family
+    passed) deletes the superseded per-trigger dirs after the grace
+    window and keeps the referenced fold."""
+    import os
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        float_tier_path, load_float_tier, open_dedup_index,
+        vacuum_dedup_index)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    for b in range(3):
+        emb = spark.createDataFrame(
+            [(b * 100 + i, _vec(b * 100 + i)) for i in range(20)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, emb, b, cdir, idir, quantize_corpus=True,
+            keep_float_tier=True,
+            compact_every=3 if b == 2 else None)
+    store = open_dedup_index(idir)
+    assert store.meta["float_batches"] == ["compact=0"]
+    assert store.meta["corpus_batches"] == ["compact=0"]
+    tier = load_float_tier(spark, cdir, idir)
+    q = spark.read.parquet(cdir + "/compact=0")
+    n_surv = q.count()
+    assert ({r.vec_id for r in tier.select("vec_id").collect()}
+            == {r.vec_id for r in q.select("vec_id").collect()})
+    fbase = float_tier_path(cdir)
+    assert sorted(n for n in os.listdir(fbase)
+                  if n.startswith(("batch=", "compact="))) == [
+        "batch=0", "batch=1", "batch=2", "compact=0"]
+    got = vacuum_dedup_index(
+        idir, families=[(cdir, "corpus_batches"),
+                        (fbase, "float_batches")],
+        grace_seconds=0.0)
+    assert sorted(got[fbase]) == ["batch=0", "batch=1", "batch=2"]
+    assert sorted(n for n in os.listdir(fbase)
+                  if n.startswith(("batch=", "compact="))) == [
+        "compact=0"]
+    # tier still loads complete off the fold
+    assert load_float_tier(spark, cdir, idir).count() == n_surv
+
+
+def test_range_residual_prunes_semi_join_fallback(spark, tmp_path):
+    """VERDICT r15 item 3: above the candidate_pushdown limit the
+    fallback is a semi-join PLUS a min/max range residual derived from
+    the candidate set — on an id-sorted tier a clustered 50k-candidate
+    set keeps coarse row-group pruning (reads ~its covering files)
+    where the bare semi-join scans every row."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        _restrict_to_candidates)
+
+    tier_path = str(tmp_path / "tier")
+    (spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7).alias("payload"))
+     .repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+     .write.parquet(tier_path))
+    tier = spark.read.parquet(tier_path)
+    # 50k candidates clustered in the FIRST quarter of the id space
+    pairs = (spark.range(50_000)
+             .select(F.col("id").alias("doc_b")).localCheckpoint())
+
+    def scan_rows(df):
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan()
+        leaves = ep.collectLeaves()
+        total, found = 0, False
+        for i in range(leaves.length()):
+            leaf = leaves.apply(i)
+            if ("FileScan" in leaf.toString()
+                    and leaf.metrics().contains("numOutputRows")):
+                total += int(leaf.metrics()
+                             .apply("numOutputRows").value())
+                found = True
+        if not found:
+            raise AssertionError("tier scan not in plan leaves")
+        return total
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # 50k candidates >> the 4096 limit -> semi-join fallback with
+        # the range residual
+        ranged = scan_rows(
+            _restrict_to_candidates(tier, pairs, "doc_id", 4096))
+        bare = scan_rows(
+            _restrict_to_candidates(tier, pairs, "doc_id", None))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert bare == 200_000
+    # ids 0..49999 cover ~2-3 of 8 range files (sampling-based
+    # boundaries are inexact) -> a fraction of the tier is read
+    assert ranged <= 100_000, ranged
+    # exactness: both forms restrict to the same rows
+    a = _restrict_to_candidates(tier, pairs, "doc_id", 4096)
+    b = _restrict_to_candidates(tier, pairs, "doc_id", None)
+    assert a.count() == b.count() == 50_000
+
+
+def test_fp_count_partial_coverage_is_loud_and_compact_heals(
+        spark, tmp_path):
+    """ADVICE r15: a substring manifest whose fp-count deltas cover
+    only SOME committed batches (pre-r15 history + a direct r15
+    append) must raise from load_fp_counts — a merely non-empty check
+    silently under-counted seen fingerprint populations, admitting
+    duplicates of the old corpus. compact() (full or tiered) heals by
+    recounting from the folded rows, never by merging the partial
+    delta set under a name that claims full coverage."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_substring_index, open_dedup_index, substring_index_rows)
+
+    def docs(lo, n=40):
+        return spark.createDataFrame(
+            [(lo + i, " ".join(f"w{lo + i}x{j}" for j in range(40)))
+             for i in range(n)],
+            "doc_id long, text string")
+
+    idir = str(tmp_path / "ss")
+    store = create_substring_index(idir, k=8, w=4)
+    for b in range(3):
+        store.append(substring_index_rows(docs(b * 100), k=8, w=4))
+    full_counts = {(r.fp, r.n) for r in
+                   store.load_fp_counts(spark).collect()}
+    recount = {(r.fp, r.n) for r in
+               store.load(spark).groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert full_counts == recount
+    # simulate the pre-r15 + direct-append manifest: drop the first
+    # batch's delta from the meta (the dir itself may even remain)
+    store.meta["fpcount_batches"] = store.meta["fpcount_batches"][1:]
+    store._write_manifest()
+    store = open_dedup_index(idir)
+    with pytest.raises(ValueError, match="missing or stale"):
+        store.load_fp_counts(spark)
+    # full compact recounts from the folded rows: counts complete again
+    store.compact(spark)
+    healed = {(r.fp, r.n) for r in
+              store.load_fp_counts(spark).collect()}
+    assert healed == recount
+
+    # tiered partial fold with a missing delta inside the fold: the
+    # new fpn dir must be a recount of the fold, not a partial merge
+    idir2 = str(tmp_path / "ss2")
+    store2 = create_substring_index(idir2, k=8, w=4)
+    for b in range(3):
+        store2.append(substring_index_rows(docs(1000 + b * 100),
+                                           k=8, w=4))
+    recount2 = {(r.fp, r.n) for r in
+                store2.load(spark).groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    store2.meta["fpcount_batches"] = store2.meta["fpcount_batches"][1:]
+    store2._write_manifest()
+    store2 = open_dedup_index(idir2)
+    assert store2.compact(spark, max_batches=3) != ""
+    healed2 = {(r.fp, r.n) for r in
+               store2.load_fp_counts(spark).collect()}
+    assert healed2 == recount2

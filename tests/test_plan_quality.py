@@ -326,12 +326,14 @@ def test_scan_counts_stay_fused(spark, sf_dir):
     # audited value); text_battery has its own dedicated gate.
     budgets = {"training_sample_filter": 1, "corpus_decontaminate": 2,
                "events_profile_battery": 2, "dedup_exact": 3,
-               # r15 tagged-union extensions: domain_mix's fused
-               # four-pass form (audited at 4 uncached: mix + fill
-               # branches plus two broadcast-side duplications; the
-               # naive composition read SEVEN) — pack_sequences' two
-               # parts are one scan each
-               "domain_mix_resample": 4, "pack_sequences": 2}
+               # r16 tagged-union floors (VERDICT r15 item 8): the
+               # r16 drift adjudication fused domain_mix's pool and
+               # mix aggregates (both per-lang sums over the same
+               # non-pushdown-able rows) — THREE uncached passes now
+               # (totals; pool+mix; fill), vs the r15 four and the
+               # naive composition's SEVEN — pack_sequences' two
+               # parts stay one scan each
+               "domain_mix_resample": 3, "pack_sequences": 2}
     q = entry.queries()
     for name, budget in budgets.items():
         try:

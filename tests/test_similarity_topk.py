@@ -824,3 +824,234 @@ def test_ann_serving_stream_over_maintained_corpus(spark, tmp_path):
     with pytest.raises(ValueError, match="embedding index"):
         apply_ann_serving_batch(spark, queries, 0, cdir,
                                 str(tmp_path / "mh"), odir)
+
+
+def test_ann_serving_rerank_uses_float_tier(spark, tmp_path):
+    """VERDICT r15 item 1, done-criteria: rerank_m through the serving
+    stream re-scores against the maintained FLOAT tier — recall@k >=
+    0.98 vs the exact float brute-force, returned cosines are the
+    EXACT float-tier scores (not code-domain reconstructions), and the
+    quantized-only / float-corpus misuses raise instead of silently
+    burning a corpus scan on a mathematically inert re-rank."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        load_float_tier)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_topk_frames, apply_ann_serving_batch,
+        start_ann_serving_stream)
+
+    def vec(i):
+        return [int(hashlib.md5(f"rr{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(16)]
+
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(80)],
+                                "vec_id long, embedding array<double>")
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=16, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+
+    qrows = [(1000 + i, vec(i)) for i in range(5)]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>")
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    queries.coalesce(1).write.parquet(str(qdir / "q0.parquet"))
+    odir = str(tmp_path / "out")
+    stream = (spark.readStream
+              .schema("query_id long, embedding array<double>")
+              .parquet(str(qdir) + "/*"))
+    q = start_ann_serving_stream(
+        stream, cdir, idir, odir, str(tmp_path / "ckpt"),
+        k=5, rerank_m=20, available_now=True, method="brute")
+    q.awaitTermination(120)
+    got = spark.read.parquet(odir + "/batch=0").collect()
+
+    tier = load_float_tier(spark, cdir, idir)
+    exact = ann_topk_frames(queries, tier, k=5, method="brute",
+                            exclude_matching_ids=False)
+    want = {(r.query_id, r.neighbor_id): r.cosine
+            for r in exact.collect()}
+    hits = sum((r.query_id, r.neighbor_id) in want for r in got)
+    assert hits / len(want) >= 0.98
+    for r in got:                  # shared pairs score EXACT float
+        if (r.query_id, r.neighbor_id) in want:
+            assert abs(r.cosine - want[(r.query_id, r.neighbor_id)]) \
+                < 1e-12
+
+    # quantized-only corpus: loud, mirroring the library guard
+    import pytest
+
+    cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=6, width=16, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir2, idir2, quantize_corpus=True)
+    with pytest.raises(ValueError, match="keep_float_tier"):
+        apply_ann_serving_batch(spark, queries, 0, cdir2, idir2,
+                                str(tmp_path / "o2"), rerank_m=20,
+                                method="brute")
+    # float corpus: rerank is a no-op there too — loud
+    cdir3, idir3 = str(tmp_path / "c3"), str(tmp_path / "i3")
+    create_embedding_index(idir3, n_planes=6, width=16, n_bands=2)
+    assert apply_embedding_maintenance_batch(spark, emb, 0, cdir3,
+                                             idir3)
+    with pytest.raises(ValueError, match="no-op"):
+        apply_ann_serving_batch(spark, queries, 0, cdir3, idir3,
+                                str(tmp_path / "o3"), rerank_m=20,
+                                method="brute")
+    # rerank_m < k is loud before any work
+    with pytest.raises(ValueError, match="rerank_m"):
+        apply_ann_serving_batch(spark, queries, 0, cdir, idir,
+                                str(tmp_path / "o4"), k=9, rerank_m=5,
+                                method="brute")
+
+
+def test_ann_serving_rerank_attach_is_candidate_pruned(spark, tmp_path):
+    """Scan evidence for the serving re-rank: the float-tier attach
+    goes through _restrict_to_candidates, so with a bounded
+    id-clustered candidate set the COMPACTED tier scan reads ~the
+    candidate row groups, not the corpus (the isin point-lookup
+    shape; per-trigger dirs are batch-sized and scatter-partitioned —
+    the id-clustered fold is where pruning pays, same story as the
+    verify tier); the serving batch's output equals the same
+    composition built by hand."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        _compact_meta_dirs, _restrict_to_candidates,
+        apply_embedding_maintenance_batch, create_embedding_index,
+        float_tier_path, load_float_tier, open_dedup_index)
+    from solana_event_stream_spark.operators.similarity import (
+        _exact_rerank, ann_topk_frames, apply_ann_serving_batch)
+
+    def vec(i):
+        return [int(hashlib.md5(f"cp{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(8)]
+
+    # ids laid out monotonically -> sortWithinPartitions keeps the
+    # float batch id-clustered per file; ids < 48 are planted NEAR the
+    # three queries (and only those), so every query's top-12 lands in
+    # the FIRST range file — the clustered-candidate shape row-group
+    # pruning pays off on (spread candidates read every file, pruned
+    # or not; that case is the semi-join's anyway)
+    def row(i):
+        if i < 48:
+            base = vec(9000 + i % 3)
+            return (i, [a + 0.15 * b for a, b in zip(base, vec(i))])
+        return (i, vec(i))
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=10, width=8, n_bands=2)
+    for b in range(2):
+        emb = spark.createDataFrame(
+            [row(b * 1000 + i) for i in range(1000)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, emb, b, cdir, idir, tau=0.999, quantize_corpus=True,
+            keep_float_tier=True)
+    store = open_dedup_index(idir)
+    _compact_meta_dirs(spark, float_tier_path(cdir), store,
+                       "float_batches", "float_compact_seq",
+                       n_files=8, order_col="vec_id")
+
+    queries = spark.createDataFrame(
+        [(9000 + i, vec(9000 + i)) for i in range(3)],
+        "query_id long, embedding array<double>")
+    tier = load_float_tier(spark, cdir, idir)
+    n_tier = tier.count()
+    qcorpus = spark.read.parquet(cdir + "/batch=0", cdir + "/batch=1")
+    corpus = qcorpus.selectExpr(
+        "vec_id", "cast(q as array<double>) as embedding")
+    cand = (ann_topk_frames(queries, corpus, k=12, method="brute",
+                            exclude_matching_ids=False)
+            .select("query_id", "neighbor_id").localCheckpoint())
+
+    def tier_scan_rows(df):
+        # the float tier is the ONLY FileScan in the re-rank plan
+        # (queries and candidates are in-memory frames); matching the
+        # path would be fragile — leaf.toString() truncates Location
+        # metadata at spark.sql.maxMetadataStringLength
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan()
+        leaves = ep.collectLeaves()
+        total, found = 0, False
+        for i in range(leaves.length()):
+            leaf = leaves.apply(i)
+            if ("FileScan" in leaf.toString()
+                    and leaf.metrics().contains("numOutputRows")):
+                total += int(leaf.metrics()
+                             .apply("numOutputRows").value())
+                found = True
+        if not found:
+            raise AssertionError("float tier scan not in plan leaves")
+        return total
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        doc_b = cand.select(F.col("neighbor_id").alias("doc_b"))
+        pruned = tier_scan_rows(_exact_rerank(
+            cand, queries,
+            _restrict_to_candidates(tier, doc_b, "vec_id", 4096),
+            k=5))
+        full = tier_scan_rows(_exact_rerank(
+            cand, queries,
+            _restrict_to_candidates(tier, doc_b, "vec_id", None),
+            k=5))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert full == n_tier
+    assert pruned <= 400, pruned   # ~the first range file, not 2000
+    # and the serving batch itself returns this composition's answer
+    dest = apply_ann_serving_batch(
+        spark, queries, 0, cdir, idir, str(tmp_path / "o"),
+        k=5, rerank_m=12, method="brute")
+    got = {(r.query_id, r.neighbor_id, r.rk)
+           for r in spark.read.parquet(dest).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rk)
+            for r in _exact_rerank(cand, queries, tier, k=5).collect()}
+    assert got == want
+
+
+def test_quantized_rerank_coverage_check_is_loud(spark):
+    """ADVICE r15: the re-rank attach is an inner join — a candidate
+    missing from exact_corpus silently vanishes (documented contract);
+    check_coverage=True turns the first uncovered candidate into a
+    loud error instead."""
+    import hashlib
+
+    import pytest
+
+    from solana_event_stream_spark.operators.similarity import (
+        ann_topk_frames_quantized, quantize_embeddings_int8)
+
+    def vec(i):
+        return [int(hashlib.md5(f"cc{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(8)]
+
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(40)],
+                                "vec_id long, embedding array<double>")
+    qcorpus = quantize_embeddings_int8(emb).localCheckpoint()
+    queries = spark.createDataFrame(
+        [(100, vec(0)), (101, vec(1))],
+        "query_id long, embedding array<double>")
+    partial = emb.filter(F.col("vec_id") >= 35)   # misses most ids
+    with pytest.raises(ValueError, match="does not cover"):
+        ann_topk_frames_quantized(
+            queries, qcorpus, rerank_m=10, exact_corpus=partial,
+            check_coverage=True, method="brute",
+            exclude_matching_ids=False).collect()
+    # without the check the contract stands: silent under-return
+    thin = ann_topk_frames_quantized(
+        queries, qcorpus, rerank_m=10, exact_corpus=partial,
+        method="brute", exclude_matching_ids=False)
+    assert thin.count() < 10              # fewer than 2 queries x k
+    # full coverage passes the check and returns k per query
+    full = ann_topk_frames_quantized(
+        queries, qcorpus, rerank_m=10, exact_corpus=emb,
+        check_coverage=True, method="brute",
+        exclude_matching_ids=False)
+    assert full.count() == 10
