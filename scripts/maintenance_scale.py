@@ -119,14 +119,14 @@ def synth_docs(spark, n: int):
     the sf fixtures (sf1.0 tops out at 50k and its replicas are
     near-dups), and one generator for every decade keeps the doc
     shape identical across scale points."""
-    tok = F.concat(F.lit("s"), F.col("id"), F.lit("w"),
-                   F.col("pos"))
-    return (spark.range(n)
-            .select(F.col("id").alias("doc_id"),
-                    F.explode(F.sequence(F.lit(0), F.lit(19)))
-                    .alias("pos"))
-            .groupBy("doc_id")
-            .agg(F.concat_ws(" ", F.collect_list(tok)).alias("text")))
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda p: F.concat(F.lit("s"),
+                               F.col("doc_id").cast("string"),
+                               F.lit("w"), p.cast("string"))), " ")
+    return (spark.range(n).select(F.col("id").alias("doc_id"))
+            .select("doc_id", text.alias("text")))
 
 
 def synth_vecs(spark, n: int, width: int = 16):
