@@ -830,27 +830,35 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
     n_bands = _embedding_n_bands(store)
     width = store.params.get("width")
     spark = new_emb.sparkSession
-    hit = (embedding_pairs_cross_indexed(new_emb, seen_emb,
-                                         store.load(spark),
-                                         n_bands, n_planes,
-                                         tau=tau, width=width,
-                                         seen_quantized=seen_quantized,
-                                         candidate_pushdown=candidate_pushdown)
-           .select(F.col("doc_a").alias("vec_id")).distinct())
-    fresh = new_emb.join(hit, "vec_id", "left_anti")
-    batch_bits = scaled_n_planes(
-        sum(embedding_width_census(new_emb).values()), floor=4)
-    within = (banded_cosine_pairs(fresh, n_bands=within_bands,
-                                  band_bits=batch_bits, limit=None)
-              .filter(F.col("cosine") >= tau)
-              .select("doc_a", "doc_b"))
-    memb = connected_components(within)
-    surv = (fresh.join(memb.select(F.col("doc_id").alias("vec_id"),
-                                   "cluster_id"),
-                       "vec_id", "left")
-            .filter(F.col("cluster_id").isNull()
-                    | (F.col("vec_id") == F.col("cluster_id")))
-            .drop("cluster_id"))
+    census = embedding_width_census(new_emb)
+    if not census:
+        # EMPTY trigger (r16): real streams deliver zero-row batches
+        # (empty source files, drained availableNow tails), and the
+        # within-batch banding's census guard would raise on them.
+        # Nothing to dedup — pass the empty frame through so the
+        # caller still commits and the manifest's batch id advances
+        # (the idempotent-replay contract needs the id recorded).
+        surv = new_emb
+    else:
+        hit = (embedding_pairs_cross_indexed(
+                   new_emb, seen_emb, store.load(spark),
+                   n_bands, n_planes, tau=tau, width=width,
+                   seen_quantized=seen_quantized,
+                   candidate_pushdown=candidate_pushdown)
+               .select(F.col("doc_a").alias("vec_id")).distinct())
+        fresh = new_emb.join(hit, "vec_id", "left_anti")
+        batch_bits = scaled_n_planes(sum(census.values()), floor=4)
+        within = (banded_cosine_pairs(fresh, n_bands=within_bands,
+                                      band_bits=batch_bits, limit=None)
+                  .filter(F.col("cosine") >= tau)
+                  .select("doc_a", "doc_b"))
+        memb = connected_components(within)
+        surv = (fresh.join(memb.select(F.col("doc_id").alias("vec_id"),
+                                       "cluster_id"),
+                           "vec_id", "left")
+                .filter(F.col("cluster_id").isNull()
+                        | (F.col("vec_id") == F.col("cluster_id")))
+                .drop("cluster_id"))
     if commit:
         surv = surv.localCheckpoint()
         store.append(embedding_index_rows(surv, n_bands, n_planes,

@@ -1995,3 +1995,102 @@ def test_fp_count_partial_coverage_is_loud_and_compact_heals(
     healed2 = {(r.fp, r.n) for r in
                store2.load_fp_counts(spark).collect()}
     assert healed2 == recount2
+
+
+def test_empty_triggers_commit_across_all_loops(spark, tmp_path):
+    """r16 hardening: real streams deliver ZERO-ROW triggers (empty
+    source files, drained availableNow tails). Every maintenance loop
+    must commit them — advancing the manifest's batch id for the
+    idempotent-replay contract — rather than crash (the embedding
+    loop's within-batch census guard used to raise on an empty
+    frame); the serving batch must answer queries over and after
+    them."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, apply_embedding_maintenance_batch,
+        apply_substring_maintenance_batch, create_embedding_index,
+        create_minhash_index, create_substring_index, load_float_tier,
+        open_dedup_index)
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch)
+
+    e_docs = spark.createDataFrame([], "doc_id long, text string")
+    e_emb = spark.createDataFrame([], "vec_id long, "
+                                  "embedding array<double>")
+    create_minhash_index(str(tmp_path / "mh"))
+    assert apply_dedup_maintenance_batch(
+        spark, e_docs, 0, str(tmp_path / "cm"), str(tmp_path / "mh"))
+    create_substring_index(str(tmp_path / "ss"))
+    assert apply_substring_maintenance_batch(
+        spark, e_docs, 0, str(tmp_path / "cs"), str(tmp_path / "ss"))
+    cdir, idir = str(tmp_path / "ce"), str(tmp_path / "ie")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    # empty FIRST trigger on a quantized+float-tier loop, then a real
+    # one, then empty again — ids advance 0,1,2 and state is sane
+    assert apply_embedding_maintenance_batch(
+        spark, e_emb, 0, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(1, 12)],
+        "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 1, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    assert apply_embedding_maintenance_batch(
+        spark, e_emb, 2, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    store = open_dedup_index(idir)
+    assert store.meta["last_stream_batch"] == 2
+    assert store.meta["corpus_batches"] == ["batch=0", "batch=1",
+                                            "batch=2"]
+    tier = load_float_tier(spark, cdir, idir)
+    assert tier.count() > 0
+    # serving (with rerank) still answers over the mixed history, and
+    # an EMPTY QUERY batch writes an empty-but-valid output dir
+    q = spark.createDataFrame(
+        [(100, _vec(3))], "query_id long, embedding array<double>")
+    dest = apply_ann_serving_batch(spark, q, 0, cdir, idir,
+                                   str(tmp_path / "o"), k=3,
+                                   rerank_m=6, method="brute")
+    assert spark.read.parquet(dest).count() == 3
+    dest0 = apply_ann_serving_batch(spark, e_emb.selectExpr(
+        "vec_id as query_id", "embedding"), 1, cdir, idir,
+        str(tmp_path / "o"), k=3, rerank_m=6, method="brute")
+    assert spark.read.parquet(dest0).count() == 0
+
+
+def test_restrict_to_candidates_modes_agree_property(spark):
+    """Hypothesis differential for the three _restrict_to_candidates
+    shapes (isin+between point lookup / semi-join + range residual /
+    bare semi-join): same restricted row set for ANY candidate
+    multiset — including empty, all-duplicates, ids absent from the
+    tier, negative ids, and candidate counts straddling the pushdown
+    limit (the r16 range-residual and empty-isin edges)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        _restrict_to_candidates)
+
+    tier = spark.range(0, 400, 7).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3).alias("payload")).localCheckpoint()
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.integers(min_value=-50, max_value=450),
+                    max_size=40))
+    def check(ids):
+        pairs = spark.createDataFrame(
+            [(i,) for i in ids], "doc_b long").localCheckpoint()
+        outs = []
+        for limit in (4, 4096, None):   # straddle + fit + semi-only
+            got = sorted(
+                tuple(r) for r in _restrict_to_candidates(
+                    tier, pairs, "doc_id", limit).collect())
+            outs.append(got)
+        assert outs[0] == outs[1] == outs[2]
+        want = sorted((i, i * 3) for i in set(ids)
+                      if 0 <= i < 400 and i % 7 == 0)
+        assert outs[0] == want
+
+    check()
