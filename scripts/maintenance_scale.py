@@ -139,21 +139,33 @@ def synth_vecs(spark, n: int, width: int = 16):
                     .alias("embedding")))
 
 
-def seed_embedding(spark, d: str, vecs, width: int = 16):
+def seed_embedding(spark, d: str, vecs, width: int = 16,
+                   centroids: list | None = None):
     """Commit vecs DIRECTLY as a quantized maintained embedding corpus
-    with a float re-rank tier (the serving deployment layout)."""
+    with a float re-rank tier (the serving deployment layout);
+    ``centroids`` pins the IVF coarse quantizer and stamps cells
+    (cell, vec_id)-clustered, the r16 IVF serving tier."""
     from solana_event_stream_spark.operators.dedup_index import (
         create_embedding_index, embedding_index_rows, float_tier_path)
     from solana_event_stream_spark.operators.similarity import (
-        quantize_embeddings_int8)
+        ivf_cell_col, quantize_embeddings_int8)
 
     cdir, idir = os.path.join(d, "corpus"), os.path.join(d, "index")
-    create_embedding_index(idir, n_planes=12, width=width, n_bands=2)
+    create_embedding_index(idir, n_planes=12, width=width, n_bands=2,
+                           ivf_centroids=centroids)
     store = open_dedup_index(idir)
     vecs = vecs.localCheckpoint()
-    (quantize_embeddings_int8(vecs).sortWithinPartitions("vec_id")
+    q = quantize_embeddings_int8(vecs)
+    order = ["vec_id"]
+    if centroids is not None:
+        cells = vecs.select("vec_id",
+                            ivf_cell_col(centroids).alias("cell"))
+        q = q.join(cells, "vec_id")
+        order = ["cell", "vec_id"]
+    (q.repartitionByRange(8, *order).sortWithinPartitions(*order)
      .write.parquet(os.path.join(cdir, "batch=0")))
-    (vecs.sortWithinPartitions("vec_id")
+    (vecs.repartitionByRange(8, "vec_id")
+     .sortWithinPartitions("vec_id")
      .write.parquet(os.path.join(float_tier_path(cdir), "batch=0")))
     store.append(
         embedding_index_rows(vecs, 2, 12, width=width),
@@ -214,6 +226,12 @@ def main_decade(reps: int) -> None:
     queries = (synth_vecs(spark, 16)
                .select(F.col("vec_id").alias("query_id"), "embedding")
                .localCheckpoint())
+    # 16 coarse centroids drawn deterministically from the same
+    # generator (ids 100..115 — present in every corpus decade)
+    cents = [list(map(float, r.embedding)) for r in
+             sorted(synth_vecs(spark, 116).filter(
+                 F.col("vec_id") >= 100).collect(),
+                 key=lambda r: r.vec_id)]
     for n in (5_000, 50_000, 500_000):
         vecs = synth_vecs(spark, n)
         with tempfile.TemporaryDirectory() as d:
@@ -246,6 +264,26 @@ def main_decade(reps: int) -> None:
                 print(json.dumps({f"serving n={n} {arm}":
                                   out[f"serving n={n} {arm}"]}),
                       flush=True)
+        # IVF serving arm (r16): cell-stamped corpus, nprobe=2 of 16
+        with tempfile.TemporaryDirectory() as d:
+            cdir, idir = seed_embedding(spark, d, synth_vecs(spark, n),
+                                        centroids=cents)
+            odir = os.path.join(d, "out")
+            apply_ann_serving_batch(spark, queries, 0, cdir, idir,
+                                    odir, k=10, method="ivf",
+                                    nprobe=2)       # warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                apply_ann_serving_batch(spark, queries, 0, cdir, idir,
+                                        odir, k=10, method="ivf",
+                                        nprobe=2)
+                best = min(best, time.perf_counter() - t0)
+            out[f"serving n={n} ivf"] = {
+                "trigger_wall_s": round(best, 3),
+                "codes_bytes": du(os.path.join(cdir, "batch=0"))}
+            print(json.dumps({f"serving n={n} ivf":
+                              out[f"serving n={n} ivf"]}), flush=True)
 
     print(json.dumps(out, indent=2))
 

@@ -547,7 +547,9 @@ def create_minhash_index(path: str) -> DedupIndexStore:
 
 def create_embedding_index(path: str, n_planes: int,
                            width: int | None = None,
-                           n_bands: int = 4) -> DedupIndexStore:
+                           n_bands: int = 4,
+                           ivf_centroids: list | None = None
+                           ) -> DedupIndexStore:
     """New empty hyperplane-signature index at a FIXED band geometry
     (every batch must sign under the same planes to stay
     join-compatible). ``n_planes`` is the PER-BAND signature width in
@@ -556,10 +558,32 @@ def create_embedding_index(path: str, n_planes: int,
     population stays bounded); ``n_bands`` independent bands restore
     the recall a single corpus-scale-width band loses (ADVICE r13 —
     keep prob 1-(1-p^bits)^bands vs p^bits; at ``n_bands=1`` the
-    layout degenerates to the old single-bucket index)."""
-    return DedupIndexStore._create(
-        path, "embedding", {"n_planes": n_planes, "width": width,
-                            "n_bands": n_bands})
+    layout degenerates to the old single-bucket index).
+
+    ``ivf_centroids`` (r16): a list of coarse-quantizer centroid
+    vectors, pinned in the manifest FOREVER (cell ids are their list
+    positions; changing centroids would orphan every committed cell
+    assignment — rebuild the index instead). When pinned, the
+    maintenance loop stamps each survivor's nearest-centroid ``cell``
+    onto the corpus (and float-tier) rows and keeps them
+    (cell, vec_id)-clustered through compaction, enabling the IVF
+    serving path (``apply_ann_serving_batch(method="ivf")``) whose
+    per-trigger corpus read is O(probed cells). Fit them offline
+    (e.g. ``similarity.ivf_cells_arrow``'s Lloyd tooling or any
+    k-means) — a coarse quantizer is tiny relative to the corpus."""
+    params = {"n_planes": n_planes, "width": width, "n_bands": n_bands}
+    if ivf_centroids is not None:
+        if len(ivf_centroids) < 2:
+            raise ValueError("ivf_centroids needs >= 2 centroids")
+        widths = {len(c) for c in ivf_centroids}
+        if len(widths) != 1 or (width is not None
+                                and widths != {width}):
+            raise ValueError(
+                f"ivf_centroids must share one width matching the "
+                f"index width {width}; got widths {sorted(widths)}")
+        params["ivf_centroids"] = [
+            [float(x) for x in c] for c in ivf_centroids]
+    return DedupIndexStore._create(path, "embedding", params)
 
 
 def create_substring_index(path: str, k: int = 32, w: int = 16
@@ -1239,8 +1263,12 @@ def _compact_meta_dirs(spark: SparkSession, base_path: str,
         # the property candidate_pushdown's point lookup prunes on.
         # A plain repartition would scatter ids and every compaction
         # would degrade the verify tier back to full-scan shape.
-        whole = (whole.repartitionByRange(n_files, order_col)
-                 .sortWithinPartitions(order_col))
+        # A LIST (r16, the IVF corpus' ["cell", "vec_id"]) clusters on
+        # the leading column first, so cell probes keep pruning too.
+        cols = [order_col] if isinstance(order_col, str) else \
+            list(order_col)
+        whole = (whole.repartitionByRange(n_files, *cols)
+                 .sortWithinPartitions(*cols))
     else:
         whole = whole.repartition(n_files)
     (whole.write.mode("overwrite").parquet(_join(base_path, name)))
@@ -1754,8 +1782,26 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
         candidate_pushdown=candidate_pushdown)
     surv = surv.localCheckpoint()
     cname = f"batch={batch_id}"
+    centroids = store.params.get("ivf_centroids")
+    if centroids:
+        # IVF serving tier (r16): stamp each survivor's
+        # nearest-centroid cell (literal-fold argmax — one narrow
+        # projection) onto the corpus and float-tier rows, and keep
+        # the writes (cell, vec_id)-clustered so the serving probe's
+        # cell isin prunes row groups
+        from .similarity import ivf_cell_col
+        cells = surv.select("vec_id",
+                            ivf_cell_col(centroids).alias("cell"))
+        order = ["cell", "vec_id"]
+    else:
+        cells = None
+        order = ["vec_id"]
+
+    def _with_cell(df):
+        return df.join(cells, "vec_id") if cells is not None else df
+
     out = quantize_embeddings_int8(surv) if quantize_corpus else surv
-    (out.sortWithinPartitions("vec_id")
+    (_with_cell(out).sortWithinPartitions(*order)
      .write.mode("overwrite").parquet(_join(corpus_path, cname)))
     meta = {"last_stream_batch": batch_id,
             "corpus_batches": corpus_batches + [cname],
@@ -1780,7 +1826,7 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
                              width=store.params.get("width")),
         meta_update=meta)
     families = [
-        (corpus_path, "corpus_batches", "corpus_compact_seq", "vec_id")]
+        (corpus_path, "corpus_batches", "corpus_compact_seq", order)]
     if keep_float_tier:
         families.append((float_tier_path(corpus_path), "float_batches",
                          "float_compact_seq", "vec_id"))

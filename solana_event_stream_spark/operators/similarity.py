@@ -797,6 +797,129 @@ def dequantize_embeddings_int8(qemb: DataFrame) -> DataFrame:
         .alias("embedding"))
 
 
+def _centroid_choices(centroids: list) -> F.Column:
+    """Per-centroid (cos, cid) choice structs for the CURRENT row's
+    ``embedding`` column, centroids folded in as ONE literal
+    array<array<double>> (the catalog IVF forms' zero-exchange
+    pattern, reference-free here: the serving tier's coarse quantizer
+    is caller-supplied). Cosines ride try_divide, so a zero-norm
+    vector yields NULL cosines (never an ANSI 0/0) and falls out of
+    ranking downstream."""
+    import math
+
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cnrm_lit = F.array(*[
+        F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
+        for c in centroids])
+    nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    return F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), c,
+                               lambda x, y: x.cast("double")
+                               * y.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v),
+                nrm * F.element_at(cnrm_lit, i + 1)).alias("cos"),
+            i.alias("cid")))
+
+
+def ivf_cell_col(centroids: list) -> F.Column:
+    """Nearest-centroid cell id for the current row's ``embedding`` —
+    max cosine, exact ties to the smallest cid (the catalog
+    ``_ivf_cells`` total order). One narrow projection, no exchange;
+    the maintained-corpus maintenance loop stamps this on every
+    survivor when the index pins ``ivf_centroids``."""
+    choices = _centroid_choices(centroids)
+    best = F.aggregate(
+        F.slice(choices, 2, len(centroids) - 1),
+        F.element_at(choices, 1),
+        lambda acc, c: F.when(c["cos"] > acc["cos"], c).otherwise(acc))
+    return best["cid"]
+
+
+def ivf_probe_cells_col(centroids: list, nprobe: int) -> F.Column:
+    """The ``nprobe`` nearest cells for the current row's
+    ``embedding``, cosine DESC with ties to the smallest cid — the
+    query-side recall dial of the IVF serving path."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+    choices = _centroid_choices(centroids)
+    srt = F.array_sort(
+        choices,
+        lambda a, b: F.when(a["cos"] > b["cos"], F.lit(-1))
+        .when(a["cos"] < b["cos"], F.lit(1))
+        .otherwise(a["cid"] - b["cid"]))
+    return F.slice(F.transform(srt, lambda c: c["cid"]), 1, nprobe)
+
+
+def ann_ivf_topk_frames(queries: DataFrame, corpus: DataFrame,
+                        centroids: list, nprobe: int = 1,
+                        k: int = TOP_K,
+                        query_id_col: str = "query_id",
+                        corpus_id_col: str = "vec_id",
+                        exclude_matching_ids: bool = False,
+                        broadcast_queries: bool = True,
+                        cell_pushdown: bool = True) -> DataFrame:
+    """IVF analog of :func:`ann_topk_frames` for a CELL-ASSIGNED
+    corpus — the maintained-corpus serving scale path where the coarse
+    quantizer is pinned in the index manifest and every committed
+    corpus row already carries its ``cell`` (so the probe never
+    re-assigns the corpus; only the query batch computes centroid
+    cosines). Queries probe their ``nprobe`` nearest cells and score
+    exact cosine against those cells' rows only.
+
+    ``cell_pushdown`` (default on): ONE bounded driver action collects
+    the query batch's distinct probed cells (<= len(centroids) small
+    ints — a micro-batch-sized query frame, same budget class as the
+    maintenance loops' candidate pushdown) and pushes an ``isin`` on
+    the corpus scan: with the maintained corpus (cell, vec_id)-sorted
+    through compaction, parquet row-group stats prune unprobed cells'
+    row groups — the serving read is O(probed cells), not O(corpus).
+    Pass False for a fully lazy plan (the cell equi-join still bounds
+    the SCORED pairs; only the scan reads everything)."""
+    if "cell" not in corpus.columns:
+        raise ValueError(
+            "ann_ivf_topk_frames needs a cell-assigned corpus "
+            "(columns include 'cell') — maintained corpora get it "
+            "when the embedding index pins ivf_centroids; standalone "
+            "frames via ivf_cell_col(centroids)")
+    nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    q_feats = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"), nrm.alias("q_nrm"),
+        F.explode(ivf_probe_cells_col(centroids, nprobe))
+        .alias("cell"))
+    if cell_pushdown:
+        probed = sorted(r.cell for r in
+                        q_feats.select("cell").distinct().collect())
+        if not probed:
+            corpus = corpus.filter(F.lit(False))
+        else:
+            corpus = corpus.filter(F.col("cell").isin(probed))
+    c_feats = corpus.select(F.col(corpus_id_col).alias("vec_id"),
+                            F.col("embedding").alias("c_emb"),
+                            nrm.alias("c_nrm"),
+                            F.col("cell"))
+    if broadcast_queries:
+        q_feats = F.broadcast(q_feats)
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+    pairs = q_feats.join(c_feats, "cell")
+    if exclude_matching_ids:
+        pairs = pairs.filter(F.col("query_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.try_divide(dot, F.col("q_nrm") * F.col("c_nrm"))
+        .alias("cosine"))
+    # no pair dedup needed: each corpus row carries exactly ONE cell
+    # and a query's probe list holds distinct cids, so the equi-join
+    # yields at most one row per (query, neighbor)
+    return _topk_per_query(scored, k)
+
+
 def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
                               rerank_m: int | None = None,
                               exact_corpus: DataFrame | None = None,
@@ -961,10 +1084,16 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
     """Serve one micro-batch of (query_id, embedding) queries against
     the MAINTAINED embedding corpus (the dedup_index maintenance
     loops' manifest-committed state) and write (query_id, neighbor_id,
-    cosine, rk) to ``out_path/batch=<id>``. Quantized corpora serve
-    through :func:`ann_topk_frames_quantized`; float corpora through
-    :func:`ann_topk_frames`. ``ann_kwargs`` forward
-    (method/width/corpus_rows/nprobe_bits/...).
+    cosine, rk) to ``out_path/batch=<id>``. Quantized corpora score
+    directly on the int8 codes (the scale-invariance identity of
+    :func:`ann_topk_frames_quantized`); float corpora on the stored
+    vectors. ``ann_kwargs`` forward
+    (method/width/corpus_rows/nprobe_bits/...); ``method="ivf"``
+    (r16) serves through :func:`ann_ivf_topk_frames` against the
+    cell-assigned maintained corpus — requires the index to pin
+    ``ivf_centroids`` (``create_embedding_index``), reads O(probed
+    cells) of the (cell, vec_id)-clustered corpus per trigger, and
+    accepts ``nprobe``/``cell_pushdown``.
 
     ``rerank_m`` (VERDICT r15 item 1) requires the maintained corpus
     to carry a FULL-PRECISION float re-rank tier
@@ -1002,10 +1131,42 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
     queries = batch_df.select(
         F.col("query_id"), F.col("embedding"))
     ann_kwargs.setdefault("exclude_matching_ids", False)
+    ivf = ann_kwargs.get("method") == "ivf"
+    if ivf:
+        centroids = store.params.get("ivf_centroids")
+        if not centroids:
+            raise ValueError(
+                "method='ivf' needs the embedding index to pin "
+                "ivf_centroids (create_embedding_index(..., "
+                f"ivf_centroids=...)); the index at {index_path!r} "
+                "has none, so its corpus rows carry no cell "
+                "assignments")
+        ann_kwargs.pop("method")
+
+    def _topm(corpus, m):
+        """Top-m candidates over a (vec_id, [cell,] embedding) frame
+        through the serving method; an empty pre-first-commit corpus
+        (no cell column yet) answers empty under ivf."""
+        if ivf:
+            if "cell" not in corpus.columns:
+                return spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, "
+                        "cosine double, rk int")
+            return ann_ivf_topk_frames(queries, corpus, centroids,
+                                       k=m, **ann_kwargs)
+        kw = dict(ann_kwargs)
+        kw.setdefault("corpus_id_col", "vec_id")
+        return ann_topk_frames(queries, corpus.select(
+            "vec_id", "embedding"), k=m, **kw)
+
     if store.meta.get("corpus_quantized"):
         qcorpus = load_maintained_corpus(
             spark, corpus_path, index_path,
             empty_schema="vec_id long, scale double, q array<tinyint>")
+        corpus = qcorpus.select(
+            *(["cell"] if "cell" in qcorpus.columns else []),
+            "vec_id",
+            F.col("q").cast("array<double>").alias("embedding"))
         if rerank_m is not None:
             if not store.meta.get("float_tier"):
                 raise ValueError(
@@ -1019,12 +1180,7 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
             if rerank_m < k:
                 raise ValueError(
                     f"rerank_m ({rerank_m}) must be >= k ({k})")
-            corpus = qcorpus.select(
-                "vec_id",
-                F.col("q").cast("array<double>").alias("embedding"))
-            ann_kwargs.setdefault("corpus_id_col", "vec_id")
-            cand = (ann_topk_frames(queries, corpus, k=rerank_m,
-                                    **ann_kwargs)
+            cand = (_topm(corpus, rerank_m)
                     .select("query_id", "neighbor_id")
                     .localCheckpoint())
             tier = load_float_tier(spark, corpus_path, index_path)
@@ -1033,8 +1189,7 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
                 "vec_id", candidate_pushdown)
             out = _exact_rerank(cand, queries, pruned, k)
         else:
-            out = ann_topk_frames_quantized(queries, qcorpus, k=k,
-                                            **ann_kwargs)
+            out = _topm(corpus, k)
     else:
         if rerank_m is not None:
             raise ValueError(
@@ -1046,7 +1201,7 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
         corpus = load_maintained_corpus(
             spark, corpus_path, index_path,
             empty_schema="vec_id long, embedding array<double>")
-        out = ann_topk_frames(queries, corpus, k=k, **ann_kwargs)
+        out = _topm(corpus, k)
     dest = os.path.join(out_path, f"batch={batch_id}")
     out.write.mode("overwrite").parquet(dest)
     return dest

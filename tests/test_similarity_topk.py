@@ -1055,3 +1055,192 @@ def test_quantized_rerank_coverage_check_is_loud(spark):
         check_coverage=True, method="brute",
         exclude_matching_ids=False)
     assert full.count() == 10
+
+
+def test_ivf_serving_over_maintained_corpus(spark, tmp_path):
+    """r16 IVF serving tier: an embedding index that pins
+    ivf_centroids stamps every survivor's nearest-centroid cell onto
+    the (cell, vec_id)-clustered corpus; method='ivf' serving probes
+    nprobe cells. Probing ALL cells equals brute exactly; nprobe=2
+    keeps recall high; rerank_m composes; the streaming entry point
+    serves it; misuse (ivf without pinned centroids) is loud."""
+    import hashlib
+
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_topk_frames, apply_ann_serving_batch,
+        start_ann_serving_stream)
+
+    W = 8
+
+    def vec(i):
+        return [int(hashlib.md5(f"iv{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(70_000 + j) for j in range(4)]
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=8, width=W, n_bands=2,
+                           ivf_centroids=cents)
+    for b in range(2):
+        emb = spark.createDataFrame(
+            [(b * 1000 + i, vec(b * 1000 + i)) for i in range(300)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, emb, b, cdir, idir, quantize_corpus=True,
+            keep_float_tier=True, compact_every=2 if b == 1 else None)
+    corp = spark.read.parquet(cdir + "/compact=0")
+    assert "cell" in corp.columns
+    assert (sorted(r.cell for r in corp.select("cell")
+                   .distinct().collect()) == [0, 1, 2, 3])
+
+    queries = spark.createDataFrame(
+        [(9000 + i, vec(i)) for i in range(5)],
+        "query_id long, embedding array<double>")
+    fcorp = corp.selectExpr("vec_id",
+                            "cast(q as array<double>) as embedding")
+    want = {(r.query_id, r.neighbor_id, r.rk)
+            for r in ann_topk_frames(queries, fcorp, k=5,
+                                     method="brute",
+                                     exclude_matching_ids=False)
+            .collect()}
+    # nprobe = all cells == brute, exactly
+    dest = apply_ann_serving_batch(spark, queries, 0, cdir, idir,
+                                   str(tmp_path / "o"), k=5,
+                                   method="ivf", nprobe=4)
+    got = {(r.query_id, r.neighbor_id, r.rk)
+           for r in spark.read.parquet(dest).collect()}
+    assert got == want and len(got) == 25
+    # nprobe=2 of 4: the recall dial
+    dest1 = apply_ann_serving_batch(spark, queries, 1, cdir, idir,
+                                    str(tmp_path / "o1"), k=5,
+                                    method="ivf", nprobe=2)
+    got1 = {(r.query_id, r.neighbor_id)
+            for r in spark.read.parquet(dest1).collect()}
+    assert len(got1 & {(a, b) for a, b, _ in want}) / len(want) >= 0.8
+    # rerank composes on the IVF candidate path (float-tier scores)
+    dest2 = apply_ann_serving_batch(spark, queries, 2, cdir, idir,
+                                    str(tmp_path / "o2"), k=5,
+                                    rerank_m=15, method="ivf", nprobe=4)
+    rr = spark.read.parquet(dest2).collect()
+    assert len(rr) == 25
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in ann_topk_frames(
+                     queries, spark.createDataFrame(
+                         [(b * 1000 + i, vec(b * 1000 + i))
+                          for b in range(2) for i in range(300)],
+                         "vec_id long, embedding array<double>"),
+                     k=600, method="brute",
+                     exclude_matching_ids=False).collect()}
+    for r in rr:                 # re-ranked cosines are exact float
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cosine - exact_cos[key]) < 1e-12
+    # streaming entry point serves ivf too
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    queries.coalesce(1).write.parquet(str(qdir / "q0.parquet"))
+    stream = (spark.readStream
+              .schema("query_id long, embedding array<double>")
+              .parquet(str(qdir) + "/*"))
+    sq = start_ann_serving_stream(
+        stream, cdir, idir, str(tmp_path / "so"),
+        str(tmp_path / "ck"), k=5, available_now=True,
+        method="ivf", nprobe=4)
+    sq.awaitTermination(120)
+    sgot = {(r.query_id, r.neighbor_id, r.rk) for r in
+            spark.read.parquet(str(tmp_path / "so") + "/batch=0")
+            .collect()}
+    assert sgot == want
+    # guards: no pinned centroids; empty query batch answers empty
+    cdir3, idir3 = str(tmp_path / "c3"), str(tmp_path / "i3")
+    create_embedding_index(idir3, n_planes=8, width=W, n_bands=2)
+    with pytest.raises(ValueError, match="ivf_centroids"):
+        apply_ann_serving_batch(spark, queries, 0, cdir3, idir3,
+                                str(tmp_path / "o3"), k=5,
+                                method="ivf")
+    q0 = spark.createDataFrame([], "query_id long, "
+                               "embedding array<double>")
+    d0 = apply_ann_serving_batch(spark, q0, 3, cdir, idir,
+                                 str(tmp_path / "o"), k=5,
+                                 method="ivf", nprobe=2)
+    assert spark.read.parquet(d0).count() == 0
+
+
+def test_ivf_cell_pushdown_prunes_corpus_scan(spark, tmp_path):
+    """Scan evidence for the IVF serving read: on the compacted
+    (cell, vec_id)-clustered corpus, probing 1 of 4 cells reads ~that
+    cell's row groups (cell_pushdown's isin reaches the parquet
+    stats); cell_pushdown=False scans everything but returns the
+    identical answer."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_ivf_topk_frames)
+
+    W = 8
+
+    def vec(i):
+        return [int(hashlib.md5(f"pv{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(80_000 + j) for j in range(4)]
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=8, width=W, n_bands=2,
+                           ivf_centroids=cents)
+    for b in range(2):
+        emb = spark.createDataFrame(
+            [(b * 10_000 + i, vec(b * 10_000 + i))
+             for i in range(1000)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, emb, b, cdir, idir, quantize_corpus=True,
+            compact_every=2 if b == 1 else None)
+    corp = (spark.read.parquet(cdir + "/compact=0")
+            .selectExpr("cell", "vec_id",
+                        "cast(q as array<double>) as embedding"))
+    n_rows = corp.count()
+    # one query sitting AT centroid 0 probes exactly cell 0
+    queries = spark.createDataFrame(
+        [(1, cents[0])], "query_id long, embedding array<double>")
+
+    def corpus_scan_rows(df):
+        df.collect()
+        leaves = (df._jdf.queryExecution().executedPlan()
+                  .collectLeaves())
+        total, found = 0, False
+        for i in range(leaves.length()):
+            leaf = leaves.apply(i)
+            if ("FileScan" in leaf.toString()
+                    and leaf.metrics().contains("numOutputRows")):
+                total += int(leaf.metrics()
+                             .apply("numOutputRows").value())
+                found = True
+        if not found:
+            raise AssertionError("corpus scan not in plan leaves")
+        return total
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pushed = corpus_scan_rows(ann_ivf_topk_frames(
+            queries, corp, cents, nprobe=1, k=5))
+        full = corpus_scan_rows(ann_ivf_topk_frames(
+            queries, corp, cents, nprobe=1, k=5,
+            cell_pushdown=False))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert full == n_rows
+    cell0 = corp.filter(F.col("cell") == 0).count()
+    assert pushed <= cell0 + n_rows / 4, (pushed, cell0, n_rows)
+    # identical answers either way
+    a = sorted(tuple(r) for r in ann_ivf_topk_frames(
+        queries, corp, cents, nprobe=1, k=5).collect())
+    b = sorted(tuple(r) for r in ann_ivf_topk_frames(
+        queries, corp, cents, nprobe=1, k=5,
+        cell_pushdown=False).collect())
+    assert a == b and len(a) == 5
