@@ -1244,3 +1244,34 @@ def test_ivf_cell_pushdown_prunes_corpus_scan(spark, tmp_path):
         queries, corp, cents, nprobe=1, k=5,
         cell_pushdown=False).collect())
     assert a == b and len(a) == 5
+
+
+def test_ivf_cell_col_matches_arrow_assignment(spark):
+    """Differential: the serving tier's literal-fold cell assignment
+    (ivf_cell_col — python-side centroid norms, Spark-fold dots) must
+    agree with the established Arrow backend (ivf_cells_arrow — NumPy
+    matmul) on every vector, including ones equidistant-ish between
+    centroids; ties resolve to the smallest cid in both."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.similarity import (
+        ivf_cell_col, ivf_cells_arrow)
+
+    W = 8
+
+    def vec(i):
+        return [int(hashlib.md5(f"da{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(50_000 + j) for j in range(6)]
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(400)]
+        + [(9_000 + j, cents[j]) for j in range(6)],   # AT centroids
+        "vec_id long, embedding array<double>")
+    lit = {r.vec_id: r.cell for r in emb.select(
+        "vec_id", ivf_cell_col(cents).alias("cell")).collect()}
+    arrow = {r.vec_id: r.cell for r in ivf_cells_arrow(
+        emb, {j: c for j, c in enumerate(cents)}).collect()}
+    assert lit == arrow
+    for j in range(6):             # a vector AT centroid j lands in j
+        assert lit[9_000 + j] == j
