@@ -870,7 +870,13 @@ def ann_ivf_topk_frames(queries: DataFrame, corpus: DataFrame,
     corpus row already carries its ``cell`` (so the probe never
     re-assigns the corpus; only the query batch computes centroid
     cosines). Queries probe their ``nprobe`` nearest cells and score
-    exact cosine against those cells' rows only.
+    exact cosine against those cells' rows only — the classic
+    inverted-file ANN design (IVF-Flat: Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", coarse-quantizer half),
+    re-expressed as a cell equi-join over a cell-clustered parquet
+    layout. Zero-norm queries get NULL centroid cosines (try_divide)
+    — a deterministic probe order and NULL result cosines, never an
+    ANSI 0/0.
 
     ``cell_pushdown`` (default on): ONE bounded driver action collects
     the query batch's distinct probed cells (<= len(centroids) small

@@ -1275,3 +1275,39 @@ def test_ivf_cell_col_matches_arrow_assignment(spark):
     assert lit == arrow
     for j in range(6):             # a vector AT centroid j lands in j
         assert lit[9_000 + j] == j
+
+
+def test_ivf_zero_norm_query_is_deterministic_not_crash(spark):
+    """A zero-norm query vector under IVF: centroid cosines are NULL
+    (try_divide), the probe order is deterministic, scoring yields
+    NULL cosines, and nothing raises — consistent with the engine's
+    zero-norm policy everywhere else (r15's try_divide sweep)."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.similarity import (
+        ann_ivf_topk_frames, ivf_cell_col)
+
+    W = 8
+
+    def vec(i):
+        return [int(hashlib.md5(f"zn{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(60_000 + j) for j in range(3)]
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    corpus = corpus.select("vec_id", "embedding",
+                           ivf_cell_col(cents).alias("cell"))
+    queries = spark.createDataFrame(
+        [(1, [0.0] * W), (2, vec(5))],
+        "query_id long, embedding array<double>")
+    a = ann_ivf_topk_frames(queries, corpus, cents, nprobe=2,
+                            k=3).collect()
+    b = ann_ivf_topk_frames(queries, corpus, cents, nprobe=2,
+                            k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    zero = [r for r in a if r.query_id == 1]
+    real = [r for r in a if r.query_id == 2]
+    assert all(r.cosine is None for r in zero)
+    assert len(real) == 3 and all(r.cosine is not None for r in real)
