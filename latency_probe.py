@@ -653,14 +653,22 @@ def main_ann_serving(spark, corpus_rows: int = 20_000,
                 for d in range(width)]
 
     with tempfile.TemporaryDirectory() as d:
-        arms = (("float", False, None), ("quant", True, None),
-                ("quant_rerank", True, 3))
+        # (tag, quantize, rerank_mult, ivf): the ivf arm pins a
+        # 16-cell coarse quantizer at index create and serves
+        # method="ivf" nprobe=2 (r16)
+        arms = (("float", False, None, False),
+                ("quant", True, None, False),
+                ("quant_rerank", True, 3, False),
+                ("quant_ivf", True, None, True))
+        cents = [vec("c", 10_000_000 + j) for j in range(16)]
         corp = {}
-        for tag, q, _ in arms:
+        for tag, q, _, ivf in arms:
             cdir = os.path.join(d, f"c_{tag}")
             idir = os.path.join(d, f"i_{tag}")
             create_embedding_index(idir, n_planes=10, width=width,
-                                   n_bands=2)
+                                   n_bands=2,
+                                   ivf_centroids=cents if ivf
+                                   else None)
             for b in range(4):
                 emb = spark.createDataFrame(
                     [(b * corpus_rows + i, vec("c", b * corpus_rows + i))
@@ -688,7 +696,7 @@ def main_ann_serving(spark, corpus_rows: int = 20_000,
                 "n_corpus_dirs": len(store.meta.get(
                     "corpus_batches", []))}), flush=True)
 
-        for tag, q, rr_mult in arms:
+        for tag, q, rr_mult, ivf in arms:
             cdir, idir = corp[tag]
             for qpt in (16, 256, 2048):
                 sdir = os.path.join(d, f"in_{tag}_{qpt}")
@@ -710,13 +718,15 @@ def main_ann_serving(spark, corpus_rows: int = 20_000,
                                       "embedding array<double>")
                               .option("maxFilesPerTrigger", 1)
                               .parquet(sdir + "/*"))
+                    mkw = (dict(method="ivf", nprobe=2) if ivf else
+                           dict(method="lsh", width=width,
+                                corpus_rows=corpus_rows))
                     qy = start_ann_serving_stream(
                         stream, cdir, idir,
                         os.path.join(d, f"out_{tag}_{qpt}"),
                         os.path.join(d, f"ck_{tag}_{qpt}"),
                         k=k, rerank_m=rr_mult * k if rr_mult else None,
-                        available_now=True, method="lsh", width=width,
-                        corpus_rows=corpus_rows)
+                        available_now=True, **mkw)
                     qy.awaitTermination(1800)
                 finally:
                     spark.streams.removeListener(listener)

@@ -568,9 +568,11 @@ def create_embedding_index(path: str, n_planes: int,
     onto the corpus (and float-tier) rows and keeps them
     (cell, vec_id)-clustered through compaction, enabling the IVF
     serving path (``apply_ann_serving_batch(method="ivf")``) whose
-    per-trigger corpus read is O(probed cells). Fit them offline
-    (e.g. ``similarity.ivf_cells_arrow``'s Lloyd tooling or any
-    k-means) — a coarse quantizer is tiny relative to the corpus."""
+    per-trigger corpus read is O(probed cells). Fit them offline —
+    ``curation.kmeans_fit_scaled(emb, k)`` is the in-repo Arrow Lloyd
+    fit (returns {cid: centroid}; pass
+    ``[c for _, c in sorted(fit.items())]`` so cid == list position)
+    — a coarse quantizer is tiny relative to the corpus."""
     params = {"n_planes": n_planes, "width": width, "n_bands": n_bands}
     if ivf_centroids is not None:
         if len(ivf_centroids) < 2:
