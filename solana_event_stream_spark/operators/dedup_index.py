@@ -1787,13 +1787,39 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
     centroids = store.params.get("ivf_centroids")
     if centroids:
         # IVF serving tier (r16): stamp each survivor's
-        # nearest-centroid cell (literal-fold argmax — one narrow
-        # projection) onto the corpus and float-tier rows, and keep
-        # the writes (cell, vec_id)-clustered so the serving probe's
-        # cell isin prunes row groups
-        from .similarity import ivf_cell_col
-        cells = surv.select("vec_id",
-                            ivf_cell_col(centroids).alias("cell"))
+        # nearest-centroid cell onto the corpus and float-tier rows,
+        # and keep the writes (cell, vec_id)-clustered so the serving
+        # probe's cell isin prunes row groups. Small quantizers ride
+        # the literal-fold argmax (one narrow projection); past the
+        # literal-expression ceiling (the curation k-means lesson:
+        # k x dims literals blow up plan build, and a deployment-sized
+        # quantizer at n_cells ~ sqrt(corpus) crosses it) the Arrow
+        # backend takes over — one broadcast ndarray + a matmul per
+        # batch, plan size constant in k. Zero-norm survivors (they
+        # never pair, so they DO survive) take cell 0 on both
+        # backends, the literal fold's all-NULL-cosine first choice —
+        # the Arrow backend would otherwise raise on them.
+        from .similarity import ivf_cell_col, ivf_cells_arrow
+        if len(centroids) * len(centroids[0]) > 4096:
+            sq = F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("embedding"),
+                           lambda a, b: a.cast("double")
+                           * b.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+            nz = surv.select("vec_id", "embedding", sq.alias("_sq")) \
+                .filter(F.col("_sq") > 0)
+            zz = (surv.select("vec_id", sq.alias("_sq"))
+                  .filter(~(F.col("_sq") > 0))
+                  .select("vec_id",
+                          F.lit(0).cast("int").alias("cell")))
+            cells = (ivf_cells_arrow(
+                nz.select("vec_id", "embedding"),
+                {i: list(map(float, c))
+                 for i, c in enumerate(centroids)})
+                .select("vec_id", "cell").unionByName(zz))
+        else:
+            cells = surv.select(
+                "vec_id", ivf_cell_col(centroids).alias("cell"))
         order = ["cell", "vec_id"]
     else:
         cells = None

@@ -1311,3 +1311,47 @@ def test_ivf_zero_norm_query_is_deterministic_not_crash(spark):
     real = [r for r in a if r.query_id == 2]
     assert all(r.cosine is None for r in zero)
     assert len(real) == 3 and all(r.cosine is not None for r in real)
+
+
+def test_ivf_maintenance_arrow_backend_above_literal_ceiling(
+        spark, tmp_path):
+    """A deployment-sized coarse quantizer (n_cells ~ sqrt(corpus))
+    crosses the literal-expression ceiling, so the maintenance loop's
+    cell stamping switches to the Arrow backend past k x dims > 4096.
+    The committed cells must equal the literal fold's on every
+    survivor, and a zero-norm survivor (it never pairs, so it DOES
+    survive) takes cell 0 on both backends instead of crashing the
+    Arrow path."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+    from solana_event_stream_spark.operators.similarity import (
+        ivf_cell_col)
+
+    W = 16
+
+    def vec(i):
+        return [int(hashlib.md5(f"ac{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(90_000 + j) for j in range(300)]   # 4800 > 4096
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=8, width=W, n_bands=2,
+                           ivf_centroids=cents)
+    rows = [(i, vec(i)) for i in range(200)] + [(999, [0.0] * W)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, quantize_corpus=True)
+    corp = spark.read.parquet(cdir + "/batch=0")
+    got = {r.vec_id: r.cell for r in
+           corp.select("vec_id", "cell").collect()}
+    assert got[999] == 0                       # zero-norm -> cell 0
+    want = {r.vec_id: r.cell for r in emb.filter("vec_id != 999")
+            .select("vec_id", ivf_cell_col(cents).alias("cell"))
+            .collect()}
+    for vid, c in want.items():
+        if vid in got:                         # survivors only
+            assert got[vid] == c, (vid, got[vid], c)
+    assert len(set(got.values())) > 20         # cells genuinely spread
