@@ -894,11 +894,44 @@ def ann_ivf_topk_frames(queries: DataFrame, corpus: DataFrame,
             "when the embedding index pins ivf_centroids; standalone "
             "frames via ivf_cell_col(centroids)")
     nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-    q_feats = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col("embedding").alias("q_emb"), nrm.alias("q_nrm"),
-        F.explode(ivf_probe_cells_col(centroids, nprobe))
-        .alias("cell"))
+    if len(centroids) * len(centroids[0]) > 4096:
+        # past the literal-expression ceiling (deployment-sized
+        # quantizers: n_cells ~ sqrt(corpus)), derive the probe lists
+        # through the Arrow backend — broadcast ndarray + one matmul
+        # per batch, plan constant in k — and join them back by id so
+        # SCORING keeps the original float64 embeddings (the Arrow
+        # frame carries float32 casts). Zero-norm queries mirror the
+        # literal fold's all-NULL-cosine order: cells [0..nprobe-1].
+        if not 1 <= nprobe <= len(centroids):
+            raise ValueError(
+                f"nprobe must be in [1, {len(centroids)}], "
+                f"got {nprobe}")
+        sq = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+        base = queries.select(F.col(query_id_col).alias("query_id"),
+                              "embedding", sq.alias("_sq"))
+        nz = base.filter(F.col("_sq") > 0)
+        probes = (ivf_cells_arrow(
+            nz.select(F.col("query_id").alias("vec_id"), "embedding"),
+            {i: list(map(float, c)) for i, c in enumerate(centroids)},
+            nprobe=max(nprobe, 2)) .select(
+                F.col("vec_id").alias("query_id"),
+                F.slice("probe_cells", 1, nprobe).alias("_pc")))
+        zz = (base.filter(~(F.col("_sq") > 0))
+              .select("query_id",
+                      F.array(*[F.lit(j).cast("int")
+                                for j in range(nprobe)]).alias("_pc")))
+        q_feats = (base.select("query_id",
+                               F.col("embedding").alias("q_emb"),
+                               nrm.alias("q_nrm"))
+                   .join(probes.unionByName(zz), "query_id")
+                   .select("query_id", "q_emb", "q_nrm",
+                           F.explode("_pc").alias("cell")))
+    else:
+        q_feats = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("embedding").alias("q_emb"), nrm.alias("q_nrm"),
+            F.explode(ivf_probe_cells_col(centroids, nprobe))
+            .alias("cell"))
     if cell_pushdown:
         probed = sorted(r.cell for r in
                         q_feats.select("cell").distinct().collect())

@@ -1355,3 +1355,69 @@ def test_ivf_maintenance_arrow_backend_above_literal_ceiling(
         if vid in got:                         # survivors only
             assert got[vid] == c, (vid, got[vid], c)
     assert len(set(got.values())) > 20         # cells genuinely spread
+
+
+def test_ivf_query_probe_arrow_backend_parity(spark, tmp_path):
+    """Query-side twin of the maintenance ceiling switch: past
+    k x dims > 4096 literals, ann_ivf_topk_frames derives probe cells
+    through the Arrow backend (joined back by id so scoring keeps
+    float64). Probe lists must equal the literal fold's per query;
+    nprobe=all still equals brute exactly; nprobe=1 works through the
+    slice; a zero-norm query probes cells [0..nprobe-1] with NULL
+    cosines, no crash."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_ivf_topk_frames, ann_topk_frames, ivf_probe_cells_col)
+
+    W = 16
+
+    def vec(i):
+        return [int(hashlib.md5(f"qp{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(91_000 + j) for j in range(300)]   # 4800 > 4096
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=8, width=W, n_bands=2,
+                           ivf_centroids=cents)
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(150)],
+                                "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(spark, emb, 0, cdir, idir)
+    corp = spark.read.parquet(cdir + "/batch=0")
+    queries = spark.createDataFrame(
+        [(9000 + i, vec(9000 + i)) for i in range(4)]
+        + [(9999, [0.0] * W)],
+        "query_id long, embedding array<double>")
+
+    # probe-list parity vs the literal fold (finite-norm queries)
+    lit = {r.query_id: list(r.pc) for r in
+           queries.filter("query_id != 9999").select(
+               "query_id",
+               ivf_probe_cells_col(cents, 3).alias("pc")).collect()}
+    got3 = ann_ivf_topk_frames(queries, corp, cents, nprobe=3, k=4)
+    # derive probed cells from the result's neighbors' cells
+    cell_of = {r.vec_id: r.cell for r in
+               corp.select("vec_id", "cell").collect()}
+    res = got3.collect()
+    for qid, pcs in lit.items():
+        used = {cell_of[r.neighbor_id] for r in res
+                if r.query_id == qid}
+        assert used <= set(pcs), (qid, used, pcs)
+    # zero-norm query: rows come back NULL-scored from cells 0..2
+    zrows = [r for r in res if r.query_id == 9999]
+    assert all(r.cosine is None for r in zrows)
+    assert all(cell_of[r.neighbor_id] in (0, 1, 2) for r in zrows)
+    # nprobe=1 (the slice path) runs; nprobe=all == brute exactly
+    assert ann_ivf_topk_frames(queries, corp, cents, nprobe=1,
+                               k=4).count() > 0
+    want = {(r.query_id, r.neighbor_id, r.rk) for r in ann_topk_frames(
+        queries.filter("query_id != 9999"),
+        corp.select("vec_id", "embedding"), k=4, method="brute",
+        exclude_matching_ids=False).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rk) for r in
+            ann_ivf_topk_frames(
+                queries.filter("query_id != 9999"), corp, cents,
+                nprobe=len(cents), k=4).collect()}
+    assert full == want
