@@ -1193,12 +1193,27 @@ def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
     ``batch=<micro-batch id>`` trigger dirs.
 
     ``store`` may be an open :class:`DedupIndexStore` (the maintenance
-    loop's in-hand instance) or the index path."""
+    loop's in-hand instance) or the index path.
+
+    The fold is CLUSTER-PRESERVING (r16): the rewrite range-partitions
+    and sorts on the store's natural order — (cell, vec_id) for an
+    IVF-centroid embedding corpus, vec_id for a plain embedding
+    corpus, doc_id otherwise — matching what the maintenance loops'
+    own compaction does. A plain repartition here used to silently
+    DECLUSTER a manually-compacted corpus, destroying the
+    candidate-pushdown / cell-probe row-group pruning the narrow
+    tiers and IVF serving rely on."""
     if isinstance(store, str):
         store = open_dedup_index(store)
+    if store.kind == "embedding":
+        order = (["cell", "vec_id"]
+                 if store.params.get("ivf_centroids") else "vec_id")
+    else:
+        order = "doc_id"
     return _compact_meta_dirs(spark, corpus_path, store,
                               "corpus_batches", "corpus_compact_seq",
-                              n_files, max_batches=max_batches)
+                              n_files, max_batches=max_batches,
+                              order_col=order)
 
 
 def _assert_uniform_schema(spark: SparkSession, base_path: str,

@@ -2094,3 +2094,52 @@ def test_restrict_to_candidates_modes_agree_property(spark):
         assert outs[0] == want
 
     check()
+
+
+def test_manual_corpus_compact_preserves_clustering(spark, tmp_path):
+    """r16: compact_maintained_corpus (the standalone helper, not the
+    loops' internal compaction) must keep the corpus clustered on its
+    natural order — a plain repartition used to silently destroy the
+    row-group pruning the verify tiers and IVF serving rely on. The
+    folded IVF corpus' files must hold disjoint (cell, vec_id)
+    ranges; results are row-identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, compact_maintained_corpus,
+        create_embedding_index, load_maintained_corpus,
+        open_dedup_index)
+
+    cents = [_vec(40_000 + j) for j in range(4)]
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=8, width=8, n_bands=2,
+                           ivf_centroids=cents)
+    for b in range(3):
+        emb = spark.createDataFrame(
+            [(b * 1000 + i, _vec(b * 1000 + i)) for i in range(200)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, emb, b, cdir, idir, quantize_corpus=True)
+    before = {tuple(r) for r in load_maintained_corpus(
+        spark, cdir, idir, empty_schema="x int").select(
+        "vec_id", "cell").collect()}
+    name = compact_maintained_corpus(spark, cdir, idir, n_files=4)
+    assert name == "compact=0"
+    store = open_dedup_index(idir)
+    assert store.meta["corpus_batches"] == ["compact=0"]
+    after = {tuple(r) for r in load_maintained_corpus(
+        spark, cdir, idir, empty_schema="x int").select(
+        "vec_id", "cell").collect()}
+    assert after == before
+    ranges = []
+    for f in sorted(glob.glob(f"{cdir}/compact=0/*.parquet")):
+        t = pq.read_table(f, columns=["cell", "vec_id"])
+        pairs = list(zip(t.column("cell").to_pylist(),
+                         t.column("vec_id").to_pylist()))
+        assert pairs == sorted(pairs)       # sorted within file
+        ranges.append((pairs[0], pairs[-1]))
+    ranges.sort()
+    for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo                 # disjoint across files
