@@ -289,8 +289,9 @@ def main_decade(reps: int) -> None:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 \
-        and sys.argv[1].isdigit() else 3
+    # first numeric token anywhere in argv, so both
+    # `maintenance_scale.py 5 --decade` and `... --decade 5` work
+    reps = next((int(a) for a in sys.argv[1:] if a.isdigit()), 3)
     if "--decade" in sys.argv:
         main_decade(reps)
         return

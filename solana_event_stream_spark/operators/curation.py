@@ -454,22 +454,38 @@ def kmeans_assign(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
 
 def kmeans_fit_scaled(emb: DataFrame, k: int = KM_K,
                       iters: int = KM_ITERS,
-                      dims: int = KM_DIMS) -> dict[int, list[float]]:
+                      dims: int = KM_DIMS,
+                      init: list | None = None
+                      ) -> dict[int, list[float]]:
     """The FIT half of :func:`kmeans_assign_scaled`: same deterministic
     init (vec_id < k, exact count), same Arrow-backed Lloyd loop, same
     DECIMAL-exact update — returns the final CENTROIDS instead of the
     assignment. This is how a deployment builds a data-fitted IVF
     coarse quantizer: ``ivf_cells_arrow(corpus, kmeans_fit_scaled(
-    corpus, k))`` (similarity.ann_ivf_topk_fitted wires it)."""
-    init = sorted(emb.select("vec_id", "embedding")
-                  .filter(F.col("vec_id") < k).collect(),
-                  key=lambda r: r.vec_id)
-    if len(init) != k:
-        raise ValueError(f"k-means init expects vec_id 0..{k-1}; "
-                         f"found {len(init)} rows")
-    if any(len(r.embedding) != dims for r in init):
-        raise ValueError(f"embedding width != {dims}")
-    cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(init)}
+    corpus, k))`` (similarity.ann_ivf_topk_fitted wires it).
+
+    ``init`` (r17): k explicit starting centroids for callers whose id
+    space doesn't contain 0..k-1 — dedup_index.refit_ivf_centroids
+    passes the k smallest vec_ids of its corpus sample, keeping the
+    same deterministic-init discipline on arbitrary survivor ids."""
+    if init is not None:
+        if len(init) != k:
+            raise ValueError(f"explicit init needs exactly {k} "
+                             f"centroids; got {len(init)}")
+        if any(len(c) != dims for c in init):
+            raise ValueError(f"init centroid width != {dims}")
+        cents = {i: [float(x) for x in c] for i, c in enumerate(init)}
+    else:
+        rows = sorted(emb.select("vec_id", "embedding")
+                      .filter(F.col("vec_id") < k).collect(),
+                      key=lambda r: r.vec_id)
+        if len(rows) != k:
+            raise ValueError(f"k-means init expects vec_id 0..{k-1}; "
+                             f"found {len(rows)} rows")
+        if any(len(r.embedding) != dims for r in rows):
+            raise ValueError(f"embedding width != {dims}")
+        cents = {i: [float(x) for x in r.embedding]
+                 for i, r in enumerate(rows)}
     for _ in range(iters):
         sums = (assign_arrow(emb, cents).groupBy("cluster")
                 .agg(*_mean_aggs(dims)).collect())

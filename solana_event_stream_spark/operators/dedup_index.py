@@ -561,12 +561,15 @@ def create_embedding_index(path: str, n_planes: int,
     layout degenerates to the old single-bucket index).
 
     ``ivf_centroids`` (r16): a list of coarse-quantizer centroid
-    vectors, pinned in the manifest FOREVER (cell ids are their list
-    positions; changing centroids would orphan every committed cell
-    assignment — rebuild the index instead). When pinned, the
+    vectors, pinned in the manifest (cell ids are their list
+    positions; hand-editing centroids would orphan every committed
+    cell assignment — adapt a drifted quantizer through
+    :func:`refit_ivf_centroids`, which re-stamps the corpus and swaps
+    the centroids in one atomic publish). When pinned, the
     maintenance loop stamps each survivor's nearest-centroid ``cell``
-    onto the corpus (and float-tier) rows and keeps them
-    (cell, vec_id)-clustered through compaction, enabling the IVF
+    onto the corpus rows and keeps them (cell, vec_id)-clustered
+    through compaction (the float re-rank tier stays vec_id-clustered
+    only: the re-rank joins by vec_id, never by cell), enabling the IVF
     serving path (``apply_ann_serving_batch(method="ivf")``) whose
     per-trigger corpus read is O(probed cells). Fit them offline —
     ``curation.kmeans_fit_scaled(emb, k)`` is the in-repo Arrow Lloyd
@@ -1166,6 +1169,187 @@ def load_float_tier(spark: SparkSession, corpus_path: str,
             [], "vec_id long, embedding array<double>")
     base = float_tier_path(corpus_path)
     return spark.read.parquet(*[_join(base, b) for b in batches])
+
+
+def _assign_ivf_cells(emb: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, cell) nearest-centroid assignment for corpus stamping
+    — the single implementation behind the maintenance loop's IVF tier
+    and :func:`refit_ivf_centroids`. Small quantizers ride the
+    literal-fold argmax (one narrow projection); past the
+    literal-expression ceiling (the curation k-means lesson: k x dims
+    literals blow up plan build, and a deployment-sized quantizer at
+    n_cells ~ sqrt(corpus) crosses it) the Arrow backend takes over —
+    one broadcast ndarray + a matmul per batch, plan size constant in
+    k. Zero-norm rows (they never pair, so they DO survive dedup) take
+    cell 0 on both backends, the literal fold's all-NULL-cosine first
+    choice — the Arrow backend would otherwise raise on them. NULL
+    embeddings (unreachable through the maintenance loop — the width
+    census rejects them upstream — but kept correct for direct
+    callers) route to cell 0 too: their _sq evaluates NULL, which
+    fails BOTH `> 0` and `~(> 0)`."""
+    from .similarity import ivf_cell_col, ivf_cells_arrow
+
+    if len(centroids) * len(centroids[0]) > 4096:
+        sq = F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("embedding"),
+                       lambda a, b: a.cast("double")
+                       * b.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        nz = emb.select("vec_id", "embedding", sq.alias("_sq")) \
+            .filter(F.col("_sq") > 0)
+        zz = (emb.select("vec_id", sq.alias("_sq"))
+              .filter(F.col("_sq").isNull() | ~(F.col("_sq") > 0))
+              .select("vec_id",
+                      F.lit(0).cast("int").alias("cell")))
+        return (ivf_cells_arrow(
+            nz.select("vec_id", "embedding"),
+            {i: list(map(float, c))
+             for i, c in enumerate(centroids)})
+            .select("vec_id", "cell").unionByName(zz))
+    return emb.select("vec_id", ivf_cell_col(centroids).alias("cell"))
+
+
+def ivf_cell_occupancy(spark: SparkSession, corpus_path: str,
+                       index_path: str) -> DataFrame:
+    """(cell, n) row counts over the COMMITTED maintained corpus — the
+    telemetry a deployment watches to decide when the pinned coarse
+    quantizer has drifted (VERDICT r16 item 2): a healthy IVF layout
+    keeps per-cell populations near corpus/n_cells; a shifted
+    embedding distribution piles new survivors into few cells, and
+    the serving probe's O(probed cells) read degrades toward
+    O(corpus). One narrow scan of the corpus' int `cell` column
+    (column-pruned; at 100 TB this reads the one small column, never
+    the codes/text)."""
+    store = open_dedup_index(index_path)
+    store._require("embedding")
+    if not store.params.get("ivf_centroids"):
+        raise ValueError(
+            f"index at {index_path!r} pins no ivf_centroids — the "
+            "corpus has no cell column to tally")
+    batches = store.meta.get("corpus_batches", [])
+    if not batches:
+        return spark.createDataFrame([], "cell int, n long")
+    corp = spark.read.parquet(
+        *[_join(corpus_path, b) for b in batches])
+    return (corp.groupBy("cell").agg(F.count("*").alias("n"))
+            .orderBy("cell"))
+
+
+def refit_ivf_centroids(spark: SparkSession, corpus_path: str,
+                        index_path: str,
+                        sample_frac: float = 1.0,
+                        n_cells: int | None = None,
+                        iters: int = 4,
+                        n_files: int | None = None) -> list:
+    """Refit the pinned IVF coarse quantizer against the CURRENT
+    corpus and re-stamp every committed row's cell in one atomic
+    publish (VERDICT r16 item 2) — the adaptation path for a drifting
+    100 TB corpus whose embedding distribution has moved away from
+    the centroids pinned at :func:`create_embedding_index` time (the
+    occupancy histogram above is the alarm; this is the repair).
+
+    Mechanics, all riding the existing crash recipes:
+
+    - the fit is :func:`~.curation.kmeans_fit_scaled`'s Arrow Lloyd
+      loop over a ``sample_frac`` sample of the corpus' full-precision
+      view — the float re-rank tier when the manifest pins one (exact
+      originals), else the dequantized int8 codes (~1/254 per-element
+      error, immaterial to a coarse quantizer), else the float corpus;
+      init follows the repo's deterministic rule (the k smallest
+      vec_ids IN THE SAMPLE);
+    - every committed corpus batch is re-read, its old ``cell``
+      replaced via :func:`_assign_ivf_cells` under the NEW centroids,
+      and the whole corpus folded into one ``compact=K`` dir through
+      the same cluster-preserving (cell, vec_id) range-partition +
+      sort the compactor uses — row-group pruning survives by
+      construction;
+    - ONE manifest swap publishes the new ``ivf_centroids`` params AND
+      the re-stamped fold together: a reader holding the old manifest
+      keeps a fully consistent (old centroids, old cells) view, a
+      crash before the swap leaves an orphan fold dir that a redo
+      overwrites (K is read from the old manifest, so the name is
+      deterministic), and the maintenance loop — which re-opens the
+      store every trigger — stamps its NEXT batch under the new
+      quantizer with no restart. ``last_stream_batch`` is untouched,
+      so streaming replay idempotence is preserved.
+
+    The float tier (vec_id-clustered, no cell column) and the
+    signature index (hyperplanes, centroid-independent) need no
+    rewrite. Returns the new centroid list (cell id == position).
+    Cell ids are only meaningful against the manifest generation that
+    produced them — anything cached outside the store (there is
+    nothing in-repo) must re-resolve."""
+    from .curation import kmeans_fit_scaled
+    from .similarity import dequantize_embeddings_int8
+
+    store = open_dedup_index(index_path)
+    store._require("embedding")
+    old = store.params.get("ivf_centroids")
+    if not old:
+        raise ValueError(
+            f"index at {index_path!r} pins no ivf_centroids — create "
+            "the index with a quantizer before refitting one")
+    batches = list(store.meta.get("corpus_batches", []))
+    if not batches:
+        raise ValueError(
+            f"maintained corpus at {corpus_path!r} has no committed "
+            "batches — nothing to fit against or re-stamp")
+    width = len(old[0])
+    k = int(n_cells) if n_cells is not None else len(old)
+    if k < 2:
+        raise ValueError(f"n_cells must be >= 2, got {k}")
+
+    corp = spark.read.parquet(
+        *[_join(corpus_path, b) for b in batches])
+    if store.meta.get("float_tier"):
+        emb = load_float_tier(spark, corpus_path, index_path)
+    elif store.meta.get("corpus_quantized"):
+        emb = dequantize_embeddings_int8(corp.select(
+            "vec_id", "scale", "q"))
+    else:
+        emb = corp.select("vec_id", "embedding")
+
+    fit = emb if sample_frac >= 1.0 else emb.sample(
+        fraction=sample_frac, seed=width)
+    # deterministic init: the k smallest vec_ids in the fit sample
+    # (kmeans_fit_scaled's own rule assumes ids 0..k-1; a maintained
+    # corpus has arbitrary survivor ids, so the init ships explicitly)
+    init_rows = fit.select("vec_id", "embedding") \
+        .orderBy("vec_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"refit sample has {len(init_rows)} rows < n_cells={k} — "
+            "raise sample_frac or lower n_cells")
+    init = [[float(x) for x in r.embedding] for r in init_rows]
+    fitted = kmeans_fit_scaled(fit, k=k, iters=iters, dims=width,
+                               init=init)
+    cents = [[float(x) for x in fitted[i]] for i in range(k)]
+
+    # re-stamp from the full-precision view (same source the
+    # maintenance loop stamps from when the rows first arrive)
+    cells = _assign_ivf_cells(emb, cents)
+    seq = int(store.meta.get("corpus_compact_seq", -1)) + 1
+    name = f"compact={seq}"
+    if n_files is None:
+        n_files = max(1, min(len(batches),
+                             spark.sparkContext.defaultParallelism))
+    (corp.drop("cell").join(cells, "vec_id")
+     .repartitionByRange(n_files, "cell", "vec_id")
+     .sortWithinPartitions("cell", "vec_id")
+     .write.mode("overwrite").parquet(_join(corpus_path, name)))
+
+    store.params["ivf_centroids"] = cents
+    store.meta["corpus_batches"] = [name]
+    lv = max([int(v) for v in
+              store.meta.get("corpus_batches_levels", {}).values()]
+             or [0])
+    store.meta["corpus_batches_levels"] = {name: lv + 1}
+    store.meta["corpus_compact_seq"] = seq
+    store.meta["ivf_refits"] = int(store.meta.get("ivf_refits", 0)) + 1
+    store._write_manifest()
+    for b in batches:               # retire stamp for vacuum's grace
+        _touch_dir(_join(corpus_path, b))
+    return cents
 
 
 def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
@@ -1774,6 +1958,14 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
             "True loops: a float survivors corpus already IS the "
             "full-precision tier — rerank against it directly")
     recorded_f = store.meta.get("float_tier")
+    if recorded_f is None and store.meta.get("corpus_batches"):
+        # Legacy manifest (pre-float-tier code): batches are committed
+        # but the float_tier key was never pinned. Those batches have
+        # no sidecar rows, so they behave as float_tier=False — letting
+        # keep_float_tier=True through would commit a tier covering
+        # only NEW batches, and _exact_rerank's inner join would
+        # silently drop candidates from the old ones (under-k results).
+        recorded_f = False
     if recorded_f is not None and bool(keep_float_tier) != recorded_f:
         raise ValueError(
             f"embedding corpus at {corpus_path!r} is committed with "
@@ -1802,39 +1994,12 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
     centroids = store.params.get("ivf_centroids")
     if centroids:
         # IVF serving tier (r16): stamp each survivor's
-        # nearest-centroid cell onto the corpus and float-tier rows,
-        # and keep the writes (cell, vec_id)-clustered so the serving
-        # probe's cell isin prunes row groups. Small quantizers ride
-        # the literal-fold argmax (one narrow projection); past the
-        # literal-expression ceiling (the curation k-means lesson:
-        # k x dims literals blow up plan build, and a deployment-sized
-        # quantizer at n_cells ~ sqrt(corpus) crosses it) the Arrow
-        # backend takes over — one broadcast ndarray + a matmul per
-        # batch, plan size constant in k. Zero-norm survivors (they
-        # never pair, so they DO survive) take cell 0 on both
-        # backends, the literal fold's all-NULL-cosine first choice —
-        # the Arrow backend would otherwise raise on them.
-        from .similarity import ivf_cell_col, ivf_cells_arrow
-        if len(centroids) * len(centroids[0]) > 4096:
-            sq = F.aggregate(
-                F.zip_with(F.col("embedding"), F.col("embedding"),
-                           lambda a, b: a.cast("double")
-                           * b.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v)
-            nz = surv.select("vec_id", "embedding", sq.alias("_sq")) \
-                .filter(F.col("_sq") > 0)
-            zz = (surv.select("vec_id", sq.alias("_sq"))
-                  .filter(~(F.col("_sq") > 0))
-                  .select("vec_id",
-                          F.lit(0).cast("int").alias("cell")))
-            cells = (ivf_cells_arrow(
-                nz.select("vec_id", "embedding"),
-                {i: list(map(float, c))
-                 for i, c in enumerate(centroids)})
-                .select("vec_id", "cell").unionByName(zz))
-        else:
-            cells = surv.select(
-                "vec_id", ivf_cell_col(centroids).alias("cell"))
+        # nearest-centroid cell onto the corpus rows and keep those
+        # writes (cell, vec_id)-clustered so the serving probe's cell
+        # isin prunes row groups. (The float re-rank tier stays
+        # vec_id-clustered only — the re-rank joins by vec_id, never
+        # by cell, so stamping it would buy nothing.)
+        cells = _assign_ivf_cells(surv, centroids)
         order = ["cell", "vec_id"]
     else:
         cells = None
@@ -1850,6 +2015,25 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
             "corpus_batches": corpus_batches + [cname],
             "corpus_quantized": bool(quantize_corpus),
             "float_tier": bool(keep_float_tier)}
+    if cells is not None:
+        # per-trigger cell-occupancy telemetry (VERDICT r16 item 2):
+        # one single-row agg over the batch-sized cells frame — the
+        # drift alarm for the pinned quantizer. A healthy quantizer
+        # spreads each trigger across many cells; a drifted one piles
+        # survivors into few (max_cell_rows -> rows), and the operator
+        # answers with refit_ivf_centroids. Latest trigger only — a
+        # full history would grow the manifest unboundedly; the
+        # corpus-wide histogram is ivf_cell_occupancy's on-demand job.
+        occ = (cells.groupBy("cell").agg(F.count("*").alias("n"))
+               .agg(F.count("*").alias("cells_hit"),
+                    F.sum("n").alias("rows"),
+                    F.max("n").alias("max_cell_rows")).first())
+        meta["ivf_occupancy"] = {
+            "batch": batch_id,
+            "cells_hit": int(occ["cells_hit"] or 0),
+            "rows": int(occ["rows"] or 0),
+            "max_cell_rows": int(occ["max_cell_rows"] or 0),
+            "n_cells": len(centroids)}
     if keep_float_tier:
         # full-precision re-rank sidecar: data lands BEFORE the
         # manifest swap below (same crash recipe as the corpus batch —

@@ -916,7 +916,10 @@ def ann_ivf_topk_frames(queries: DataFrame, corpus: DataFrame,
             nprobe=max(nprobe, 2)) .select(
                 F.col("vec_id").alias("query_id"),
                 F.slice("probe_cells", 1, nprobe).alias("_pc")))
-        zz = (base.filter(~(F.col("_sq") > 0))
+        # NULL-embedding queries leave _sq NULL, failing both filters —
+        # include them here so the Arrow path matches the literal
+        # fold's NULL-cosine behavior instead of silently dropping.
+        zz = (base.filter(F.col("_sq").isNull() | ~(F.col("_sq") > 0))
               .select("query_id",
                       F.array(*[F.lit(j).cast("int")
                                 for j in range(nprobe)]).alias("_pc")))

@@ -2143,3 +2143,170 @@ def test_manual_corpus_compact_preserves_clustering(spark, tmp_path):
     ranges.sort()
     for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo                 # disjoint across files
+
+
+def test_float_tier_legacy_manifest_rejects_midlife_tier(spark,
+                                                         tmp_path):
+    """A pre-float-tier manifest (committed corpus batches but no
+    float_tier key — the pre-r16 layout; ADVICE r16) must behave as
+    float_tier=False: restarting the loop with keep_float_tier=True
+    raises loudly instead of committing a sidecar that covers only
+    NEW batches, whose inner join in the serving re-rank would
+    silently drop old-batch candidates (under-k results)."""
+    import json
+    import os
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+
+    emb = spark.createDataFrame([(i, _vec(i)) for i in range(10)],
+                                "vec_id long, embedding array<double>")
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, quantize_corpus=True)
+    # strip the float_tier key to reproduce the legacy manifest shape
+    mpath = os.path.join(idir, "_INDEX_MANIFEST.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m["meta"].pop("float_tier") is False
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    emb2 = spark.createDataFrame(
+        [(100 + i, _vec(100 + i)) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="float_tier"):
+        apply_embedding_maintenance_batch(
+            spark, emb2, 1, cdir, idir, quantize_corpus=True,
+            keep_float_tier=True)
+    # continuing WITHOUT the tier still works (legacy == False)
+    assert apply_embedding_maintenance_batch(
+        spark, emb2, 1, cdir, idir, quantize_corpus=True)
+    # and a FRESH corpus (no committed batches, no key) may still opt
+    # in on its first commit
+    cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=6, width=8, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir2, idir2, quantize_corpus=True,
+        keep_float_tier=True)
+
+
+def test_ivf_refit_recovers_recall_after_drift(spark, tmp_path):
+    """VERDICT r16 item 2: a corpus whose embedding distribution
+    shifts away from the pinned coarse quantizer loses serving recall;
+    refit_ivf_centroids re-fits against the current corpus, re-stamps
+    every committed cell through the cluster-preserving fold, and
+    swaps centroids + corpus in ONE manifest publish. Deterministic
+    drift construction: the quantizer is pinned along +-e0, batch 0 is
+    a ring around e0, batch 1 (the drift) is a ring around e1 whose
+    tiny alternating +-x component scatters NEIGHBORING rows across
+    both old cells — so nprobe=1 serving sees exactly every OTHER
+    neighbor (recall 0.5). After refit (k-means init: A row id 0 +
+    B row id 1 -> centroids converge to the two ring axes) the whole
+    drifted ring shares one cell and recall is 1.0. Also pinned:
+    per-trigger occupancy telemetry in the manifest, replay
+    idempotence across the refit, and new-batch stamping under the
+    NEW quantizer."""
+    import math
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        _assign_ivf_cells, apply_embedding_maintenance_batch,
+        create_embedding_index, ivf_cell_occupancy, open_dedup_index,
+        refit_ivf_centroids)
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch)
+
+    TAU = 0.995
+
+    def a_vec(j, n=12):          # ring around e0, radius 0.5
+        t = 2 * math.pi * j / n
+        return [1.0, 0.5 * math.cos(t), 0.5 * math.sin(t), 0.0]
+
+    def b_vec(j, n=24):          # drifted ring around e1, radius 0.8,
+        t = 2 * math.pi * j / n  # alternating tiny +-x that the OLD
+        x = 0.02 if j % 2 == 0 else -0.02   # quantizer splits on
+        return [x, 1.0, 0.8 * math.cos(t), 0.8 * math.sin(t)]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    odir = str(tmp_path / "serve")
+    old = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    create_embedding_index(idir, n_planes=4, width=4, n_bands=2,
+                           ivf_centroids=old)
+    schema = "vec_id long, embedding array<double>"
+    b0 = spark.createDataFrame(
+        [(0, a_vec(0))] + [(10 + j, a_vec(j)) for j in range(1, 12)],
+        schema)
+    b1 = spark.createDataFrame(
+        [(1, b_vec(0))] + [(100 + j, b_vec(j)) for j in range(1, 24)],
+        schema)
+    assert apply_embedding_maintenance_batch(
+        spark, b0, 0, cdir, idir, tau=TAU, quantize_corpus=True,
+        keep_float_tier=True)
+    assert apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, tau=TAU, quantize_corpus=True,
+        keep_float_tier=True)
+    store = open_dedup_index(idir)
+    # rings are spread below tau: nothing deduped (recall calc needs
+    # the full rings)
+    assert sorted(store.meta["corpus_batches"]) == [
+        "batch=0", "batch=1"]
+    n_rows = sum(r.n for r in ivf_cell_occupancy(
+        spark, cdir, idir).collect())
+    assert n_rows == 36
+    # per-trigger occupancy telemetry: the drifted batch split 12/12
+    # across the two old cells
+    occ = store.meta["ivf_occupancy"]
+    assert occ == {"batch": 1, "cells_hit": 2, "rows": 24,
+                   "max_cell_rows": 12, "n_cells": 2}
+
+    def recall_at(k, tag):
+        """ivf nprobe=1 vs brute over the same codes — isolates the
+        cell-miss effect from quantization."""
+        qs = spark.createDataFrame(
+            [(9000 + j,
+              [0.0, 1.0, 0.5 * math.cos(2 * math.pi * (j + 0.3) / 6),
+               0.5 * math.sin(2 * math.pi * (j + 0.3) / 6)])
+             for j in range(6)], "query_id long, embedding array<double>")
+        truth = spark.read.parquet(apply_ann_serving_batch(
+            spark, qs, 0, cdir, idir, odir + f"/{tag}_truth", k=k,
+            method="brute"))
+        got = spark.read.parquet(apply_ann_serving_batch(
+            spark, qs, 0, cdir, idir, odir + f"/{tag}_ivf", k=k,
+            method="ivf", nprobe=1))
+        t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+        g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        return len(t & g) / len(t)
+
+    assert recall_at(4, "pre") == 0.5          # drifted: every other
+    cents = refit_ivf_centroids(spark, cdir, idir, iters=6)
+    assert recall_at(4, "post") == 1.0         # recovered
+    # one atomic publish: new centroids + single re-stamped fold
+    store = open_dedup_index(idir)
+    assert store.params["ivf_centroids"] == cents
+    assert store.meta["corpus_batches"] == ["compact=0"]
+    assert store.meta["ivf_refits"] == 1
+    # centroids converged to the two ring axes
+    assert cents[0][0] > 0.9 and abs(cents[0][1]) < 0.1
+    assert cents[1][1] > 0.9 and abs(cents[1][0]) < 0.1
+    # the drifted ring now shares ONE cell
+    occ_rows = {r.cell: r.n for r in
+                ivf_cell_occupancy(spark, cdir, idir).collect()}
+    assert occ_rows == {0: 12, 1: 24}
+    # replay idempotence across the refit: batch 1 is still committed
+    assert not apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, tau=TAU, quantize_corpus=True,
+        keep_float_tier=True)
+    assert sum(r.n for r in ivf_cell_occupancy(
+        spark, cdir, idir).collect()) == 36
+    # the next trigger stamps under the NEW quantizer
+    b2 = spark.createDataFrame(
+        [(200, [0.0, 0.0, 1.0, 0.0]), (201, [0.0, 0.0, -1.0, 0.0]),
+         (202, [0.0, 0.0, 0.0, 1.0])], schema)
+    assert apply_embedding_maintenance_batch(
+        spark, b2, 2, cdir, idir, tau=TAU, quantize_corpus=True,
+        keep_float_tier=True)
+    want = {r.vec_id: r.cell for r in
+            _assign_ivf_cells(b2, cents).collect()}
+    got = {r.vec_id: r.cell for r in spark.read.parquet(
+        cdir + "/batch=2").select("vec_id", "cell").collect()}
+    assert got == want

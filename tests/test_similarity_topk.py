@@ -1421,3 +1421,69 @@ def test_ivf_query_probe_arrow_backend_parity(spark, tmp_path):
                 queries.filter("query_id != 9999"), corp, cents,
                 nprobe=len(cents), k=4).collect()}
     assert full == want
+
+
+def test_ivf_null_embedding_rows_survive_both_backends(spark,
+                                                       tmp_path):
+    """NULL-embedding handling around the IVF cell backends
+    (ADVICE r16). Maintenance side: a NULL embedding can never reach
+    the stamping branch — the survivors computation's width census
+    rejects mixed/NULL corpora LOUDLY first (pinned here, so the zz
+    NULL-routing in the stamping branch stays defense-in-depth, not a
+    live data path). Query side (reachable — queries are not deduped):
+    a NULL-embedding query above the literal ceiling must probe cells
+    [0..nprobe-1] with NULL cosines like the zero-norm case, instead
+    of silently vanishing from the Arrow path."""
+    import hashlib
+
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+    from solana_event_stream_spark.operators.similarity import (
+        ann_ivf_topk_frames)
+
+    W = 16
+
+    def vec(i):
+        return [int(hashlib.md5(f"nu{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    schema = "vec_id long, embedding array<double>"
+    finite = [(i, vec(i)) for i in range(50)]
+    with_null = spark.createDataFrame(
+        finite + [(998, None), (999, [0.0] * W)], schema)
+    emb = spark.createDataFrame(finite + [(999, [0.0] * W)], schema)
+
+    # Arrow backend (300 x 16 = 4800 > 4096 literals)
+    big = [vec(92_000 + j) for j in range(300)]
+    ca, ia = str(tmp_path / "ca"), str(tmp_path / "ia")
+    create_embedding_index(ia, n_planes=8, width=W, n_bands=2,
+                           ivf_centroids=big)
+    # NULL rows are rejected loudly BEFORE stamping, on both backends
+    with pytest.raises(ValueError, match="width census"):
+        apply_embedding_maintenance_batch(
+            spark, with_null, 0, ca, ia, quantize_corpus=True)
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, ca, ia, quantize_corpus=True)
+    arrow_cells = {r.vec_id: r.cell for r in spark.read.parquet(
+        ca + "/batch=0").select("vec_id", "cell").collect()}
+    assert arrow_cells.get(999) == 0        # zero-norm -> cell 0
+
+    # query side above the ceiling: NULL-embedding query returns
+    # NULL-cosine rows from cells [0..nprobe-1], not zero rows
+    # (quantized corpus has no embedding col; rebuild a float corpus)
+    corp = emb.filter("vec_id < 50").join(
+        spark.read.parquet(ca + "/batch=0").select("vec_id", "cell"),
+        "vec_id")
+    queries = spark.createDataFrame(
+        [(9000, vec(9000)), (9998, None)],
+        "query_id long, embedding array<double>")
+    res = ann_ivf_topk_frames(queries, corp, big, nprobe=2,
+                              k=3).collect()
+    cell_of = {r.vec_id: r.cell for r in
+               corp.select("vec_id", "cell").collect()}
+    nrows = [r for r in res if r.query_id == 9998]
+    assert nrows, "NULL-embedding query vanished from the Arrow path"
+    assert all(r.cosine is None for r in nrows)
+    assert all(cell_of[r.neighbor_id] in (0, 1) for r in nrows)
