@@ -633,17 +633,21 @@ def spark_sign_expr(n_planes: int, plane_offset: int = 0) -> str:
     ).format(np=n_planes, off=plane_offset)
 
 
-def sql_sign_expr(n_planes: int) -> str:
-    """DuckDB equivalent of :func:`spark_sign_expr` (oracles/tests)."""
+def sql_sign_expr(n_planes: int, plane_offset: int = 0) -> str:
+    """DuckDB equivalent of :func:`spark_sign_expr` (oracles/tests).
+    ``plane_offset`` selects planes [offset, offset+n) from the same
+    md5 family — the oracle-side twin of the banded forms' per-band
+    independent planes."""
     return (
-        "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {np}), "
+        "list_reduce(list_prepend(0::BIGINT, list_transform("
+        "range({off}, {off} + {np}), "
         "p -> CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
         "list_transform(list_zip(embedding, range(0, len(embedding))), "
         "z -> z[1]::DOUBLE * (CASE WHEN strpos('02468ace', "
         "substr(md5(p::VARCHAR || '_' || z[2]::VARCHAR), 1, 1)) > 0 "
         "THEN 1.0 ELSE -1.0 END))), (acc2, v) -> acc2 + v) > 0 "
         "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)"
-    ).format(np=n_planes)
+    ).format(np=n_planes, off=plane_offset)
 
 
 def scaled_n_planes(corpus_rows: int, target_bucket_size: int = 64,
@@ -790,31 +794,119 @@ def bucket_col_for(emb: DataFrame, n_planes: int,
                   ).otherwise(expr_form)
 
 
+def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
+    return _embedding_cosine_pairs(spark, sf_dir, _N_PLANES)
+
+
+def _indexed_cross_probe(spark, sf_dir: str,
+                         tau: float = 0.3) -> DataFrame:
+    """Cross-probe verified pairs THROUGH a committed
+    :class:`~.dedup_index.DedupIndexStore` (VERDICT r16 item 5: the
+    maintained-index subsystem under the DuckDB oracle). The even
+    vec_ids play the seen corpus: their (band_idx, bucket, nrm) rows
+    are appended to a real on-disk embedding index (manifest create ->
+    atomic append publish -> re-open -> load), and the odd half probes
+    it with the standard 2x8-bit multi-band geometry + cosine verify,
+    candidate-pushdown on. The oracle recomputes the same pairs from
+    the raw table — the md5 hyperplane family is shared SQL, so the
+    banding itself (not just the verified answer) is cross-checked.
+    The result is localCheckpointed (bounded: the verified pair set)
+    so the scratch index directory can be deleted before return."""
+    import os
+    import shutil
+    import tempfile
+
+    from .dedup_index import (_trigger_shuffle_width,
+                              create_embedding_index,
+                              embedding_index_rows,
+                              embedding_pairs_cross_indexed,
+                              open_dedup_index)
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0) \
+        .select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 2 == 1) \
+        .select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="ses_idx_probe_")
+    try:
+        # trigger-sized frames want trigger-sized shuffle width (the
+        # r14 maintenance lesson): the append/probe/checkpoint stages
+        # all run eagerly inside this block
+        with _trigger_shuffle_width(spark, 8):
+            idir = os.path.join(tmp, "idx")
+            store = create_embedding_index(idir, n_planes=_N_PLANES,
+                                           n_bands=2)
+            # coalesce before the append: load_spread fans the tiny
+            # seen half across the full core count for scan
+            # parallelism, but 32 near-empty index files would pay
+            # 32 task launches here and again at probe read-back
+            store.append(embedding_index_rows(seen, 2, _N_PLANES)
+                         .coalesce(4))
+            store = open_dedup_index(idir)      # manifest round-trip
+            # candidate_pushdown stays OFF here: at catalog scale its
+            # two extra driver jobs (pairs checkpoint + id collect)
+            # dominate the fixture-sized probe, and the pushdown
+            # machinery is pinned by its own hypothesis differential
+            # (three-mode _restrict_to_candidates) + the maintenance
+            # loop tests — this slot oracles the STATE path
+            # (manifest append -> load -> banded probe -> verify)
+            pairs = embedding_pairs_cross_indexed(
+                new, seen, store.load(spark), n_bands=2,
+                band_bits=_N_PLANES, tau=tau)
+            return pairs.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH norms AS (
       SELECT vec_id, embedding,
              sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
-             {_SQL_SIGN} AS bucket
-      FROM embeddings)
-    SELECT doc_a, doc_b, cosine FROM (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
-               / (a.nrm * b.nrm) AS cosine
-      FROM norms a JOIN norms b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
-    ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
+             {_SQL_SIGN} AS b0,
+             {sql_sign_expr(_N_PLANES, _N_PLANES)} AS b1
+      FROM embeddings),
+    top20 AS (
+      SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm) AS cosine
+        FROM norms a JOIN norms b
+          ON a.b0 = b.b0 AND a.vec_id < b.vec_id) t
+      ORDER BY cosine DESC, doc_a, doc_b LIMIT 20),
+    probe AS (
+      SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm) AS cosine
+        FROM norms a JOIN norms b
+          ON (a.b0 = b.b0 OR a.b1 = b.b1)
+         AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0) t
+      WHERE cosine >= 0.3)
+    SELECT 'bucket_top20' AS part, doc_a, doc_b, cosine FROM top20
+    UNION ALL
+    SELECT 'index_probe' AS part, doc_a, doc_b, cosine FROM probe
+    ORDER BY part, doc_a, doc_b
     """,
-    tags=("dedup", "llm-data", "embedding"),
-    doc="Embedding near-dup: 8-bit hyperplane-LSH bucket join (the same "
-        "buckets as ann_lsh_topk) -> pairwise cosine within bucket, "
-        "top-20. Bucket blocks are similarity-bounded, unlike the "
-        "corpus-growing label blocks they replace. Ordered-fold dot "
-        "products are bitwise cross-engine deterministic.",
+    tags=("dedup", "llm-data", "embedding", "index"),
+    doc="Two-part embedding near-dup battery. part=bucket_top20: 8-bit "
+        "hyperplane-LSH bucket join (the same buckets as ann_lsh_topk) "
+        "-> pairwise cosine within bucket, top-20. part=index_probe "
+        "(r17): the even half committed to a REAL on-disk embedding "
+        "DedupIndexStore (manifest append), the odd half cross-probed "
+        "through the 2x8-bit banded index rows with cosine verify — "
+        "the maintained-index probe path under the DuckDB oracle, "
+        "whose SQL recomputes the banding from the shared md5 plane "
+        "family. Ordered-fold dot products are bitwise cross-engine "
+        "deterministic.",
 )
-def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
-    return _embedding_cosine_pairs(spark, sf_dir, _N_PLANES)
+def dedup_embedding_cosine_battery(spark, sf_dir: str) -> DataFrame:
+    top = dedup_embedding_cosine(spark, sf_dir).select(
+        F.lit("bucket_top20").alias("part"), "doc_a", "doc_b", "cosine")
+    probe = _indexed_cross_probe(spark, sf_dir).select(
+        F.lit("index_probe").alias("part"), "doc_a", "doc_b", "cosine")
+    return top.unionByName(probe).orderBy("part", "doc_a", "doc_b")
 
 
 def _embedding_cosine_pairs(spark, sf_dir: str, n_planes: int,

@@ -254,15 +254,15 @@ def test_lsh_scaled_nprobe_passthrough(spark, sf_dir):
 
 def test_banded_dedup_identity(spark, sf_dir):
     """n_bands=1, band_bits=8: band 0's planes are exactly the catalog
-    bucket's planes, so the banded top-20 IS dedup_embedding_cosine."""
-    from solana_event_stream_spark.catalog import load_catalog
+    bucket's planes, so the banded top-20 IS dedup_embedding_cosine's
+    bucket_top20 part (r17: the catalog entry is the two-part battery;
+    the single-bucket form stays exported for the identity)."""
     from solana_event_stream_spark.operators.dedup import (
-        dedup_embedding_cosine_banded)
+        dedup_embedding_cosine, dedup_embedding_cosine_banded)
 
-    cat = load_catalog()
     single = sorted(map(tuple,
-                        cat["dedup_embedding_cosine"].spark_fn(
-                            spark, sf_dir).collect()))
+                        dedup_embedding_cosine(spark, sf_dir)
+                        .collect()))
     banded = sorted(map(tuple, dedup_embedding_cosine_banded(
         spark, sf_dir, n_bands=1, band_bits=8).collect()))
     assert banded == single and banded

@@ -1,9 +1,20 @@
-"""VERDICT r15 item 6: vacuum under live readers, end-to-end.
+"""VERDICT r15 item 6 + r16 item 4: vacuum under live readers,
+end-to-end, on BOTH serving arms.
 
 A LONG-RUNNING ANN serving stream (re-resolving the maintained corpus
 from the manifest every trigger) runs concurrently with the embedding
 maintenance loop, tiered compaction, and `vacuum_dedup_index` — the
-full retention lifecycle composed. The proof obligations:
+full retention lifecycle composed. Parametrized over the flat serving
+method (brute) and the IVF tier (r16), whose arm additionally proves:
+
+- (cell, vec_id) clustering SURVIVES every compaction inside the run
+  (each `compact=` dir's files hold sorted, disjoint ranges — the
+  property the serving probe's row-group pruning rests on),
+- a mid-run `refit_ivf_centroids` (r17) swaps the quantizer + the
+  re-stamped corpus atomically UNDER the live serving stream — no
+  trigger errors, every batch stays non-degenerate.
+
+Shared proof obligations:
 
 - no serving trigger ever reads a deleted directory (the stream ends
   with no exception and every produced batch is non-degenerate),
@@ -18,9 +29,12 @@ full retention lifecycle composed. The proof obligations:
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import time
+
+import pytest
 
 from conftest import stop_streaming_query
 
@@ -38,16 +52,48 @@ def _count_data_dirs(base):
                for n in os.listdir(base)) if os.path.isdir(base) else 0
 
 
-def test_vacuum_under_live_serving_stream(spark, tmp_path):
+def _assert_cell_clustered(cdir, store):
+    """Every committed `compact=` corpus dir keeps sorted, disjoint
+    per-file (cell, vec_id) ranges — the row-group-pruning contract
+    the IVF serving scan relies on, checked LIVE after each
+    compaction/vacuum cadence point (per-trigger `batch=` dirs are
+    sorted-within-partition only; the fold is where clustering could
+    silently regress)."""
+    import pyarrow.parquet as pq
+
+    for d in store.meta.get("corpus_batches", []):
+        if not d.startswith("compact="):
+            continue
+        ranges = []
+        for f in sorted(glob.glob(os.path.join(cdir, d, "*.parquet"))):
+            t = pq.read_table(f, columns=["cell", "vec_id"])
+            pairs = list(zip(t.column("cell").to_pylist(),
+                             t.column("vec_id").to_pylist()))
+            if not pairs:
+                continue
+            assert pairs == sorted(pairs), (d, f)
+            ranges.append((pairs[0], pairs[-1]))
+        ranges.sort()
+        for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo, (d, ranges)
+
+
+@pytest.mark.parametrize("method", ["brute", "ivf"])
+def test_vacuum_under_live_serving_stream(spark, tmp_path, method):
     from solana_event_stream_spark.operators.dedup_index import (
         apply_embedding_maintenance_batch, create_embedding_index,
-        float_tier_path, open_dedup_index, vacuum_dedup_index)
+        float_tier_path, open_dedup_index, refit_ivf_centroids,
+        vacuum_dedup_index)
     from solana_event_stream_spark.operators.similarity import (
         start_ann_serving_stream)
 
+    ivf = method == "ivf"
     cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
     fbase = float_tier_path(cdir)
-    create_embedding_index(idir, n_planes=8, width=DIM, n_bands=2)
+    create_embedding_index(
+        idir, n_planes=8, width=DIM, n_bands=2,
+        ivf_centroids=[_vec("cent", j) for j in range(4)] if ivf
+        else None)
     # seed one committed batch so the stream's first trigger has a
     # corpus to resolve
     seed = spark.createDataFrame(
@@ -67,10 +113,11 @@ def test_vacuum_under_live_serving_stream(spark, tmp_path):
               .schema("query_id long, embedding array<double>")
               .option("maxFilesPerTrigger", 1)
               .parquet(str(qdir) + "/*"))
+    kwargs = dict(method="ivf", nprobe=3) if ivf else \
+        dict(method="brute")
     q = start_ann_serving_stream(
         stream, cdir, idir, odir, str(tmp_path / "ckpt"),
-        k=3, rerank_m=6, processing_time="200 milliseconds",
-        method="brute")
+        k=3, rerank_m=6, processing_time="200 milliseconds", **kwargs)
     max_dirs = {"i": 0, "c": 0, "f": 0}
     try:
         for b in range(1, N_TRIGGERS + 1):
@@ -82,6 +129,12 @@ def test_vacuum_under_live_serving_stream(spark, tmp_path):
                 spark, emb, b, cdir, idir, quantize_corpus=True,
                 keep_float_tier=True, compact_every=6,
                 compact_mode="tiered")
+            if ivf and b == N_TRIGGERS // 2:
+                # quantizer refit UNDER the live serving stream: new
+                # centroids + re-stamped fold publish in one manifest
+                # swap; the next serving trigger resolves them
+                refit_ivf_centroids(spark, cdir, idir,
+                                    sample_frac=0.5, iters=2)
             if b % 5 == 0:
                 # live-reader grace: serving triggers run ~sub-second;
                 # superseded dirs age from their RETIRE stamp, so a
@@ -90,6 +143,8 @@ def test_vacuum_under_live_serving_stream(spark, tmp_path):
                     idir, families=[(cdir, "corpus_batches"),
                                     (fbase, "float_batches")],
                     grace_seconds=3.0)
+                if ivf:
+                    _assert_cell_clustered(cdir, open_dedup_index(idir))
                 # a fresh query file per vacuum keeps the stream's
                 # triggers resolving NEW manifests through the run
                 (spark.createDataFrame(
@@ -140,3 +195,6 @@ def test_vacuum_under_live_serving_stream(spark, tmp_path):
         store._batches) + len(store.meta.get("verify_batches", []))
     assert _count_data_dirs(cdir) == len(store.meta["corpus_batches"])
     assert _count_data_dirs(fbase) == len(store.meta["float_batches"])
+    if ivf:
+        assert store.meta.get("ivf_refits") == 1
+        _assert_cell_clustered(cdir, store)
