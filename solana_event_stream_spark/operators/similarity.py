@@ -14,6 +14,8 @@ deterministic across Spark/DuckDB — see operators/dedup.py).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -1249,6 +1251,73 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
     return dest
 
 
+# Below this many queries in a trigger, the measured ~1.4-2 s
+# local-mode per-trigger floor (BENCH_NOTES r16: fixed stage/job
+# overhead, not per-query work) dominates end-to-end cost — at 2,048
+# queries/trigger the same floor amortizes to 0.8-1.4 ms/query.
+SERVING_FLOOR_QUERIES = 256
+
+
+class _ServingFloorListener:
+    """One-time under-filled-trigger warning for a serving stream
+    (VERDICT r16 item 7): watches the stream's OWN progress events
+    (numInputRows is free — no extra job) and warns the first time a
+    non-empty trigger arrives below the documented floor, then
+    detaches. State is readable on the object (``warned``/``detail``)
+    so tests don't depend on cross-thread warning capture."""
+
+    def __init__(self, spark, query_name: str, threshold: int):
+        self._spark = spark
+        self._query_name = query_name
+        self._threshold = threshold
+        self.warned = False
+        self.detail: str | None = None
+
+    def make_listener(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                if outer.warned or p.name != outer._query_name:
+                    return
+                n = p.numInputRows
+                if 0 < n < outer._threshold:
+                    outer.warned = True
+                    outer.detail = (
+                        f"ANN serving stream {outer._query_name!r}: "
+                        f"trigger {p.batchId} carried {n} queries — "
+                        f"below ~{outer._threshold}, the per-trigger "
+                        "fixed floor (stage/job overhead, BENCH_NOTES "
+                        "r16) dominates; batch queries into larger "
+                        "triggers (maxFilesPerTrigger / "
+                        "maxOffsetsPerTrigger) or stretch "
+                        "processing_time")
+                    import warnings
+                    warnings.warn(outer.detail, RuntimeWarning)
+                    outer._detach(self)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                outer._detach(self)
+
+        self._inner = _L()
+        return self._inner
+
+    def _detach(self, inner) -> None:
+        try:
+            self._spark.streams.removeListener(inner)
+        except Exception:
+            pass  # already removed / session stopping
+
+
 def start_ann_serving_stream(queries_stream: DataFrame,
                              corpus_path: str, index_path: str,
                              out_path: str, checkpoint_dir: str,
@@ -1256,6 +1325,8 @@ def start_ann_serving_stream(queries_stream: DataFrame,
                              rerank_m: int | None = None,
                              available_now: bool = False,
                              processing_time: str = "10 seconds",
+                             min_queries_per_trigger: int | None
+                             = SERVING_FLOOR_QUERIES,
                              **ann_kwargs):
     """The serving half the maintenance loops promise: queries arrive
     as a stream, each trigger answers them against the CURRENT
@@ -1265,17 +1336,38 @@ def start_ann_serving_stream(queries_stream: DataFrame,
     corpus re-resolves from the manifest EVERY trigger — a long-lived
     serving stream tracks corpus growth without restart. foreachBatch
     like the maintenance loops: per-trigger work is a bounded exact
-    batch operator."""
+    batch operator.
+
+    ``min_queries_per_trigger`` (VERDICT r16 item 7): the first
+    non-empty trigger below this count emits a ONE-TIME RuntimeWarning
+    — the measured local per-trigger floor is fixed overhead, so
+    sub-hundred-query triggers waste 10-100x; the default is the
+    README's sizing guidance made observable. None disables. The
+    listener reads the stream's own progress (no counting job) and
+    detaches after warning or at termination; it is exposed as
+    ``query._serving_floor_listener`` for tests/telemetry."""
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         apply_ann_serving_batch(
             batch_df.sparkSession, batch_df, batch_id,
             corpus_path, index_path, out_path, k=k, rerank_m=rerank_m,
             **ann_kwargs)
 
-    writer = (queries_stream.writeStream.foreachBatch(_proc)
+    spark = queries_stream.sparkSession
+    qname = "ann_serving_" + hashlib.md5(
+        checkpoint_dir.encode()).hexdigest()[:12]
+    writer = (queries_stream.writeStream.queryName(qname)
+              .foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    floor = None
+    if min_queries_per_trigger is not None:
+        floor = _ServingFloorListener(spark, qname,
+                                      int(min_queries_per_trigger))
+        spark.streams.addListener(floor.make_listener())
+    q = writer.start()
+    if floor is not None:
+        q._serving_floor_listener = floor
+    return q

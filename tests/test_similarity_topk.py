@@ -1487,3 +1487,63 @@ def test_ivf_null_embedding_rows_survive_both_backends(spark,
     assert nrows, "NULL-embedding query vanished from the Arrow path"
     assert all(r.cosine is None for r in nrows)
     assert all(cell_of[r.neighbor_id] in (0, 1) for r in nrows)
+
+
+def test_serving_floor_warning_fires_once_below_threshold(spark,
+                                                          tmp_path):
+    """VERDICT r16 item 7: the serving stream surfaces its own sizing
+    guidance — the first NON-EMPTY trigger below
+    min_queries_per_trigger flips the one-time floor warning (read
+    from the stream's own progress, no counting job); a stream whose
+    triggers meet the threshold never warns; None disables the
+    listener entirely."""
+    import hashlib as _h
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index)
+    from solana_event_stream_spark.operators.similarity import (
+        start_ann_serving_stream)
+
+    def vec(i):
+        return [int(_h.md5(f"fw{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(8)]
+
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(30)],
+                                "vec_id long, embedding array<double>")
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=6, width=8, n_bands=2)
+    assert apply_embedding_maintenance_batch(spark, emb, 0, cdir, idir)
+
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (spark.createDataFrame([(100, vec(1)), (101, vec(2))],
+                           "query_id long, embedding array<double>")
+     .coalesce(1).write.parquet(str(qdir / "q0.parquet")))
+
+    def run(tag, **kw):
+        stream = (spark.readStream
+                  .schema("query_id long, embedding array<double>")
+                  .parquet(str(qdir) + "/*"))
+        q = start_ann_serving_stream(
+            stream, cdir, idir, str(tmp_path / f"out{tag}"),
+            str(tmp_path / f"ckpt{tag}"), k=3, available_now=True,
+            method="brute", **kw)
+        q.awaitTermination(120)
+        return q
+
+    # 2 queries < threshold 64 -> warns once, with the actionable text
+    import time as _time
+
+    q = run("a", min_queries_per_trigger=64)
+    floor = q._serving_floor_listener
+    deadline = _time.time() + 30     # listener delivery is async
+    while not floor.warned and _time.time() < deadline:
+        _time.sleep(0.2)
+    assert floor.warned and "64" in floor.detail \
+        and "maxFilesPerTrigger" in floor.detail
+    # threshold met -> silent
+    q = run("b", min_queries_per_trigger=2)
+    assert not q._serving_floor_listener.warned
+    # disabled -> no listener attached at all
+    q = run("c", min_queries_per_trigger=None)
+    assert not hasattr(q, "_serving_floor_listener")
