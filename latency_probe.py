@@ -276,15 +276,19 @@ def main_ab_statestore(spark, reps: int = 3) -> None:
           flush=True)
 
 
-def main_state_growth(spark) -> None:
+def main_state_growth(spark, scale: int = 500) -> None:
     """~100 micro-batches of the dedup query with receive time advancing
     10 s per replica and a 30 s watermark: state rows must PLATEAU (the
     watermark evicts old keys) rather than grow linearly with input.
-    Emits per-batch state rows + a plateau verdict."""
-    r = run_probe(spark, 500, 100, trigger_secs=0.5, sink="count",
+    Emits per-batch state rows + a plateau verdict. ``scale`` replicas
+    of the 47-tx fixture = 47*scale total keys — the r8 run probed
+    scale=500 (23.5k keys); VERDICT r16 item 6 re-probes the plateau
+    at scale=10700 (~503k keys, one more decade):
+    ``python latency_probe.py --state-growth 10700``."""
+    r = run_probe(spark, scale, 100, trigger_secs=0.5, sink="count",
                   dedup_watermark="30 seconds",
                   advance_recv_secs=10.0, ordered_archive=True,
-                  deadline_secs=480)
+                  deadline_secs=max(480, scale // 5))
     series = r.pop("state_rows", [])
     print(json.dumps(r), flush=True)
     rows = [s["rows_total"] for s in series]
@@ -778,7 +782,9 @@ def main() -> None:
         main_ab_statestore(spark)
         return
     if "--state-growth" in sys.argv:
-        main_state_growth(spark)
+        args = sys.argv[sys.argv.index("--state-growth") + 1:]
+        scale = int(args[0]) if args and args[0].isdigit() else 500
+        main_state_growth(spark, scale)
         return
     results = []
     # ~235 tx/batch (reference-like per-second feed at its 4k TPS

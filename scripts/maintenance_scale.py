@@ -146,9 +146,10 @@ def seed_embedding(spark, d: str, vecs, width: int = 16,
     ``centroids`` pins the IVF coarse quantizer and stamps cells
     (cell, vec_id)-clustered, the r16 IVF serving tier."""
     from solana_event_stream_spark.operators.dedup_index import (
-        create_embedding_index, embedding_index_rows, float_tier_path)
+        _assign_ivf_cells, create_embedding_index, embedding_index_rows,
+        float_tier_path)
     from solana_event_stream_spark.operators.similarity import (
-        ivf_cell_col, quantize_embeddings_int8)
+        quantize_embeddings_int8)
 
     cdir, idir = os.path.join(d, "corpus"), os.path.join(d, "index")
     create_embedding_index(idir, n_planes=12, width=width, n_bands=2,
@@ -158,8 +159,10 @@ def seed_embedding(spark, d: str, vecs, width: int = 16,
     q = quantize_embeddings_int8(vecs)
     order = ["vec_id"]
     if centroids is not None:
-        cells = vecs.select("vec_id",
-                            ivf_cell_col(centroids).alias("cell"))
+        # ceiling-aware assignment (r17): a sqrt(corpus)-sized
+        # quantizer crosses the 4096-literal plan ceiling — the shared
+        # helper switches to the Arrow backend exactly like the loop
+        cells = _assign_ivf_cells(vecs, centroids)
         q = q.join(cells, "vec_id")
         order = ["cell", "vec_id"]
     (q.repartitionByRange(8, *order).sortWithinPartitions(*order)
