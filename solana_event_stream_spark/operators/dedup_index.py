@@ -1187,9 +1187,10 @@ def _assign_ivf_cells(emb: DataFrame, centroids: list) -> DataFrame:
     census rejects them upstream — but kept correct for direct
     callers) route to cell 0 too: their _sq evaluates NULL, which
     fails BOTH `> 0` and `~(> 0)`."""
-    from .similarity import ivf_cell_col, ivf_cells_arrow
+    from .similarity import (IVF_LITERAL_CEILING, ivf_cell_col,
+                             ivf_cells_arrow)
 
-    if len(centroids) * len(centroids[0]) > 4096:
+    if len(centroids) * len(centroids[0]) > IVF_LITERAL_CEILING:
         sq = F.aggregate(
             F.zip_with(F.col("embedding"), F.col("embedding"),
                        lambda a, b: a.cast("double")

@@ -27,6 +27,17 @@ N_QUERIES = 10
 TOP_K = 5
 IVF_K = 8           # coarse-quantizer cells
 IVF_CENTROID_BASE = 100  # vec_ids used as deterministic centroids
+# n_cells x dims above which IVF cell assignment / query-probe
+# derivation switches from the literal Catalyst fold to the Arrow
+# matmul backend. The r16 value (4096) guarded only against plan-size
+# FAILURE; the r17 serving-crossover A/B showed the literal plan's
+# per-call BUILD cost bites far earlier: at 3,584 literals (224 cells
+# x 16 dims) the literal probe pays a constant ~2 s vs Arrow
+# (4.7 -> 2.5 s triggers), while at 1,136 literals the backends tie
+# (BENCH_NOTES r17). The switch now sits at the measured-equal point;
+# the catalog's small fixed quantizers (IVF_K x 64 = 512) stay
+# literal, keeping their oracle-pinned plans.
+IVF_LITERAL_CEILING = 1024
 TOPK_SALTS = 32     # phase-1 reduce fan-out of the two-phase top-k
 
 
@@ -896,7 +907,7 @@ def ann_ivf_topk_frames(queries: DataFrame, corpus: DataFrame,
             "when the embedding index pins ivf_centroids; standalone "
             "frames via ivf_cell_col(centroids)")
     nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-    if len(centroids) * len(centroids[0]) > 4096:
+    if len(centroids) * len(centroids[0]) > IVF_LITERAL_CEILING:
         # past the literal-expression ceiling (deployment-sized
         # quantizers: n_cells ~ sqrt(corpus)), derive the probe lists
         # through the Arrow backend — broadcast ndarray + one matmul

@@ -2310,3 +2310,64 @@ def test_ivf_refit_recovers_recall_after_drift(spark, tmp_path):
     got = {r.vec_id: r.cell for r in spark.read.parquet(
         cdir + "/batch=2").select("vec_id", "cell").collect()}
     assert got == want
+
+
+def test_ivf_refit_resizes_quantizer_with_corpus(spark, tmp_path):
+    """The 100 TB sizing rule is n_cells ~ sqrt(corpus): as the corpus
+    grows a decade the refit must be able to GROW the quantizer, not
+    just re-center it. refit_ivf_centroids(n_cells=8) over an index
+    created with 2 centroids republishes an 8-centroid quantizer, the
+    corpus re-stamps into >2 occupied cells, serving keeps answering
+    (nprobe=all == brute through the new geometry), and a stale
+    nprobe sized for the OLD quantizer still validates against the
+    new one."""
+    import math
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        ivf_cell_occupancy, open_dedup_index, refit_ivf_centroids)
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch)
+
+    def vec(j, n=48):            # one ring: refit spreads it over
+        t = 2 * math.pi * j / n  # many angular cells
+        return [math.cos(t), math.sin(t),
+                0.3 * math.cos(3 * t), 0.3 * math.sin(3 * t)]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(
+        idir, n_planes=4, width=4, n_bands=2,
+        ivf_centroids=[[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]])
+    emb = spark.createDataFrame([(j, vec(j)) for j in range(48)],
+                                "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, tau=0.999, quantize_corpus=True,
+        keep_float_tier=True)
+    assert len({r.cell for r in ivf_cell_occupancy(
+        spark, cdir, idir).collect()}) <= 2
+    cents = refit_ivf_centroids(spark, cdir, idir, n_cells=8, iters=6)
+    assert len(cents) == 8
+    store = open_dedup_index(idir)
+    assert len(store.params["ivf_centroids"]) == 8
+    occ = {r.cell: r.n for r in ivf_cell_occupancy(
+        spark, cdir, idir).collect()}
+    assert sum(occ.values()) == 48
+    assert len(occ) >= 4            # the ring spread across the cells
+    # serving through the resized quantizer: nprobe=all == brute
+    qs = spark.createDataFrame(
+        [(900 + j, vec(j + 0.5)) for j in range(4)],
+        "query_id long, embedding array<double>")
+    odir = str(tmp_path / "s")
+    truth = spark.read.parquet(apply_ann_serving_batch(
+        spark, qs, 0, cdir, idir, odir + "/t", k=5, method="brute"))
+    got = spark.read.parquet(apply_ann_serving_batch(
+        spark, qs, 0, cdir, idir, odir + "/g", k=5, method="ivf",
+        nprobe=8))
+    assert {(r.query_id, r.neighbor_id, r.rk) for r in got.collect()} \
+        == {(r.query_id, r.neighbor_id, r.rk) for r in truth.collect()}
+    # shrink is allowed too (an over-provisioned quantizer after
+    # heavy vacuuming), and n_cells < 2 is loud
+    assert len(refit_ivf_centroids(spark, cdir, idir, n_cells=2,
+                                   iters=2)) == 2
+    with pytest.raises(ValueError, match="n_cells"):
+        refit_ivf_centroids(spark, cdir, idir, n_cells=1)
