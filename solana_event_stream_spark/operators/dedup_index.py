@@ -1236,6 +1236,58 @@ def ivf_cell_occupancy(spark: SparkSession, corpus_path: str,
             .orderBy("cell"))
 
 
+def ivf_refit_advice(spark: SparkSession, corpus_path: str,
+                     index_path: str,
+                     max_share_threshold: float = 4.0,
+                     min_occupied_frac: float = 0.5) -> dict:
+    """Turn the occupancy telemetry into an actionable refit signal —
+    the operator-facing half of the drift loop (occupancy histogram ->
+    advice -> :func:`refit_ivf_centroids`). Reads the
+    :func:`ivf_cell_occupancy` histogram (one narrow cell-column scan;
+    at 100 TB this is the one small int column) and reports:
+
+    - ``max_share_x``: the largest cell's population as a multiple of
+      the ideal corpus/n_cells — the skew a drifted corpus piles into
+      few cells (serving cost per probe of that cell grows with it);
+    - ``occupied_frac``: occupied cells / n_cells — a shifted
+      distribution strands old centroids empty;
+    - ``refit_recommended``: True when either crosses its threshold.
+
+    Thresholds are deliberately coarse defaults: a 4x-overloaded cell
+    means nprobe hits read ~4x their fair share; under-50% occupancy
+    means half the quantizer buys no partitioning. Pure telemetry — no
+    state is touched."""
+    store = open_dedup_index(index_path)
+    store._require("embedding")
+    centroids = store.params.get("ivf_centroids")
+    if not centroids:
+        raise ValueError(
+            f"index at {index_path!r} pins no ivf_centroids — nothing "
+            "to advise a refit on")
+    occ = ivf_cell_occupancy(spark, corpus_path, index_path) \
+        .agg(F.count("*").alias("occupied"),
+             F.sum("n").alias("rows"),
+             F.max("n").alias("max_cell")).first()
+    n_cells = len(centroids)
+    rows = int(occ["rows"] or 0)
+    occupied = int(occ["occupied"] or 0)
+    max_cell = int(occ["max_cell"] or 0)
+    ideal = rows / n_cells if rows else 0.0
+    max_share = (max_cell / ideal) if ideal else 0.0
+    occupied_frac = occupied / n_cells
+    return {
+        "n_cells": n_cells,
+        "rows": rows,
+        "occupied_cells": occupied,
+        "occupied_frac": round(occupied_frac, 4),
+        "max_cell_rows": max_cell,
+        "max_share_x": round(max_share, 3),
+        "refit_recommended": bool(rows) and (
+            max_share > max_share_threshold
+            or occupied_frac < min_occupied_frac),
+    }
+
+
 def refit_ivf_centroids(spark: SparkSession, corpus_path: str,
                         index_path: str,
                         sample_frac: float = 1.0,

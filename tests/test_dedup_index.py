@@ -2371,3 +2371,67 @@ def test_ivf_refit_resizes_quantizer_with_corpus(spark, tmp_path):
                                    iters=2)) == 2
     with pytest.raises(ValueError, match="n_cells"):
         refit_ivf_centroids(spark, cdir, idir, n_cells=1)
+
+
+def test_ivf_refit_advice_flags_drift_and_clears_after_refit(
+        spark, tmp_path):
+    """The operator-facing drift loop: occupancy telemetry ->
+    ivf_refit_advice -> refit_ivf_centroids -> advice clears.
+    Deterministic drift: the quantizer is pinned along +-e0, batch 0
+    is a ring around e0 and batch 1 (the drift) a ring around e1 with
+    a uniformly POSITIVE tiny x — every row of BOTH batches lands in
+    cell 0, the exact piling signature (occupied 1/2 cells, largest
+    cell 2x ideal). The corpus-fitted refit splits the two rings
+    1:1 across the two cells and the recommendation drops at the SAME
+    thresholds."""
+    import math
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        ivf_refit_advice, refit_ivf_centroids)
+
+    def a_vec(j, n=20):
+        t = 2 * math.pi * j / n
+        return [1.0, 0.5 * math.cos(t), 0.5 * math.sin(t), 0.0]
+
+    def b_vec(j, n=20):
+        t = 2 * math.pi * j / n
+        return [0.02, 1.0, 0.8 * math.cos(t), 0.8 * math.sin(t)]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(
+        idir, n_planes=4, width=4, n_bands=2,
+        ivf_centroids=[[1.0, 0, 0, 0], [-1.0, 0, 0, 0]])
+    schema = "vec_id long, embedding array<double>"
+    b0 = spark.createDataFrame(
+        [(0, a_vec(0))] + [(10 + j, a_vec(j)) for j in range(1, 20)],
+        schema)
+    b1 = spark.createDataFrame(
+        [(1, b_vec(0))] + [(100 + j, b_vec(j)) for j in range(1, 20)],
+        schema)
+    assert apply_embedding_maintenance_batch(
+        spark, b0, 0, cdir, idir, tau=0.999, quantize_corpus=True,
+        keep_float_tier=True)
+    assert apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, tau=0.999, quantize_corpus=True,
+        keep_float_tier=True)
+    thresholds = dict(max_share_threshold=1.5, min_occupied_frac=0.9)
+    before = ivf_refit_advice(spark, cdir, idir, **thresholds)
+    assert before["refit_recommended"]          # drifted layout
+    assert before["occupied_frac"] == 0.5       # cell 1 stranded
+    assert before["max_share_x"] == 2.0         # everything in cell 0
+    refit_ivf_centroids(spark, cdir, idir, iters=6)
+    after = ivf_refit_advice(spark, cdir, idir, **thresholds)
+    assert not after["refit_recommended"], after
+    assert after["occupied_frac"] == 1.0
+    assert after["max_share_x"] == 1.0          # 20/20 split
+    assert after["rows"] == before["rows"] == 40
+    # no quantizer -> loud
+    import pytest as _pt
+
+    cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=4, width=4, n_bands=2)
+    assert apply_embedding_maintenance_batch(
+        spark, b0, 0, cdir2, idir2, tau=0.999, quantize_corpus=True)
+    with _pt.raises(ValueError, match="ivf_centroids"):
+        ivf_refit_advice(spark, cdir2, idir2)
