@@ -1300,6 +1300,11 @@ def refit_ivf_centroids(spark: SparkSession, corpus_path: str,
     100 TB corpus whose embedding distribution has moved away from
     the centroids pinned at :func:`create_embedding_index` time (the
     occupancy histogram above is the alarm; this is the repair).
+    Standard IVF practice: coarse quantizers are periodically
+    re-trained on current data when the indexed distribution drifts
+    (the re-train guidance every IVF implementation documents); the
+    Spark-shaped part here is making the re-stamp a cluster-preserving
+    columnar rewrite published atomically with the new centroids.
 
     Mechanics, all riding the existing crash recipes:
 
