@@ -2067,30 +2067,36 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
         return df.join(cells, "vec_id") if cells is not None else df
 
     out = quantize_embeddings_int8(surv) if quantize_corpus else surv
-    (_with_cell(out).sortWithinPartitions(*order)
+    towrite = _with_cell(out)
+    obs = None
+    if cells is not None:
+        # per-trigger cell-occupancy telemetry (VERDICT r16 item 2):
+        # a FREE observation riding the corpus write — a separate
+        # groupBy job measured 0.74 s/trigger, a ~25% tax on the
+        # ~2.5 s trigger floor (BENCH_NOTES r17), so the per-trigger
+        # record carries what row-level observation can compute (rows
+        # + approx-distinct cells hit; exact at trigger-sized
+        # cardinalities) and the exact histogram / max-share skew
+        # stays ivf_cell_occupancy / ivf_refit_advice's on-demand job.
+        # Latest trigger only — a full history would grow the manifest
+        # unboundedly.
+        from pyspark.sql import Observation
+        obs = Observation()
+        towrite = towrite.observe(
+            obs, F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("cell").alias("cells_hit"))
+    (towrite.sortWithinPartitions(*order)
      .write.mode("overwrite").parquet(_join(corpus_path, cname)))
     meta = {"last_stream_batch": batch_id,
             "corpus_batches": corpus_batches + [cname],
             "corpus_quantized": bool(quantize_corpus),
             "float_tier": bool(keep_float_tier)}
-    if cells is not None:
-        # per-trigger cell-occupancy telemetry (VERDICT r16 item 2):
-        # one single-row agg over the batch-sized cells frame — the
-        # drift alarm for the pinned quantizer. A healthy quantizer
-        # spreads each trigger across many cells; a drifted one piles
-        # survivors into few (max_cell_rows -> rows), and the operator
-        # answers with refit_ivf_centroids. Latest trigger only — a
-        # full history would grow the manifest unboundedly; the
-        # corpus-wide histogram is ivf_cell_occupancy's on-demand job.
-        occ = (cells.groupBy("cell").agg(F.count("*").alias("n"))
-               .agg(F.count("*").alias("cells_hit"),
-                    F.sum("n").alias("rows"),
-                    F.max("n").alias("max_cell_rows")).first())
+    if obs is not None:
+        got = obs.get
         meta["ivf_occupancy"] = {
             "batch": batch_id,
-            "cells_hit": int(occ["cells_hit"] or 0),
-            "rows": int(occ["rows"] or 0),
-            "max_cell_rows": int(occ["max_cell_rows"] or 0),
+            "cells_hit": int(got["cells_hit"] or 0),
+            "rows": int(got["rows"] or 0),
             "n_cells": len(centroids)}
     if keep_float_tier:
         # full-precision re-rank sidecar: data lands BEFORE the

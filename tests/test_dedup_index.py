@@ -2253,11 +2253,12 @@ def test_ivf_refit_recovers_recall_after_drift(spark, tmp_path):
     n_rows = sum(r.n for r in ivf_cell_occupancy(
         spark, cdir, idir).collect())
     assert n_rows == 36
-    # per-trigger occupancy telemetry: the drifted batch split 12/12
-    # across the two old cells
+    # per-trigger occupancy telemetry (a free observation on the
+    # corpus write; exact histogram stays on-demand): the drifted
+    # batch split across both old cells
     occ = store.meta["ivf_occupancy"]
     assert occ == {"batch": 1, "cells_hit": 2, "rows": 24,
-                   "max_cell_rows": 12, "n_cells": 2}
+                   "n_cells": 2}
 
     def recall_at(k, tag):
         """ivf nprobe=1 vs brute over the same codes — isolates the
@@ -2435,3 +2436,50 @@ def test_ivf_refit_advice_flags_drift_and_clears_after_refit(
         spark, b0, 0, cdir2, idir2, tau=0.999, quantize_corpus=True)
     with _pt.raises(ValueError, match="ivf_centroids"):
         ivf_refit_advice(spark, cdir2, idir2)
+
+
+def test_embedding_stream_commits_ivf_occupancy_telemetry(spark,
+                                                          tmp_path):
+    """The per-trigger occupancy record rides a pyspark Observation on
+    the corpus write (r17: a separate groupBy job measured 0.74 s —
+    ~25% of the trigger floor); Observations must work inside the
+    STREAMING loop's foreachBatch too, landing the record in the same
+    manifest publish as the batch it describes."""
+    import math
+
+    from conftest import stop_streaming_query
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_embedding_index, open_dedup_index,
+        start_embedding_maintenance_stream)
+
+    W = 4
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=4, width=W, n_bands=2,
+                           ivf_centroids=cents)
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    for b in range(2):
+        rows = [(b * 100 + j,
+                 [math.cos(j + b), math.sin(j + b),
+                  math.cos(3 * j + b), 0.1 * j]) for j in range(6)]
+        (spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+         .coalesce(1).write.parquet(str(srcdir / f"b{b}.parquet")))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(srcdir) + "/*"))
+    q = start_embedding_maintenance_stream(
+        stream, cdir, idir, str(tmp_path / "ckpt"),
+        available_now=True, quantize_corpus=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        stop_streaming_query(q, spark)
+    store = open_dedup_index(idir)
+    occ = store.meta.get("ivf_occupancy")
+    assert occ is not None and occ["batch"] == 1
+    assert occ["n_cells"] == 3 and 1 <= occ["cells_hit"] <= 3
+    assert occ["rows"] == spark.read.parquet(
+        cdir + "/batch=1").count()
