@@ -346,3 +346,41 @@ def test_scan_counts_stay_fused(spark, sf_dir):
         n_imr = sum("InMemoryRelation" in ln for ln in lines)
         assert n_fs - n_imr <= budget, (
             f"{name}: {n_fs - n_imr} uncached scans > budget {budget}")
+
+
+def test_indexed_cross_probe_band_join_ships_ids_only(spark, tmp_path):
+    """The r17 index_probe catalog part probes a committed embedding
+    index through embedding_pairs_cross_indexed; its 100 TB contract
+    is the same as every banded candidate join: the (band_idx, bucket)
+    equi-join moves IDS + band keys only — the 64-wide embedding
+    arrays re-attach AFTER the per-pair dropDuplicates — and the plan
+    is blocked, never cartesian."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        create_embedding_index, embedding_index_rows,
+        embedding_pairs_cross_indexed, open_dedup_index)
+    from solana_event_stream_spark.tables import load_spread
+
+    emb = load_spread(spark, SF, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0) \
+        .select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 2 == 1) \
+        .select("vec_id", "embedding")
+    idir = str(tmp_path / "idx")
+    store = create_embedding_index(idir, n_planes=8, n_bands=2)
+    store.append(embedding_index_rows(seen, 2, 8))
+    store = open_dedup_index(idir)
+    pairs = embedding_pairs_cross_indexed(
+        new, seen, store.load(spark), n_bands=2, band_bits=8, tau=0.3)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "bucket" in plan
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if b.startswith(("Exchange", "BroadcastExchange")):
+            # no exchange moves band keys AND the embedding payload
+            assert not ("bucket" in b and "embedding#" in b), b[:300]
