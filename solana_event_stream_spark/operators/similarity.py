@@ -975,6 +975,55 @@ def ann_ivf_topk_frames(queries: DataFrame, corpus: DataFrame,
     return _topk_per_query(scored, k)
 
 
+def ivf_nprobe_for_recall(queries_sample: DataFrame, corpus: DataFrame,
+                          centroids: list,
+                          target_recall: float = 0.9,
+                          k: int = TOP_K,
+                          query_id_col: str = "query_id") -> dict:
+    """Calibrate the IVF recall dial: the smallest doubling-ladder
+    nprobe whose recall@k on a QUERY SAMPLE meets ``target_recall``
+    against exact brute top-k over the same corpus — the IVF twin of
+    the LSH family's ``nprobe_bits`` sizing, run OFFLINE on the refit
+    cadence like :func:`~.dedup_index.refit_ivf_centroids` (each rung
+    costs one brute pass over the sample plus one IVF pass; this is a
+    calibration utility, never a per-trigger step). The caller passes
+    a bounded sample — recall is estimated over sample x k pairs
+    collected to the driver.
+
+    Returns ``{"nprobe": n, "recall": r, "ladder": [(n, r), ...]}``;
+    the final rung nprobe=len(centroids) is exact by construction
+    (nprobe=all == brute, pinned in tests), so the target is always
+    reachable."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall}")
+    truth = {(r[0], r[1]) for r in
+             ann_topk_frames(queries_sample,
+                             corpus.select("vec_id", "embedding"),
+                             k=k, method="brute",
+                             query_id_col=query_id_col,
+                             exclude_matching_ids=False)
+             .select("query_id", "neighbor_id").collect()}
+    if not truth:
+        raise ValueError("empty query sample or corpus — nothing to "
+                         "calibrate against")
+    ladder: list[tuple[int, float]] = []
+    nprobe = 1
+    while True:
+        nprobe = min(nprobe, len(centroids))
+        got = {(r[0], r[1]) for r in
+               ann_ivf_topk_frames(queries_sample, corpus, centroids,
+                                   nprobe=nprobe, k=k,
+                                   query_id_col=query_id_col)
+               .select("query_id", "neighbor_id").collect()}
+        recall = len(got & truth) / len(truth)
+        ladder.append((nprobe, round(recall, 4)))
+        if recall >= target_recall or nprobe >= len(centroids):
+            return {"nprobe": nprobe, "recall": round(recall, 4),
+                    "ladder": ladder}
+        nprobe *= 2
+
+
 def ann_topk_frames_quantized(queries: DataFrame, qcorpus: DataFrame,
                               rerank_m: int | None = None,
                               exact_corpus: DataFrame | None = None,

@@ -1547,3 +1547,54 @@ def test_serving_floor_warning_fires_once_below_threshold(spark,
     # disabled -> no listener attached at all
     q = run("c", min_queries_per_trigger=None)
     assert not hasattr(q, "_serving_floor_listener")
+
+
+def test_ivf_nprobe_for_recall_calibrates_on_sample(spark):
+    """The IVF recall dial's offline calibration: doubling-ladder
+    nprobe until recall@k on a query sample meets the target against
+    brute truth. Pinned on a 4-cluster fixture where nprobe=1 is
+    lossy for off-axis queries (true neighbors straddle two cells)
+    but nprobe=2 recovers them; target 1.0 is always reachable
+    because nprobe=all == brute exactly."""
+    import math
+
+    import pytest
+
+    from solana_event_stream_spark.operators.similarity import (
+        ivf_cell_col, ivf_nprobe_for_recall)
+
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+             [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+
+    def vec(j, n=64):
+        # points fanned BETWEEN the e_{axis} and e_{axis+1} axes so
+        # each point's near neighbors straddle the two cells
+        axis = j % 4
+        t = (j // 4) / (n // 4) * (math.pi / 2)
+        v = [0.0] * 4
+        v[axis] = math.cos(t) + 1.0
+        v[(axis + 1) % 4] = math.sin(t) + 0.2
+        return v
+
+    corpus = spark.createDataFrame(
+        [(j, vec(j)) for j in range(64)],
+        "vec_id long, embedding array<double>")
+    corpus = corpus.withColumn("cell", ivf_cell_col(cents))
+    sample = spark.createDataFrame(
+        [(900 + j, vec(j)) for j in range(0, 64, 7)],
+        "query_id long, embedding array<double>")
+
+    out = ivf_nprobe_for_recall(sample, corpus, cents,
+                                target_recall=0.95, k=5)
+    assert out["recall"] >= 0.95
+    assert out["nprobe"] in (2, 4)            # 1 is lossy here
+    assert [n for n, _ in out["ladder"]] == sorted(
+        {n for n, _ in out["ladder"]})        # doubling, monotone
+    rs = [r for _, r in out["ladder"]]
+    assert all(b >= a - 1e-9 for a, b in zip(rs, rs[1:]))
+    # target 1.0 reachable: the last rung is exact
+    exact = ivf_nprobe_for_recall(sample, corpus, cents,
+                                  target_recall=1.0, k=5)
+    assert exact["recall"] == 1.0 and exact["nprobe"] <= 4
+    with pytest.raises(ValueError, match="target_recall"):
+        ivf_nprobe_for_recall(sample, corpus, cents, target_recall=0)
