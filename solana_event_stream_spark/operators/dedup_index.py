@@ -1288,6 +1288,86 @@ def ivf_refit_advice(spark: SparkSession, corpus_path: str,
     }
 
 
+def rebuild_embedding_index_geometry(spark: SparkSession,
+                                     corpus_path: str, index_path: str,
+                                     n_planes: int | None = None,
+                                     n_bands: int | None = None,
+                                     target_bucket_size: int = 64
+                                     ) -> dict:
+    """Re-sign the ENTIRE embedding index at a new band geometry and
+    publish it atomically — the scale path `scaled_n_planes` implies
+    but r16 could not walk: band geometry is pinned at
+    `create_embedding_index` because signatures under different
+    planes are not join-compatible, yet the right plane count TRACKS
+    the corpus (n ~ log2(corpus/bucket)); an index created for 5k
+    docs saturates its buckets by the time the corpus has grown
+    decades, and within-bucket candidate pairs grow ~corpus²/2^bits.
+    This rebuilds the index rows from the maintained corpus itself —
+    no access to the original raw batches needed:
+
+    - signing source, in order of fidelity: the float re-rank tier
+      (bitwise the originals), else the int8 codes dequantized
+      (hyperplane signatures are SIGNS, and the per-vector scale is
+      positive, so sign(W . dequant) == sign(W . original) except
+      within quantization error of the hyperplane — and the stored
+      ``nrm`` is then the dequantized norm, exactly consistent with
+      what the verify step dequantizes), else the float corpus;
+    - ``n_planes`` defaults to ``scaled_n_planes(corpus_rows,
+      target_bucket_size)`` — the documented sizing rule; ``n_bands``
+      defaults to the current band count;
+    - one new index dir lands first (monotonic ``batch=`` name — an
+      in-flight reader of the old manifest never has its dirs
+      touched), then ONE manifest swap replaces the batch list AND
+      the geometry params; superseded dirs get the vacuum retire
+      stamp. ``last_stream_batch`` is untouched, so streaming replay
+      idempotence holds, and the next maintenance trigger signs its
+      batch under the new geometry because every signer reads the
+      manifest params.
+
+    Returns {"n_planes", "n_bands", "rows", "dir"}."""
+    from .dedup import scaled_n_planes
+    from .similarity import dequantize_embeddings_int8
+
+    store = open_dedup_index(index_path)
+    store._require("embedding")
+    batches = list(store.meta.get("corpus_batches", []))
+    if not batches:
+        raise ValueError(
+            f"maintained corpus at {corpus_path!r} has no committed "
+            "batches — nothing to re-sign the index from")
+    corp = spark.read.parquet(
+        *[_join(corpus_path, b) for b in batches])
+    if store.meta.get("float_tier"):
+        emb = load_float_tier(spark, corpus_path, index_path)
+    elif store.meta.get("corpus_quantized"):
+        emb = dequantize_embeddings_int8(corp.select(
+            "vec_id", "scale", "q"))
+    else:
+        emb = corp.select("vec_id", "embedding")
+    if n_bands is None:
+        n_bands = _embedding_n_bands(store)
+    if n_planes is None:
+        n_rows = corp.select("vec_id").count()
+        n_planes = scaled_n_planes(n_rows, target_bucket_size)
+    rows = embedding_index_rows(emb, n_bands, n_planes,
+                                width=store.params.get("width"))
+    name = store._next_name()
+    rows.write.mode("overwrite").parquet(_join(store.path, name))
+    n_rows_written = spark.read.parquet(
+        _join(store.path, name)).count()
+    old = list(store._batches)
+    store._batches[:] = [name]
+    store.params["n_planes"] = int(n_planes)
+    store.params["n_bands"] = int(n_bands)
+    store.meta["geometry_rebuilds"] = int(
+        store.meta.get("geometry_rebuilds", 0)) + 1
+    store._write_manifest()
+    for b in old:                   # retire stamp for vacuum's grace
+        _touch_dir(_join(store.path, b))
+    return {"n_planes": int(n_planes), "n_bands": int(n_bands),
+            "rows": int(n_rows_written), "dir": name}
+
+
 def refit_ivf_centroids(spark: SparkSession, corpus_path: str,
                         index_path: str,
                         sample_frac: float = 1.0,

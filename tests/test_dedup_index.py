@@ -2483,3 +2483,81 @@ def test_embedding_stream_commits_ivf_occupancy_telemetry(spark,
     assert occ["n_cells"] == 3 and 1 <= occ["cells_hit"] <= 3
     assert occ["rows"] == spark.read.parquet(
         cdir + "/batch=1").count()
+
+
+def test_geometry_rebuild_resigns_index_from_maintained_corpus(
+        spark, tmp_path):
+    """VERDICT-scale follow-through: band geometry must TRACK the
+    corpus (scaled_n_planes), and rebuild_embedding_index_geometry
+    walks that path without the original raw batches — re-signing
+    from the float tier (bitwise the originals), swapping batch list
+    + geometry params in one manifest publish. Pinned: rebuilt rows
+    == embedding_index_rows(originals) at the new geometry EXACTLY;
+    bucket populations shrink at wider bits; the NEXT maintenance
+    trigger signs under the new geometry and still catches a planted
+    near-dup of an OLD survivor; replay stays idempotent."""
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        embedding_index_rows, load_float_tier, open_dedup_index,
+        rebuild_embedding_index_geometry)
+
+    def vec(i, w=16):
+        import hashlib
+        return [int(hashlib.md5(f"gr{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(w)]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=4, width=16, n_bands=2)
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(400)],
+                                "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(
+        spark, emb, 0, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    store = open_dedup_index(idir)
+    old_rows = store.load(spark)
+    old_max_bucket = max(r["n"] for r in old_rows.groupBy(
+        "band_idx", "bucket").agg(F.count("*").alias("n")).collect())
+
+    out = rebuild_embedding_index_geometry(spark, cdir, idir,
+                                           n_planes=9)
+    assert out["n_planes"] == 9 and out["n_bands"] == 2
+    store = open_dedup_index(idir)
+    assert store.params["n_planes"] == 9
+    assert store.meta["geometry_rebuilds"] == 1
+    assert store._batches == [out["dir"]]
+    got = {tuple(r) for r in store.load(spark).collect()}
+    tier = load_float_tier(spark, cdir, idir)
+    want = {tuple(r) for r in
+            embedding_index_rows(tier, 2, 9, width=16).collect()}
+    assert got == want                    # bitwise: float-tier source
+    new_max_bucket = max(r["n"] for r in store.load(spark).groupBy(
+        "band_idx", "bucket").agg(F.count("*").alias("n")).collect())
+    assert new_max_bucket < old_max_bucket    # wider bits -> smaller
+    # the next trigger signs at 9 planes and the cross probe still
+    # catches a planted near-dup of an OLD survivor
+    surv0 = {r.vec_id for r in tier.select("vec_id").collect()}
+    keep_id = min(surv0)
+    dup = [float(x) + 1e-6 for x in
+           {r.vec_id: r.embedding for r in tier.collect()}[keep_id]]
+    b1 = spark.createDataFrame(
+        [(1000, dup), (1001, vec(9001))],
+        "vec_id long, embedding array<double>")
+    assert apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    surv1 = {r.vec_id for r in load_float_tier(
+        spark, cdir, idir).select("vec_id").collect()}
+    assert 1000 not in surv1 and 1001 in surv1
+    # replay: no-op
+    assert not apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, quantize_corpus=True,
+        keep_float_tier=True)
+    # default sizing: scaled_n_planes over the corpus, floor 8
+    out2 = rebuild_embedding_index_geometry(spark, cdir, idir)
+    assert out2["n_planes"] == 8              # 401 rows -> floor
+    # guards
+    import pytest as _pt
+    cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=4, width=16, n_bands=2)
+    with _pt.raises(ValueError, match="no committed"):
+        rebuild_embedding_index_geometry(spark, cdir2, idir2)
