@@ -160,8 +160,8 @@ def seed_embedding(spark, d: str, vecs, width: int = 16,
     order = ["vec_id"]
     if centroids is not None:
         # ceiling-aware assignment (r17): a sqrt(corpus)-sized
-        # quantizer crosses the 4096-literal plan ceiling — the shared
-        # helper switches to the Arrow backend exactly like the loop
+        # quantizer crosses IVF_LITERAL_CEILING — the shared helper
+        # switches to the Arrow backend exactly like the loop
         cells = _assign_ivf_cells(vecs, centroids)
         q = q.join(cells, "vec_id")
         order = ["cell", "vec_id"]

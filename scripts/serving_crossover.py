@@ -29,13 +29,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+# scripts dir must be on sys.path BEFORE the maintenance_scale import
+# below, so the module also imports when loaded from elsewhere (not
+# just run as a script, where Python adds the dir automatically)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from solana_event_stream_spark.session import get_spark  # noqa: E402
 from maintenance_scale import seed_embedding, synth_vecs  # noqa: E402
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DECADES = (5_000, 50_000, 500_000)
 VOLUMES = (16, 256, 2_048)

@@ -806,8 +806,10 @@ def _indexed_cross_probe(spark, sf_dir: str,
     vec_ids play the seen corpus: their (band_idx, bucket, nrm) rows
     are appended to a real on-disk embedding index (manifest create ->
     atomic append publish -> re-open -> load), and the odd half probes
-    it with the standard 2x8-bit multi-band geometry + cosine verify,
-    candidate-pushdown on. The oracle recomputes the same pairs from
+    it with the standard 2x8-bit multi-band geometry + cosine verify
+    (candidate-pushdown stays OFF for this fixture-scale oracle slot —
+    see the inline note at the embedding_pairs_cross_indexed call).
+    The oracle recomputes the same pairs from
     the raw table — the md5 hyperplane family is shared SQL, so the
     banding itself (not just the verified answer) is cross-checked.
     The result is localCheckpointed (bounded: the verified pair set)

@@ -1357,6 +1357,15 @@ def rebuild_embedding_index_geometry(spark: SparkSession,
         _join(store.path, name)).count()
     old = list(store._batches)
     store._batches[:] = [name]
+    # a geometry rebuild outranks every tier, same as a full fold:
+    # without this the rebuilt full-index dir defaults to level 0 and
+    # a routine tiered compact (compact_mode='tiered') folds the
+    # ENTIRE index together with K-1 trigger-sized appends — an
+    # O(seen) rewrite violating the bounded-cost contract. Stale
+    # entries for the superseded dirs are dropped with the swap.
+    top = max([int(v) for v in
+               store.meta.get("batch_levels", {}).values()] or [0])
+    store.meta["batch_levels"] = {name: top + 1}
     store.params["n_planes"] = int(n_planes)
     store.params["n_bands"] = int(n_bands)
     store.meta["geometry_rebuilds"] = int(

@@ -37,6 +37,14 @@ IVF_CENTROID_BASE = 100  # vec_ids used as deterministic centroids
 # (BENCH_NOTES r17). The switch now sits at the measured-equal point;
 # the catalog's small fixed quantizers (IVF_K x 64 = 512) stay
 # literal, keeping their oracle-pinned plans.
+# MIGRATION HAZARD (r17->r18): a corpus whose quantizer sits in
+# (1024, 4096] literals was cell-STAMPED by the literal fold under
+# the old ceiling but is now PROBED via the Arrow backend; both
+# backends share the ties-to-smallest-cid rule but differ in
+# low-order norm bits, so near-tie vectors can hold a committed cell
+# no probe derivation reaches — silently losing those neighbors.
+# After upgrading, run refit_ivf_centroids (or any re-stamp) on
+# quantizers in the shifted range to realign committed cells.
 IVF_LITERAL_CEILING = 1024
 TOPK_SALTS = 32     # phase-1 reduce fan-out of the two-phase top-k
 

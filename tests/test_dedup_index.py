@@ -2525,6 +2525,11 @@ def test_geometry_rebuild_resigns_index_from_maintained_corpus(
     assert store.params["n_planes"] == 9
     assert store.meta["geometry_rebuilds"] == 1
     assert store._batches == [out["dir"]]
+    # ADVICE r17 (medium): the rebuilt full-index dir must outrank
+    # every tier (like a full fold) and stale level entries must be
+    # dropped — otherwise a routine tiered compact folds the ENTIRE
+    # rebuilt index with K-1 level-0 appends (O(seen) rewrite)
+    assert store.meta["batch_levels"] == {out["dir"]: 1}
     got = {tuple(r) for r in store.load(spark).collect()}
     tier = load_float_tier(spark, cdir, idir)
     want = {tuple(r) for r in
@@ -2555,6 +2560,24 @@ def test_geometry_rebuild_resigns_index_from_maintained_corpus(
     # default sizing: scaled_n_planes over the corpus, floor 8
     out2 = rebuild_embedding_index_geometry(spark, cdir, idir)
     assert out2["n_planes"] == 8              # 401 rows -> floor
+    store = open_dedup_index(idir)
+    assert store.meta["batch_levels"] == {out2["dir"]: 2}
+    # functional half of the ADVICE pin: two fresh level-0 appends
+    # then a tiered pass — the fold must take ONLY the appends and
+    # leave the rebuilt dir untouched in the manifest
+    for mb in (2, 3):
+        nxt = spark.createDataFrame(
+            [(2000 + mb, vec(7000 + mb))],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, nxt, mb, cdir, idir, quantize_corpus=True,
+            keep_float_tier=True)
+    store = open_dedup_index(idir)
+    appends = [b for b in store._batches if b != out2["dir"]]
+    assert len(appends) == 2
+    folded = store.compact(spark, max_batches=2)
+    assert folded and out2["dir"] in store._batches
+    assert set(store._batches) == {out2["dir"], folded}
     # guards
     import pytest as _pt
     cdir2, idir2 = str(tmp_path / "c2"), str(tmp_path / "i2")
