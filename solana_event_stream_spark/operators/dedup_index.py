@@ -1499,6 +1499,46 @@ def refit_ivf_centroids(spark: SparkSession, corpus_path: str,
     return cents
 
 
+def run_ivf_refit_check(spark: SparkSession, corpus_path: str,
+                        index_path: str,
+                        max_share_threshold: float = 4.0,
+                        min_occupied_frac: float = 0.5,
+                        sample_frac: float = 1.0,
+                        n_cells: int | None = None,
+                        iters: int = 4,
+                        record_batch: int | None = None) -> dict:
+    """One turn of the closed drift loop (VERDICT r17 item 3):
+    :func:`ivf_refit_advice`'s narrow cell-column scan, then
+    :func:`refit_ivf_centroids` iff it recommends one — the
+    composition a deployment would otherwise hand-poll. Called by the
+    maintenance stream every ``refit_check_every`` committed triggers
+    (the built-in rate limit: at most one refit per check window, and
+    the post-refit layout clears the advice for genuine drift, so
+    steady state runs the cheap scan only). ``record_batch`` stamps
+    the outcome into the manifest (``auto_refit_check``) as a small
+    trailing publish — observability of when the loop last
+    checked/acted; a crash between the refit's own atomic publish and
+    this record loses only the record. Returns the advice dict with
+    ``refit_ran`` added."""
+    advice = ivf_refit_advice(spark, corpus_path, index_path,
+                              max_share_threshold=max_share_threshold,
+                              min_occupied_frac=min_occupied_frac)
+    advice["refit_ran"] = bool(advice["refit_recommended"])
+    if advice["refit_recommended"]:
+        refit_ivf_centroids(spark, corpus_path, index_path,
+                            sample_frac=sample_frac, n_cells=n_cells,
+                            iters=iters)
+    if record_batch is not None:
+        store = open_dedup_index(index_path)
+        store.meta["auto_refit_check"] = {
+            "batch": int(record_batch),
+            "refit_ran": advice["refit_ran"],
+            "max_share_x": advice["max_share_x"],
+            "occupied_frac": advice["occupied_frac"]}
+        store._write_manifest()
+    return advice
+
+
 def compact_maintained_corpus(spark: SparkSession, corpus_path: str,
                               store: "DedupIndexStore | str",
                               n_files: int | None = None,
@@ -2157,35 +2197,45 @@ def apply_embedding_maintenance_batch(spark: SparkSession,
 
     out = quantize_embeddings_int8(surv) if quantize_corpus else surv
     towrite = _with_cell(out)
-    obs = None
+    # per-trigger telemetry riding the corpus write (VERDICT r16
+    # item 2): a FREE observation — a separate groupBy job measured
+    # 0.74 s/trigger, a ~25% tax on the ~2.5 s trigger floor
+    # (BENCH_NOTES r17), so the per-trigger record carries what
+    # row-level observation can compute (rows + approx-distinct cells
+    # hit; exact at trigger-sized cardinalities) and the exact
+    # histogram / max-share skew stays ivf_cell_occupancy /
+    # ivf_refit_advice's on-demand job. Latest trigger only for the
+    # occupancy record — a full history would grow the manifest
+    # unboundedly; the ROWS term additionally accumulates into
+    # corpus_seen_rows, the manifest-resident corpus size
+    # method='auto' serving reads for free (r18).
+    from pyspark.sql import Observation
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("rows")]
     if cells is not None:
-        # per-trigger cell-occupancy telemetry (VERDICT r16 item 2):
-        # a FREE observation riding the corpus write — a separate
-        # groupBy job measured 0.74 s/trigger, a ~25% tax on the
-        # ~2.5 s trigger floor (BENCH_NOTES r17), so the per-trigger
-        # record carries what row-level observation can compute (rows
-        # + approx-distinct cells hit; exact at trigger-sized
-        # cardinalities) and the exact histogram / max-share skew
-        # stays ivf_cell_occupancy / ivf_refit_advice's on-demand job.
-        # Latest trigger only — a full history would grow the manifest
-        # unboundedly.
-        from pyspark.sql import Observation
-        obs = Observation()
-        towrite = towrite.observe(
-            obs, F.count(F.lit(1)).alias("rows"),
-            F.approx_count_distinct("cell").alias("cells_hit"))
+        aggs.append(F.approx_count_distinct("cell").alias("cells_hit"))
+    towrite = towrite.observe(obs, *aggs)
     (towrite.sortWithinPartitions(*order)
      .write.mode("overwrite").parquet(_join(corpus_path, cname)))
     meta = {"last_stream_batch": batch_id,
             "corpus_batches": corpus_batches + [cname],
             "corpus_quantized": bool(quantize_corpus),
             "float_tier": bool(keep_float_tier)}
-    if obs is not None:
-        got = obs.get
+    got = obs.get
+    n_written = int(got["rows"] or 0)
+    prior_rows = store.meta.get("corpus_seen_rows")
+    if prior_rows is not None or not corpus_batches:
+        # accumulate only when the running total is trustworthy: the
+        # field exists, or this is the corpus' FIRST batch. A corpus
+        # whose early batches predate the field would otherwise carry
+        # a silent under-count — serving's auto resolver falls back
+        # to one cached count job for those instead.
+        meta["corpus_seen_rows"] = int(prior_rows or 0) + n_written
+    if cells is not None:
         meta["ivf_occupancy"] = {
             "batch": batch_id,
             "cells_hit": int(got["cells_hit"] or 0),
-            "rows": int(got["rows"] or 0),
+            "rows": n_written,
             "n_cells": len(centroids)}
     if keep_float_tier:
         # full-precision re-rank sidecar: data lands BEFORE the
@@ -2226,7 +2276,10 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
                                        compact_mode: str = "full",
                                        trigger_shuffle_partitions:
                                        int | None = None,
-                                       keep_float_tier: bool = False):
+                                       keep_float_tier: bool = False,
+                                       refit_check_every: int | None
+                                       = None,
+                                       refit_kwargs: dict | None = None):
     """Streaming embedding-corpus maintenance — see
     :func:`start_dedup_maintenance_stream` for the commit/replay
     contract and the knobs; the dedup criterion here is cosine >=
@@ -2234,11 +2287,35 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
     stores the survivors tier int8 (8x smaller) and makes it the
     verify source; ``keep_float_tier`` additionally persists the
     float originals as the serving re-rank tier (see
-    :func:`apply_embedding_maintenance_batch`)."""
+    :func:`apply_embedding_maintenance_batch`).
+
+    ``refit_check_every=N`` (opt-in, r18 — VERDICT r17 item 3) closes
+    the quantizer drift loop INSIDE the stream: every N COMMITTED
+    triggers the loop runs :func:`ivf_refit_advice`'s narrow scan and
+    calls :func:`refit_ivf_centroids` when it fires
+    (:func:`run_ivf_refit_check`; thresholds / fit knobs via
+    ``refit_kwargs``). Replayed triggers never check (the commit
+    gate), so restart idempotence is preserved; the serving stream
+    picks the refit quantizer up at its next manifest re-resolve (the
+    lifecycle test proves refit-under-live-serving). Requires the
+    index to pin ``ivf_centroids`` — validated here, loudly, before
+    the stream starts."""
+    if refit_check_every is not None:
+        if refit_check_every < 1:
+            raise ValueError(
+                f"refit_check_every must be >= 1, got "
+                f"{refit_check_every}")
+        if not open_dedup_index(index_path).params.get("ivf_centroids"):
+            raise ValueError(
+                f"refit_check_every needs the embedding index at "
+                f"{index_path!r} to pin ivf_centroids "
+                "(create_embedding_index(..., ivf_centroids=...)) — "
+                "there is no quantizer to refit")
+
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         with _trigger_shuffle_width(batch_df.sparkSession,
                                     trigger_shuffle_partitions):
-            apply_embedding_maintenance_batch(
+            committed = apply_embedding_maintenance_batch(
                 batch_df.sparkSession, batch_df, batch_id,
                 corpus_path, index_path, tau, compact_every,
                 stream_token=checkpoint_dir,
@@ -2246,6 +2323,12 @@ def start_embedding_maintenance_stream(emb_stream: DataFrame,
                 candidate_pushdown=candidate_pushdown,
                 compact_mode=compact_mode,
                 keep_float_tier=keep_float_tier)
+            if (refit_check_every is not None and committed
+                    and batch_id > 0
+                    and batch_id % refit_check_every == 0):
+                run_ivf_refit_check(
+                    batch_df.sparkSession, corpus_path, index_path,
+                    record_batch=batch_id, **(refit_kwargs or {}))
 
     writer = (emb_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))

@@ -1187,6 +1187,45 @@ def ann_cosine_topk_quantized(spark, sf_dir: str,
 # Streaming ANN serving over the maintained embedding corpus (r15)
 # ---------------------------------------------------------------------------
 
+def _auto_calibrated_nprobe(spark, queries: DataFrame,
+                            corpus_path: str, index_path: str,
+                            store, centroids: list,
+                            recall_target: float, k: int) -> int:
+    """nprobe for method="auto" serving when a recall target is given:
+    :func:`ivf_nprobe_for_recall` over a bounded sample of the
+    trigger's own queries against the maintained corpus, cached per
+    QUANTIZER GENERATION (a refit or geometry rebuild re-calibrates;
+    ordinary corpus growth does not — the calibration is the
+    refit-cadence offline op its docstring mandates, never a
+    per-trigger step). Quantized corpora calibrate in the code domain
+    directly (the scale-invariance identity — same as serving)."""
+    key = (index_path, len(centroids),
+           int(store.meta.get("ivf_refits", 0)),
+           int(store.meta.get("geometry_rebuilds", 0)),
+           round(float(recall_target), 4), int(k))
+    if key in _AUTO_NPROBE_CACHE:
+        return _AUTO_NPROBE_CACHE[key]
+    from .dedup_index import load_maintained_corpus
+    if store.meta.get("corpus_quantized"):
+        corpus = load_maintained_corpus(
+            spark, corpus_path, index_path,
+            empty_schema="cell int, vec_id long, scale double, "
+                         "q array<tinyint>").select(
+            "cell", "vec_id",
+            F.col("q").cast("array<double>").alias("embedding"))
+    else:
+        corpus = load_maintained_corpus(
+            spark, corpus_path, index_path,
+            empty_schema="cell int, vec_id long, "
+                         "embedding array<double>").select(
+            "cell", "vec_id", "embedding")
+    sample = queries.limit(SERVING_AUTO_SAMPLE_QUERIES)
+    out = ivf_nprobe_for_recall(sample, corpus, centroids,
+                                target_recall=recall_target, k=k)
+    _AUTO_NPROBE_CACHE[key] = int(out["nprobe"])
+    return _AUTO_NPROBE_CACHE[key]
+
+
 def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
                             corpus_path: str, index_path: str,
                             out_path: str, k: int = TOP_K,
@@ -1206,6 +1245,18 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
     ``ivf_centroids`` (``create_embedding_index``), reads O(probed
     cells) of the (cell, vec_id)-clustered corpus per trigger, and
     accepts ``nprobe``/``cell_pushdown``.
+
+    ``method="auto"`` (r18, VERDICT r17 item 2) resolves lsh vs ivf
+    PER TRIGGER from the measured crossover
+    (:func:`resolve_serving_method`; BENCH_NOTES r17 matrix): ivf when
+    the manifest's corpus size clears ``auto_min_corpus`` (default
+    :data:`SERVING_AUTO_MIN_CORPUS`) and the trigger's worst-case
+    probed-cell union ``q x nprobe`` stays under
+    :data:`SERVING_AUTO_CELL_FRACTION` of the quantizer; lsh
+    otherwise. ``auto_recall_target=0.9`` additionally sets nprobe
+    from :func:`ivf_nprobe_for_recall` on a bounded sample of the
+    trigger's own queries, cached per quantizer generation. The last
+    resolution is readable at ``_AUTO_LAST_DECISION`` (telemetry).
 
     ``rerank_m`` (VERDICT r15 item 1) requires the maintained corpus
     to carry a FULL-PRECISION float re-rank tier
@@ -1243,6 +1294,49 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
     queries = batch_df.select(
         F.col("query_id"), F.col("embedding"))
     ann_kwargs.setdefault("exclude_matching_ids", False)
+    if ann_kwargs.get("method") == "auto":
+        # VERDICT r17 item 2: resolve lsh vs ivf PER TRIGGER from the
+        # measured crossover rule. Inputs are (nearly) free: corpus
+        # rows ride the manifest (corpus_seen_rows, accumulated by a
+        # zero-job Observation on each maintenance commit; one cached
+        # count job backfills manifests predating the field), the
+        # query count is one action on the trigger-sized batch — the
+        # same budget class as cell_pushdown's distinct collect — on
+        # a localCheckpoint the downstream probe/score joins reuse.
+        recall_target = ann_kwargs.pop("auto_recall_target", None)
+        min_corpus = ann_kwargs.pop("auto_min_corpus",
+                                    SERVING_AUTO_MIN_CORPUS)
+        queries = queries.localCheckpoint()
+        n_q = queries.count()
+        centroids = store.params.get("ivf_centroids") or []
+        corpus_rows = store.meta.get("corpus_seen_rows")
+        if corpus_rows is None and centroids:
+            ck = (corpus_path,
+                  tuple(store.meta.get("corpus_batches", [])))
+            if ck not in _AUTO_ROWS_CACHE:
+                _AUTO_ROWS_CACHE[ck] = load_maintained_corpus(
+                    spark, corpus_path, index_path,
+                    empty_schema="vec_id long").count()
+            corpus_rows = _AUTO_ROWS_CACHE[ck]
+        req_nprobe = int(ann_kwargs.get("nprobe", 2))
+        resolved = resolve_serving_method(
+            len(centroids), corpus_rows, n_q, req_nprobe,
+            min_corpus=min_corpus)
+        if resolved == "ivf":
+            ann_kwargs["method"] = "ivf"
+            if recall_target is not None:
+                ann_kwargs["nprobe"] = _auto_calibrated_nprobe(
+                    spark, queries, corpus_path, index_path, store,
+                    centroids, recall_target, k)
+        else:
+            # the LSH path takes none of the IVF dials
+            ann_kwargs.pop("method")
+            ann_kwargs.pop("nprobe", None)
+            ann_kwargs.pop("cell_pushdown", None)
+        _AUTO_LAST_DECISION.update(
+            method=resolved, n_queries=n_q, corpus_rows=corpus_rows,
+            n_cells=len(centroids),
+            nprobe=ann_kwargs.get("nprobe", req_nprobe))
     ivf = ann_kwargs.get("method") == "ivf"
     if ivf:
         centroids = store.params.get("ivf_centroids")
@@ -1325,6 +1419,56 @@ def apply_ann_serving_batch(spark, batch_df: DataFrame, batch_id: int,
 # queries/trigger the same floor amortizes to 0.8-1.4 ms/query.
 SERVING_FLOOR_QUERIES = 256
 
+# method="auto" crossover rule (VERDICT r17 item 2), lifted from the
+# measured 3x3 serving matrix + recall addendum (BENCH_NOTES r17):
+# IVF's edge is reading O(probed cells) of the (cell, vec_id)-
+# clustered corpus, so it wins exactly where the trigger's
+# PROBED-CELL UNION stays a small fraction of the quantizer — large
+# corpus, small-to-mid query volume (measured: 1.88x at 500k rows /
+# 707 cells / q=16; 1.34x at q=256). It loses when q x nprobe
+# saturates the cells (q=2,048: every cell probed — whole-corpus scan
+# PLUS the explode/cell-join machinery, lsh 1.20x) and at small
+# corpora (5k/50k decades: both methods sit on the fixed local
+# trigger floor and LSH's flatter plan wins the overheads; the LSH
+# codes scan only becomes the bottleneck as the corpus grows —
+# 2.5 -> 4.0 s across the measured decades while IVF stayed flat).
+SERVING_AUTO_MIN_CORPUS = 100_000   # geometric middle of the 50k tie
+#                                     and the 500k ivf-win decades
+SERVING_AUTO_CELL_FRACTION = 0.75   # probed-union budget: 500k/q=256
+#                                     (512 <= 0.75*707) measured ivf
+SERVING_AUTO_SAMPLE_QUERIES = 64    # nprobe calibration sample bound
+
+
+def resolve_serving_method(n_cells: int, corpus_rows: int | None,
+                           n_queries: int, nprobe: int = 2,
+                           min_corpus: int = SERVING_AUTO_MIN_CORPUS
+                           ) -> str:
+    """The measured LSH<->IVF serving crossover rule as a pure
+    function (BENCH_NOTES r17 matrix; constants above): ``"ivf"``
+    when the corpus is past the decade where the LSH codes scan
+    dominates AND the trigger's worst-case probed-cell union
+    (``n_queries x nprobe``) stays a small fraction of the quantizer;
+    ``"lsh"`` otherwise (including no quantizer / unknown corpus
+    size — the flat-plan default)."""
+    if not n_cells or corpus_rows is None:
+        return "lsh"
+    if (corpus_rows >= min_corpus
+            and n_queries * nprobe
+            <= SERVING_AUTO_CELL_FRACTION * n_cells):
+        return "ivf"
+    return "lsh"
+
+
+# method="auto" in-process caches: corpus row-count fallback for
+# manifests predating corpus_seen_rows (keyed by the exact committed
+# batch list — any commit/compaction/refit re-counts), and the
+# recall-calibrated nprobe (keyed by quantizer generation — a refit
+# invalidates it). Serving telemetry for tests/operators: the last
+# resolution's inputs + outcome.
+_AUTO_ROWS_CACHE: dict = {}
+_AUTO_NPROBE_CACHE: dict = {}
+_AUTO_LAST_DECISION: dict = {}
+
 
 class _ServingFloorListener:
     """One-time under-filled-trigger warning for a serving stream
@@ -1405,6 +1549,13 @@ def start_ann_serving_stream(queries_stream: DataFrame,
     serving stream tracks corpus growth without restart. foreachBatch
     like the maintenance loops: per-trigger work is a bounded exact
     batch operator.
+
+    Pass ``method="auto"`` (r18) to let each trigger pick lsh vs ivf
+    from the measured crossover rule — corpus size from the manifest,
+    query count from the trigger — so a stream that starts on a small
+    corpus switches to cell-probed IVF serving as the maintenance
+    loop grows the corpus past the crossover, with no restart (see
+    :func:`apply_ann_serving_batch` / :func:`resolve_serving_method`).
 
     ``min_queries_per_trigger`` (VERDICT r16 item 7): the first
     non-empty trigger below this count emits a ONE-TIME RuntimeWarning

@@ -2584,3 +2584,135 @@ def test_geometry_rebuild_resigns_index_from_maintained_corpus(
     create_embedding_index(idir2, n_planes=4, width=16, n_bands=2)
     with _pt.raises(ValueError, match="no committed"):
         rebuild_embedding_index_geometry(spark, cdir2, idir2)
+
+
+def test_maintenance_stream_auto_refits_on_drift(spark, tmp_path):
+    """VERDICT r17 item 3: the drift loop CLOSED inside the stream —
+    refit_check_every=N runs ivf_refit_advice's narrow scan every N
+    committed triggers and refits when it fires, no hand-polling.
+    Deterministic drift (the r17 recovery fixture): quantizer pinned
+    along +-e0; ring A (12 rows) lands in cell 0; the drifted ring B
+    (12 rows around e1, alternating tiny +-x) scatters NEIGHBORING
+    rows across both old cells, so nprobe=1 serving sees every OTHER
+    neighbor (recall exactly 0.5). The loop's own check at trigger 2
+    fires at max_share 1.54 > 1.25, the refit splits the rings 1:1,
+    recall recovers to 1.0, the SAME thresholds then clear, and
+    replay/restart never refits twice."""
+    import math
+
+    from conftest import stop_streaming_query
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        ivf_refit_advice, open_dedup_index,
+        start_embedding_maintenance_stream)
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch)
+
+    TAU = 0.995
+    THRESH = dict(max_share_threshold=1.25, min_occupied_frac=0.4)
+
+    def a_vec(j, n=12):
+        t = 2 * math.pi * j / n
+        return [1.0, 0.5 * math.cos(t), 0.5 * math.sin(t), 0.0]
+
+    def b_vec(j, n=12):
+        t = 2 * math.pi * j / n
+        x = 0.02 if j % 2 == 0 else -0.02
+        return [x, 1.0, 0.8 * math.cos(t), 0.8 * math.sin(t)]
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    odir = str(tmp_path / "serve")
+    create_embedding_index(idir, n_planes=4, width=4, n_bands=2,
+                           ivf_centroids=[[1.0, 0, 0, 0],
+                                          [-1.0, 0, 0, 0]])
+    schema = "vec_id long, embedding array<double>"
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    (spark.createDataFrame(
+        [(0, a_vec(0))] + [(10 + j, a_vec(j)) for j in range(1, 12)],
+        schema).coalesce(1).write.parquet(str(srcdir / "f0.parquet")))
+    (spark.createDataFrame(
+        [(1, b_vec(0))] + [(100 + j, b_vec(j)) for j in range(1, 12)],
+        schema).coalesce(1).write.parquet(str(srcdir / "f1.parquet")))
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(srcdir) + "/*"))
+        q = start_embedding_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "ckpt"), tau=TAU,
+            available_now=True, quantize_corpus=True,
+            keep_float_tier=True, refit_check_every=2,
+            refit_kwargs=dict(iters=6, **THRESH))
+        try:
+            q.awaitTermination(180)
+        finally:
+            stop_streaming_query(q, spark)
+
+    def recall_at4(tag):
+        qs = spark.createDataFrame(
+            [(9000 + j,
+              [0.0, 1.0, 0.5 * math.cos(2 * math.pi * (j + 0.3) / 6),
+               0.5 * math.sin(2 * math.pi * (j + 0.3) / 6)])
+             for j in range(6)], "query_id long, embedding array<double>")
+        t = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+            apply_ann_serving_batch(spark, qs, 0, cdir, idir,
+                                    odir + f"/{tag}_t", k=4,
+                                    method="brute")).collect()}
+        g = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+            apply_ann_serving_batch(spark, qs, 0, cdir, idir,
+                                    odir + f"/{tag}_g", k=4,
+                                    method="ivf", nprobe=1)).collect()}
+        return len(t & g) / len(t)
+
+    # phase 1: two triggers (batch 0, 1) — the check cadence is every
+    # 2nd batch and batch 0 never checks, so NO refit yet; the
+    # drifted layout serves at recall 0.5
+    run_stream()
+    store = open_dedup_index(idir)
+    assert store.meta.get("ivf_refits") is None
+    assert "auto_refit_check" not in store.meta
+    assert recall_at4("pre") == 0.5
+    assert ivf_refit_advice(spark, cdir, idir,
+                            **THRESH)["refit_recommended"]
+
+    # phase 2: one more source file -> batch 2 commits, the loop's
+    # own check fires, the loop refits ITSELF
+    (spark.createDataFrame([(200, [0.0, 0.0, 1.0, 0.0]),
+                            (201, [0.0, 0.0, -1.0, 0.0])], schema)
+     .coalesce(1).write.parquet(str(srcdir / "f2.parquet")))
+    run_stream()
+    store = open_dedup_index(idir)
+    assert store.meta["ivf_refits"] == 1
+    rec = store.meta["auto_refit_check"]
+    assert rec["batch"] == 2 and rec["refit_ran"]
+    assert recall_at4("post") == 1.0          # recovered, by the loop
+    after = ivf_refit_advice(spark, cdir, idir, **THRESH)
+    assert not after["refit_recommended"], after
+
+    # replay idempotence: a direct replay of a committed trigger is a
+    # no-op (no second commit, so no second check/refit)...
+    b1 = spark.read.parquet(str(srcdir / "f1.parquet"))
+    assert not apply_embedding_maintenance_batch(
+        spark, b1, 1, cdir, idir, tau=TAU, quantize_corpus=True,
+        keep_float_tier=True, stream_token=str(tmp_path / "ckpt"))
+    # ...and a stream restart with no new data never re-checks
+    run_stream()
+    store = open_dedup_index(idir)
+    assert store.meta["ivf_refits"] == 1
+    assert store.meta["auto_refit_check"]["batch"] == 2
+
+    # guards: the knob is loud at start, before any trigger runs
+    import pytest as _pt
+    idir2 = str(tmp_path / "i2")
+    create_embedding_index(idir2, n_planes=4, width=4, n_bands=2)
+    stream = (spark.readStream.schema(schema)
+              .parquet(str(srcdir) + "/*"))
+    with _pt.raises(ValueError, match="ivf_centroids"):
+        start_embedding_maintenance_stream(
+            stream, cdir, idir2, str(tmp_path / "ck2"),
+            refit_check_every=2)
+    with _pt.raises(ValueError, match=">= 1"):
+        start_embedding_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "ck3"),
+            refit_check_every=0)

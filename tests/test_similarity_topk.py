@@ -1598,3 +1598,138 @@ def test_ivf_nprobe_for_recall_calibrates_on_sample(spark):
     assert exact["recall"] == 1.0 and exact["nprobe"] <= 4
     with pytest.raises(ValueError, match="target_recall"):
         ivf_nprobe_for_recall(sample, corpus, cents, target_recall=0)
+
+
+def test_serving_method_auto_resolves_measured_crossover(spark,
+                                                         tmp_path):
+    """VERDICT r17 item 2: method='auto' encodes the measured LSH/IVF
+    serving crossover. Pure-rule half pins the BENCH_NOTES r17 matrix
+    points on BOTH sides of the crossover; integration half proves a
+    trigger resolves ivf past the thresholds (bit-identical to an
+    explicit method='ivf' run), lsh below them (bit-identical to the
+    explicit default run), that corpus size rides the manifest for
+    free (corpus_seen_rows), and that auto_recall_target calibrates
+    nprobe once per quantizer generation."""
+    import hashlib
+
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_embedding_maintenance_batch, create_embedding_index,
+        open_dedup_index)
+    from solana_event_stream_spark.operators import similarity as S
+    from solana_event_stream_spark.operators.similarity import (
+        apply_ann_serving_batch, resolve_serving_method)
+
+    # --- pure rule: the measured 3x3 matrix decades (sqrt-corpus
+    # quantizers), winners exactly as BENCH_NOTES r17 recorded them
+    assert resolve_serving_method(707, 500_000, 16) == "ivf"     # 1.88x
+    assert resolve_serving_method(707, 500_000, 256) == "ivf"    # 1.34x
+    assert resolve_serving_method(707, 500_000, 2_048) == "lsh"  # sat.
+    assert resolve_serving_method(71, 5_000, 16) == "lsh"        # floor
+    assert resolve_serving_method(224, 50_000, 16) == "lsh"      # ~tie
+    assert resolve_serving_method(224, 50_000, 2_048) == "lsh"
+    # degenerate inputs: no quantizer / unknown corpus size -> lsh
+    assert resolve_serving_method(0, 500_000, 16) == "lsh"
+    assert resolve_serving_method(707, None, 16) == "lsh"
+
+    # --- integration over a real maintained corpus (16-cell quantizer
+    # so q=5 x nprobe=2 = 10 <= 0.75*16 clears the union budget)
+    W = 8
+
+    def vec(i):
+        return [int(hashlib.md5(f"au{i}_{d}".encode()).hexdigest()[:4],
+                    16) / 32767.5 - 1.0 for d in range(W)]
+
+    cents = [vec(70_000 + j) for j in range(16)]
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_embedding_index(idir, n_planes=8, width=W, n_bands=2,
+                           ivf_centroids=cents)
+    for b in range(2):
+        emb = spark.createDataFrame(
+            [(b * 1000 + i, vec(b * 1000 + i)) for i in range(300)],
+            "vec_id long, embedding array<double>")
+        assert apply_embedding_maintenance_batch(
+            spark, emb, b, cdir, idir, quantize_corpus=True,
+            keep_float_tier=True)
+    store = open_dedup_index(idir)
+    from solana_event_stream_spark.operators.dedup_index import (
+        load_maintained_corpus)
+    n_corpus = load_maintained_corpus(
+        spark, cdir, idir, empty_schema="vec_id long").count()
+    # the manifest carries the corpus size for free, accumulated by
+    # the Observation riding each trigger's corpus write
+    assert store.meta["corpus_seen_rows"] == n_corpus
+
+    queries = spark.createDataFrame(
+        [(9000 + i, vec(i)) for i in range(5)],
+        "query_id long, embedding array<double>")
+    S._AUTO_ROWS_CACHE.clear()
+    S._AUTO_NPROBE_CACHE.clear()
+
+    # ivf side: corpus clears the (test-sized) floor, union fits
+    d_auto = apply_ann_serving_batch(
+        spark, queries, 0, cdir, idir, str(tmp_path / "oa"), k=5,
+        method="auto", auto_min_corpus=100, nprobe=2)
+    assert S._AUTO_LAST_DECISION["method"] == "ivf"
+    assert S._AUTO_LAST_DECISION["corpus_rows"] == n_corpus
+    assert S._AUTO_LAST_DECISION["n_queries"] == 5
+    d_ivf = apply_ann_serving_batch(
+        spark, queries, 1, cdir, idir, str(tmp_path / "oi"), k=5,
+        method="ivf", nprobe=2)
+    got_a = {tuple(r) for r in spark.read.parquet(d_auto).collect()}
+    assert got_a == {tuple(r)
+                     for r in spark.read.parquet(d_ivf).collect()}
+    assert len(got_a) == 25
+
+    # lsh side 1: same corpus, default min_corpus (100k) -> the
+    # fixture corpus is decades below the measured crossover
+    d_auto2 = apply_ann_serving_batch(
+        spark, queries, 2, cdir, idir, str(tmp_path / "ob"), k=5,
+        method="auto", nprobe=2)
+    assert S._AUTO_LAST_DECISION["method"] == "lsh"
+    d_lsh = apply_ann_serving_batch(
+        spark, queries, 3, cdir, idir, str(tmp_path / "ol"), k=5)
+    assert ({tuple(r) for r in spark.read.parquet(d_auto2).collect()}
+            == {tuple(r) for r in spark.read.parquet(d_lsh).collect()})
+
+    # lsh side 2: big trigger saturates the quantizer even past the
+    # corpus floor (q x nprobe = 34 > 0.75 * 16)
+    big_q = spark.createDataFrame(
+        [(9500 + i, vec(100 + i)) for i in range(17)],
+        "query_id long, embedding array<double>")
+    apply_ann_serving_batch(
+        spark, big_q, 4, cdir, idir, str(tmp_path / "oc"), k=5,
+        method="auto", auto_min_corpus=100, nprobe=2)
+    assert S._AUTO_LAST_DECISION["method"] == "lsh"
+
+    # recall target: nprobe calibrated through the doubling ladder,
+    # cached per quantizer generation (second call hits the cache)
+    d_cal = apply_ann_serving_batch(
+        spark, queries, 5, cdir, idir, str(tmp_path / "od"), k=5,
+        method="auto", auto_min_corpus=100, auto_recall_target=1.0)
+    assert S._AUTO_LAST_DECISION["method"] == "ivf"
+    np1 = S._AUTO_LAST_DECISION["nprobe"]
+    assert 1 <= np1 <= 16 and len(S._AUTO_NPROBE_CACHE) == 1
+    d_full = apply_ann_serving_batch(
+        spark, queries, 6, cdir, idir, str(tmp_path / "oe"), k=5,
+        method="ivf", nprobe=16)
+    # target 1.0 must reproduce the exact full-probe answer
+    assert ({tuple(r) for r in spark.read.parquet(d_cal).collect()}
+            == {tuple(r) for r in spark.read.parquet(d_full).collect()})
+    apply_ann_serving_batch(
+        spark, queries, 7, cdir, idir, str(tmp_path / "of"), k=5,
+        method="auto", auto_min_corpus=100, auto_recall_target=1.0)
+    assert len(S._AUTO_NPROBE_CACHE) == 1      # no re-ladder
+    assert S._AUTO_LAST_DECISION["nprobe"] == np1
+
+    # manifests predating corpus_seen_rows: the resolver falls back
+    # to ONE count job, cached per committed batch list
+    store = open_dedup_index(idir)
+    del store.meta["corpus_seen_rows"]
+    store._write_manifest()
+    S._AUTO_ROWS_CACHE.clear()
+    apply_ann_serving_batch(
+        spark, queries, 8, cdir, idir, str(tmp_path / "og"), k=5,
+        method="auto", auto_min_corpus=100, nprobe=2)
+    assert S._AUTO_LAST_DECISION["method"] == "ivf"
+    assert S._AUTO_LAST_DECISION["corpus_rows"] == n_corpus
+    assert list(S._AUTO_ROWS_CACHE.values()) == [n_corpus]
