@@ -118,6 +118,7 @@ def _write_ordered_archive(raw, path: str, n_buckets: int) -> None:
 def run_probe(spark, scale: int, n_buckets: int,
               trigger_secs: float = 1.0, sink: str = "callback",
               dedup_watermark: str | None = None,
+              strict_tag_ttl_ms: int | None = None,
               provider: str | None = None,
               advance_recv_secs: float = 0.0,
               ordered_archive: bool = False,
@@ -164,6 +165,18 @@ def run_probe(spark, scale: int, n_buckets: int,
             if dedup_watermark is not None:
                 events = dedup_event_stream(events,
                                             watermark=dedup_watermark)
+            if strict_tag_ttl_ms is not None:
+                # J3 STRICT keyed-state backend (r18, VERDICT r17
+                # item 7): the transformWithStateInPandas /
+                # applyInPandasWithState parity form, keyed by
+                # signature with processing-time TTL as the bounded-
+                # state envelope — the arm the 492k-key decade probe
+                # measures (the r17 run covered only the
+                # dropDuplicatesWithinWatermark form)
+                from solana_event_stream_spark.streaming.state import (
+                    tag_dev_trades_strict)
+                events = tag_dev_trades_strict(
+                    events, ttl_ms=strict_tag_ttl_ms)
             if sink == "callback":      # full K1 path: enrich+order+collect
                 batch_fn = foreach_batch_callback(
                     lambda rows: n_rows_seen.__setitem__(
@@ -297,6 +310,46 @@ def main_state_growth(spark, scale: int = 500) -> None:
     # small multiple of one batch's keys
     verdict = {
         "probe": "state_growth",
+        "n_batches": len(rows),
+        "total_keys_seen": r["events_delivered"],
+        "state_rows_first10_max": max(rows[:10], default=0),
+        "state_rows_last20_max": max(rows[-20:], default=0),
+        "state_rows_peak": max(rows, default=0),
+        "state_mem_peak_bytes": max(mem, default=0),
+        "series": [{"batch": s["batch_id"], "rows": s["rows_total"]}
+                   for s in series],
+        "plateaued": bool(rows) and max(rows[-20:], default=0)
+        <= 0.25 * max(1, r["events_delivered"]),
+    }
+    print(json.dumps(verdict), flush=True)
+
+
+def main_state_growth_strict(spark, scale: int = 500,
+                             ttl_ms: int = 30_000) -> None:
+    """VERDICT r17 item 7: the r17 492k-key state plateau covered the
+    `dropDuplicatesWithinWatermark` J3 form; this is the SAME feed
+    through the STRICT backend (`tag_dev_trades_strict`, keyed by
+    signature, processing-time TTL as the bounded-state envelope —
+    transformWithStateInPandas where the runtime supports it, else
+    applyInPandasWithState). Emits the per-batch state-rows series +
+    trigger p50/p95 and an eviction verdict: with a 30 s TTL over a
+    multi-minute run, steady-state rows must track the TTL horizon
+    (keys touched in the last 30 s), not keys seen — TTL is the
+    distributed stand-in for the reference's 1000-signature
+    CappedGlobalState cap (streaming/state.py module docstring).
+    ``python latency_probe.py --state-growth-strict 10700``."""
+    r = run_probe(spark, scale, 100, trigger_secs=0.5, sink="count",
+                  strict_tag_ttl_ms=ttl_ms,
+                  advance_recv_secs=10.0, ordered_archive=True,
+                  deadline_secs=max(480, scale // 5))
+    series = r.pop("state_rows", [])
+    r["strict_ttl_ms"] = ttl_ms
+    print(json.dumps(r), flush=True)
+    rows = [s["rows_total"] for s in series]
+    mem = [s["memory_bytes"] for s in series]
+    verdict = {
+        "probe": "state_growth_strict",
+        "ttl_ms": ttl_ms,
         "n_batches": len(rows),
         "total_keys_seen": r["events_delivered"],
         "state_rows_first10_max": max(rows[:10], default=0),
@@ -780,6 +833,11 @@ def main() -> None:
         return
     if "--ab-statestore" in sys.argv:
         main_ab_statestore(spark)
+        return
+    if "--state-growth-strict" in sys.argv:
+        args = sys.argv[sys.argv.index("--state-growth-strict") + 1:]
+        scale = int(args[0]) if args and args[0].isdigit() else 500
+        main_state_growth_strict(spark, scale)
         return
     if "--state-growth" in sys.argv:
         args = sys.argv[sys.argv.index("--state-growth") + 1:]

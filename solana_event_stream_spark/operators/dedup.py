@@ -204,7 +204,7 @@ def _hash_ints(shingle_col):
         .cast("long") % _MH_MOD)
 
 
-def _minhash_cols(xs_col):
+def _minhash_cols(xs_col, n_hashes: int = N_HASHES):
     """k universal-hash minima over the digest-int array.
 
     NB: the inner lambda must take exactly ONE parameter — a second
@@ -215,7 +215,46 @@ def _minhash_cols(xs_col):
         return F.array_min(F.transform(
             xs_col, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_PRIME)))
 
-    return [mh(i).alias(f"mh{i}") for i in range(N_HASHES)]
+    return [mh(i).alias(f"mh{i}") for i in range(n_hashes)]
+
+
+def _explode_bands(sigs: DataFrame, n_bands: int,
+                   rows_per_band: int) -> DataFrame:
+    """(doc_id, mh0..mhN) signature frame -> exploded (doc_id,
+    band_idx, band_val) at the given geometry (band_val = the band's
+    rows_per_band minima concatenated)."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws("_", *[F.col(f"mh{b * rows_per_band + r}")
+                               for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ])).alias("band_idx", "band_val"))
+
+
+def bands_from_hashed_shingles(hs: DataFrame, n_bands: int = N_BANDS,
+                               rows_per_band: int = ROWS_PER_BAND
+                               ) -> DataFrame:
+    """(doc_id, shingles: array<bigint>) xxhash64'd shingle sets ->
+    exploded (doc_id, band_idx, band_val) minhash-LSH band frame at an
+    ARBITRARY geometry — the xxhash64-BASIS twin of
+    :func:`_bands_from_shingles` (whose base ints are md5-derived and
+    therefore only reconstructible from raw text). The maintained
+    minhash verify tier stores exactly these hashed sets
+    (dedup_index.minhash_verify_rows), so an index signed on this
+    basis can be RE-SIGNED at any geometry from the tier alone —
+    corpus text never read (dedup_index.rebuild_minhash_index_geometry,
+    VERDICT r17 item 4). Same universal-hash family over the folded
+    64-bit values (pmod into [0, 2^32) like :func:`_hash_ints`'s md5
+    fold); the no-shingle filter mirrors _bands_from_shingles (short
+    docs emit no band rows)."""
+    xs = F.transform(F.col("shingles"),
+                     lambda h: F.pmod(h, F.lit(_MH_MOD)))
+    sigs = (hs.filter(F.size("shingles") > 0)
+            .select("doc_id", xs.alias("xs"))
+            .select("doc_id", *_minhash_cols(
+                F.col("xs"), n_bands * rows_per_band)))
+    return _explode_bands(sigs, n_bands, rows_per_band)
 
 
 _SQL_SHINGLES = """
@@ -326,13 +365,7 @@ def _bands_from_shingles(sh: DataFrame) -> DataFrame:
     sigs = (sh.filter(F.size("shingles") > 0)
             .select("doc_id", _hash_ints(F.col("shingles")).alias("xs"))
             .select("doc_id", *_minhash_cols(F.col("xs"))))
-    return sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.concat_ws("_", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
-                               for r in range(ROWS_PER_BAND)])
-            for b in range(N_BANDS)
-        ])).alias("band_idx", "band_val"))
+    return _explode_bands(sigs, N_BANDS, ROWS_PER_BAND)
 
 
 def _verify_jaccard(pairs: DataFrame, sh_a: DataFrame, sh_b: DataFrame,
@@ -799,7 +832,8 @@ def dedup_embedding_cosine(spark, sf_dir: str) -> DataFrame:
 
 
 def _indexed_cross_probe(spark, sf_dir: str,
-                         tau: float = 0.3) -> DataFrame:
+                         tau: float = 0.3,
+                         with_pushdown: bool = False) -> DataFrame:
     """Cross-probe verified pairs THROUGH a committed
     :class:`~.dedup_index.DedupIndexStore` (VERDICT r16 item 5: the
     maintained-index subsystem under the DuckDB oracle). The even
@@ -807,9 +841,11 @@ def _indexed_cross_probe(spark, sf_dir: str,
     are appended to a real on-disk embedding index (manifest create ->
     atomic append publish -> re-open -> load), and the odd half probes
     it with the standard 2x8-bit multi-band geometry + cosine verify
-    (candidate-pushdown stays OFF for this fixture-scale oracle slot —
-    see the inline note at the embedding_pairs_cross_indexed call).
-    The oracle recomputes the same pairs from
+    (candidate-pushdown OFF on the base part — see the inline note at
+    the embedding_pairs_cross_indexed call; ``with_pushdown`` adds a
+    second, pushdown-ON probe of the SAME committed index as an extra
+    ``part`` — r18, the oracle row for the isin/range-residual
+    machinery). The oracle recomputes the same pairs from
     the raw table — the md5 hyperplane family is shared SQL, so the
     banding itself (not just the verified answer) is cross-checked.
     The result is localCheckpointed (bounded: the verified pair set)
@@ -855,7 +891,29 @@ def _indexed_cross_probe(spark, sf_dir: str,
             pairs = embedding_pairs_cross_indexed(
                 new, seen, store.load(spark), n_bands=2,
                 band_bits=_N_PLANES, tau=tau)
-            return pairs.localCheckpoint()
+            out = pairs.select(
+                F.lit("index_probe").alias("part"),
+                "doc_a", "doc_b", "cosine")
+            if with_pushdown:
+                # VERDICT r17 item 8: the SAME probe with the
+                # candidate-pushdown machinery ON (isin into the seen
+                # verify attach when the candidate ids fit the limit;
+                # between/range-residual above it) — identical pairs
+                # by construction, so the oracle SQL for this part is
+                # the probe CTE re-labeled, and a hash mismatch here
+                # means the pushdown path corrupted the verify
+                # attach. Reuses the index committed above: one
+                # append, two probes. sf-gated by the caller (small
+                # fixtures only — at bench scale the two extra driver
+                # jobs would dominate the fixture-sized probe).
+                pd_pairs = embedding_pairs_cross_indexed(
+                    new, seen, store.load(spark), n_bands=2,
+                    band_bits=_N_PLANES, tau=tau,
+                    candidate_pushdown=4096)
+                out = out.unionByName(pd_pairs.select(
+                    F.lit("index_probe_pushdown").alias("part"),
+                    "doc_a", "doc_b", "cosine"))
+            return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -889,6 +947,10 @@ def _indexed_cross_probe(spark, sf_dir: str,
     SELECT 'bucket_top20' AS part, doc_a, doc_b, cosine FROM top20
     UNION ALL
     SELECT 'index_probe' AS part, doc_a, doc_b, cosine FROM probe
+    UNION ALL
+    SELECT 'index_probe_pushdown' AS part, doc_a, doc_b, cosine
+    FROM probe
+    WHERE (SELECT count(*) FROM embeddings) <= 500
     ORDER BY part, doc_a, doc_b
     """,
     tags=("dedup", "llm-data", "embedding", "index"),
@@ -900,14 +962,21 @@ def _indexed_cross_probe(spark, sf_dir: str,
         "through the 2x8-bit banded index rows with cosine verify — "
         "the maintained-index probe path under the DuckDB oracle, "
         "whose SQL recomputes the banding from the shared md5 plane "
-        "family. Ordered-fold dot products are bitwise cross-engine "
-        "deterministic.",
+        "family. part=index_probe_pushdown (r18, small fixtures only "
+        "— both engines gate on corpus rows <= 500): the SAME probe "
+        "with candidate_pushdown ON, putting the isin/range-residual "
+        "verify-attach machinery under the hash check (identical "
+        "pairs by construction). Ordered-fold dot products are "
+        "bitwise cross-engine deterministic.",
 )
 def dedup_embedding_cosine_battery(spark, sf_dir: str) -> DataFrame:
     top = dedup_embedding_cosine(spark, sf_dir).select(
         F.lit("bucket_top20").alias("part"), "doc_a", "doc_b", "cosine")
-    probe = _indexed_cross_probe(spark, sf_dir).select(
-        F.lit("index_probe").alias("part"), "doc_a", "doc_b", "cosine")
+    # the pushdown part runs on small fixtures only (oracle gates on
+    # the same count): at bench scale its two extra driver jobs would
+    # dominate the fixture-sized probe this battery prices
+    small = load_spread(spark, sf_dir, "embeddings").count() <= 500
+    probe = _indexed_cross_probe(spark, sf_dir, with_pushdown=small)
     return top.unionByName(probe).orderBy("part", "doc_a", "doc_b")
 
 

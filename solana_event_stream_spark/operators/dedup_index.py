@@ -73,8 +73,8 @@ from .dedup import (N_BANDS, N_HASHES, ROWS_PER_BAND, _SPARK_DOT,
                     _minhash_verified_pairs, _shingles,
                     _substring_fp_exploded,
                     _substring_survivors_against, _verify_jaccard,
-                    banded_signature_rows, connected_components,
-                    dedup_survivors)
+                    banded_signature_rows, bands_from_hashed_shingles,
+                    connected_components, dedup_survivors)
 
 _INDEX_MANIFEST = "_INDEX_MANIFEST.json"
 
@@ -632,12 +632,47 @@ def _check_candidate_coverage(pairs: DataFrame, seen: DataFrame,
             "manifest's corpus_batches).")
 
 
+def _minhash_geometry(store: "DedupIndexStore") -> tuple:
+    """(band_basis, n_bands, rows_per_band) the manifest pins. An
+    md5-basis index (the creation default) is always at the module-
+    constant geometry — enforced loudly here, because md5 band values
+    re-derive only from RAW TEXT through those constants (the silent-
+    zero-recall guard ADVICE r13 demanded). An xxhash64-basis index
+    (post-:func:`rebuild_minhash_index_geometry`) carries its own
+    geometry: its bands re-derive from the hashed-shingle verify
+    tier, so the probe signs new batches at whatever the manifest
+    says."""
+    basis = store.params.get("band_basis", "md5")
+    if basis == "md5":
+        store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
+                       rows_per_band=ROWS_PER_BAND)
+        return basis, N_BANDS, ROWS_PER_BAND
+    store._require("minhash")
+    return (basis, int(store.params["n_bands"]),
+            int(store.params["rows_per_band"]))
+
+
+def _minhash_rows_for_store(store: "DedupIndexStore",
+                            surv: DataFrame) -> DataFrame:
+    """Band index rows for new survivors under the STORE's basis and
+    geometry — md5 constants for default indexes, hashed-shingle
+    banding at manifest geometry after a rebuild."""
+    basis, nb, rpb = _minhash_geometry(store)
+    if basis == "md5":
+        return minhash_index_rows(surv)
+    return bands_from_hashed_shingles(minhash_verify_rows(surv),
+                                      nb, rpb)
+
+
 def dedup_pairs_cross_indexed(new_docs: DataFrame,
                               seen_docs: DataFrame | None,
                               seen_index: DataFrame,
                               check_coverage: bool = False,
                               seen_verify: DataFrame | None = None,
-                              candidate_pushdown: int | None = None
+                              candidate_pushdown: int | None = None,
+                              band_basis: str = "md5",
+                              n_bands: int = N_BANDS,
+                              rows_per_band: int = ROWS_PER_BAND
                               ) -> DataFrame:
     """:func:`~.dedup.dedup_pairs_cross` with the seen side's band
     frame read from the index instead of re-derived from raw text.
@@ -667,7 +702,19 @@ def dedup_pairs_cross_indexed(new_docs: DataFrame,
     if (seen_docs is None) == (seen_verify is None):
         raise ValueError("pass exactly one of seen_docs (raw text) or "
                          "seen_verify (hashed-shingle tier)")
-    sh_n, b_n = _minhash_band_frame(new_docs)
+    if band_basis == "md5":
+        sh_n, b_n = _minhash_band_frame(new_docs)
+    else:
+        # xxhash64 basis (post-geometry-rebuild): the new side signs
+        # from its hashed shingle sets at the manifest's geometry —
+        # the same derivation the rebuild applied to the verify tier
+        sh_n = (new_docs.select(
+            "doc_id", _shingles(F.col("text")).alias("shingles"))
+            .localCheckpoint())
+        b_n = bands_from_hashed_shingles(
+            sh_n.select("doc_id", _hashed_shingles(F.col("shingles"))
+                        .alias("shingles")),
+            n_bands, rows_per_band)
     pairs = (b_n.alias("a")
              .join(seen_index.alias("b"),
                    (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -811,25 +858,27 @@ def dedup_incremental_survivors_indexed(store: DedupIndexStore,
     given, and it must cover every doc_id in the index (the coverage
     contract) — the maintenance loop guarantees it via the manifest's
     committed verify-tier list."""
-    # geometry, not just kind (ADVICE r13): the probe signs the NEW
-    # batch under the module constants, so an index pinned under
-    # different band geometry would equi-join incompatible band_vals
-    # and silently return zero candidates — exactly the silent-zero-
-    # recall failure the manifest guard exists to make loud.
-    store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
-                   rows_per_band=ROWS_PER_BAND)
+    # geometry, not just kind (ADVICE r13): the probe must sign the
+    # NEW batch under the index's OWN basis + geometry, else the band
+    # equi-join compares incompatible band_vals and silently returns
+    # zero candidates — _minhash_geometry enforces the constants for
+    # md5-basis indexes and reads the manifest's geometry for
+    # xxhash64-basis (post-rebuild) ones.
+    basis, nb, rpb = _minhash_geometry(store)
     spark = new_docs.sparkSession
     hit = (dedup_pairs_cross_indexed(new_docs, seen_docs,
                                      store.load(spark),
                                      seen_verify=seen_verify,
-                                     candidate_pushdown=candidate_pushdown)
+                                     candidate_pushdown=candidate_pushdown,
+                                     band_basis=basis, n_bands=nb,
+                                     rows_per_band=rpb)
            .select(F.col("doc_a").alias("doc_id")).distinct())
     fresh = new_docs.join(hit, "doc_id", "left_anti")
     surv = dedup_survivors(
         fresh, connected_components(_minhash_verified_pairs(fresh)))
     if commit:
         surv = surv.localCheckpoint()
-        store.append(minhash_index_rows(surv))
+        store.append(_minhash_rows_for_store(store, surv))
     return surv
 
 
@@ -1077,8 +1126,7 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
     state in which a replayed batch would self-collide with its own
     index rows and dedup itself to nothing)."""
     store = open_dedup_index(index_path)
-    store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
-                   rows_per_band=ROWS_PER_BAND)
+    _minhash_geometry(store)       # kind + basis-aware geometry guard
     _check_stream_token(store, stream_token)
     if batch_id <= store.meta.get("last_stream_batch", -1):
         return False
@@ -1099,7 +1147,8 @@ def apply_dedup_maintenance_batch(spark: SparkSession, batch_df: DataFrame,
             "verify_batches": verify_batches + [vname]}
     if stream_token is not None:
         meta["stream_token"] = stream_token
-    store.append(minhash_index_rows(surv), meta_update=meta)
+    store.append(_minhash_rows_for_store(store, surv),
+                 meta_update=meta)
     _run_compaction(spark, store, compact_every, compact_mode, [
         (corpus_path, "corpus_batches", "corpus_compact_seq", "doc_id"),
         (index_path, "verify_batches", "verify_compact_seq", "doc_id")])
@@ -1375,6 +1424,96 @@ def rebuild_embedding_index_geometry(spark: SparkSession,
         _touch_dir(_join(store.path, b))
     return {"n_planes": int(n_planes), "n_bands": int(n_bands),
             "rows": int(n_rows_written), "dir": name}
+
+
+def rebuild_minhash_index_geometry(spark: SparkSession,
+                                   index_path: str,
+                                   n_bands: int | None = None,
+                                   rows_per_band: int | None = None
+                                   ) -> dict:
+    """Re-sign the ENTIRE minhash band index at a new (n_bands,
+    rows_per_band) geometry and publish it atomically — the minhash
+    half of geometry adaptation (VERDICT r17 item 4), closing the
+    asymmetry where embedding indexes could re-sign
+    (:func:`rebuild_embedding_index_geometry`) but minhash indexes
+    kept their creation-time geometry forever: the default band
+    values derive from md5-based shingle ints that exist nowhere in
+    the maintained state, while the verify tier stores xxhash64'd
+    shingle sets — a different hash family.
+
+    Resolution: RE-BASE the banding on the stored hashed shingles.
+    The committed verify tier is a complete, exact record of every
+    survivor's shingle SET (that is why the Jaccard verify can run on
+    it), and minhash only needs uniformly-hashed set elements — so
+    :func:`~.dedup.bands_from_hashed_shingles` derives minima from
+    the xxhash64 values directly (same universal-hash family, base
+    ints folded into [0, 2^32) like the md5 path). After the rebuild
+    the manifest pins ``band_basis="xxhash64"`` plus the new geometry,
+    and every probe/sign site (:func:`_minhash_geometry` /
+    :func:`_minhash_rows_for_store`) derives new batches' bands the
+    same way — old-geometry band values never join against new ones
+    by construction, because the whole index is replaced in ONE
+    manifest swap. The S-curve retunes with the geometry:
+    P(candidate) = 1 - (1 - J^rows_per_band)^n_bands, the knob a
+    grown corpus needs when its creation-time geometry admits too
+    many false candidates (rows_per_band up) or misses near-dups
+    (n_bands up).
+
+    Crash recipe mirrors the embedding rebuild: the re-signed dir
+    lands first under a monotonic ``batch=`` name (in-flight readers
+    of the old manifest never have their dirs touched), then one
+    manifest swap publishes batch list + geometry + basis together;
+    superseded dirs get the vacuum retire stamp, and the rebuilt dir
+    takes a tier level above every existing one so a routine tiered
+    compact never folds the full index with trigger appends.
+    ``last_stream_batch`` is untouched — streaming replay idempotence
+    holds. Defaults keep the current geometry (a pure md5->xxhash64
+    basis migration). Pre-r15 manifests without a verify tier must
+    run :func:`backfill_minhash_verify_tier` first (loud error).
+
+    Returns {"n_bands", "rows_per_band", "band_basis", "rows",
+    "dir"}."""
+    store = open_dedup_index(index_path)
+    _, cur_nb, cur_rpb = _minhash_geometry(store)
+    if n_bands is None:
+        n_bands = cur_nb
+    if rows_per_band is None:
+        rows_per_band = cur_rpb
+    if n_bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"n_bands and rows_per_band must be >= 1, got "
+            f"({n_bands}, {rows_per_band})")
+    tier = _load_minhash_verify_tier(spark, store)
+    if not store.meta.get("verify_batches"):
+        if store._batches:
+            raise ValueError(
+                f"index at {index_path!r} has committed band rows but "
+                "no verify tier to re-sign from (pre-r15 manifest) — "
+                "run backfill_minhash_verify_tier once first")
+        # empty index: geometry/basis swap alone
+    rows = bands_from_hashed_shingles(tier, n_bands, rows_per_band)
+    name = store._next_name()
+    rows.write.mode("overwrite").parquet(_join(store.path, name))
+    n_rows_written = spark.read.parquet(
+        _join(store.path, name)).count()
+    old = list(store._batches)
+    store._batches[:] = [name]
+    top = max([int(v) for v in
+               store.meta.get("batch_levels", {}).values()] or [0])
+    store.meta["batch_levels"] = {name: top + 1}
+    store.params["band_basis"] = "xxhash64"
+    store.params["n_bands"] = int(n_bands)
+    store.params["rows_per_band"] = int(rows_per_band)
+    store.params["n_hashes"] = int(n_bands * rows_per_band)
+    store.meta["geometry_rebuilds"] = int(
+        store.meta.get("geometry_rebuilds", 0)) + 1
+    store._write_manifest()
+    for b in old:                   # retire stamp for vacuum's grace
+        _touch_dir(_join(store.path, b))
+    return {"n_bands": int(n_bands),
+            "rows_per_band": int(rows_per_band),
+            "band_basis": "xxhash64", "rows": int(n_rows_written),
+            "dir": name}
 
 
 def refit_ivf_centroids(spark: SparkSession, corpus_path: str,
@@ -1992,8 +2131,7 @@ def apply_curation_maintenance_batch(spark: SparkSession,
     corpus is write-only (VERDICT r14 item 1), and the MinHash verify
     reads the tier committed in the same single-authority publish."""
     store = open_dedup_index(index_path)
-    store._require("minhash", n_hashes=N_HASHES, n_bands=N_BANDS,
-                   rows_per_band=ROWS_PER_BAND)
+    _minhash_geometry(store)       # kind + basis-aware geometry guard
     _check_stream_token(store, stream_token)
     rec_k = store.meta.get("substring_k")
     rec_w = store.meta.get("substring_w")
@@ -2036,7 +2174,8 @@ def apply_curation_maintenance_batch(spark: SparkSession,
             "substring_k": k, "substring_w": w}
     if stream_token is not None:
         meta["stream_token"] = stream_token
-    store.append(minhash_index_rows(surv), meta_update=meta)
+    store.append(_minhash_rows_for_store(store, surv),
+                 meta_update=meta)
     _run_compaction(spark, store, compact_every, compact_mode, [
         (corpus_path, "corpus_batches", "corpus_compact_seq", "doc_id"),
         (fp_path, "fp_batches", "fp_compact_seq", None),
