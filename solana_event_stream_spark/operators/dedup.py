@@ -694,6 +694,33 @@ def scaled_n_planes(corpus_rows: int, target_bucket_size: int = 64,
         max(corpus_rows, 1) / max(target_bucket_size, 1))))
 
 
+def minhash_rows_for_threshold(j_threshold: float,
+                               n_bands: int = N_BANDS,
+                               floor: int = 1, cap: int = 64) -> int:
+    """rows_per_band whose banded-minhash S-curve midpoint sits at
+    ``j_threshold`` for ``n_bands`` — the standard LSH threshold
+    identity J* ~ (1/b)^(1/r), inverted: r = ln(1/b)/ln(J*). The
+    sizing rule for :func:`~.dedup_index.rebuild_minhash_index_geometry`
+    (the embedding side's :func:`scaled_n_planes` twin): a grown
+    corpus that admits too many false candidates wants the midpoint
+    pushed UP toward its verify threshold (larger r = steeper curve,
+    fewer sub-threshold candidates per band); the creation-time
+    default (r=4, b=3) sits at (1/3)^(1/4) ~ 0.76."""
+    import math
+    if not 0.0 < j_threshold < 1.0:
+        raise ValueError(
+            f"j_threshold must be in (0, 1), got {j_threshold}")
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    if n_bands == 1:
+        # single band: no banded OR to place a midpoint with — r only
+        # steepens P = J^r; pick r so P(J*) = 0.5
+        r = math.log(0.5) / math.log(j_threshold)
+    else:
+        r = math.log(1.0 / n_bands) / math.log(j_threshold)
+    return max(floor, min(cap, round(r)))
+
+
 _SPARK_SIGN = spark_sign_expr(_N_PLANES)
 _SQL_SIGN = sql_sign_expr(_N_PLANES)
 

@@ -2894,3 +2894,34 @@ def test_battery_pushdown_part_matches_and_prunes(spark, sf_dir,
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert semi == 2000              # semi-join reads the whole tier
     assert pushed <= 2000 / 8 + 16, pushed   # ~one of 8 range files
+
+
+def test_minhash_rows_for_threshold_sizing_rule():
+    """The rebuild's sizing rule: r = ln(1/b)/ln(J*) places the banded
+    S-curve midpoint at the target Jaccard. Pinned: round-trips the
+    creation-time default; is monotone (higher threshold at fixed b ->
+    steeper bands, i.e. r grows as J* -> 1); midpoint check both
+    directions; loud on degenerate inputs."""
+    import pytest
+
+    from solana_event_stream_spark.operators.dedup import (
+        minhash_rows_for_threshold)
+
+    # the default geometry's own midpoint: (1/3)^(1/4) ~ 0.7598
+    assert minhash_rows_for_threshold(0.76, 3) == 4
+    # inverting the identity at other points
+    assert minhash_rows_for_threshold((1 / 3) ** (1 / 5), 3) == 5
+    assert minhash_rows_for_threshold((1 / 4) ** (1 / 6), 4) == 6
+    # monotone in the threshold at fixed bands
+    rs = [minhash_rows_for_threshold(j, 3)
+          for j in (0.5, 0.7, 0.8, 0.9, 0.95)]
+    assert rs == sorted(rs) and rs[0] < rs[-1]
+    # single band: P(J*) = 0.5 rule
+    assert minhash_rows_for_threshold(0.5, 1) == 1
+    # floor/cap and guards
+    assert minhash_rows_for_threshold(0.01, 3) == 1
+    assert minhash_rows_for_threshold(0.999, 3) == 64
+    with pytest.raises(ValueError, match="j_threshold"):
+        minhash_rows_for_threshold(1.0)
+    with pytest.raises(ValueError, match="n_bands"):
+        minhash_rows_for_threshold(0.8, 0)
