@@ -1426,6 +1426,62 @@ def rebuild_embedding_index_geometry(spark: SparkSession,
             "rows": int(n_rows_written), "dir": name}
 
 
+def minhash_index_advice(spark: SparkSession, index_path: str,
+                         size_biased_threshold: float = 256.0,
+                         max_bucket_threshold: int = 4096) -> dict:
+    """Turn the minhash band index's bucket populations into an
+    actionable rebuild signal — the minhash twin of
+    :func:`ivf_refit_advice` now that
+    :func:`rebuild_minhash_index_geometry` exists (r18): telemetry ->
+    advice -> rebuild closes the loop on BOTH maintained-index
+    modalities. One narrow scan of the (doc_id, band_idx, band_val)
+    index — corpus text and the verify tier are never read.
+
+    What matters at 100 TB is the CANDIDATE VOLUME a new doc's probe
+    pays: each of its band rows equi-joins one bucket, so the
+    expected candidates per probe row is the SIZE-BIASED mean bucket
+    population E[pop^2]/E[pop] (a random probe lands in a bucket
+    proportionally to its size), and the worst case is the largest
+    bucket. A corpus that has outgrown its creation-time geometry —
+    or piled up a family of loosely-similar documents — shows both
+    numbers climbing; the repair is a steeper band
+    (``rows_per_band`` up, sized via
+    :func:`~.dedup.minhash_rows_for_threshold`) through the rebuild.
+
+    Returns {n_rows, n_buckets, max_bucket, mean_bucket,
+    size_biased_mean, band_basis, n_bands, rows_per_band,
+    rebuild_recommended}. Pure telemetry — no state is touched."""
+    store = open_dedup_index(index_path)
+    basis, nb, rpb = _minhash_geometry(store)
+    stats = (store.load(spark)
+             .groupBy("band_idx", "band_val")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .agg(F.sum("n").alias("rows"),
+                  F.count(F.lit(1)).alias("buckets"),
+                  F.max("n").alias("max_n"),
+                  F.sum(F.col("n") * F.col("n")).alias("sq"))
+             .first())
+    rows = int(stats["rows"] or 0)
+    buckets = int(stats["buckets"] or 0)
+    max_bucket = int(stats["max_n"] or 0)
+    sq = int(stats["sq"] or 0)
+    mean = rows / buckets if buckets else 0.0
+    size_biased = sq / rows if rows else 0.0
+    return {
+        "n_rows": rows,
+        "n_buckets": buckets,
+        "max_bucket": max_bucket,
+        "mean_bucket": round(mean, 3),
+        "size_biased_mean": round(size_biased, 3),
+        "band_basis": basis,
+        "n_bands": nb,
+        "rows_per_band": rpb,
+        "rebuild_recommended": bool(rows) and (
+            size_biased > size_biased_threshold
+            or max_bucket > max_bucket_threshold),
+    }
+
+
 def rebuild_minhash_index_geometry(spark: SparkSession,
                                    index_path: str,
                                    n_bands: int | None = None,

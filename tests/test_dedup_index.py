@@ -2925,3 +2925,74 @@ def test_minhash_rows_for_threshold_sizing_rule():
         minhash_rows_for_threshold(1.0)
     with pytest.raises(ValueError, match="n_bands"):
         minhash_rows_for_threshold(0.8, 0)
+
+def test_minhash_index_advice_flags_piles_and_clears_after_rebuild(
+        spark, tmp_path):
+    """The minhash drift loop closed (r18): bucket-population
+    telemetry -> minhash_index_advice -> rebuild at a steeper
+    geometry (rows_per_band from minhash_rows_for_threshold) ->
+    advice clears at the SAME thresholds. Fixture: 60 variants of one
+    base doc, each swapping two words (pairwise Jaccard 0.2-0.5 —
+    BELOW the 0.6 verify threshold, so the maintenance loop keeps all
+    of them; boilerplate families look exactly like this) — their
+    shared shingle core makes ~60% of each doc's minima come from the
+    common set, so at the creation geometry (r=4) they pile into
+    shared band buckets (measured: max bucket 7, size-biased mean
+    1.74) and at r=10 the piles disperse (2 / 1.01). The advice
+    prices the probe's candidate volume: expected candidates per
+    probe row IS the size-biased mean."""
+    from solana_event_stream_spark.operators.dedup import (
+        minhash_rows_for_threshold)
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index,
+        minhash_index_advice, rebuild_minhash_index_geometry)
+
+    base = [f"w{j}" for j in range(20)]
+
+    def text(i):
+        w = list(base)
+        w[(i * 7) % 20] = f"var{i}a"
+        w[(i * 7 + 4) % 20] = f"var{i}b"
+        return " ".join(w)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(60)], "doc_id long, text string")
+    assert apply_dedup_maintenance_batch(spark, docs, 0, cdir, idir)
+    surv0 = spark.read.parquet(cdir + "/batch=0").count()
+    # docs 20 apart reuse replacement positions and land J >= 0.6 —
+    # the loop dedups those few; the sub-threshold bulk is kept
+    assert surv0 >= 50
+
+    thresholds = dict(size_biased_threshold=1.5,
+                      max_bucket_threshold=4)
+    before = minhash_index_advice(spark, idir, **thresholds)
+    assert before["rebuild_recommended"], before
+    assert before["n_rows"] == surv0 * 3
+    assert before["band_basis"] == "md5"
+    assert before["rows_per_band"] == 4
+
+    r = minhash_rows_for_threshold(0.9, before["n_bands"])
+    assert r == 10
+    out = rebuild_minhash_index_geometry(spark, idir,
+                                         rows_per_band=r)
+    assert out["rows_per_band"] == 10
+    after = minhash_index_advice(spark, idir, **thresholds)
+    assert not after["rebuild_recommended"], after
+    assert after["band_basis"] == "xxhash64"
+    assert after["rows_per_band"] == 10
+    assert after["size_biased_mean"] < before["size_biased_mean"]
+    assert after["max_bucket"] <= 4
+
+    # the loop still catches an EXACT dup post-rebuild (identical
+    # minima at any geometry), and telemetry reflects the new batch
+    b1 = spark.createDataFrame(
+        [(500, text(3)), (501, " ".join(f"z{j}" for j in range(20)))],
+        "doc_id long, text string")
+    assert apply_dedup_maintenance_batch(spark, b1, 1, cdir, idir)
+    surv = {r_.doc_id for r_ in
+            spark.read.parquet(cdir + "/batch=1").collect()}
+    assert surv == {501}
+    assert minhash_index_advice(
+        spark, idir, **thresholds)["n_rows"] == (surv0 + 1) * 3
