@@ -1482,6 +1482,64 @@ def minhash_index_advice(spark: SparkSession, index_path: str,
     }
 
 
+def run_minhash_rebuild_check(spark: SparkSession, index_path: str,
+                              rows_per_band: int | None = None,
+                              j_threshold: float | None = None,
+                              n_bands: int | None = None,
+                              size_biased_threshold: float = 256.0,
+                              max_bucket_threshold: int = 4096,
+                              record_batch: int | None = None) -> dict:
+    """One turn of the minhash drift loop (r18 — the
+    :func:`run_ivf_refit_check` twin): :func:`minhash_index_advice`'s
+    narrow bucket scan, then :func:`rebuild_minhash_index_geometry`
+    to the TARGET geometry iff the advice fires AND the index is not
+    already there. The at-target guard is the rate limit that the
+    IVF loop gets for free from its advice clearing: a genuinely
+    pily corpus (boilerplate families) can keep the advice firing at
+    any geometry, and a rebuild is O(index) — so the loop rebuilds
+    AT MOST ONCE per target, never repeatedly. The target comes from
+    ``rows_per_band`` directly or ``j_threshold`` through
+    :func:`~.dedup.minhash_rows_for_threshold`; ``record_batch``
+    stamps the outcome (``auto_rebuild_check``) as a small trailing
+    manifest publish. Returns the advice dict with ``rebuild_ran``
+    and ``at_target`` added."""
+    from .dedup import minhash_rows_for_threshold
+
+    store = open_dedup_index(index_path)
+    basis, cur_nb, cur_rpb = _minhash_geometry(store)
+    if rows_per_band is None:
+        if j_threshold is None:
+            raise ValueError(
+                "pass rows_per_band or j_threshold as the rebuild "
+                "target")
+        rows_per_band = minhash_rows_for_threshold(
+            j_threshold, n_bands if n_bands is not None else cur_nb)
+    tgt_nb = n_bands if n_bands is not None else cur_nb
+    advice = minhash_index_advice(
+        spark, index_path,
+        size_biased_threshold=size_biased_threshold,
+        max_bucket_threshold=max_bucket_threshold)
+    at_target = (basis == "xxhash64"
+                 and (cur_nb, cur_rpb) == (tgt_nb, rows_per_band))
+    advice["at_target"] = at_target
+    advice["rebuild_ran"] = bool(
+        advice["rebuild_recommended"] and not at_target)
+    if advice["rebuild_ran"]:
+        rebuild_minhash_index_geometry(spark, index_path,
+                                       n_bands=tgt_nb,
+                                       rows_per_band=rows_per_band)
+    if record_batch is not None:
+        store = open_dedup_index(index_path)
+        store.meta["auto_rebuild_check"] = {
+            "batch": int(record_batch),
+            "rebuild_ran": advice["rebuild_ran"],
+            "at_target": at_target,
+            "size_biased_mean": advice["size_biased_mean"],
+            "max_bucket": advice["max_bucket"]}
+        store._write_manifest()
+    return advice
+
+
 def rebuild_minhash_index_geometry(spark: SparkSession,
                                    index_path: str,
                                    n_bands: int | None = None,
@@ -2034,7 +2092,10 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
                                    candidate_pushdown: int | None = 4096,
                                    compact_mode: str = "full",
                                    trigger_shuffle_partitions:
-                                   int | None = None):
+                                   int | None = None,
+                                   rebuild_check_every: int | None
+                                   = None,
+                                   rebuild_kwargs: dict | None = None):
     """Streaming corpus maintenance: each micro-batch of (doc_id,
     text) documents is deduplicated against everything committed so
     far (:func:`apply_dedup_maintenance_batch`) — the index answers
@@ -2055,16 +2116,46 @@ def start_dedup_maintenance_stream(docs_stream: DataFrame,
     after — VERDICT r14 item 7; 32 -> 8 measured 0.84x p50 at 300-doc
     triggers); ``compact_mode="tiered"`` bounds the compaction spike
     (see :func:`_run_compaction`); ``candidate_pushdown`` turns the
-    verify-tier attach into an id point lookup."""
+    verify-tier attach into an id point lookup.
+
+    ``rebuild_check_every=N`` (opt-in, r18 — the minhash twin of the
+    embedding loop's ``refit_check_every``): every N COMMITTED
+    triggers run :func:`minhash_index_advice`'s narrow scan and
+    rebuild to the TARGET geometry when it fires
+    (:func:`run_minhash_rebuild_check`; the target — ``rows_per_band``
+    or ``j_threshold`` — plus thresholds ride ``rebuild_kwargs`` and
+    are validated here before the stream starts). Once the index
+    sits at the target geometry the check never rebuilds again
+    (bounded by construction), and replayed triggers never check."""
+    if rebuild_check_every is not None:
+        if rebuild_check_every < 1:
+            raise ValueError(
+                f"rebuild_check_every must be >= 1, got "
+                f"{rebuild_check_every}")
+        kw = rebuild_kwargs or {}
+        if kw.get("rows_per_band") is None \
+                and kw.get("j_threshold") is None:
+            raise ValueError(
+                "rebuild_check_every needs a target geometry in "
+                "rebuild_kwargs: pass rows_per_band=... or "
+                "j_threshold=... (sized via "
+                "dedup.minhash_rows_for_threshold)")
+
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         with _trigger_shuffle_width(batch_df.sparkSession,
                                     trigger_shuffle_partitions):
-            apply_dedup_maintenance_batch(
+            committed = apply_dedup_maintenance_batch(
                 batch_df.sparkSession, batch_df, batch_id,
                 corpus_path, index_path, compact_every,
                 stream_token=checkpoint_dir,
                 candidate_pushdown=candidate_pushdown,
                 compact_mode=compact_mode)
+            if (rebuild_check_every is not None and committed
+                    and batch_id > 0
+                    and batch_id % rebuild_check_every == 0):
+                run_minhash_rebuild_check(
+                    batch_df.sparkSession, index_path,
+                    record_batch=batch_id, **(rebuild_kwargs or {}))
 
     writer = (docs_stream.writeStream.foreachBatch(_proc)
               .option("checkpointLocation", checkpoint_dir))

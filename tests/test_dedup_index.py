@@ -2996,3 +2996,99 @@ def test_minhash_index_advice_flags_piles_and_clears_after_rebuild(
     assert surv == {501}
     assert minhash_index_advice(
         spark, idir, **thresholds)["n_rows"] == (surv0 + 1) * 3
+
+
+def test_minhash_stream_auto_rebuilds_on_bucket_piles(spark, tmp_path):
+    """The minhash drift loop closed INSIDE the stream (r18, the
+    refit_check_every twin): rebuild_check_every=N runs the advice
+    scan every N committed triggers and rebuilds to the target
+    geometry when it fires — at most once per target (the at-target
+    guard), with replay/restart never rebuilding twice. Same
+    boilerplate-family fixture as the advice test."""
+    from conftest import stop_streaming_query
+    from solana_event_stream_spark.operators.dedup_index import (
+        apply_dedup_maintenance_batch, create_minhash_index,
+        open_dedup_index, start_dedup_maintenance_stream)
+
+    base = [f"w{j}" for j in range(20)]
+
+    def text(i):
+        w = list(base)
+        w[(i * 7) % 20] = f"var{i}a"
+        w[(i * 7 + 4) % 20] = f"var{i}b"
+        return " ".join(w)
+
+    cdir, idir = str(tmp_path / "c"), str(tmp_path / "i")
+    create_minhash_index(idir)
+    schema = "doc_id long, text string"
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    (spark.createDataFrame([(i, text(i)) for i in range(60)], schema)
+     .coalesce(1).write.parquet(str(srcdir / "f0.parquet")))
+    (spark.createDataFrame(
+        [(100 + i, text(100 + i)) for i in range(5)], schema)
+     .coalesce(1).write.parquet(str(srcdir / "f1.parquet")))
+    kwargs = dict(rows_per_band=10, size_biased_threshold=1.5,
+                  max_bucket_threshold=4)
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(srcdir) + "/*"))
+        q = start_dedup_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "ckpt"),
+            available_now=True, rebuild_check_every=1,
+            rebuild_kwargs=kwargs)
+        try:
+            q.awaitTermination(180)
+        finally:
+            stop_streaming_query(q, spark)
+
+    # batch 0 (the pile) commits with no check; batch 1 commits and
+    # the loop's own check fires -> rebuild to (3, 10) xxhash64
+    run_stream()
+    store = open_dedup_index(idir)
+    assert store.params["band_basis"] == "xxhash64"
+    assert store.params["rows_per_band"] == 10
+    assert store.meta["geometry_rebuilds"] == 1
+    rec = store.meta["auto_rebuild_check"]
+    assert rec["batch"] == 1 and rec["rebuild_ran"]
+
+    # a third trigger: even if the advice still fires (pily corpus),
+    # the index is AT TARGET -> no second rebuild; the new-geometry
+    # probe still catches an exact dup of an old survivor
+    (spark.createDataFrame(
+        [(500, text(3)),
+         (501, " ".join(f"z{j}" for j in range(20)))], schema)
+     .coalesce(1).write.parquet(str(srcdir / "f2.parquet")))
+    run_stream()
+    store = open_dedup_index(idir)
+    assert store.meta["geometry_rebuilds"] == 1      # at-target guard
+    assert store.meta["auto_rebuild_check"]["batch"] == 2
+    assert not store.meta["auto_rebuild_check"]["rebuild_ran"]
+    assert store.meta["auto_rebuild_check"]["at_target"]
+    surv = {r.doc_id for r in
+            spark.read.parquet(cdir + "/batch=2").collect()}
+    assert surv == {501}
+    # replay: direct re-apply of a committed trigger is a no-op
+    b2 = spark.read.parquet(str(srcdir / "f2.parquet"))
+    assert not apply_dedup_maintenance_batch(
+        spark, b2, 2, cdir, idir,
+        stream_token=str(tmp_path / "ckpt"))
+    # restart with no new data: no re-check
+    run_stream()
+    store = open_dedup_index(idir)
+    assert store.meta["geometry_rebuilds"] == 1
+    assert store.meta["auto_rebuild_check"]["batch"] == 2
+
+    # guards are loud BEFORE the stream starts
+    import pytest as _pt
+    stream = spark.readStream.schema(schema).parquet(str(srcdir) + "/*")
+    with _pt.raises(ValueError, match="target geometry"):
+        start_dedup_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "ck2"),
+            rebuild_check_every=1)
+    with _pt.raises(ValueError, match=">= 1"):
+        start_dedup_maintenance_stream(
+            stream, cdir, idir, str(tmp_path / "ck3"),
+            rebuild_check_every=0, rebuild_kwargs=kwargs)
