@@ -295,6 +295,23 @@ def decontaminate_scaled(docs: DataFrame, ngram: int = NGRAM,
 # K-means + SemDeDup
 # ---------------------------------------------------------------------------
 
+def _sql_double_literal(x: float) -> str:
+    """Exact SQL double literal: ``repr`` round-trips the IEEE value
+    and both Python's and the JVM's decimal->binary conversions are
+    correctly rounded, so the parsed literal is bit-identical."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {x}")
+    return repr(x) + "D"
+
+
+def _sql_double_array_array(rows: list) -> str:
+    """array<array<double>> literal as ONE parseable SQL fragment."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(_sql_double_literal(x) for x in row) + ")"
+        for row in rows) + ")"
+
+
 def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """Narrow argmin fold over literal centroids: adds (cluster, dist).
     Strict ``<`` keeps the first (smallest cluster id) on exact ties —
@@ -310,25 +327,34 @@ def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     per-iteration plan-build cost that dominated the catalog battery
     (k=8 at sf0.1: plan 1.65 s -> 0.46 s, exec 1.44 s -> 0.58 s).
     Plan size still grows with the k x dims literal VALUE, so
-    corpus-tracking k stays on :func:`assign_arrow`."""
+    corpus-tracking k stays on :func:`assign_arrow`.
+
+    Shape (r18, guide §7.3 driver-side cost): the fold is emitted as
+    ONE SQL string per output column instead of ~550 nested Column
+    calls — each PySpark Column operation is a py4j round-trip, and at
+    5 assignment passes per catalog invocation those dominated the
+    query's wall (measured: the Lloyd loop spent more driver time
+    BUILDING plans than executing them). The parsed expression is the
+    same fold (same zip_with/aggregate/CASE nodes, same IEEE order;
+    double literals round-trip exactly through repr), so dist/cluster
+    stay bitwise identical — the oracle pins it."""
     cids = sorted(centroids)
-    cents_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in cids])
-    cids_lit = F.array(*[F.lit(int(c)) for c in cids])
-    choices = F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
-            F.aggregate(F.zip_with(F.col("embedding"), c,
-                                   lambda x, y: (x.cast("double") - y)
-                                   * (x.cast("double") - y)),
-                        F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
-            F.element_at(cids_lit, i + 1).alias("cid")))
-    best = F.aggregate(
-        F.slice(choices, 2, len(cids) - 1), F.element_at(choices, 1),
-        lambda acc, c: F.when(c["dist"] < acc["dist"], c).otherwise(acc))
+    cents_sql = _sql_double_array_array(
+        [centroids[c] for c in cids])
+    cids_sql = "array(" + ", ".join(str(int(c)) for c in cids) + ")"
+    choices = (
+        f"transform({cents_sql}, (c, i) -> named_struct("
+        "'dist', aggregate(zip_with(embedding, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
+        f"'cid', element_at({cids_sql}, i + 1)))")
+    best = (
+        f"aggregate(slice({choices}, 2, {len(cids) - 1}), "
+        f"element_at({choices}, 1), "
+        "(acc, c) -> CASE WHEN c.dist < acc.dist THEN c ELSE acc END)")
     return emb.select("vec_id", "embedding",
-                      best["cid"].alias("cluster"),
-                      best["dist"].alias("dist"))
+                      F.expr(f"({best}).cid").alias("cluster"),
+                      F.expr(f"({best}).dist").alias("dist"))
 
 
 def _centroid_matrix(centroids: dict[int, list[float]]):
@@ -414,10 +440,12 @@ def assign_arrow(emb: DataFrame,
 
 def _mean_aggs(dims: int) -> list[F.Column]:
     """Per-dimension DECIMAL(24,6)-exact centroid means (partitioning-
-    order-independent, engine-identical — the oracle recipe)."""
+    order-independent, engine-identical — the oracle recipe). One
+    F.expr per dimension (r18): the nested-Column form paid ~6 py4j
+    round-trips per dimension per Lloyd iteration."""
     return [
-        (F.sum(F.col("embedding")[d].cast("double").cast("decimal(24,6)"))
-         .cast("double") / F.count(F.lit(1))).alias(f"c{d}")
+        F.expr(f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) "
+               f"AS DECIMAL(24,6))) AS DOUBLE) / count(1) AS c{d}")
         for d in range(dims)]
 
 

@@ -749,17 +749,24 @@ def sign_bucket_col(n_planes: int, dim: int, plane_offset: int = 0):
     literal arrays at plan build instead of being recomputed inside the
     per-row expression — the signature stage drops from hash-bound to
     a handful of fused double multiply-adds. Requires a uniform
-    embedding dimension (the expression form handles ragged rows)."""
-    bucket = F.lit(0).cast("long")
+    embedding dimension (the expression form handles ragged rows).
+
+    Emitted as ONE parsed SQL string (r18, guide §7.3): the
+    nested-Column form paid ~n_planes x dim py4j round-trips per
+    invocation (signature builders run in six dedup/ann catalog
+    queries and in the maintenance loops per trigger). Same nested
+    fold, same IEEE order — buckets bitwise identical (oracle-pinned
+    via every bucket-blocked query)."""
+    bucket = "CAST(0 AS BIGINT)"
     for w in plane_weights(n_planes, dim, plane_offset):
-        wlit = F.array(*[F.lit(x) for x in w])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), wlit,
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket * 2 + F.when(dot > 0.0, F.lit(1)).otherwise(
-            F.lit(0)).cast("long")
-    return bucket
+        wlit = "array(" + ", ".join(
+            ("1.0D" if x > 0 else "-1.0D") for x in w) + ")"
+        dot = (f"aggregate(zip_with(embedding, {wlit}, "
+               "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+               "(acc, v) -> acc + v)")
+        bucket = (f"({bucket} * 2 + CAST(CASE WHEN {dot} > 0.0D "
+                  "THEN 1 ELSE 0 END AS BIGINT))")
+    return F.expr(bucket)
 
 
 # width-census memo, keyed by (analyzed-plan semanticHash, input-file
@@ -1393,21 +1400,31 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     Min-label propagation until fixpoint; see :func:`dedup_clusters` for
     the scale analysis.
     """
+    # pairs is the expensive upstream (banded join + Jaccard verify) and
+    # the union below reads it TWICE — eager checkpoint, so both
+    # branches read cached blocks instead of racing to compute it.
     pairs = pairs.localCheckpoint()
+    # edges/labels checkpoints are LAZY (r18, guide §1.2 "fewer
+    # passes"): both derive cheaply from the pairs cache, so they
+    # materialize inside iteration 1's job instead of costing two
+    # standalone driver jobs; lineage still truncates at first use.
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
              .repartition("dst")
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .select("doc_id", F.col("doc_id").alias("label"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     for _ in range(_CC_MAX_ITERS):
         nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
                .groupBy("src").agg(F.min("label").alias("nbr_min")))
         # Change detection rides the update row itself (old label and
         # nbr_min are both present), so no extra join per iteration.
+        # Lazy checkpoint + count (r18): the count BOTH materializes
+        # the checkpoint and reads the changed tally — one job per
+        # iteration where the eager form paid two.
         new_labels = (labels.join(nbr, labels["doc_id"] == nbr["src"],
                                   "left")
                       .select(labels["doc_id"],
@@ -1417,7 +1434,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                               .alias("label"),
                               (nbr["nbr_min"] < labels["label"])
                               .alias("chg"))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:

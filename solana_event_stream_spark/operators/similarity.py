@@ -367,22 +367,25 @@ def _norms_and_centroid_choices(spark, sf_dir: str):
             f"{IVF_CENTROID_BASE + IVF_K - 1}) in the corpus; found "
             f"{len(cent_rows)} — cell assignment would be wrong")
     # cent_id == array index: cent_rows are the exact-count-checked
-    # contiguous vec_ids BASE..BASE+IVF_K-1 sorted ascending
-    cents_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in r.embedding])
-        for r in cent_rows])
-    cnrm_lit = F.array(*[F.lit(float(r.nrm)) for r in cent_rows])
-    choices = F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
-            (F.aggregate(
-                F.zip_with(F.col("embedding"), c,
-                           lambda x, y: x.cast("double")
-                           * y.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v)
-             / (F.col("nrm") * F.element_at(cnrm_lit, i + 1)))
-            .alias("cos"),
-            i.alias("cid")))
+    # contiguous vec_ids BASE..BASE+IVF_K-1 sorted ascending.
+    # One parsed SQL fragment instead of ~600 nested Column calls
+    # (r18, guide §7.3): each PySpark Column op is a py4j round-trip
+    # and this builder runs once per ann_ivf invocation; the parsed
+    # tree is the same transform/zip_with/aggregate fold in the same
+    # IEEE order (double literals round-trip exactly through repr),
+    # so cell assignments stay bitwise identical — the oracle pins it.
+    from .curation import _sql_double_array_array, _sql_double_literal
+    cents_sql = _sql_double_array_array(
+        [[float(x) for x in r.embedding] for r in cent_rows])
+    cnrm_sql = "array(" + ", ".join(
+        _sql_double_literal(r.nrm) for r in cent_rows) + ")"
+    choices = F.expr(
+        f"transform({cents_sql}, (c, i) -> named_struct("
+        "'cos', aggregate(zip_with(embedding, c, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+        f"/ (nrm * element_at({cnrm_sql}, i + 1)), "
+        "'cid', i))")
     return norms, choices
 
 
@@ -825,26 +828,31 @@ def _centroid_choices(centroids: list) -> F.Column:
     pattern, reference-free here: the serving tier's coarse quantizer
     is caller-supplied). Cosines ride try_divide, so a zero-norm
     vector yields NULL cosines (never an ANSI 0/0) and falls out of
-    ranking downstream."""
+    ranking downstream.
+
+    Emitted as ONE parsed SQL fragment (r18, guide §7.3): this builder
+    runs per serving TRIGGER (the maintenance/serving loops re-stamp
+    cells each batch) and the nested-Column form paid k x dims py4j
+    round-trips — at the IVF_LITERAL_CEILING (1024 cells) that is
+    ~65k driver calls per trigger. Same fold nodes, same IEEE order,
+    bitwise-identical cosines (repr round-trips doubles exactly)."""
     import math
 
-    cents_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    cnrm_lit = F.array(*[
-        F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
-        for c in centroids])
-    nrm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-    return F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
-            F.try_divide(
-                F.aggregate(
-                    F.zip_with(F.col("embedding"), c,
-                               lambda x, y: x.cast("double")
-                               * y.cast("double")),
-                    F.lit(0.0), lambda acc, v: acc + v),
-                nrm * F.element_at(cnrm_lit, i + 1)).alias("cos"),
-            i.alias("cid")))
+    from .curation import _sql_double_array_array, _sql_double_literal
+
+    cents_sql = _sql_double_array_array(
+        [[float(x) for x in c] for c in centroids])
+    cnrm_sql = "array(" + ", ".join(
+        _sql_double_literal(math.sqrt(sum(float(x) * float(x) for x in c)))
+        for c in centroids) + ")"
+    nrm_sql = f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+    return F.expr(
+        f"transform({cents_sql}, (c, i) -> named_struct("
+        "'cos', try_divide(aggregate(zip_with(embedding, c, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), "
+        f"{nrm_sql} * element_at({cnrm_sql}, i + 1)), "
+        "'cid', i))")
 
 
 def ivf_cell_col(centroids: list) -> F.Column:

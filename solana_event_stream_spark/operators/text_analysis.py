@@ -548,17 +548,16 @@ def _melt_df(df: DataFrame, part: str, k1, num_metrics, str_metrics=()):
     branch; every metric value rides through unchanged, so the driver's
     value hash still pins each operator's full per-row output.
     """
-    entries = [F.struct(F.lit(m).alias("metric"),
-                        F.col(m).cast("double").alias("vd"),
-                        F.lit(None).cast("string").alias("vs"))
+    entries = [f"named_struct('metric', '{m}', "
+               f"'vd', CAST(`{m}` AS DOUBLE), 'vs', CAST(NULL AS STRING))"
                for m in num_metrics]
-    entries += [F.struct(F.lit(m).alias("metric"),
-                         F.lit(None).cast("double").alias("vd"),
-                         F.col(m).cast("string").alias("vs"))
+    entries += [f"named_struct('metric', '{m}', "
+                f"'vd', CAST(NULL AS DOUBLE), 'vs', CAST(`{m}` AS STRING))"
                 for m in str_metrics]
     return (df.select(F.lit(part).alias("part"),
                       k1.cast("string").alias("k1"),
-                      F.explode(F.array(*entries)).alias("m"))
+                      F.explode(F.expr(
+                          "array(" + ", ".join(entries) + ")")).alias("m"))
             .select("part", "k1", F.col("m.metric").alias("metric"),
                     F.col("m.vd").alias("vd"), F.col("m.vs").alias("vs")))
 
@@ -618,20 +617,23 @@ def _melt_multi(df: DataFrame, k1, parts) -> DataFrame:
     :func:`_melt_df` but the part rides inside each literal entry, so
     n parts over the same per-row frame cost one explode instead of n
     subplan copies. ``parts`` is [(part, num_metrics, str_metrics)]."""
+    # ONE parsed SQL fragment for the whole entry array (r18, guide
+    # §7.3): the nested-Column form paid ~8 py4j round-trips per
+    # metric entry; the parsed tree is the same named_struct/CAST
+    # nodes, so the melted values are unchanged.
     entries = []
     for part, num, str_ in parts:
-        entries += [F.struct(F.lit(part).alias("part"),
-                             F.lit(m).alias("metric"),
-                             F.col(m).cast("double").alias("vd"),
-                             F.lit(None).cast("string").alias("vs"))
+        entries += [f"named_struct('part', '{part}', 'metric', '{m}', "
+                    f"'vd', CAST(`{m}` AS DOUBLE), "
+                    "'vs', CAST(NULL AS STRING))"
                     for m in num]
-        entries += [F.struct(F.lit(part).alias("part"),
-                             F.lit(m).alias("metric"),
-                             F.lit(None).cast("double").alias("vd"),
-                             F.col(m).cast("string").alias("vs"))
+        entries += [f"named_struct('part', '{part}', 'metric', '{m}', "
+                    "'vd', CAST(NULL AS DOUBLE), "
+                    f"'vs', CAST(`{m}` AS STRING))"
                     for m in str_]
     return (df.select(k1.cast("string").alias("k1"),
-                      F.explode(F.array(*entries)).alias("m"))
+                      F.explode(F.expr(
+                          "array(" + ", ".join(entries) + ")")).alias("m"))
             .select(F.col("m.part").alias("part"), "k1",
                     F.col("m.metric").alias("metric"),
                     F.col("m.vd").alias("vd"), F.col("m.vs").alias("vs")))

@@ -52,6 +52,20 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Joins (r18, optimization guide §3.1): let the planner pick a
+    # shuffled-hash join instead of defaulting to sort-merge when one
+    # side is small per partition (skips two sorts), and let AQE
+    # rewrite an already-planned SMJ to SHJ when runtime stats show
+    # every post-shuffle partition under 64 MiB (well inside task
+    # memory on any real executor; same bound as the broadcast
+    # threshold). Equi-join semantics are unchanged — only the
+    # physical strategy moves, and every catalog query is
+    # partitioning/order-independent by the oracle determinism
+    # contract. Scale-safe: at 100 TB a build-side partition above the
+    # threshold simply keeps sort-merge.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        str(64 * 1024 * 1024),
     # Whole-stage codegen is the right choice on a real cluster (set
     # SPARK_GRAFT_CODEGEN=true). In this sandbox, C2 JIT compilation of
     # the large generated methods intermittently freezes a task thread

@@ -69,10 +69,70 @@ def spread_frame(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(cores)
 
 
+def _estimated_scan_partitions(spark: SparkSession, path: str) -> int | None:
+    """Replicate FilePartition.getFilePartitions' split math from the
+    parquet file sizes on local disk — the partition count
+    ``df.rdd.getNumPartitions()`` would report for a fresh scan,
+    WITHOUT the analyze/optimize/physical-plan pass that the ``.rdd``
+    conversion pays on the driver (r18, guide §7.3: that conversion
+    ran once per load_spread call — ~20 plan compilations per bench
+    sweep spent only to read one integer). Returns None when the
+    layout is not the simple local-files case (caller falls back to
+    the exact ``.rdd`` probe)."""
+    try:
+        if os.path.isdir(path):
+            files = [e.path for e in os.scandir(path)
+                     if e.name.endswith(".parquet")]
+        elif os.path.isfile(path):
+            files = [path]
+        else:
+            return None
+        sizes = sorted((os.path.getsize(f) for f in files), reverse=True)
+        if not sizes:
+            return None
+        conf = spark.conf
+        max_p = int(conf.get("spark.sql.files.maxPartitionBytes"))
+        open_c = int(conf.get("spark.sql.files.openCostInBytes"))
+        min_n = conf.get("spark.sql.files.minPartitionNum", None)
+        min_n = int(min_n) if min_n else spark.sparkContext.defaultParallelism
+        total = sum(s + open_c for s in sizes)
+        bytes_per_core = total // max(1, min_n)
+        max_split = min(max_p, max(open_c, bytes_per_core))
+        # file -> chunks of max_split, then greedy size-desc packing
+        # (chunk order is already size-descending: whole-file chunks of
+        # the sorted files, each file's remainder chunk no larger)
+        chunks = []
+        for s in sizes:
+            while s > 0:
+                chunks.append(min(s, max_split))
+                s -= max_split
+        chunks.sort(reverse=True)
+        parts, cur = 0, 0
+        for c in chunks:
+            if cur + c > max_split and cur > 0:
+                parts += 1
+                cur = 0
+            cur += c + open_c
+        return parts + (1 if cur > 0 else 0)
+    except Exception:
+        return None
+
+
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """load_table + :func:`spread_frame` (see there for the scale
-    story)."""
-    return spread_frame(spark, load_table(spark, sf_dir, name))
+    story). The splits-vs-cores gate reads the split count from the
+    file sizes (:func:`_estimated_scan_partitions`) instead of
+    compiling the scan plan twice; decision and resulting plan are
+    identical (pinned by tests/test_plan_quality.py)."""
+    df = load_table(spark, sf_dir, name)
+    if df.isStreaming:
+        return df
+    est = _estimated_scan_partitions(
+        spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if est is None:
+        return spread_frame(spark, df)
+    cores = spark.sparkContext.defaultParallelism
+    return df if est >= cores else df.repartition(cores)
 
 
 def load_all(spark: SparkSession, sf_dir: str,
