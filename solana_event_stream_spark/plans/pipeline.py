@@ -323,39 +323,42 @@ def build_decode_input(raw_tx: DataFrame,
                          "for every registered protocol")
     program_ids = [PROGRAM_ID_BY_PROTOCOL[p] for p in protocols]
     relevant = program_ids + [COMPUTE_BUDGET_PROGRAM_ID]
+    relevant_sql = ", ".join(f"'{p}'" for p in relevant)
+
+    # NOTE (r18, guide §7.3): every column below is emitted as a parsed
+    # SQL fragment instead of nested Column calls. Each PySpark Column
+    # op is a py4j round-trip and each higher-order-function lambda
+    # costs dozens of them — this builder measured ~6,000 round-trips
+    # (≈1.9 s driver wall) per invocation, and it runs once per batch
+    # query AND per streaming micro-batch plan rebuild. The parsed
+    # trees are node-for-node the ones the Column calls produced
+    # (oracle-pinned by the seven dex_* hash rows + the golden tests).
 
     # --- F6 + P1 + F2 (JVM) ---------------------------------------------
     tx = (
         raw_tx
         .filter(~F.col("is_vote"))  # grpc/subscription.rs:121
-        .withColumn("accounts", F.concat(
-            F.coalesce(F.col("static_account_keys"), F.array()),
-            F.coalesce(F.col("loaded_writable_addresses"), F.array()),
-            F.coalesce(F.col("loaded_readonly_addresses"), F.array())))
+        .withColumn("accounts", F.expr(
+            "concat(coalesce(static_account_keys, array()), "
+            "coalesce(loaded_writable_addresses, array()), "
+            "coalesce(loaded_readonly_addresses, array()))"))
         # F2 prefilter before any explode (event_parser.rs:222-225)
-        .filter(F.arrays_overlap(
-            F.col("accounts"), F.array(*[F.lit(p) for p in relevant])))
+        .filter(F.expr(
+            f"arrays_overlap(accounts, array({relevant_sql}))"))
     )
 
     # P2 padding: extend accounts with default pubkeys up to the max index
     # referenced by any outer instruction (event_parser.rs:233-237; the
     # reference pads progressively per instruction — global padding
     # resolves identically for every in-range index, see docstring).
-    max_idx = F.greatest(
-        F.lit(-1),
-        F.array_max(F.flatten(F.transform(
-            F.col("instructions"),
-            lambda ix: F.coalesce(ix["account_indices"],
-                                  F.array(F.lit(-1)))))),
-    )
-    pad_n = F.greatest(F.lit(0), max_idx + 1 - F.size(F.col("accounts")))
+    max_idx = ("greatest(-1, array_max(flatten(transform(instructions, "
+               "ix -> coalesce(ix.account_indices, array(-1))))))")
+    pad_n = f"greatest(0, {max_idx} + 1 - size(accounts))"
     tx = tx.withColumn(
         "accounts_padded",
-        F.when(pad_n > 0, F.concat(
-            F.col("accounts"),
-            F.transform(F.sequence(F.lit(1), pad_n),
-                        lambda _: F.lit(ZERO_PUBKEY))))
-        .otherwise(F.col("accounts")))
+        F.expr(f"CASE WHEN {pad_n} > 0 THEN concat(accounts, "
+               f"transform(sequence(1, {pad_n}), _i -> '{ZERO_PUBKEY}')) "
+               "ELSE accounts END"))
 
     # --- E1/E2: outer + inner instruction rows, ONE source scan ---------
     # A union of two explodes over `tx` compiles to TWO FileScans of the
@@ -367,29 +370,26 @@ def build_decode_input(raw_tx: DataFrame,
     common_cols = ["slot", "transaction_index", "block_time", "signature",
                    "recv_us", "accounts_padded", "inner_instructions"]
 
-    outer_structs = F.transform(
-        F.coalesce(F.col("instructions"), F.array()),
-        lambda ix, i: F.struct(
-            i.cast("long").alias("outer_index"),
-            F.lit(None).cast("long").alias("inner_index"),
-            ix.alias("ix")))
-    inner_structs = F.flatten(F.transform(
-        F.coalesce(F.col("inner_instructions"), F.array()),
-        # coalesce INSIDE the lambda: a group with a NULL instructions
-        # array otherwise yields a NULL element, flatten propagates it
-        # to a NULL array, and concat+explode would then drop the whole
-        # transaction INCLUDING its outer rows (the old union form only
-        # lost that group's inner rows)
-        lambda grp: F.transform(
-            F.coalesce(grp["instructions"], F.array()),
-            lambda ix, j: F.struct(
-                grp["index"].cast("long").alias("outer_index"),
-                j.cast("long").alias("inner_index"),
-                ix.alias("ix")))))
+    outer_structs = (
+        "transform(coalesce(instructions, array()), (ix, i) -> "
+        "named_struct('outer_index', CAST(i AS BIGINT), "
+        "'inner_index', CAST(NULL AS BIGINT), 'ix', ix))")
+    # coalesce INSIDE the lambda: a group with a NULL instructions
+    # array otherwise yields a NULL element, flatten propagates it
+    # to a NULL array, and concat+explode would then drop the whole
+    # transaction INCLUDING its outer rows (the old union form only
+    # lost that group's inner rows)
+    inner_structs = (
+        "flatten(transform(coalesce(inner_instructions, array()), "
+        "grp -> transform(coalesce(grp.instructions, array()), "
+        "(ix, j) -> named_struct("
+        "'outer_index', CAST(grp.index AS BIGINT), "
+        "'inner_index', CAST(j AS BIGINT), 'ix', ix))))")
 
     rows = (
         tx.select(*common_cols,
-                  F.explode(F.concat(outer_structs, inner_structs))
+                  F.explode(F.expr(
+                      f"concat({outer_structs}, {inner_structs})"))
                   .alias("r"))
         .select(*common_cols,
                 F.col("r.outer_index").alias("outer_index"),
@@ -401,14 +401,14 @@ def build_decode_input(raw_tx: DataFrame,
     # J2 look-ahead). Intra-row filter — no join, no shuffle.
     rows = rows.withColumn(
         "inner_group_arr",
-        F.filter(F.coalesce(F.col("inner_instructions"), F.array()),
-                 lambda g: g["index"] == F.col("outer_index")))
+        F.expr("filter(coalesce(inner_instructions, array()), "
+               "g -> g.index = outer_index)"))
     rows = (
         rows.withColumn(
             "inner_group",
-            F.when(F.size("inner_group_arr") > 0,
-                   F.col("inner_group_arr")[0]["instructions"]))
-        .withColumn("has_inner_group", F.size("inner_group_arr") > 0)
+            F.expr("CASE WHEN size(inner_group_arr) > 0 "
+                   "THEN inner_group_arr[0].instructions END"))
+        .withColumn("has_inner_group", F.expr("size(inner_group_arr) > 0"))
         .drop("inner_group_arr", "inner_instructions")
     )
 
@@ -421,58 +421,51 @@ def build_decode_input(raw_tx: DataFrame,
     # Found by the J1/J2 candidate property test (round 8).
     rows = rows.withColumn(
         "program_id",
-        F.try_element_at(F.col("accounts_padded"),
-                         F.col("ix.program_id_index") + 1))
-    rows = rows.filter(F.col("program_id").isin(relevant))
+        F.expr("try_element_at(accounts_padded, ix.program_id_index + 1)"))
+    rows = rows.filter(F.expr(f"program_id IN ({relevant_sql})"))
 
-    disc_len = F.when(F.col("program_id") == RAYDIUM_AMM_V4_PROGRAM_ID,
-                      1).otherwise(8)
     rows = rows.withColumn("data", F.col("ix.data"))
-    rows = rows.filter(
-        (F.col("program_id") == COMPUTE_BUDGET_PROGRAM_ID)
-        | (F.length(F.col("data")) >= disc_len))  # F7 disc-length guard
+    rows = rows.filter(  # F7 disc-length guard
+        F.expr(f"program_id = '{COMPUTE_BUDGET_PROGRAM_ID}' OR "
+               "length(data) >= (CASE WHEN program_id = "
+               f"'{RAYDIUM_AMM_V4_PROGRAM_ID}' THEN 1 ELSE 8 END)"))
 
-    proto_entries = []
-    for pid, proto in PROTOCOL_BY_PROGRAM_ID.items():
-        proto_entries += [F.lit(pid), F.lit(proto)]
-    proto_map = F.create_map(*proto_entries)
+    proto_map = "map(" + ", ".join(
+        f"'{pid}', '{proto}'"
+        for pid, proto in PROTOCOL_BY_PROGRAM_ID.items()) + ")"
     rows = rows.withColumn(
         "protocol",
-        F.when(F.col("program_id") == COMPUTE_BUDGET_PROGRAM_ID, "Common")
-        .otherwise(proto_map[F.col("program_id")]))
+        F.expr(f"CASE WHEN program_id = '{COMPUTE_BUDGET_PROGRAM_ID}' "
+               f"THEN 'Common' ELSE {proto_map}[program_id] END"))
 
-    disc_entries = []
-    for (proto, disc), etype in INSTRUCTION_DISCRIMINATORS.items():
-        disc_entries += [F.lit(proto + ":" + disc), F.lit(etype)]
-    disc_map = F.create_map(*disc_entries)
+    disc_map = "map(" + ", ".join(
+        f"'{proto}:{disc}', '{etype}'"
+        for (proto, disc), etype in INSTRUCTION_DISCRIMINATORS.items()) + ")"
     rows = rows.withColumn(
-        "disc_hex", F.lower(F.hex(F.expr(
-            "substring(data, 1, case when program_id = '"
-            + RAYDIUM_AMM_V4_PROGRAM_ID + "' then 1 else 8 end)"))))
+        "disc_hex", F.expr(
+            "lower(hex(substring(data, 1, case when program_id = '"
+            + RAYDIUM_AMM_V4_PROGRAM_ID + "' then 1 else 8 end)))"))
     rows = rows.withColumn(
         "event_type",
-        disc_map[F.concat(F.col("protocol"), F.lit(":"), F.col("disc_hex"))])
+        F.expr(f"{disc_map}[concat(protocol, ':', disc_hex)]"))
 
     # Only matched rows reach Python (D1 result or ComputeBudget)
     rows = rows.filter(
-        F.col("event_type").isNotNull() | (F.col("protocol") == "Common"))
+        F.expr("event_type IS NOT NULL OR protocol = 'Common'"))
 
     # P3: resolve instruction account indices -> pubkeys; out-of-range
     # indices are dropped (filter_map semantics, event_parser.rs:373-377)
     rows = rows.withColumn(
         "resolved_accounts",
-        F.filter(
-            F.transform(
-                F.coalesce(F.col("ix.account_indices"), F.array()),
-                lambda i: F.try_element_at(F.col("accounts_padded"),
-                                           i + 1)),
-            lambda x: x.isNotNull()))
+        F.expr("filter(transform(coalesce(ix.account_indices, array()), "
+               "i -> try_element_at(accounts_padded, i + 1)), "
+               "x -> x IS NOT NULL)"))
 
     # P9 block_time_ms (event_parser.rs:336-337; 0 when block_time null)
     rows = rows.withColumn(
         "block_time_ms",
-        F.coalesce((F.unix_micros(F.col("block_time")) / 1000)
-                   .cast("long"), F.lit(0)))
+        F.expr("coalesce(CAST(unix_micros(block_time) / 1000 AS BIGINT), "
+               "0)"))
 
     # --- J1/J2 JVM pre-scans --------------------------------------------
     # Both scans over the inner-instruction group are positional/shape
@@ -481,115 +474,85 @@ def build_decode_input(raw_tx: DataFrame,
     # group (every CPI payload of the transaction) never does. At 100 TB
     # this is the difference between shipping ~100s of bytes vs ~10s of KB
     # per instruction row into Python.
-    ig = F.coalesce(F.col("inner_group"), F.array())
-    acc = F.col("accounts_padded")
+    ig = "coalesce(inner_group, array())"
 
     # J1 (JVM half): inner instructions carrying a 16-byte discriminator
     # registered for this protocol, in group order (event_parser.rs:
     # 392-439). Python judges decode success (first successful wins).
-    cpi_entries = []
-    for (proto, disc), kind in INNER_DISCRIMINATORS.items():
-        cpi_entries += [F.lit(proto + ":" + disc), F.lit(kind)]
-    cpi_map = F.create_map(*cpi_entries)
-
-    def _cpi_kind(g):
-        return cpi_map[F.concat(
-            F.col("protocol"), F.lit(":"),
-            F.lower(F.hex(F.substring(g["data"], 1, 16))))]
+    cpi_map = "map(" + ", ".join(
+        f"'{proto}:{disc}', '{kind}'"
+        for (proto, disc), kind in INNER_DISCRIMINATORS.items()) + ")"
+    cpi_kind = (f"{cpi_map}[concat(protocol, ':', "
+                "lower(hex(substring(g.data, 1, 16))))]")
 
     rows = rows.withColumn(
         "cpi_candidates",
-        F.transform(
-            F.filter(ig, lambda g:
-                     (F.coalesce(F.length(g["data"]), F.lit(0)) >= 16)
-                     & _cpi_kind(g).isNotNull()),
-            lambda g: F.struct(
-                _cpi_kind(g).alias("kind"),
-                F.substring(g["data"], F.lit(17), F.length(g["data"]))
-                .alias("body"))))
+        F.expr(f"transform(filter({ig}, g -> "
+               f"coalesce(length(g.data), 0) >= 16 "
+               f"AND {cpi_kind} IS NOT NULL), "
+               f"g -> named_struct('kind', {cpi_kind}, "
+               "'body', substring(g.data, 17, length(g.data))))"))
 
     # J2 (JVM half): transfer-shaped inner instructions after the event's
     # position, truncated at the first non-system-program instruction
     # (types.rs:461-489). The break conditions (program out of bounds /
     # not an SPL-or-system program) become a first-break position.
-    indexed = F.transform(ig, lambda g, i: F.struct(i.alias("pos"),
-                                                    g.alias("g")))
-    sys_progs = list(SYSTEM_PROGRAMS)
+    indexed = f"transform({ig}, (g, i) -> named_struct('pos', i, 'g', g))"
+    sys_progs = ", ".join(f"'{p}'" for p in SYSTEM_PROGRAMS)
 
-    def _prog(s):
-        # try_element_at: whole-stage codegen's subexpression elimination
-        # can hoist this lookup PAST the bounds guard in the same
-        # predicate (observed: INVALID_ARRAY_INDEX_IN_ELEMENT_AT from
-        # the first-break filter), so the lookup itself must be total
-        return F.try_element_at(acc, s["g"]["program_id_index"] + 1)
+    # try_element_at: whole-stage codegen's subexpression elimination
+    # can hoist this lookup PAST the bounds guard in the same
+    # predicate (observed: INVALID_ARRAY_INDEX_IN_ELEMENT_AT from
+    # the first-break filter), so the lookup itself must be total
+    prog = "try_element_at(accounts_padded, s.g.program_id_index + 1)"
 
     # The reference scan starts at current_index + 1 (types.rs:461
     # `.skip((current_index + 1) as usize)`), so instructions at or before
     # the event's own position — including the event's own (non-system)
     # protocol instruction — must not register as breaks.
-    first_break = F.coalesce(
-        F.array_min(F.transform(
-            F.filter(indexed, lambda s:
-                     (s["pos"] > F.coalesce(F.col("inner_index"),
-                                            F.lit(-1)))
-                     & ((s["g"]["program_id_index"] >= F.size(acc))
-                        | ~_prog(s).isin(sys_progs))),
-            lambda s: s["pos"])),
-        F.size(ig))
-    rows = rows.withColumn("first_break", first_break)
+    rows = rows.withColumn("first_break", F.expr(
+        f"coalesce(array_min(transform(filter({indexed}, s -> "
+        "s.pos > coalesce(inner_index, -1) "
+        "AND (s.g.program_id_index >= size(accounts_padded) "
+        f"OR NOT ({prog} IN ({sys_progs})))), "
+        f"s -> s.pos)), size({ig}))"))
 
-    def _d(s):
-        return s["g"]["data"]
+    d = "s.g.data"
+    ai = "coalesce(s.g.account_indices, array())"
+    dlen = f"coalesce(length({d}), 0)"
 
-    def _ai(s):
-        return F.coalesce(s["g"]["account_indices"], F.array())
+    def _tag_is(t: int) -> str:
+        return f"substring({d}, 1, 1) = X'{t:02X}'"
 
-    def _tag_is(s, t):
-        return F.substring(_d(s), 1, 1) == F.lit(bytes([t]))
+    is12 = f"({_tag_is(12)} AND size({ai}) >= 4 AND {dlen} >= 9)"
+    is3 = f"({_tag_is(3)} AND size({ai}) >= 3 AND {dlen} >= 9)"
+    is2 = f"({_tag_is(2)} AND size({ai}) >= 2 AND {dlen} >= 12)"
+    s_i = f"try_element_at({ai}, 1)"
+    d_i = (f"(CASE WHEN {is12} THEN try_element_at({ai}, 3) "
+           f"ELSE try_element_at({ai}, 2) END)")
+    # LE u64: hex the 8-byte slice, reassemble the byte pairs
+    # MSB-first, conv (unsigned-64 exact). NB: reverse() on BinaryType
+    # goes through a string cast and mangles bytes — don't use it.
+    h = f"hex(substring({d}, (CASE WHEN {is2} THEN 5 ELSE 2 END), 8))"
+    be = "concat(" + ", ".join(
+        f"substring({h}, {1 + 2 * i}, 2)" for i in range(7, -1, -1)) + ")"
+    amount = f"CAST(conv({be}, 16, 10) AS DECIMAL(20,0))"
 
-    def _dlen(s):
-        return F.coalesce(F.length(_d(s)), F.lit(0))
-
-    def _is12(s):
-        return _tag_is(s, 12) & (F.size(_ai(s)) >= 4) & (_dlen(s) >= 9)
-
-    def _is3(s):
-        return _tag_is(s, 3) & (F.size(_ai(s)) >= 3) & (_dlen(s) >= 9)
-
-    def _is2(s):
-        return _tag_is(s, 2) & (F.size(_ai(s)) >= 2) & (_dlen(s) >= 12)
-
-    def _s_i(s):
-        return F.try_element_at(_ai(s), F.lit(1))
-
-    def _d_i(s):
-        return F.when(_is12(s), F.try_element_at(_ai(s), F.lit(3))) \
-                .otherwise(F.try_element_at(_ai(s), F.lit(2)))
-
-    def _amount(s):
-        # LE u64: hex the 8-byte slice, reassemble the byte pairs
-        # MSB-first, conv (unsigned-64 exact). NB: F.reverse on BinaryType
-        # goes through a string cast and mangles bytes — don't use it.
-        off = F.when(_is2(s), F.lit(5)).otherwise(F.lit(2))
-        h = F.hex(F.substring(_d(s), off, F.lit(8)))
-        be = F.concat(*[F.substring(h, 1 + 2 * i, 2)
-                        for i in range(7, -1, -1)])
-        return F.conv(be, 16, 10).cast("decimal(20,0)")
-
-    candidates = F.transform(
-        F.filter(indexed, lambda s:
-                 (s["pos"] > F.coalesce(F.col("inner_index"), F.lit(-1)))
-                 & (s["pos"] < F.col("first_break"))
-                 & (_dlen(s) >= 8)
-                 & (_is12(s) | _is3(s) | _is2(s))
-                 & (_s_i(s) < F.size(acc)) & (_d_i(s) < F.size(acc))),
-        lambda s: F.struct(
-            F.try_element_at(acc, _s_i(s) + 1).alias("source"),
-            F.try_element_at(acc, _d_i(s) + 1).alias("dest"),
-            _amount(s).alias("amount")))
     rows = rows.withColumn(
         "transfer_candidates",
-        F.when(F.col("has_inner_group"), candidates))
+        F.expr(
+            "CASE WHEN has_inner_group THEN "
+            f"transform(filter({indexed}, s -> "
+            "s.pos > coalesce(inner_index, -1) "
+            "AND s.pos < first_break "
+            f"AND {dlen} >= 8 "
+            f"AND ({is12} OR {is3} OR {is2}) "
+            f"AND {s_i} < size(accounts_padded) "
+            f"AND {d_i} < size(accounts_padded)), "
+            "s -> named_struct("
+            f"'source', try_element_at(accounts_padded, {s_i} + 1), "
+            f"'dest', try_element_at(accounts_padded, {d_i} + 1), "
+            f"'amount', {amount})) END"))
 
     return rows.select(
         "signature", "slot", "transaction_index", "block_time",
@@ -625,62 +588,63 @@ def enrich_events(events: DataFrame, bot_wallet: str | None,
     if creates is None:
         creates = _create_pools(events)
     events = events.join(creates, "signature", "left")
-    dev_users = F.col("_dev_users")
-    dev_creators = F.col("_dev_creators")
-    bonk_devs = F.col("_bonk_devs")
 
-    is_pf_trade = F.col("event_type").isin("PumpFunBuy", "PumpFunSell")
-    is_bonk_trade = F.col("event_type").isin(
-        "BonkBuyExactIn", "BonkBuyExactOut", "BonkSellExactIn",
-        "BonkSellExactOut")
+    # Parsed-SQL column bodies (r18, guide §7.3 — see build_decode_input
+    # note; enrich ran ~0.6 s of py4j chatter per build). Same CASE
+    # trees as the Column form; the dex_enrichment_flags oracle pins
+    # the values.
+    is_pf = "event_type IN ('PumpFunBuy', 'PumpFunSell')"
+    is_bonk = ("event_type IN ('BonkBuyExactIn', 'BonkBuyExactOut', "
+               "'BonkSellExactIn', 'BonkSellExactOut')")
 
-    dev_pool = F.array_union(dev_users, dev_creators)
+    dev_pool = "array_union(_dev_users, _dev_creators)"
 
     def _contains(arr, col):  # NULL member -> false, as in the reference
-        return F.coalesce(F.array_contains(arr, col), F.lit(False))
+        return f"coalesce(array_contains({arr}, {col}), false)"
 
     is_dev = (
-        F.when(is_pf_trade,
-               _contains(dev_pool, F.col("user"))
-               | _contains(dev_pool, F.col("creator")))
-        .when(is_bonk_trade, _contains(bonk_devs, F.col("payer")))
-        .otherwise(F.lit(None).cast("boolean")))
+        f"CASE WHEN {is_pf} THEN ({_contains(dev_pool, 'user')} "
+        f"OR {_contains(dev_pool, 'creator')}) "
+        f"WHEN {is_bonk} THEN {_contains('_bonk_devs', 'payer')} "
+        "ELSE CAST(NULL AS BOOLEAN) END")
 
-    bot = F.lit(bot_wallet) if bot_wallet else F.lit(None).cast("string")
-    is_bot = (
-        F.when(is_pf_trade, F.col("user") == bot)
-        .when(is_bonk_trade, F.col("payer") == bot)
-        .otherwise(F.lit(None).cast("boolean")))
+    bot = f"'{bot_wallet}'" if bot_wallet else "CAST(NULL AS STRING)"
+    is_bot = (f"CASE WHEN {is_pf} THEN user = {bot} "
+              f"WHEN {is_bonk} THEN payer = {bot} "
+              "ELSE CAST(NULL AS BOOLEAN) END")
 
     out = (events
-           .withColumn("is_dev_create_token_trade", is_dev)
-           .withColumn("is_bot", F.coalesce(is_bot, F.when(
-               is_pf_trade | is_bonk_trade, F.lit(False)))))
+           .withColumn("is_dev_create_token_trade", F.expr(is_dev))
+           .withColumn("is_bot", F.expr(
+               f"coalesce({is_bot}, CASE WHEN {is_pf} OR {is_bonk} "
+               "THEN false END)")))
 
     # P11 swap amount fill (post-merge values, event_parser.rs:690-722)
-    has_swap = F.col("swap_from_mint").isNotNull()
-    dec = "decimal(20,0)"
+    has_swap = "swap_from_mint IS NOT NULL"
+    dec = "DECIMAL(20,0)"
     out = (
         out.withColumn(
             "swap_from_amount",
-            F.when(has_swap & is_pf_trade,
-                   F.when(F.col("is_buy"), F.col("sol_amount"))
-                   .otherwise(F.col("token_amount")).cast(dec))
-            .when(has_swap & (F.col("event_type") == "PumpSwapBuy"),
-                  F.col("user_quote_amount_in").cast(dec))
-            .when(has_swap & (F.col("event_type") == "PumpSwapSell"),
-                  F.col("base_amount_in").cast(dec))
-            .otherwise(F.col("swap_from_amount")))
+            F.expr(
+                f"CASE WHEN {has_swap} AND {is_pf} THEN "
+                "CAST(CASE WHEN is_buy THEN sol_amount "
+                f"ELSE token_amount END AS {dec}) "
+                f"WHEN {has_swap} AND event_type = 'PumpSwapBuy' THEN "
+                f"CAST(user_quote_amount_in AS {dec}) "
+                f"WHEN {has_swap} AND event_type = 'PumpSwapSell' THEN "
+                f"CAST(base_amount_in AS {dec}) "
+                "ELSE swap_from_amount END"))
         .withColumn(
             "swap_to_amount",
-            F.when(has_swap & is_pf_trade,
-                   F.when(F.col("is_buy"), F.col("token_amount"))
-                   .otherwise(F.col("sol_amount")).cast(dec))
-            .when(has_swap & (F.col("event_type") == "PumpSwapBuy"),
-                  F.col("base_amount_out").cast(dec))
-            .when(has_swap & (F.col("event_type") == "PumpSwapSell"),
-                  F.col("user_quote_amount_out").cast(dec))
-            .otherwise(F.col("swap_to_amount")))
+            F.expr(
+                f"CASE WHEN {has_swap} AND {is_pf} THEN "
+                "CAST(CASE WHEN is_buy THEN token_amount "
+                f"ELSE sol_amount END AS {dec}) "
+                f"WHEN {has_swap} AND event_type = 'PumpSwapBuy' THEN "
+                f"CAST(base_amount_out AS {dec}) "
+                f"WHEN {has_swap} AND event_type = 'PumpSwapSell' THEN "
+                f"CAST(user_quote_amount_out AS {dec}) "
+                "ELSE swap_to_amount END"))
     )
     return out.drop("_dev_users", "_dev_creators", "_bonk_devs")
 
@@ -693,22 +657,20 @@ def _create_pools(events: DataFrame) -> DataFrame:
     no-op). collect_set combines partially map-side, so the shuffle
     carries only signatures that actually contain a create.
     """
-    pf_create = F.col("event_type").isin("PumpFunCreateToken",
-                                         "PumpFunCreateV2Token")
-    bonk_create = F.col("event_type").isin(
-        "BonkInitialize", "BonkInitializeV2", "BonkInitializeWithToken2022")
+    pf = "event_type IN ('PumpFunCreateToken', 'PumpFunCreateV2Token')"
+    bonk = ("event_type IN ('BonkInitialize', 'BonkInitializeV2', "
+            "'BonkInitializeWithToken2022')")
     return (
-        events.filter(pf_create | bonk_create)
+        events.filter(F.expr(f"{pf} OR {bonk}"))
         .select("signature", "event_type", "user", "creator")
         .groupBy("signature")
-        .agg(F.collect_set(F.when(pf_create, F.col("user")))
-             .alias("_dev_users"),
-             F.collect_set(
-                 F.when(pf_create & (F.col("creator") != ZERO_PUBKEY)
-                        & (F.col("creator") != F.col("user")),
-                        F.col("creator"))).alias("_dev_creators"),
-             F.collect_set(F.when(bonk_create, F.col("creator")))
-             .alias("_bonk_devs")))
+        .agg(F.expr(f"collect_set(CASE WHEN {pf} THEN user END) "
+                    "AS _dev_users"),
+             F.expr(f"collect_set(CASE WHEN {pf} "
+                    f"AND creator != '{ZERO_PUBKEY}' AND creator != user "
+                    "THEN creator END) AS _dev_creators"),
+             F.expr(f"collect_set(CASE WHEN {bonk} THEN creator END) "
+                    "AS _bonk_devs")))
 
 
 def load_raw_transactions(spark, path: str) -> DataFrame:
