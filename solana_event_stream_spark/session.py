@@ -52,20 +52,23 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Joins (r18, optimization guide §3.1): let the planner pick a
-    # shuffled-hash join instead of defaulting to sort-merge when one
-    # side is small per partition (skips two sorts), and let AQE
-    # rewrite an already-planned SMJ to SHJ when runtime stats show
-    # every post-shuffle partition under 64 MiB (well inside task
-    # memory on any real executor; same bound as the broadcast
-    # threshold). Equi-join semantics are unchanged — only the
-    # physical strategy moves, and every catalog query is
-    # partitioning/order-independent by the oracle determinism
-    # contract. Scale-safe: at 100 TB a build-side partition above the
-    # threshold simply keeps sort-merge.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # Joins (r18, optimization guide §3.1): shuffled-hash instead of
+    # sort-merge when a side fits per-partition memory skips two
+    # sorts — a real lever on big-shuffle clusters, so it ships as an
+    # env knob. It is OFF here by default: the r18 conf A/B (same JVM,
+    # arms interleaved per rep, 6 reps) measured the effect at local
+    # fixture scale as noise (0.84↔1.14 across converged runs on the
+    # same queries, with a mild 1.06 regression on the 94k-row
+    # dex_pipeline_throughput full-outer self-check join), so forcing
+    # it would be tuning to noise (OPTIMIZATION_r18.md "Changes" 4).
+    # SPARK_GRAFT_PREFER_SHJ=true -> preferSortMergeJoin=false + a
+    # 64 MiB AQE SMJ->SHJ local-map threshold (per-partition build
+    # size, well inside real executor task memory).
+    "spark.sql.join.preferSortMergeJoin":
+        "false" if os.environ.get("SPARK_GRAFT_PREFER_SHJ") else "true",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
-        str(64 * 1024 * 1024),
+        str(64 * 1024 * 1024)
+        if os.environ.get("SPARK_GRAFT_PREFER_SHJ") else "0",
     # Whole-stage codegen is the right choice on a real cluster (set
     # SPARK_GRAFT_CODEGEN=true). In this sandbox, C2 JIT compilation of
     # the large generated methods intermittently freezes a task thread
