@@ -608,7 +608,11 @@ def enrich_events(events: DataFrame, bot_wallet: str | None,
         f"WHEN {is_bonk} THEN {_contains('_bonk_devs', 'payer')} "
         "ELSE CAST(NULL AS BOOLEAN) END")
 
-    bot = f"'{bot_wallet}'" if bot_wallet else "CAST(NULL AS STRING)"
+    # SQL-quote the caller-supplied wallet ('' escaping, r18 ADVICE):
+    # semantics equal the old F.lit comparison for every input, and a
+    # quote can no longer break or alter the parsed predicate.
+    bot = ("'" + bot_wallet.replace("'", "''") + "'"
+           if bot_wallet else "CAST(NULL AS STRING)")
     is_bot = (f"CASE WHEN {is_pf} THEN user = {bot} "
               f"WHEN {is_bonk} THEN payer = {bot} "
               "ELSE CAST(NULL AS BOOLEAN) END")

@@ -45,6 +45,11 @@ def _state_store_provider() -> str:
     return _STATE_STORE_PROVIDERS.get(name, name)
 
 
+# SPARK_GRAFT_PREFER_SHJ is a boolean knob: parse the VALUE (r18 ADVICE —
+# plain truthiness made "=false"/"=0" enable it).
+_PREFER_SHJ = os.environ.get(
+    "SPARK_GRAFT_PREFER_SHJ", "").strip().lower() in ("true", "1", "yes")
+
 # Runtime-settable confs applied to any session we touch.
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
@@ -65,10 +70,9 @@ _RUNTIME_CONF = {
     # 64 MiB AQE SMJ->SHJ local-map threshold (per-partition build
     # size, well inside real executor task memory).
     "spark.sql.join.preferSortMergeJoin":
-        "false" if os.environ.get("SPARK_GRAFT_PREFER_SHJ") else "true",
+        "false" if _PREFER_SHJ else "true",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
-        str(64 * 1024 * 1024)
-        if os.environ.get("SPARK_GRAFT_PREFER_SHJ") else "0",
+        str(64 * 1024 * 1024) if _PREFER_SHJ else "0",
     # Whole-stage codegen is the right choice on a real cluster (set
     # SPARK_GRAFT_CODEGEN=true). In this sandbox, C2 JIT compilation of
     # the large generated methods intermittently freezes a task thread

@@ -81,8 +81,12 @@ def _estimated_scan_partitions(spark: SparkSession, path: str) -> int | None:
     the exact ``.rdd`` probe)."""
     try:
         if os.path.isdir(path):
-            files = [e.path for e in os.scandir(path)
-                     if e.name.endswith(".parquet")]
+            entries = list(os.scandir(path))
+            # A hive-partitioned layout (subdirectories) changes which
+            # files the scan sees; don't guess — exact probe (r18 ADVICE).
+            if any(e.is_dir() for e in entries):
+                return None
+            files = [e.path for e in entries if e.name.endswith(".parquet")]
         elif os.path.isfile(path):
             files = [path]
         else:
@@ -94,6 +98,11 @@ def _estimated_scan_partitions(spark: SparkSession, path: str) -> int | None:
         max_p = int(conf.get("spark.sql.files.maxPartitionBytes"))
         open_c = int(conf.get("spark.sql.files.openCostInBytes"))
         min_n = conf.get("spark.sql.files.minPartitionNum", None)
+        if not min_n:
+            # FilePartition math falls back to leafNodeDefaultParallelism
+            # (the conf when set, else defaultParallelism) — honor the
+            # conf so a deployment that sets it keeps the estimate exact.
+            min_n = conf.get("spark.sql.leafNodeDefaultParallelism", None)
         min_n = int(min_n) if min_n else spark.sparkContext.defaultParallelism
         total = sum(s + open_c for s in sizes)
         bytes_per_core = total // max(1, min_n)

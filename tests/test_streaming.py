@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 import pytest
 
@@ -338,6 +339,17 @@ def test_latency_listener_and_summary(spark):
                  .trigger(availableNow=True)
                  .start())
             q.awaitTermination(120)
+            # Listener events are delivered ASYNC on the listener bus:
+            # under load the last micro-batches' progress events can
+            # arrive after awaitTermination returns. Wait until the
+            # collector has seen every batch the query itself reports
+            # (recentProgress persists after termination) before
+            # removing the listener — the historical flake here.
+            expected = {p.batchId for p in q.recentProgress}
+            deadline = time.time() + 60
+            while ({row["batch_id"] for row in collector.progress}
+                   < expected and time.time() < deadline):
+                time.sleep(0.2)
     finally:
         spark.streams.removeListener(listener)
 
