@@ -1417,27 +1417,41 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .select("doc_id", F.col("doc_id").alias("label"))
               .localCheckpoint(eager=False))
-    for _ in range(_CC_MAX_ITERS):
-        nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
-               .groupBy("src").agg(F.min("label").alias("nbr_min")))
-        # Change detection rides the update row itself (old label and
-        # nbr_min are both present), so no extra join per iteration.
-        # Lazy checkpoint + count (r18): the count BOTH materializes
-        # the checkpoint and reads the changed tally — one job per
-        # iteration where the eager form paid two.
-        new_labels = (labels.join(nbr, labels["doc_id"] == nbr["src"],
-                                  "left")
-                      .select(labels["doc_id"],
-                              F.least(labels["label"],
-                                      F.coalesce(nbr["nbr_min"],
-                                                 labels["label"]))
-                              .alias("label"),
-                              (nbr["nbr_min"] < labels["label"])
-                              .alias("chg"))
+
+    def _hop(lbl: DataFrame) -> DataFrame:
+        """One min-label propagation step: (doc_id, label, chg)."""
+        nbr = (edges.alias("e")
+               .join(lbl.alias("l"), F.col("e.dst") == F.col("l.doc_id"))
+               .groupBy(F.col("e.src").alias("src"))
+               .agg(F.min("l.label").alias("nbr_min")))
+        return (lbl.alias("l2")
+                .join(nbr.alias("n"),
+                      F.col("l2.doc_id") == F.col("n.src"), "left")
+                .select(F.col("l2.doc_id").alias("doc_id"),
+                        F.least(F.col("l2.label"),
+                                F.coalesce(F.col("n.nbr_min"),
+                                           F.col("l2.label")))
+                        .alias("label"),
+                        (F.col("n.nbr_min") < F.col("l2.label"))
+                        .alias("chg")))
+
+    # TWO propagation hops per materialized job (r19, guide §1.2 fewer
+    # passes): each driver round composes hop->hop into one plan, and
+    # the count BOTH materializes the lazy checkpoint and reads the
+    # changed tally (the r18 fusion). Convergence reads HOP 2's chg
+    # only: chg2 == 0 means applying propagation to hop 1's labels
+    # changed nothing, i.e. hop 1 already reached the fixpoint and
+    # hop 2 returned it unchanged — sound regardless of chg1. Near-dup
+    # components are near-cliques (diameter ~1), so the common case is
+    # ONE job (hop1 propagates, hop2 confirms) where the single-hop
+    # loop paid two. Executed hop work is unchanged; only driver
+    # round-trips halve — per batch in the streaming dedup loop too.
+    for _ in range((_CC_MAX_ITERS + 1) // 2):
+        new_labels = (_hop(_hop(labels).drop("chg"))
                       .localCheckpoint(eager=False))
-        changed = new_labels.filter("chg").count()
+        changed2 = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
-        if changed == 0:
+        if changed2 == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 

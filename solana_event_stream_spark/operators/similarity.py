@@ -570,8 +570,20 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
         F.col("cell").alias("q_cell"))
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    # eqNullSafe, not ==, on the cell key (r19, guide §2.4/§4.4 analog):
+    # a plain equi-join makes InferFiltersFromConstraints inject
+    # isnotnull(cell) below the corpus-side projection, and `cell` is
+    # the full k x dims argmax fold — the dominant per-row cost of this
+    # query — so every corpus row paid the fold TWICE (once in the
+    # inferred Filter, once in the Project that emits the column). The
+    # fold's cid is an array index over a literal centroid array and is
+    # never NULL (NULL/short embeddings yield NULL cosines, but the
+    # argmax still returns a struct with a literal cid), so the
+    # inferred filter kept every row and <=> is row-for-row identical
+    # to = here; the join stays a broadcast hash join (EqualNullSafe is
+    # an equi-key for ExtractEquiJoinKeys).
     scored = (F.broadcast(queries)
-              .join(cells, (F.col("q_cell") == F.col("cell"))
+              .join(cells, F.col("q_cell").eqNullSafe(F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))
@@ -616,8 +628,11 @@ def ann_ivf_topk_probed(spark, sf_dir: str, nprobe: int = 2) -> DataFrame:
                        F.col("nrm").alias("q_nrm"),
                        F.explode(probe_cells).alias("q_cell")))
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    # eqNullSafe on the cell key: see ann_ivf_topk — kills the inferred
+    # always-true isnotnull(<argmax fold>) Filter that re-evaluated the
+    # k x dims fold on every corpus row; identical rows out.
     scored = (F.broadcast(queries)
-              .join(cells, (F.col("q_cell") == F.col("cell"))
+              .join(cells, F.col("q_cell").eqNullSafe(F.col("cell"))
                     & (F.col("query_id") != F.col("vec_id")))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       F.try_divide(dot, F.col("q_nrm") * F.col("nrm"))

@@ -26,6 +26,20 @@ def test_connected_components_chain_and_island(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_multi_round(spark):
+    # chain 1-2-3-4-5-6: the min label needs FIVE propagation hops to
+    # reach the far end, so the two-hop-batched loop (r19) must run
+    # multiple materialized rounds AND its chg2-only convergence rule
+    # must not stop early when hop 1 of a round changes but hop 2
+    # confirms (the 3-node chain in the test above converges in one
+    # round; this one cannot).
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=a + 1) for a in range(1, 6)])
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {d: 1 for d in range(1, 7)}
+
+
 def test_connected_components_empty(spark):
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert connected_components(pairs).count() == 0
