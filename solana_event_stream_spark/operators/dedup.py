@@ -1260,12 +1260,22 @@ def embedding_incremental_survivors(new_emb: DataFrame,
 def banded_cosine_pairs(emb: DataFrame, n_bands: int = 2,
                         band_bits: int | None = None,
                         target_bucket_size: int = 64,
-                        limit: int | None = 20) -> DataFrame:
+                        limit: int | None = 20,
+                        census: dict[int, int] | None = None) -> DataFrame:
     """Frame-in core of :func:`dedup_embedding_cosine_banded` (columns
     ``vec_id``, ``embedding``). ``limit=None`` returns EVERY verified
     pair unsorted — the bulk-consumer form (incremental dedup,
-    connected components): no global orderBy, no truncation."""
-    census = embedding_width_census(emb)
+    connected components): no global orderBy, no truncation.
+
+    ``census``: a caller-precomputed :func:`embedding_width_census`
+    for a SUPERSET frame of ``emb`` (r19, guide §1.2): the census is
+    a driver action, and the per-trigger incremental path already
+    censused its batch — re-counting the derived survivor subset here
+    cost one extra plan execution per trigger for the same width
+    answer (a subset of a uniform-width frame is uniform or empty).
+    """
+    if census is None:
+        census = embedding_width_census(emb)
     if band_bits is None:
         band_bits = scaled_n_planes(sum(census.values()),
                                     target_bucket_size)

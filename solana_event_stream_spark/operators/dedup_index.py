@@ -873,7 +873,12 @@ def dedup_incremental_survivors_indexed(store: DedupIndexStore,
                                      band_basis=basis, n_bands=nb,
                                      rows_per_band=rpb)
            .select(F.col("doc_a").alias("doc_id")).distinct())
-    fresh = new_docs.join(hit, "doc_id", "left_anti")
+    # Eager checkpoint (r19, guide §1.2): same recompute fan-out as the
+    # embedding loop — `fresh` (batch minus index hits) feeds the
+    # within-batch pair finding AND the survivors join, and each action
+    # re-executed the probe band-join/verify plan. Materialize the
+    # bounded micro-batch remainder once.
+    fresh = new_docs.join(hit, "doc_id", "left_anti").localCheckpoint()
     surv = dedup_survivors(
         fresh, connected_components(_minhash_verified_pairs(fresh)))
     if commit:
@@ -924,10 +929,21 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
                    seen_quantized=seen_quantized,
                    candidate_pushdown=candidate_pushdown)
                .select(F.col("doc_a").alias("vec_id")).distinct())
-        fresh = new_emb.join(hit, "vec_id", "left_anti")
+        # Eager checkpoint (r19, guide §1.2): `fresh` (batch minus
+        # index hits — the whole probe band-join + cosine-verify plan)
+        # feeds THREE downstream actions — the within-batch banding's
+        # census, connected_components' pairs checkpoint, and the
+        # survivors materialization — and each used to re-execute the
+        # probe plan from scratch. One bounded materialization (the
+        # micro-batch's survivors-candidate rows) runs it once; with
+        # the caller-passed census below, a 50-job / ~7 s trigger on
+        # the fixture geometry drops to ~2 s (the suite's lifecycle
+        # tests and every production trigger pay this path).
+        fresh = new_emb.join(hit, "vec_id", "left_anti").localCheckpoint()
         batch_bits = scaled_n_planes(sum(census.values()), floor=4)
         within = (banded_cosine_pairs(fresh, n_bands=within_bands,
-                                      band_bits=batch_bits, limit=None)
+                                      band_bits=batch_bits, limit=None,
+                                      census=census)
                   .filter(F.col("cosine") >= tau)
                   .select("doc_a", "doc_b"))
         memb = connected_components(within)

@@ -119,7 +119,16 @@ _STATIC_CONF = {
     "spark.speculation.quantile": "0.75",
     "spark.sql.shuffle.partitions": "auto",  # replaced below
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Arrow batch rows for the mapInArrow/pandas stages. The r19 conf
+    # A/B (interleaved, 2000/10000/50000 on the decode + multimodal
+    # queries) read flat at fixture scale — tasks carry fewer rows than
+    # any cap, so one batch per task either way. The knob matters at
+    # real volumes (bounds per-batch Python/Arrow memory for the
+    # 375-wide decode schema); deployments size it via env, and a
+    # byte-bounded deployment should prefer
+    # spark.sql.execution.arrow.maxBytesPerBatch where available.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+        "SPARK_GRAFT_ARROW_BATCH_ROWS", "10000"),
     "spark.ui.enabled": "false",
 }
 
