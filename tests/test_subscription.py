@@ -98,14 +98,23 @@ def test_dynamic_filter_swap_mid_stream(spark):
 
             # swap to an impossible include mid-stream: every row of the
             # re-fed corpus must now be dropped, without a restart
+            input_before = sum(p.numInputRows for p in q.recentProgress)
             write_filter_spec(spec, account_include=["NoSuchAccount111"])
             raw.write.mode("append").parquet(archive)
             deadline = time.time() + 60
             while time.time() < deadline:
                 later = batches[seen:]
-                # wait for the batch that carried the appended corpus
-                # (maxFilesPerTrigger may split it across batches)
-                if len(later) >= 3:
+                # break once the appended corpus has actually been FED
+                # to the filter (source-side numInputRows accounting —
+                # the callback sees only post-filter rows, which must
+                # be zero here, so row counts from `batches` cannot
+                # signal arrival). The old exit waited for >= 3 batches
+                # after the swap, but maxFilesPerTrigger often delivers
+                # the append in 1-2, burning the full 60 s deadline on
+                # every run before the asserts (which then passed).
+                fed = sum(p.numInputRows
+                          for p in q.recentProgress) - input_before
+                if later and fed >= n_total:
                     break
                 time.sleep(0.5)
             later = [n for _, n in batches[seen:]]
