@@ -937,8 +937,8 @@ def embedding_incremental_survivors_indexed(store: DedupIndexStore,
         # probe plan from scratch. One bounded materialization (the
         # micro-batch's survivors-candidate rows) runs it once; with
         # the caller-passed census below, a 50-job / ~7 s trigger on
-        # the fixture geometry drops to ~2 s (the suite's lifecycle
-        # tests and every production trigger pay this path).
+        # the fixture geometry drops to 38 jobs / ~4.2 s (the suite's
+        # lifecycle tests and every production trigger pay this path).
         fresh = new_emb.join(hit, "vec_id", "left_anti").localCheckpoint()
         batch_bits = scaled_n_planes(sum(census.values()), floor=4)
         within = (banded_cosine_pairs(fresh, n_bands=within_bands,
